@@ -1,0 +1,34 @@
+"""pygsti_tpu — a TPU-native (JAX/XLA/Pallas) quantum characterization framework.
+
+A ground-up rebuild of the capabilities of sandialabs/pyGSTi (Gate Set
+Tomography, Randomized Benchmarking, Robust Phase Estimation, model testing,
+drift analysis, volumetric benchmarks and reporting) designed for TPU
+hardware: model parameterizations are pure ``theta -> operator tensor``
+functions, circuit evaluation is batched ``lax.scan`` state propagation over
+compiled circuit index tensors, derivatives come from ``jax.jacfwd`` and
+parallelism is expressed with ``jax.sharding`` device meshes instead of MPI.
+
+Reference layer map: see SURVEY.md; top-level API mirrors pyGSTi's
+(pygsti/__init__.py in the reference) where it makes sense.
+"""
+
+from pygsti_tpu import baseobjs
+from pygsti_tpu import tools
+from pygsti_tpu import circuits
+from pygsti_tpu import processors
+from pygsti_tpu import modelmembers
+from pygsti_tpu import models
+from pygsti_tpu import layouts
+from pygsti_tpu import forwardsims
+from pygsti_tpu import objectivefns
+from pygsti_tpu import optimize
+from pygsti_tpu import algorithms
+from pygsti_tpu import data
+from pygsti_tpu import protocols
+
+from pygsti_tpu.baseobjs.label import Label
+from pygsti_tpu.circuits.circuit import Circuit
+from pygsti_tpu.data.dataset import DataSet
+from pygsti_tpu.data.datasetconstruction import simulate_data
+
+__version__ = "0.1.0"

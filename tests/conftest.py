@@ -1,0 +1,42 @@
+"""Test configuration: CPU-only JAX with 8 virtual devices and float64.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+import sys
+import types
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref_pygsti():
+    """Import the reference pyGSTi (pure-Python evotypes) as a parity oracle."""
+    if not os.path.isdir(REFERENCE_PATH):
+        pytest.skip("reference pyGSTi not available")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if "pygsti._version" not in sys.modules:
+        vm = types.ModuleType("pygsti._version")
+        vm.version = "0.0.0"
+        vm.version_tuple = (0, 0, 0)
+        sys.modules["pygsti._version"] = vm
+    os.environ.setdefault("PYGSTI_NO_CYTHON_WARNING", "1")
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pygsti
+    return pygsti

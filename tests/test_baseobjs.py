@@ -1,0 +1,107 @@
+"""Tests for labels, state spaces and bases — including parity vs the reference."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.baseobjs import Label, QubitSpace, ExplicitStateSpace, Basis, BuiltinBasis
+from pygsti_tpu.baseobjs.basis import TensorProdBasis
+
+
+class TestLabel:
+    def test_simple_label(self):
+        l = Label('Gxpi2', 0)
+        assert l.name == 'Gxpi2'
+        assert l.sslbls == (0,)
+        assert str(l) == 'Gxpi2:0'
+        assert l == ('Gxpi2', 0)
+        assert hash(l) == hash(('Gxpi2', 0))
+
+    def test_str_label(self):
+        l = Label('rho0')
+        assert l.name == 'rho0'
+        assert l.sslbls is None
+        assert l == 'rho0'
+
+    def test_empty_layer(self):
+        l = Label(())
+        assert str(l) == '[]'
+        assert l.components == ()
+        assert l == ()
+
+    def test_composite(self):
+        l = Label([('Gxpi2', 0), ('Gypi2', 1)])
+        assert len(l.components) == 2
+        assert l.components[0] == ('Gxpi2', 0)
+        assert l.sslbls == (0, 1)
+        assert str(l) == '[Gxpi2:0Gypi2:1]'
+
+    def test_tuple_init(self):
+        l = Label(('Gcnot', 0, 1))
+        assert l.name == 'Gcnot'
+        assert l.sslbls == (0, 1)
+
+    def test_dict_key(self):
+        d = {Label('Gxpi2', 0): 1}
+        assert d[('Gxpi2', 0)] == 1
+        assert d[Label(('Gxpi2', 0))] == 1
+
+
+class TestStateSpace:
+    def test_qubit_space(self):
+        ss = QubitSpace(2)
+        assert ss.udim == 4
+        assert ss.dim == 16
+        assert ss.num_qubits == 2
+        assert ss.qubit_labels == (0, 1)
+
+    def test_explicit(self):
+        ss = ExplicitStateSpace(('Q0',))
+        assert ss.udim == 2 and ss.dim == 4
+
+
+class TestBasis:
+    def test_pp_1q(self):
+        b = BuiltinBasis('pp', 4)
+        els = b.elements
+        assert els.shape == (4, 2, 2)
+        # orthonormality
+        g = np.einsum('aij,bij->ab', els.conj(), els)
+        assert np.allclose(g, np.eye(4))
+        # first element = I/sqrt(2)
+        assert np.allclose(els[0], np.eye(2) / np.sqrt(2))
+
+    def test_pp_labels(self):
+        assert BuiltinBasis('pp', 4).labels == ['I', 'X', 'Y', 'Z']
+        assert BuiltinBasis('pp', 16).labels[:5] == ['II', 'IX', 'IY', 'IZ', 'XI']
+
+    def test_gm_orthonormal(self):
+        for d2 in (4, 9, 16):
+            b = BuiltinBasis('gm', d2)
+            assert b.is_normalized()
+
+    def test_std(self):
+        b = BuiltinBasis('std', 4)
+        assert np.allclose(b.elements[1], [[0, 1], [0, 0]])
+
+    def test_transform_roundtrip(self):
+        pp = BuiltinBasis('pp', 16)
+        M = pp.create_transform_matrix('std')
+        Minv = BuiltinBasis('std', 16).create_transform_matrix(pp)
+        assert np.allclose(M @ Minv, np.eye(16))
+
+    def test_tensorprod(self):
+        tb = TensorProdBasis([BuiltinBasis('pp', 4), BuiltinBasis('pp', 4)])
+        b2 = BuiltinBasis('pp', 16)
+        assert np.allclose(tb.elements, b2.elements)
+
+
+class TestBasisParity:
+    """Element-wise parity with the reference's basis constructors."""
+
+    @pytest.mark.parametrize("name,dim", [('pp', 4), ('pp', 16), ('gm', 4),
+                                          ('gm', 9), ('std', 4), ('std', 16)])
+    def test_elements_match(self, ref_pygsti, name, dim):
+        ref_basis = ref_pygsti.baseobjs.Basis.cast(name, dim)
+        mine = BuiltinBasis(name, dim)
+        ref_els = np.array([e for e in ref_basis.elements])
+        assert np.allclose(ref_els, mine.elements), "basis %s dim %d mismatch" % (name, dim)

@@ -1,0 +1,93 @@
+"""Tests for Circuit and the circuit-string parser, incl. parity vs reference."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.baseobjs import Label
+from pygsti_tpu.circuits import Circuit, parse_circuit_str
+
+
+class TestCircuit:
+    def test_from_labels(self):
+        c = Circuit([Label('Gxpi2', 0), Label('Gypi2', 0)])
+        assert c.depth == 2
+        assert c.line_labels == (0,)
+        assert c.str == 'Gxpi2:0Gypi2:0@(0)'
+
+    def test_from_string(self):
+        c = Circuit('Gxpi2:0Gypi2:0@(0)')
+        assert c.depth == 2
+        assert c[0] == ('Gxpi2', 0)
+        assert c.line_labels == (0,)
+
+    def test_empty_circuit(self):
+        c = Circuit('{}@(0)')
+        assert c.depth == 0
+        assert c.line_labels == (0,)
+        assert c.str == '{}@(0)'
+
+    def test_empty_layer(self):
+        c = Circuit('[]@(0)')
+        assert c.depth == 1
+        assert c[0] == ()
+        assert str(c[0]) == '[]'
+
+    def test_parallel_layer(self):
+        c = Circuit('[Gxpi2:0Gypi2:1]@(0,1)')
+        assert c.depth == 1
+        assert len(c[0].components) == 2
+        assert c.str == '[Gxpi2:0Gypi2:1]@(0,1)'
+
+    def test_repetition(self):
+        c = Circuit('(Gxpi2:0Gypi2:0)^2@(0)')
+        assert c.depth == 4
+        assert c[2] == ('Gxpi2', 0)
+        c2 = Circuit('Gxpi2:0^3@(0)')
+        assert c2.depth == 3
+
+    def test_add_and_pow(self):
+        a = Circuit('Gxpi2:0@(0)')
+        b = Circuit('Gypi2:0@(0)')
+        assert (a + b).str == 'Gxpi2:0Gypi2:0@(0)'
+        assert (a ** 3).depth == 3
+
+    def test_hash_eq(self):
+        a = Circuit('Gxpi2:0Gypi2:0@(0)')
+        b = Circuit([('Gxpi2', 0), ('Gypi2', 0)], line_labels=(0,))
+        assert a == b and hash(a) == hash(b)
+        d = {a: 1}
+        assert d[b] == 1
+
+    def test_two_qubit_gate(self):
+        c = Circuit('Gcnot:0:1@(0,1)')
+        assert c[0] == ('Gcnot', 0, 1)
+
+    def test_roundtrip_strings(self):
+        for s in ['{}@(0)', '[]@(0)', 'Gxpi2:0@(0)', 'Gxpi2:0Gxpi2:0Gypi2:0@(0)',
+                  '[Gxpi2:0Gypi2:1]Gcnot:0:1@(0,1)']:
+            assert Circuit(s).str == s
+
+
+class TestParserParity:
+    """Parse the same strings as the reference and compare layer structure."""
+
+    STRINGS = ['{}@(0)', '[]@(0)', 'Gxpi2:0@(0)', 'Gxpi2:0Gypi2:0@(0)',
+               '(Gxpi2:0Gypi2:0)^2@(0)', 'Gxpi2:0^4@(0)',
+               '[Gxpi2:0Gypi2:1]@(0,1)', 'Gcnot:0:1@(0,1)']
+
+    @pytest.mark.parametrize("s", STRINGS)
+    def test_layers_match(self, ref_pygsti, s):
+        ref_c = ref_pygsti.circuits.Circuit(s)
+        my_c = Circuit(s)
+        assert my_c.depth == ref_c.depth, s
+        assert my_c.str == ref_c.str, s
+        for my_l, ref_l in zip(my_c, ref_c.layertup):
+            assert str(my_l) == str(ref_l), s
+
+    def test_germ_fiducial_strings(self, ref_pygsti):
+        """All smq1Q_XYI pack circuit strings parse identically."""
+        from pygsti.modelpacks import smq1Q_XYI as mp
+        for c in list(mp.germs()) + list(mp.prep_fiducials()) + list(mp.meas_fiducials()):
+            mine = Circuit(c.str)
+            assert mine.str == c.str
+            assert mine.depth == c.depth

@@ -1,0 +1,127 @@
+"""Tests for tools: basis changes, superop conversions, metrics — parity vs reference."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.tools import (change_basis, unitary_to_pauligate, unitary_to_superop,
+                              stdmx_to_vec, vec_to_stdmx, fidelity, entanglement_fidelity,
+                              average_gate_fidelity, jtracedist)
+from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+from pygsti_tpu.tools import lindbladtools as lt
+from pygsti_tpu.tools.jamiolkowski import jamiolkowski_iso, jamiolkowski_iso_inv
+
+
+class TestConversions:
+    def test_x_pauligate(self):
+        u = standard_gatename_unitaries()['Gxpi2']
+        ptm = unitary_to_pauligate(u)
+        expected = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                             [0, 0, 0, -1], [0, 0, 1, 0]], dtype=float)
+        assert np.allclose(ptm, expected)
+
+    def test_state_vec(self):
+        rho0 = np.array([[1, 0], [0, 0]], dtype=complex)
+        v = stdmx_to_vec(rho0, 'pp')
+        assert np.allclose(v, [1 / np.sqrt(2), 0, 0, 1 / np.sqrt(2)])
+        assert np.allclose(vec_to_stdmx(v, 'pp'), rho0)
+
+    def test_change_basis_roundtrip(self):
+        rng = np.random.default_rng(0)
+        m = rng.normal(size=(16, 16))
+        m2 = change_basis(change_basis(m, 'pp', 'std'), 'std', 'pp')
+        assert np.allclose(m, m2)
+
+    def test_superop_composition(self):
+        """PTM of a product = product of PTMs."""
+        u = standard_gatename_unitaries()
+        ptm_x = unitary_to_pauligate(u['Gxpi2'])
+        ptm_y = unitary_to_pauligate(u['Gypi2'])
+        ptm_xy = unitary_to_pauligate(u['Gypi2'] @ u['Gxpi2'])
+        assert np.allclose(ptm_y @ ptm_x, ptm_xy)
+
+
+class TestGateParity:
+    @pytest.mark.parametrize("name", ['Gi', 'Gxpi2', 'Gypi2', 'Gzpi2', 'Gxpi',
+                                      'Gypi', 'Gzpi', 'Gh', 'Gp', 'Gt', 'Gn',
+                                      'Gc3', 'Gc12', 'Gc16', 'Gc21',
+                                      'Gcnot', 'Gcphase', 'Gswap', 'Gzz', 'Gxx'])
+    def test_ptm_matches_reference(self, ref_pygsti, name):
+        ref_u = ref_pygsti.tools.internalgates.standard_gatename_unitaries()[name]
+        my_u = standard_gatename_unitaries()[name]
+        ref_ptm = ref_pygsti.tools.unitary_to_pauligate(ref_u)
+        my_ptm = unitary_to_pauligate(my_u)
+        assert np.allclose(ref_ptm, my_ptm), "PTM mismatch for %s" % name
+
+    @pytest.mark.parametrize("name", ['Gc%d' % i for i in range(24)])
+    def test_all_cliffords_match(self, ref_pygsti, name):
+        ref_u = ref_pygsti.tools.internalgates.standard_gatename_unitaries()[name]
+        my_u = standard_gatename_unitaries()[name]
+        assert np.allclose(ref_pygsti.tools.unitary_to_pauligate(ref_u),
+                           unitary_to_pauligate(my_u))
+
+
+class TestMetrics:
+    def test_fidelity_self(self):
+        rho = np.array([[0.7, 0.1], [0.1, 0.3]], dtype=complex)
+        assert np.isclose(fidelity(rho, rho), 1.0, atol=1e-8)
+
+    def test_entanglement_fidelity_identity(self):
+        u = standard_gatename_unitaries()
+        g = unitary_to_pauligate(u['Gxpi2'])
+        assert np.isclose(entanglement_fidelity(g, g), 1.0, atol=1e-8)
+
+    def test_agf_depol(self, ref_pygsti):
+        """Depolarizing channel AGF matches the reference's computation."""
+        g = np.diag([1.0, 0.9, 0.9, 0.9])
+        t = np.eye(4)
+        ref_val = ref_pygsti.tools.average_gate_fidelity(g, t, 'pp')
+        assert np.isclose(average_gate_fidelity(g, t), ref_val, atol=1e-10)
+
+    def test_jtracedist_parity(self, ref_pygsti):
+        u = standard_gatename_unitaries()
+        a = unitary_to_pauligate(u['Gxpi2'])
+        b = np.diag([1.0, 0.98, 0.98, 0.98]) @ a
+        ref_val = ref_pygsti.tools.jtracedist(a, b, 'pp')
+        assert np.isclose(jtracedist(a, b), ref_val, atol=1e-8)
+
+
+class TestLindblad:
+    @pytest.mark.parametrize("typ", ['H', 'S'])
+    def test_elementary_errorgen_parity(self, ref_pygsti, typ):
+        from pygsti_tpu.baseobjs.basisconstructors import pp_matrices
+        pp = pp_matrices(2, normalize=True)
+        for i in range(1, 4):
+            ref_eg = ref_pygsti.tools.lindbladtools.create_elementary_errorgen(typ, pp[i])
+            my_eg = lt.create_elementary_errorgen(typ, pp[i])
+            assert np.allclose(ref_eg, my_eg), "%s errorgen %d mismatch" % (typ, i)
+
+    @pytest.mark.parametrize("typ", ['C', 'A'])
+    def test_elementary_errorgen_2arg_parity(self, ref_pygsti, typ):
+        from pygsti_tpu.baseobjs.basisconstructors import pp_matrices
+        pp = pp_matrices(2, normalize=True)
+        ref_eg = ref_pygsti.tools.lindbladtools.create_elementary_errorgen(typ, pp[1], pp[2])
+        my_eg = lt.create_elementary_errorgen(typ, pp[1], pp[2])
+        assert np.allclose(ref_eg, my_eg)
+
+
+class TestJamiolkowski:
+    def test_choi_roundtrip(self):
+        u = standard_gatename_unitaries()
+        g = unitary_to_pauligate(u['Gxpi2'])
+        choi = jamiolkowski_iso(g)
+        g2 = jamiolkowski_iso_inv(choi)
+        assert np.allclose(g, g2)
+
+    def test_choi_parity(self, ref_pygsti):
+        u = standard_gatename_unitaries()
+        g = unitary_to_pauligate(u['Gypi2'])
+        ref_choi = ref_pygsti.tools.jamiolkowski.jamiolkowski_iso(g, 'pp', 'pp')
+        my_choi = jamiolkowski_iso(g, 'pp', 'pp')
+        assert np.allclose(ref_choi, my_choi)
+
+    def test_cptp_choi_trace(self):
+        u = standard_gatename_unitaries()
+        g = unitary_to_pauligate(u['Gcnot'])
+        choi = jamiolkowski_iso(g)
+        assert np.isclose(np.trace(choi).real, 1.0, atol=1e-8)
+        assert np.all(np.linalg.eigvalsh((choi + choi.conj().T) / 2) > -1e-8)
