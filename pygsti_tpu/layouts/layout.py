@@ -1,0 +1,151 @@
+"""Circuit compilation: circuits -> padded index tensors + element maps.
+
+This replaces the reference's COPA layout / EvalTree / PrefixTable machinery
+(pygsti/layouts/copalayout.py:27, evaltree.py:31, prefixtable.py:20) with the
+TPU-native staging step: every circuit becomes a fixed-length row of int32
+operation indices (padded with a virtual identity op), and the
+(circuit, outcome) -> flat-element-index contract is realized as gather
+index arrays.  Prefix sharing is intentionally dropped: on TPU, batched
+matmul FLOPs are cheap while divergent control flow is not (SURVEY.md §5
+"long-context" notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.label import Label, LabelStr
+from pygsti_tpu.circuits.circuit import Circuit
+
+
+class CircuitOutcomeProbabilityLayout(object):
+    """Compiled layout for a list of circuits against a model's structure.
+
+    Attributes (host numpy; simulators convert to device arrays):
+      op_indices   : int32 [n_circuits, max_depth], padded with `identity_index`
+      depths       : int32 [n_circuits]
+      prep_index   : int32 [n_circuits]  (row into stacked preps tensor)
+      elem_circuit : int32 [n_elements]  (circuit index per element)
+      elem_effect  : int32 [n_elements]  (row into stacked effects tensor)
+      element_slices : list of slice, per circuit
+      outcomes     : list (per circuit) of outcome tuples
+    """
+
+    def __init__(self, circuits, model, dataset=None, observed_outcomes_only=False):
+        self.circuits = [c if isinstance(c, Circuit) else Circuit(c) for c in circuits]
+        self.model = model
+
+        op_keys = model.op_keys
+        op_index_map = {k: i for i, k in enumerate(op_keys)}
+        prep_keys = model.prep_keys
+        prep_index_map = {k: i for i, k in enumerate(prep_keys)}
+        povm_rows = model.povm_effect_rows()
+
+        self.identity_index = len(op_keys)  # virtual identity appended by sims
+        self.num_ops = len(op_keys)
+
+        B = len(self.circuits)
+        seqs = []
+        prep_idx = np.zeros(B, dtype=np.int32)
+        povm_lbls = []
+        for b, c in enumerate(self.circuits):
+            layers = list(c.layertup)
+            # explicit prep label at front?
+            if layers and isinstance(layers[0], LabelStr) and layers[0] in model.preps:
+                prep_lbl = layers.pop(0)
+            else:
+                prep_lbl = model._default_prep_label()
+            # explicit povm label at end?
+            if layers and isinstance(layers[-1], LabelStr) and layers[-1] in model.povms:
+                povm_lbl = layers.pop()
+            else:
+                povm_lbl = model._default_povm_label()
+            prep_idx[b] = prep_index_map[prep_lbl]
+            povm_lbls.append(povm_lbl)
+            try:
+                seqs.append([op_index_map[l] for l in layers])
+            except KeyError as e:
+                raise KeyError("Circuit layer %s is not an operation of the model "
+                               "(circuit %s)" % (e.args[0], c.str))
+
+        self.depths = np.array([len(s) for s in seqs], dtype=np.int32)
+        D = int(self.depths.max()) if B > 0 else 0
+        op_indices = np.full((B, D), self.identity_index, dtype=np.int32)
+        for b, s in enumerate(seqs):
+            op_indices[b, :len(s)] = s
+        self.op_indices = op_indices
+        self.prep_index = prep_idx
+        self.max_depth = D
+
+        # -- element map -------------------------------------------------------
+        elem_circuit = []
+        elem_effect = []
+        self.element_slices = []
+        self.outcomes = []
+        off = 0
+        for b, c in enumerate(self.circuits):
+            row_slice, outcome_labels = povm_rows[povm_lbls[b]]
+            rows = list(range(row_slice.start, row_slice.stop))
+            outs = [(ol,) for ol in outcome_labels]
+            if observed_outcomes_only and dataset is not None and c in dataset:
+                observed = set(dataset[c].counts.keys())
+                keep = [i for i, o in enumerate(outs) if o in observed]
+                rows = [rows[i] for i in keep]
+                outs = [outs[i] for i in keep]
+            n = len(rows)
+            elem_circuit.extend([b] * n)
+            elem_effect.extend(rows)
+            self.element_slices.append(slice(off, off + n))
+            self.outcomes.append(outs)
+            off += n
+        self.elem_circuit = np.array(elem_circuit, dtype=np.int32)
+        self.elem_effect = np.array(elem_effect, dtype=np.int32)
+        self.num_elements = off
+
+    # -- COPA contract ---------------------------------------------------------
+    def __len__(self):
+        return self.num_elements
+
+    @property
+    def num_circuits(self):
+        return len(self.circuits)
+
+    def indices_for_index(self, i):
+        """Element slice for circuit number i."""
+        return self.element_slices[i]
+
+    def outcomes_for_index(self, i):
+        return self.outcomes[i]
+
+    def indices(self, circuit):
+        return self.element_slices[self.circuits.index(circuit)]
+
+    def outcomes_for_circuit(self, circuit):
+        return self.outcomes[self.circuits.index(circuit)]
+
+    def allocate_local_array(self, array_type='e', dtype='d'):
+        if array_type == 'e':
+            return np.zeros(self.num_elements, dtype)
+        if array_type == 'ep':
+            return np.zeros((self.num_elements, self.model.num_params), dtype)
+        raise ValueError("Unknown array type %r" % array_type)
+
+    # -- counts extraction -----------------------------------------------------
+    def counts_arrays(self, dataset):
+        """Extract (counts, total_counts) flat element arrays from a dataset.
+
+        total_counts is per-element (each element of a circuit shares the
+        circuit's total), matching the objective-function contract
+        (reference: objectivefns.py:912 ModelDatasetCircuitsStore).
+        """
+        counts = np.zeros(self.num_elements)
+        totals = np.zeros(self.num_elements)
+        for b, c in enumerate(self.circuits):
+            row = dataset[c]
+            total = row.total
+            sl = self.element_slices[b]
+            for k, outcome in enumerate(self.outcomes[b]):
+                cnt = row.counts.get(outcome, 0)
+                counts[sl.start + k] = cnt
+                totals[sl.start + k] = total
+        return counts, totals

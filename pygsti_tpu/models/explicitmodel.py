@@ -1,0 +1,323 @@
+"""ExplicitOpModel: dict-style model with explicit per-layer operations
+(reference: pygsti/models/explicitmodel.py:60).
+
+The model's compiled compute path is ``tensors_fn()``: a pure function
+``v -> ModelTensors`` (stacked op matrices / prep vectors / effect rows)
+that forward simulators close over; rebuilding is only needed when the
+member *structure* changes, not the parameter values.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import NamedTuple, Any
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.label import Label
+from pygsti_tpu.models.model import OpModel
+from pygsti_tpu.modelmembers.modelmember import ModelMember
+from pygsti_tpu.modelmembers import operations as _op
+from pygsti_tpu.modelmembers import states as _st
+from pygsti_tpu.modelmembers import povms as _pv
+from pygsti_tpu.modelmembers.instruments import Instrument
+
+
+class ModelTensors(NamedTuple):
+    """Stacked dense representations (jnp arrays) produced by tensors_fn."""
+    ops: Any        # [n_ops, dim, dim]
+    preps: Any      # [n_preps, dim]
+    effects: Any    # [n_effect_rows, dim]  (all POVMs' effects, concatenated)
+    instruments: Any  # [n_instrument_members, dim, dim] or None
+
+
+class _MemberDict(collections.OrderedDict):
+    """Ordered member dict that auto-casts raw arrays and invalidates the
+    parent model's paramvec on modification (reference:
+    models/memberdict.py:389)."""
+
+    def __init__(self, parent, cast_fn):
+        super().__init__()
+        self._parent = parent
+        self._cast = cast_fn
+
+    def __setitem__(self, key, val):
+        key = Label(key)
+        if not isinstance(val, ModelMember):
+            val = self._cast(self._parent, val)
+        super().__setitem__(key, val)
+        self._parent._mark_for_rebuild()
+
+    def __getitem__(self, key):
+        return super().__getitem__(Label(key))
+
+    def __contains__(self, key):
+        return super().__contains__(Label(key))
+
+    def __delitem__(self, key):
+        super().__delitem__(Label(key))
+        self._parent._mark_for_rebuild()
+
+
+def _cast_operation(model, val):
+    val = np.asarray(val)
+    t = model.default_gate_type
+    if t in ('full', 'full arbitrary'):
+        return _op.FullArbitraryOp(val)
+    if t in ('full TP', 'TP'):
+        return _op.FullTPOp(val)
+    if t in ('static', 'static arbitrary'):
+        return _op.StaticArbitraryOp(val)
+    raise ValueError("Cannot auto-cast operation for gate type %r" % t)
+
+
+def _cast_prep(model, val):
+    t = model.default_prep_type
+    if t in ('full', 'full arbitrary'):
+        return _st.FullState(val)
+    if t in ('full TP', 'TP'):
+        return _st.TPState(val)
+    if t in ('static',):
+        return _st.StaticState(val)
+    raise ValueError("Cannot auto-cast prep for type %r" % t)
+
+
+def _cast_povm(model, val):
+    # val: dict of effect vectors
+    t = model.default_povm_type
+    if t in ('full', 'full arbitrary'):
+        return _pv.UnconstrainedPOVM(val)
+    if t in ('full TP', 'TP'):
+        return _pv.TPPOVM(val)
+    raise ValueError("Cannot auto-cast povm for type %r" % t)
+
+
+class ExplicitOpModel(OpModel):
+    """Model with explicit .operations/.preps/.povms/.instruments dicts."""
+
+    def __init__(self, state_space, basis='pp', default_gate_type='full',
+                 default_prep_type=None, default_povm_type=None, simulator='auto'):
+        super().__init__(state_space, basis, simulator)
+        self.default_gate_type = default_gate_type
+        self.default_prep_type = default_prep_type or default_gate_type
+        self.default_povm_type = default_povm_type or default_gate_type
+        self.preps = _MemberDict(self, _cast_prep)
+        self.povms = _MemberDict(self, _cast_povm)
+        self.operations = _MemberDict(self, _cast_operation)
+        self.instruments = _MemberDict(self, lambda m, v: v)
+        self._compiled = None
+
+    # -- paramvec layout (reference order: preps, povms, ops, instruments) ---
+    def _iter_parameterized_objs(self):
+        for lbl, obj in self.preps.items():
+            yield lbl, obj
+        for lbl, obj in self.povms.items():
+            yield lbl, obj
+        for lbl, obj in self.operations.items():
+            yield lbl, obj
+        for lbl, obj in self.instruments.items():
+            yield lbl, obj
+
+    def _clear_compiled(self):
+        self._compiled = None
+        self._sim = None  # simulator caches layouts/compiled fns
+
+    def __getitem__(self, label):
+        label = Label(label)
+        for d in (self.operations, self.preps, self.povms, self.instruments):
+            if label in d:
+                return d[label]
+        raise KeyError(label)
+
+    def __setitem__(self, label, value):
+        label = Label(label)
+        name = str(label.name) if label.sslbls is None else str(label.name)
+        if name.startswith('rho'):
+            self.preps[label] = value
+        elif name.startswith('M'):
+            self.povms[label] = value
+        else:
+            self.operations[label] = value
+
+    # -- structure tables -----------------------------------------------------
+    @property
+    def op_keys(self):
+        return list(self.operations.keys())
+
+    @property
+    def prep_keys(self):
+        return list(self.preps.keys())
+
+    @property
+    def povm_keys(self):
+        return list(self.povms.keys())
+
+    def povm_effect_rows(self):
+        """Mapping povm_label -> (row_slice, outcome_labels) into the stacked
+        effects tensor."""
+        out = {}
+        off = 0
+        for lbl, povm in self.povms.items():
+            n = povm.num_outcomes
+            out[lbl] = (slice(off, off + n), povm.outcome_labels)
+            off += n
+        return out
+
+    # -- pure compute function ------------------------------------------------
+    def tensors_fn(self):
+        """Returns a pure function v -> ModelTensors (jit/vmap/jacfwd-safe).
+
+        The closure captures only static structure (member objects' shapes
+        and constants); all parameter dependence flows through ``v``.
+        """
+        self._rebuild_paramvec_if_needed()
+        import jax.numpy as jnp
+
+        op_items = [(o.gpindices, o) for o in self.operations.values()]
+        prep_items = [(p.gpindices, p) for p in self.preps.values()]
+        povm_items = [(p.gpindices, p) for p in self.povms.values()]
+        inst_items = [(i.gpindices, i) for i in self.instruments.values()]
+
+        def compute(v):
+            ops = jnp.stack([o.to_dense_jax(v[sl]) for sl, o in op_items]) \
+                if op_items else jnp.zeros((0, self.dim, self.dim))
+            preps = jnp.stack([p.to_dense_jax(v[sl]) for sl, p in prep_items]) \
+                if prep_items else jnp.zeros((0, self.dim))
+            effects = jnp.concatenate([p.to_dense_jax(v[sl]) for sl, p in povm_items],
+                                      axis=0) if povm_items else jnp.zeros((0, self.dim))
+            insts = jnp.concatenate([i.to_dense_jax(v[sl]) for sl, i in inst_items],
+                                    axis=0) if inst_items else None
+            return ModelTensors(ops, preps, effects, insts)
+
+        return compute
+
+    # -- convenience ----------------------------------------------------------
+    def probabilities(self, circuit, clip_to=None):
+        return self.sim.probs(circuit, clip_to=clip_to)
+
+    def bulk_probabilities(self, circuits, clip_to=None):
+        return self.sim.bulk_probs(circuits)
+
+    def circuit_outcomes(self, circuit):
+        """Outcome labels this circuit yields (from its POVM)."""
+        povm_lbl = self._default_povm_label()
+        return [(ol,) for ol in self.povms[povm_lbl].outcome_labels]
+
+    def _default_prep_label(self):
+        keys = self.prep_keys
+        assert len(keys) == 1, "Model has %d preps; circuit must specify one" % len(keys)
+        return keys[0]
+
+    def _default_povm_label(self):
+        keys = self.povm_keys
+        assert len(keys) == 1, "Model has %d povms; circuit must specify one" % len(keys)
+        return keys[0]
+
+    # -- gauge ----------------------------------------------------------------
+    def transform_inplace(self, s):
+        """Apply gauge transformation with element `s` (has .transform_matrix
+        and .transform_matrix_inverse): rho -> Sinv rho, E -> E S,
+        G -> Sinv G S (reference: explicitmodel.transform_inplace)."""
+        smx = s.transform_matrix if hasattr(s, 'transform_matrix') else np.asarray(s)
+        sinv = s.transform_matrix_inverse if hasattr(s, 'transform_matrix_inverse') \
+            else np.linalg.inv(smx)
+        for obj in self.preps.values():
+            obj.transform_inplace(smx, sinv)
+        for obj in self.povms.values():
+            obj.transform_inplace(smx, sinv)
+        for obj in self.operations.values():
+            obj.transform_inplace(smx, sinv)
+        for obj in self.instruments.values():
+            obj.transform_inplace(smx, sinv)
+        self._need_rebuild = True
+        self._clear_compiled()
+
+    def depolarize(self, op_noise=None, spam_noise=None, max_op_noise=None,
+                   max_spam_noise=None, seed=None):
+        """Return a depolarized copy (reference: explicitmodel.depolarize)."""
+        m = self.copy()
+        rng = np.random.default_rng(seed)
+        d = self.dim
+        if max_op_noise is not None:
+            op_noises = rng.uniform(0, max_op_noise, len(m.operations))
+        elif op_noise is not None:
+            op_noises = [op_noise] * len(m.operations)
+        else:
+            op_noises = None
+        if op_noises is not None:
+            for (lbl, op), noise in zip(list(m.operations.items()), op_noises):
+                D = np.diag([1.0] + [1.0 - noise] * (d - 1))
+                new_mx = D @ op.to_dense()
+                m.operations[lbl] = type(op)(new_mx) if not isinstance(op, _op.StaticArbitraryOp) \
+                    else _op.StaticArbitraryOp(new_mx)
+        if spam_noise is not None:
+            D = np.diag([1.0] + [1.0 - spam_noise] * (d - 1))
+            for lbl, p in list(m.preps.items()):
+                m.preps[lbl] = type(p)(D @ p.to_dense())
+            for lbl, povm in list(m.povms.items()):
+                new_effects = [(ol, ev @ D) for ol, ev in povm.items()]
+                m.povms[lbl] = type(povm)(collections.OrderedDict(new_effects))
+        m._mark_for_rebuild()
+        return m
+
+    def rotate(self, rotate=None, max_rotate=None, seed=None):
+        """Return a copy with small unitary rotations applied to gates
+        (reference: explicitmodel.rotate).  `rotate` is a tuple of Pauli
+        rotation half-angles (length d-1 Lie coords for 1 qubit: (rx,ry,rz))."""
+        from pygsti_tpu.tools.internalgates import sigmaX, sigmaY, sigmaZ
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        import scipy.linalg as spl
+        m = self.copy()
+        rng = np.random.default_rng(seed)
+        nq = self.state_space.num_qubits
+        assert nq == 1, "rotate() currently supports 1-qubit models"
+        for lbl, op in list(m.operations.items()):
+            if max_rotate is not None:
+                rx, ry, rz = rng.uniform(0, max_rotate, 3)
+            else:
+                rx, ry, rz = rotate
+            u = spl.expm(-1j / 2.0 * (rx * sigmaX + ry * sigmaY + rz * sigmaZ))
+            rot = np.real(unitary_to_superop(u, self.basis))
+            new_mx = rot @ op.to_dense()
+            m.operations[lbl] = type(op)(new_mx) if not isinstance(op, _op.StaticArbitraryOp) \
+                else _op.StaticArbitraryOp(new_mx)
+        m._mark_for_rebuild()
+        return m
+
+    def strdiff(self, other):
+        """Summary of Frobenius distances between corresponding members."""
+        lines = []
+        for lbl in self.operations:
+            if lbl in other.operations:
+                d = np.linalg.norm(self.operations[lbl].to_dense()
+                                   - other.operations[lbl].to_dense())
+                lines.append("op %s: %.6g" % (lbl, d))
+        return "\n".join(lines)
+
+    def frobeniusdist(self, other):
+        """RMS Frobenius distance over corresponding members (simplified
+        version of reference explicitcalc.frobeniusdist)."""
+        total, count = 0.0, 0
+        for lbl in self.operations:
+            diff = self.operations[lbl].to_dense() - other.operations[lbl].to_dense()
+            total += np.sum(diff ** 2)
+            count += diff.size
+        for lbl in self.preps:
+            diff = self.preps[lbl].to_dense() - other.preps[lbl].to_dense()
+            total += np.sum(diff ** 2)
+            count += diff.size
+        for lbl in self.povms:
+            diff = self.povms[lbl].to_dense() - other.povms[lbl].to_dense()
+            total += np.sum(diff ** 2)
+            count += diff.size
+        return np.sqrt(total / count) if count else 0.0
+
+    def __str__(self):
+        lines = ["ExplicitOpModel (dim=%d, %d params):" % (self.dim, self.num_params)]
+        for lbl in self.preps:
+            lines.append("  prep %s" % str(lbl))
+        for lbl in self.povms:
+            lines.append("  povm %s" % str(lbl))
+        for lbl in self.operations:
+            lines.append("  op %s" % str(lbl))
+        return "\n".join(lines)

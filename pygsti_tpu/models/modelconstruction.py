@@ -1,0 +1,248 @@
+"""Model construction API (reference: pygsti/models/modelconstruction.py:758).
+
+``create_explicit_model(pspec, ...)`` builds an ExplicitOpModel whose
+operations are the processor spec's primitive ops (embedded on the full
+state space), parameterized per ``ideal_gate_type`` / spam types.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.statespace import QubitSpace
+from pygsti_tpu.baseobjs.basis import Basis
+from pygsti_tpu.baseobjs.label import Label
+from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+from pygsti_tpu.modelmembers import operations as _op
+from pygsti_tpu.modelmembers import states as _st
+from pygsti_tpu.modelmembers import povms as _pv
+from pygsti_tpu.tools import optools as _ot
+from pygsti_tpu.tools.basistools import stdmx_to_vec
+
+
+def _embed_unitary_superop(u, target_qubits, all_qubits, basis_name='pp'):
+    """Dense superop (in tensor `basis_name` basis) of a unitary acting on
+    `target_qubits` within the full qubit set, identity elsewhere."""
+    nq_gate = int(round(np.log2(u.shape[0])))
+    assert len(target_qubits) == nq_gate
+    small = np.real(_ot.unitary_to_superop(u, Basis.cast(basis_name, 4 ** nq_gate)))
+    n = len(all_qubits)
+    if n == nq_gate and tuple(target_qubits) == tuple(all_qubits):
+        return small
+    # embed: kron(small, I_rest) then permute factor axes to device order
+    tgt_pos = [list(all_qubits).index(t) for t in target_qubits]
+    other_pos = [i for i in range(n) if i not in tgt_pos]
+    rest_dim = 4 ** len(other_pos)
+    full = np.kron(small, np.eye(rest_dim))
+    src_order = tgt_pos + other_pos
+    inv = [0] * n
+    for newpos, srcpos in enumerate(src_order):
+        inv[srcpos] = newpos
+    dims = [4] * n
+    full = full.reshape(dims + dims)
+    full = np.transpose(full, inv + [p + n for p in inv])
+    return full.reshape(4 ** n, 4 ** n)
+
+
+def _make_op(ideal_mx, gate_type, basis):
+    if gate_type in ('static', 'static arbitrary'):
+        return _op.StaticArbitraryOp(ideal_mx)
+    if gate_type in ('full', 'full arbitrary'):
+        return _op.FullArbitraryOp(ideal_mx)
+    if gate_type in ('full TP', 'TP'):
+        return _op.FullTPOp(ideal_mx)
+    if gate_type in ('CPTP', 'CPTPLND', 'GLND', 'H+S', 'H+s', 'H'):
+        param = 'CPTPLND' if gate_type == 'CPTP' else gate_type
+        eg = _op.build_lindblad_errorgen(basis, param)
+        return _op.ComposedOp([_op.StaticArbitraryOp(ideal_mx), _op.ExpErrorgenOp(eg)])
+    raise ValueError("Unknown gate type %r" % gate_type)
+
+
+def _make_prep(ideal_vec, prep_type, basis, nqubits):
+    if prep_type in ('computational', 'static'):
+        return _st.ComputationalBasisState([0] * nqubits, basis)
+    if prep_type in ('full', 'full arbitrary'):
+        return _st.FullState(ideal_vec)
+    if prep_type in ('full TP', 'TP'):
+        return _st.TPState(ideal_vec)
+    if prep_type in ('CPTP', 'CPTPLND', 'GLND', 'H+S', 'H+s'):
+        param = 'CPTPLND' if prep_type == 'CPTP' else prep_type
+        eg = _op.build_lindblad_errorgen(basis, param)
+        return _st.ComposedState(_st.ComputationalBasisState([0] * nqubits, basis),
+                                 _op.ExpErrorgenOp(eg))
+    raise ValueError("Unknown prep type %r" % prep_type)
+
+
+def _make_povm(ideal_effects, povm_type, basis, nqubits):
+    if povm_type in ('computational', 'static'):
+        return _pv.ComputationalBasisPOVM(nqubits, basis)
+    if povm_type in ('full', 'full arbitrary'):
+        return _pv.UnconstrainedPOVM(ideal_effects)
+    if povm_type in ('full TP', 'TP'):
+        return _pv.TPPOVM(ideal_effects)
+    if povm_type in ('CPTP', 'CPTPLND', 'GLND', 'H+S', 'H+s'):
+        param = 'CPTPLND' if povm_type == 'CPTP' else povm_type
+        eg = _op.build_lindblad_errorgen(basis, param)
+        return _pv.ComposedPOVM(_op.ExpErrorgenOp(eg),
+                                _pv.ComputationalBasisPOVM(nqubits, basis))
+    raise ValueError("Unknown povm type %r" % povm_type)
+
+
+def create_explicit_model(processor_spec, custom_gates=None, basis='pp',
+                          ideal_gate_type='auto', ideal_prep_type='auto',
+                          ideal_spam_type='auto', ideal_povm_type='auto',
+                          simulator='auto', evotype=None, embed_gates=True):
+    """Build an ExplicitOpModel from a QubitProcessorSpec (reference:
+    modelconstruction.create_explicit_model:758)."""
+    if ideal_gate_type == 'auto':
+        ideal_gate_type = 'static'
+    if ideal_prep_type == 'auto':
+        ideal_prep_type = ideal_spam_type if ideal_spam_type != 'auto' else 'computational'
+    if ideal_povm_type == 'auto':
+        ideal_povm_type = ideal_spam_type if ideal_spam_type != 'auto' else 'computational'
+
+    pspec = processor_spec
+    nq = pspec.num_qubits
+    qlbls = pspec.qubit_labels
+    state_space = QubitSpace(qlbls)
+    basis_obj = Basis.cast(basis, state_space.dim)
+
+    mdl = ExplicitOpModel(state_space, basis_obj, default_gate_type=ideal_gate_type,
+                          default_prep_type=ideal_prep_type, default_povm_type=ideal_povm_type,
+                          simulator=simulator)
+
+    custom_gates = custom_gates or {}
+    for lbl in pspec.primitive_op_labels:
+        if lbl in custom_gates:
+            mdl.operations[lbl] = custom_gates[lbl]
+            continue
+        if lbl == Label(()):
+            u = np.eye(2 ** nq, dtype=complex)
+            targets = qlbls
+        else:
+            u = pspec.gate_unitaries[lbl.name]
+            targets = lbl.sslbls
+        mx = _embed_unitary_superop(u, targets, qlbls, basis)
+        mdl.operations[lbl] = _make_op(mx, ideal_gate_type, basis_obj)
+
+    # SPAM
+    udim = 2 ** nq
+    rho_ideal = np.zeros((udim, udim), dtype=complex)
+    rho_ideal[0, 0] = 1.0
+    rho_vec = np.real(stdmx_to_vec(rho_ideal, basis_obj))
+    mdl.preps[Label('rho0')] = _make_prep(rho_vec, ideal_prep_type, basis_obj, nq)
+
+    effects = collections.OrderedDict()
+    for i in range(udim):
+        e = np.zeros((udim, udim), dtype=complex)
+        e[i, i] = 1.0
+        effects[format(i, '0%db' % nq)] = np.real(stdmx_to_vec(e, basis_obj))
+    mdl.povms[Label('Mdefault')] = _make_povm(effects, ideal_povm_type, basis_obj, nq)
+
+    mdl._mark_for_rebuild()
+    return mdl
+
+
+def create_spam_vector(vec_expr, state_space, basis):
+    """Build a prep vector from an expression like '0' (computational index)."""
+    from pygsti_tpu.baseobjs.statespace import StateSpace
+    state_space = StateSpace.cast(state_space)
+    udim = state_space.udim
+    idx = int(vec_expr)
+    rho = np.zeros((udim, udim), dtype=complex)
+    rho[idx, idx] = 1.0
+    return np.real(stdmx_to_vec(rho, basis))
+
+
+def create_operation(op_expr, state_space, basis='pp', parameterization='full'):
+    """Build an operation matrix from an expression like 'X(pi/2,Q0)'
+    (subset of the reference's expression parser, modelconstruction.py:150)."""
+    import re
+    from pygsti_tpu.baseobjs.statespace import StateSpace
+    import scipy.linalg as spl
+    from pygsti_tpu.tools.internalgates import sigmaX, sigmaY, sigmaZ
+
+    state_space = StateSpace.cast(state_space)
+    qlbls = state_space.tensor_product_block_labels
+
+    m = re.match(r'([A-Z]+)\(([^)]*)\)', op_expr.strip())
+    if not m:
+        if op_expr.strip() == 'I' or op_expr.strip() == '':
+            return np.eye(state_space.dim)
+        raise ValueError("Cannot parse operation expression %r" % op_expr)
+    kind, argstr = m.group(1), m.group(2)
+    args = [a.strip() for a in argstr.split(',')] if argstr else []
+
+    def _angle(s):
+        return float(eval(s, {'pi': np.pi, '__builtins__': {}}))  # noqa: S307
+
+    if kind in ('X', 'Y', 'Z'):
+        theta = _angle(args[0])
+        sigma = {'X': sigmaX, 'Y': sigmaY, 'Z': sigmaZ}[kind]
+        u = spl.expm(-1j * theta / 2 * sigma)
+        target = args[1]
+        return _embed_unitary_superop(u, (target,), qlbls, basis)
+    if kind == 'I':
+        return np.eye(state_space.dim)
+    if kind == 'CX':
+        theta = _angle(args[0])
+        u4 = np.eye(4, dtype=complex)
+        u4[2:, 2:] = spl.expm(-1j * theta / 2 * sigmaX)
+        return _embed_unitary_superop(u4, (args[1], args[2]), qlbls, basis)
+    if kind == 'CZ':
+        theta = _angle(args[0])
+        u4 = np.eye(4, dtype=complex)
+        u4[2:, 2:] = spl.expm(-1j * theta / 2 * sigmaZ)
+        return _embed_unitary_superop(u4, (args[1], args[2]), qlbls, basis)
+    if kind == 'CNOT':
+        u4 = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+        return _embed_unitary_superop(u4, (args[0], args[1]), qlbls, basis)
+    if kind == 'CPHASE':
+        u4 = np.diag([1, 1, 1, -1]).astype(complex)
+        return _embed_unitary_superop(u4, (args[0], args[1]), qlbls, basis)
+    raise ValueError("Unknown operation kind %r" % kind)
+
+
+def create_explicit_model_from_expressions(state_space, op_labels, op_expressions,
+                                           prep_labels=('rho0',), prep_expressions=('0',),
+                                           effect_labels='standard', effect_expressions='standard',
+                                           povm_labels='Mdefault', basis='pp',
+                                           gate_type='full', prep_type='auto', povm_type='auto'):
+    """Legacy-style construction from expression strings (reference:
+    modelconstruction.create_explicit_model_from_expressions)."""
+    from pygsti_tpu.baseobjs.statespace import StateSpace
+    state_space = StateSpace.cast(state_space)
+    basis_obj = Basis.cast(basis, state_space.dim)
+    if prep_type == 'auto':
+        prep_type = 'full TP' if gate_type in ('full TP', 'TP') else gate_type
+    if povm_type == 'auto':
+        povm_type = 'full TP' if gate_type in ('full TP', 'TP') else gate_type
+
+    mdl = ExplicitOpModel(state_space, basis_obj, default_gate_type=gate_type,
+                          default_prep_type=prep_type, default_povm_type=povm_type)
+    nq = state_space.num_qubits
+
+    for plbl, pexpr in zip(prep_labels, prep_expressions):
+        vec = create_spam_vector(pexpr, state_space, basis_obj)
+        mdl.preps[Label(plbl)] = _make_prep(vec, prep_type, basis_obj, nq)
+
+    udim = state_space.udim
+    if effect_labels == 'standard':
+        effect_labels = [format(i, '0%db' % nq) for i in range(udim)]
+        effect_expressions = [str(i) for i in range(udim)]
+    effects = collections.OrderedDict()
+    for elbl, eexpr in zip(effect_labels, effect_expressions):
+        effects[elbl] = create_spam_vector(eexpr, state_space, basis_obj)
+    if isinstance(povm_labels, str):
+        povm_labels = (povm_labels,)
+    for povm_lbl in povm_labels:
+        mdl.povms[Label(povm_lbl)] = _make_povm(effects, povm_type, basis_obj, nq)
+
+    for olbl, oexpr in zip(op_labels, op_expressions):
+        mx = create_operation(oexpr, state_space, basis_obj)
+        mdl.operations[Label(olbl)] = _make_op(mx, gate_type, basis_obj)
+
+    mdl._mark_for_rebuild()
+    return mdl

@@ -1,0 +1,3 @@
+"""Processor specifications."""
+
+from pygsti_tpu.processors.processorspec import QubitProcessorSpec
