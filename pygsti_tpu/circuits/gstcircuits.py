@@ -1,0 +1,121 @@
+"""GST circuit-list construction (reference: pygsti/circuits/gstcircuits.py:272).
+
+Builds the nested per-max-length circuit lists of long-sequence GST:
+  prep_fiducial + germ^(L // len(germ)) + meas_fiducial   ('whole germ powers')
+with duplicates removed (circuits compare by layer content).
+"""
+
+from __future__ import annotations
+
+from pygsti_tpu.circuits.circuit import Circuit
+from pygsti_tpu.circuits.circuitlist import CircuitList
+
+
+def create_lgst_circuits(prep_fiducials, meas_fiducials, op_label_src):
+    """The LGST circuit set: all fiducial pairs + fid/gate/fid sandwiches
+    (reference: circuitconstruction / gstcircuits create_lgst_circuits)."""
+    if hasattr(op_label_src, 'operations'):
+        op_labels = list(op_label_src.operations.keys())
+    else:
+        op_labels = list(op_label_src)
+    seen = set()
+    out = []
+
+    def add(c):
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+
+    for f1 in prep_fiducials:
+        for f2 in meas_fiducials:
+            add(f1 + f2)
+    for g in op_labels:
+        gc = Circuit((g,), prep_fiducials[0].line_labels if prep_fiducials else None)
+        for f1 in prep_fiducials:
+            for f2 in meas_fiducials:
+                add(f1 + gc + f2)
+    return out
+
+
+def repeat_with_max_length(circuit, max_length):
+    """germ^(max_length // len(germ)) -- 'whole germ powers' truncation."""
+    if circuit.depth == 0:
+        return circuit
+    return circuit.repeat(max_length // circuit.depth)
+
+
+def repeat_and_truncate(circuit, max_length):
+    """Repeat then truncate to exactly max_length layers."""
+    if circuit.depth == 0:
+        return circuit
+    reps = -(-max_length // circuit.depth)
+    return (circuit.repeat(reps))[:max_length]
+
+
+def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, germs,
+                               max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
+                               nest=True, include_lgst=True, germ_length_limits=None,
+                               op_label_aliases=None, dscheck=None,
+                               action_if_missing="raise", verbosity=0):
+    """Create the series of nested GST circuit lists (one per max-length)."""
+    germ_length_limits = germ_length_limits or {}
+
+    running = []
+    seen = set()
+
+    def add(c):
+        if c not in seen:
+            seen.add(c)
+            running.append(c)
+
+    if include_lgst and (len(max_lengths) == 0 or max_lengths[0] != 0):
+        for f1 in prep_fiducials:
+            for f2 in meas_fiducials:
+                add(f1 + f2)
+
+    def pairs_for_germ(germ):
+        if fid_pairs is None:
+            return [(f1, f2) for f1 in prep_fiducials for f2 in meas_fiducials]
+        if isinstance(fid_pairs, dict):
+            pair_idxs = fid_pairs.get(germ, None)
+            if pair_idxs is None:
+                return [(f1, f2) for f1 in prep_fiducials for f2 in meas_fiducials]
+        else:
+            pair_idxs = fid_pairs
+        return [(prep_fiducials[i], meas_fiducials[j]) for (i, j) in pair_idxs]
+
+    lists = []
+    for L in max_lengths:
+        if not nest:
+            running = []
+            seen = set()
+            if include_lgst:
+                for f1 in prep_fiducials:
+                    for f2 in meas_fiducials:
+                        add(f1 + f2)
+        if L == 0:
+            # "0" means the LGST strings (already added above)
+            lists.append(CircuitList(list(running), op_label_aliases))
+            continue
+        for germ in germs:
+            Lg = min(L, germ_length_limits.get(germ, L))
+            if trunc_scheme == "whole germ powers":
+                reps = Lg // germ.depth if germ.depth > 0 else 0
+                if reps == 0:
+                    continue
+                base = germ.repeat(reps)
+            elif trunc_scheme == "truncated germ powers":
+                base = repeat_and_truncate(germ, Lg)
+            elif trunc_scheme == "length as exponent":
+                base = germ.repeat(Lg)
+            else:
+                raise ValueError("Unknown trunc_scheme %r" % trunc_scheme)
+            for f1, f2 in pairs_for_germ(germ):
+                c = f1 + base + f2
+                if dscheck is not None and c not in dscheck:
+                    if action_if_missing == "raise":
+                        raise ValueError("Circuit %s missing from dataset" % c.str)
+                    continue
+                add(c)
+        lists.append(CircuitList(list(running), op_label_aliases))
+    return lists

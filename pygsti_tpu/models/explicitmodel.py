@@ -152,6 +152,23 @@ class ExplicitOpModel(OpModel):
     def povm_keys(self):
         return list(self.povms.keys())
 
+    def copy(self):
+        """Deep copy (members copied; compiled caches dropped)."""
+        import copy as _copy
+        m = ExplicitOpModel(self.state_space, self.basis, self.default_gate_type,
+                            self.default_prep_type, self.default_povm_type,
+                            self._sim_type)
+        for lbl, obj in self.preps.items():
+            m.preps[lbl] = _copy.deepcopy(obj)
+        for lbl, obj in self.povms.items():
+            m.povms[lbl] = _copy.deepcopy(obj)
+        for lbl, obj in self.operations.items():
+            m.operations[lbl] = _copy.deepcopy(obj)
+        for lbl, obj in self.instruments.items():
+            m.instruments[lbl] = _copy.deepcopy(obj)
+        m._mark_for_rebuild()
+        return m
+
     def povm_effect_rows(self):
         """Mapping povm_label -> (row_slice, outcome_labels) into the stacked
         effects tensor."""

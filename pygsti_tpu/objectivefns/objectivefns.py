@@ -1,0 +1,473 @@
+"""Objective functions: raw per-element functions + model-dataset stores.
+
+The raw functions reproduce the reference's formulas exactly
+(pygsti/objectivefns/objectivefns.py: RawChi2Function:1750,
+RawPoissonPicDeltaLogLFunction:2829, RawDeltaLogLFunction:3231,
+RawFreqWeightedChi2Function:2405, RawTVDFunction:4042) but in jnp, so the
+whole probs -> lsvec -> JTJ pipeline is one jitted graph.
+
+The MDC ("model-dataset-circuits") objective compiles three device
+functions per (model-structure, layout):
+  fn(v)       -> objective value  (sum of terms)
+  lsvec(v)    -> least-squares residual vector  [n_elements + n_penalty]
+  jtj_jtf(v)  -> (f, JTJ, JTf)  -- what the LM optimizer consumes
+with d(lsvec) computed as raw.dlsvec * jacfwd(probs) (the reference's chain
+rule, objectivefns.py:1128-1749), keeping regularization kinks out of AD.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MIN_PROB_CLIP = 1e-4
+DEFAULT_RADIUS = 1e-4
+DEFAULT_MIN_PROB_CLIP_FOR_WEIGHTING = 1e-4
+
+
+class RawObjectiveFunction(object):
+    """Base: per-element objective f(p; counts, total, freqs)."""
+
+    def lsvec(self, probs, counts, total_counts, freqs):
+        return jnp.sqrt(self.terms(probs, counts, total_counts, freqs))
+
+    def dlsvec(self, probs, counts, total_counts, freqs):
+        lsvec = self.lsvec(probs, counts, total_counts, freqs)
+        pt5_over = jnp.where(lsvec < 1e-100, 0.0, 0.5 / jnp.maximum(lsvec, 1e-100))
+        return pt5_over * self.dterms(probs, counts, total_counts, freqs)
+
+    def terms(self, probs, counts, total_counts, freqs):
+        raise NotImplementedError()
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        raise NotImplementedError()
+
+    def fn(self, probs, counts, total_counts, freqs):
+        return jnp.sum(self.terms(probs, counts, total_counts, freqs))
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return objective_function_value
+
+    def set_regularization(self, **kwargs):
+        pass
+
+
+class RawChi2Function(RawObjectiveFunction):
+    """N(p-f)^2 / max(p, minp) with its signed square-root lsvec."""
+
+    def __init__(self, regularization=None, name='chi2'):
+        self.name = name
+        self.min_prob_clip_for_weighting = DEFAULT_MIN_PROB_CLIP_FOR_WEIGHTING
+        if regularization:
+            self.set_regularization(**regularization)
+
+    def set_regularization(self, min_prob_clip_for_weighting=None):
+        self.min_prob_clip_for_weighting = (
+            min_prob_clip_for_weighting if min_prob_clip_for_weighting is not None
+            else DEFAULT_MIN_PROB_CLIP_FOR_WEIGHTING)
+
+    def _weights(self, p, f, n):
+        cp = jnp.clip(p, self.min_prob_clip_for_weighting, None)
+        return jnp.sqrt(n / cp)
+
+    def _dweights(self, p, f, n):
+        minp = self.min_prob_clip_for_weighting
+        cp = jnp.clip(p, minp, None)
+        return jnp.where(p > minp, -0.5 * jnp.sqrt(n) / cp ** 1.5, 0.0)
+
+    def lsvec(self, probs, counts, total_counts, freqs):
+        return (probs - freqs) * self._weights(probs, freqs, total_counts)
+
+    def dlsvec(self, probs, counts, total_counts, freqs):
+        w = self._weights(probs, freqs, total_counts)
+        dw = self._dweights(probs, freqs, total_counts)
+        return w + (probs - freqs) * dw
+
+    def terms(self, probs, counts, total_counts, freqs):
+        return self.lsvec(probs, counts, total_counts, freqs) ** 2
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        ls = self.lsvec(probs, counts, total_counts, freqs)
+        return 2 * ls * self.dlsvec(probs, counts, total_counts, freqs)
+
+
+class RawFreqWeightedChi2Function(RawChi2Function):
+    """N(p-f)^2 / max(f, minf): frequency-weighted chi2
+    (reference: objectivefns.py:2405)."""
+
+    def __init__(self, regularization=None, name='fwchi2'):
+        self.name = name
+        self.min_freq_clip_for_weighting = 1e-4
+        if regularization:
+            self.set_regularization(**regularization)
+
+    def set_regularization(self, min_freq_clip_for_weighting=None):
+        if min_freq_clip_for_weighting is not None:
+            self.min_freq_clip_for_weighting = min_freq_clip_for_weighting
+
+    def _weights(self, p, f, n):
+        return jnp.sqrt(n / jnp.clip(f, self.min_freq_clip_for_weighting, None))
+
+    def _dweights(self, p, f, n):
+        return jnp.zeros_like(p)
+
+
+class RawPoissonPicDeltaLogLFunction(RawObjectiveFunction):
+    """The GST workhorse: 2*Delta(logL) in the Poisson picture,
+    N*f*log(f/p) - N*(f-p), with 'minp' Taylor-patch regularization and
+    'harsh' (cubic) zero-frequency terms (reference: objectivefns.py:2829)."""
+
+    def __init__(self, regularization=None, name='dlogl'):
+        self.name = name
+        self.min_p = DEFAULT_MIN_PROB_CLIP
+        self.radius = DEFAULT_RADIUS
+        if regularization:
+            self.set_regularization(**regularization)
+
+    def set_regularization(self, min_prob_clip=DEFAULT_MIN_PROB_CLIP,
+                           radius=DEFAULT_RADIUS, pfratio_stitchpt=None,
+                           pfratio_derivpt=None, fmin=None):
+        assert pfratio_stitchpt is None, "only 'minp' regularization implemented"
+        self.min_p = min_prob_clip
+        self.radius = radius
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return 2 * objective_function_value
+
+    def _zero_freq_terms(self, n, probs):
+        a = self.radius
+        return n * jnp.where(probs >= a, probs,
+                             (-1.0 / (3 * a ** 2)) * probs ** 3 + probs ** 2 / a + a / 3.0)
+
+    def _zero_freq_dterms(self, n, probs):
+        a = self.radius
+        return n * jnp.where(probs >= a, 1.0,
+                             (-1.0 / a ** 2) * probs ** 2 + 2 * probs / a)
+
+    def terms(self, probs, counts, total_counts, freqs):
+        freqs_nozeros = jnp.where(counts == 0, 1.0, freqs)
+        freq_term = counts * (jnp.log(freqs_nozeros) - 1.0)
+        pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
+        c0 = total_counts - counts / self.min_p
+        c1 = 0.5 * counts / (self.min_p ** 2)
+        terms = freq_term - counts * jnp.log(pos_probs) + total_counts * pos_probs
+        terms = jnp.maximum(terms, 0)
+        # quadratic extrapolation of logl below min_p
+        terms = jnp.where(probs < self.min_p,
+                          terms + c0 * (probs - self.min_p) + c1 * (probs - self.min_p) ** 2,
+                          terms)
+        terms = jnp.where(counts == 0, self._zero_freq_terms(total_counts, probs), terms)
+        return terms
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
+        c0 = total_counts - counts / self.min_p
+        c1 = 0.5 * counts / (self.min_p ** 2)
+        dterms = total_counts - counts / pos_probs
+        dterms_taylor = c0 + 2 * c1 * (probs - self.min_p)
+        dterms = jnp.where(probs < self.min_p, dterms_taylor, dterms)
+        dterms = jnp.where(counts == 0, self._zero_freq_dterms(total_counts, probs), dterms)
+        return dterms
+
+    def hterms(self, probs, counts, total_counts, freqs):
+        pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
+        c1 = 0.5 * counts / (self.min_p ** 2)
+        d2 = jnp.where(probs < self.min_p, 2 * c1, counts / pos_probs ** 2)
+        a = self.radius
+        zfc = jnp.where(probs >= a, 0.0,
+                        total_counts * ((-2.0 / a ** 2) * probs + 2.0 / a))
+        return jnp.where(counts == 0, zfc, d2)
+
+
+class RawDeltaLogLFunction(RawObjectiveFunction):
+    """Non-Poisson-picture delta log likelihood: N*f*log(f/p)
+    (reference: objectivefns.py:3231)."""
+
+    def __init__(self, regularization=None, name='dlogl-nonpoisson'):
+        self.name = name
+        self.min_p = DEFAULT_MIN_PROB_CLIP
+        if regularization:
+            self.set_regularization(**regularization)
+
+    def set_regularization(self, min_prob_clip=DEFAULT_MIN_PROB_CLIP):
+        self.min_p = min_prob_clip
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return 2 * objective_function_value
+
+    def terms(self, probs, counts, total_counts, freqs):
+        freqs_nozeros = jnp.where(counts == 0, 1.0, freqs)
+        pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
+        c0 = -counts / self.min_p
+        c1 = 0.5 * counts / (self.min_p ** 2)
+        terms = counts * (jnp.log(freqs_nozeros) - jnp.log(pos_probs))
+        terms = jnp.where(probs < self.min_p,
+                          terms + c0 * (probs - self.min_p) + c1 * (probs - self.min_p) ** 2,
+                          terms)
+        terms = jnp.where(counts == 0, jnp.zeros_like(probs), terms)
+        return jnp.maximum(terms, 0)
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
+        c0 = -counts / self.min_p
+        c1 = 0.5 * counts / (self.min_p ** 2)
+        dterms = -counts / pos_probs
+        dterms = jnp.where(probs < self.min_p, c0 + 2 * c1 * (probs - self.min_p), dterms)
+        return jnp.where(counts == 0, jnp.zeros_like(probs), dterms)
+
+
+class RawTVDFunction(RawObjectiveFunction):
+    """Total variation distance terms: 0.5 * N * |p - f|
+    (reference: objectivefns.py:4042)."""
+
+    def __init__(self, regularization=None, name='tvd'):
+        self.name = name
+
+    def terms(self, probs, counts, total_counts, freqs):
+        return 0.5 * total_counts * jnp.abs(probs - freqs)
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        return 0.5 * total_counts * jnp.sign(probs - freqs)
+
+
+_RAW_CLASSES = {
+    'chi2': RawChi2Function,
+    'fwchi2': RawFreqWeightedChi2Function,
+    'freq-weighted-chi2': RawFreqWeightedChi2Function,
+    'logl': RawPoissonPicDeltaLogLFunction,
+    'dlogl': RawPoissonPicDeltaLogLFunction,
+    'dlogl-nonpoisson': RawDeltaLogLFunction,
+    'tvd': RawTVDFunction,
+}
+
+
+class ObjectiveFunctionBuilder(object):
+    """Serializable recipe for building an MDC objective (reference:
+    objectivefns.py:129)."""
+
+    @classmethod
+    def cast(cls, obj):
+        if isinstance(obj, cls):
+            return obj
+        if obj is None:
+            return cls.create_from('logl')
+        if isinstance(obj, str):
+            return cls.create_from(obj)
+        if isinstance(obj, dict):
+            return cls.create_from(**obj)
+        raise ValueError("Cannot cast %r to ObjectiveFunctionBuilder" % (obj,))
+
+    @classmethod
+    def create_from(cls, objective='logl', freq_weighted_chi2=False, **kwargs):
+        if objective == 'chi2' and freq_weighted_chi2:
+            objective = 'fwchi2'
+        return cls(objective, **kwargs)
+
+    def __init__(self, name='logl', description=None, regularization=None, penalties=None):
+        self.name = name
+        self.description = description
+        self.regularization = regularization or {}
+        self.penalties = penalties or {}
+
+    def build_raw(self):
+        return _RAW_CLASSES[self.name](self.regularization)
+
+    def build(self, model, dataset, circuits, resource_alloc=None, verbosity=0):
+        return TimeIndependentMDCObjectiveFunction(
+            self.build_raw(), model, dataset, circuits, penalties=self.penalties,
+            name=self.name)
+
+    def build_from_store(self, mdc_store, verbosity=0):
+        return TimeIndependentMDCObjectiveFunction(
+            self.build_raw(), mdc_store.model, mdc_store.dataset, mdc_store.circuits,
+            penalties=self.penalties, name=self.name, layout=mdc_store.layout)
+
+
+class ModelDatasetCircuitsStore(object):
+    """Bundles model + dataset + circuits + layout (reference:
+    objectivefns.py:912)."""
+
+    def __init__(self, model, dataset, circuits=None, resource_alloc=None,
+                 array_types=(), precomp_layout=None, verbosity=0):
+        self.model = model
+        self.dataset = dataset
+        self.circuits = list(circuits) if circuits is not None else list(dataset.keys())
+        self.layout = precomp_layout if precomp_layout is not None else \
+            model.sim.create_layout(self.circuits, dataset)
+
+    @property
+    def num_elements(self):
+        return self.layout.num_elements
+
+    def num_data_params(self):
+        return self.dataset.degrees_of_freedom(self.circuits)
+
+
+class TimeIndependentMDCObjectiveFunction(object):
+    """Model+dataset+circuits objective with compiled device functions
+    (reference: objectivefns.py:4299)."""
+
+    def __init__(self, raw_objfn, model, dataset, circuits, penalties=None,
+                 name=None, layout=None, verbosity=0):
+        self.raw_objfn = raw_objfn
+        self.model = model
+        self.dataset = dataset
+        self.circuits = list(circuits)
+        self.name = name or raw_objfn.name
+        self.layout = layout if layout is not None else \
+            model.sim.create_layout(self.circuits, dataset)
+        counts, totals = self.layout.counts_arrays(dataset)
+        self.counts = counts
+        self.total_counts = totals
+        with np.errstate(invalid='ignore', divide='ignore'):
+            freqs = np.where(totals > 0, counts / np.where(totals > 0, totals, 1.0), 0.0)
+        self.freqs = freqs
+        self.penalties = penalties or {}
+        self._build_compiled()
+
+    # -- compiled device functions -------------------------------------------
+    def _build_compiled(self):
+        raw = self.raw_objfn
+        probs_fn = self.model.sim.probs_fn(self.layout)
+        counts = jnp.asarray(self.counts)
+        totals = jnp.asarray(self.total_counts)
+        freqs = jnp.asarray(self.freqs)
+        n_params = self.model.num_params
+
+        # penalty terms (appended as extra lsvec rows; reference:
+        # objectivefns.py:4447 set_penalties)
+        regularize_factor = self.penalties.get('regularize_factor', 0)
+
+        def lsvec_fn(v):
+            p = probs_fn(v)
+            ls = raw.lsvec(p, counts, totals, freqs)
+            if regularize_factor > 0:
+                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
+            return ls
+
+        def fn_fn(v):
+            p = probs_fn(v)
+            val = jnp.sum(raw.terms(p, counts, totals, freqs))
+            if regularize_factor > 0:
+                val = val + jnp.sum((regularize_factor * jnp.abs(v)) ** 2)
+            return val
+
+        def jtj_jtf_fn(v):
+            p = probs_fn(v)
+            ls = raw.lsvec(p, counts, totals, freqs)
+            dls = raw.dlsvec(p, counts, totals, freqs)
+            dp = jax.jacfwd(probs_fn)(v)           # [E, P]
+            J = dls[:, None] * dp                  # chain rule
+            if regularize_factor > 0:
+                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
+                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
+            jtj = J.T @ J
+            jtf = J.T @ ls
+            return ls, jtj, jtf
+
+        def dlsvec_fn(v):
+            p = probs_fn(v)
+            dls = raw.dlsvec(p, counts, totals, freqs)
+            dp = jax.jacfwd(probs_fn)(v)
+            J = dls[:, None] * dp
+            if regularize_factor > 0:
+                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
+            return J
+
+        self._lsvec_jit = jax.jit(lsvec_fn)
+        self._fn_jit = jax.jit(fn_fn)
+        self._jtj_jtf_jit = jax.jit(jtj_jtf_fn)
+        self._dlsvec_jit = jax.jit(dlsvec_fn)
+        self._probs_jit = jax.jit(probs_fn)
+
+    # -- API -----------------------------------------------------------------
+    def fn(self, paramvec=None):
+        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+        return float(self._fn_jit(v))
+
+    def lsvec(self, paramvec=None, oob_check=False):
+        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+        return np.asarray(self._lsvec_jit(v))
+
+    def dlsvec(self, paramvec=None):
+        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+        return np.asarray(self._dlsvec_jit(v))
+
+    def terms(self, paramvec=None):
+        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+        p = self._probs_jit(v)
+        return np.asarray(self.raw_objfn.terms(p, jnp.asarray(self.counts),
+                                               jnp.asarray(self.total_counts),
+                                               jnp.asarray(self.freqs)))
+
+    def percircuit(self, paramvec=None):
+        terms = self.terms(paramvec)
+        out = np.empty(len(self.circuits))
+        for i, sl in enumerate(self.layout.element_slices):
+            out[i] = np.sum(terms[sl])
+        return out
+
+    def probs(self, paramvec=None):
+        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+        return np.asarray(self._probs_jit(v))
+
+    def jtj_jtf(self, paramvec):
+        """Device-fused (lsvec, JTJ, J^T f) for the LM optimizer."""
+        v = jnp.asarray(paramvec)
+        ls, jtj, jtf = self._jtj_jtf_jit(v)
+        return np.asarray(ls), np.asarray(jtj), np.asarray(jtf)
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return self.raw_objfn.chi2k_distributed_qty(objective_function_value)
+
+    @property
+    def num_elements(self):
+        return self.layout.num_elements
+
+    def num_data_params(self):
+        return self.dataset.degrees_of_freedom(self.circuits)
+
+
+# -- standalone convenience fns (reference: tools/likelihoodfns.py, chi2fns.py)
+
+def logl(model, dataset, circuits=None, min_prob_clip=DEFAULT_MIN_PROB_CLIP,
+         radius=DEFAULT_RADIUS, poisson_picture=True):
+    """Log-likelihood of the model (up to the data-dependent constant used by
+    the reference: returns logL = max_logl - delta_logl)."""
+    circuits = list(circuits) if circuits is not None else list(dataset.keys())
+    raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip, 'radius': radius})
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
+    return logl_max(model, dataset, circuits, poisson_picture) - obj.fn()
+
+
+def logl_max(model, dataset, circuits=None, poisson_picture=True):
+    """Maximum achievable log-likelihood (model-independent)."""
+    circuits = list(circuits) if circuits is not None else list(dataset.keys())
+    total = 0.0
+    for c in circuits:
+        row = dataset[c]
+        N = row.total
+        for outcome, cnt in row.items():
+            if cnt > 0:
+                f = cnt / N
+                total += cnt * np.log(f)
+        if poisson_picture:
+            total -= N  # sum_outcomes N*f = N
+    return total
+
+
+def two_delta_logl(model, dataset, circuits=None, min_prob_clip=DEFAULT_MIN_PROB_CLIP,
+                   radius=DEFAULT_RADIUS):
+    circuits = list(circuits) if circuits is not None else list(dataset.keys())
+    raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip, 'radius': radius})
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
+    return 2 * obj.fn()
+
+
+def chi2(model, dataset, circuits=None, min_prob_clip_for_weighting=1e-4):
+    circuits = list(circuits) if circuits is not None else list(dataset.keys())
+    raw = RawChi2Function({'min_prob_clip_for_weighting': min_prob_clip_for_weighting})
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
+    return obj.fn()
