@@ -193,19 +193,39 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
 
     mdl = start_model.copy()
     n_iters = len(circuit_lists)
+
+    # For nested circuit lists (each a prefix of the final list -- the
+    # standard GST structure), all iterations share ONE layout over the final
+    # list: iteration i evaluates with counts masked to its prefix.  This
+    # lets every iteration reuse the same compiled device graphs.
+    lists = [list(cl) for cl in circuit_lists]
+    nested = all(lists[i] == lists[-1][:len(lists[i])] for i in range(n_iters - 1))
+    shared_layout = mdl.sim.create_layout(lists[-1], dataset) if nested else None
+
+    def make_objective(builder, i):
+        raw = builder.build_raw()
+        from pygsti_tpu.objectivefns.objectivefns import TimeIndependentMDCObjectiveFunction
+        if nested:
+            return TimeIndependentMDCObjectiveFunction(
+                raw, mdl, dataset, lists[-1], penalties=builder.penalties,
+                name=builder.name, layout=shared_layout,
+                num_active_circuits=len(lists[i]))
+        return TimeIndependentMDCObjectiveFunction(
+            raw, mdl, dataset, lists[i], penalties=builder.penalties,
+            name=builder.name)
+
     for i in range(starting_index, n_iters):
-        circuits = circuit_lists[i]
         printer.log("--- Iterative GST: Iter %d of %d  (%d circuits) ---"
-                    % (i + 1, n_iters, len(circuits)))
-        store = ModelDatasetCircuitsStore(mdl, dataset, list(circuits))
+                    % (i + 1, n_iters, len(lists[i])))
         opt_results = []
-        for j, builder in enumerate(iteration_objfn_builders):
-            result, objective = run_gst_fit(store, optimizer, builder, verbosity=verbosity)
-            opt_results.append(result)
+        builders = list(iteration_objfn_builders)
         if i == n_iters - 1:
-            for builder in final_objfn_builders:
-                result, objective = run_gst_fit(store, optimizer, builder, verbosity=verbosity)
-                opt_results.append(result)
+            builders = builders + list(final_objfn_builders)
+        for builder in builders:
+            objective = make_objective(builder, i)
+            result = optimizer.run(objective,
+                                   printer=VerbosityPrinter.create_printer(verbosity))
+            opt_results.append(result)
         yield (opt_results, mdl.copy())
 
 

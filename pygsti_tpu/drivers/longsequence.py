@@ -1,0 +1,55 @@
+"""Legacy one-call GST drivers (reference: pygsti/drivers/longsequence.py:315,690)."""
+
+from __future__ import annotations
+
+from pygsti_tpu.protocols.protocol import ProtocolData
+from pygsti_tpu.protocols.gst import (StandardGSTDesign, GateSetTomography, StandardGST,
+                                      GSTInitialModel, GSTObjFnBuilders)
+from pygsti_tpu.protocols.modeltest import ModelTest
+
+
+def run_long_sequence_gst(data_filename_or_set, target_model, prep_fiducials,
+                          meas_fiducials, germs, max_lengths, gauge_opt_params=None,
+                          advanced_options=None, comm=None, mem_limit=None,
+                          output_pkl=None, verbosity=2):
+    """One-call long-sequence GST (reference: longsequence.py:315)."""
+    from pygsti_tpu.data.dataset import DataSet
+    ds = data_filename_or_set
+    if isinstance(ds, str):
+        from pygsti_tpu.io import read_dataset
+        ds = read_dataset(ds)
+    design = StandardGSTDesign(target_model, prep_fiducials, meas_fiducials, germs,
+                               max_lengths)
+    data = ProtocolData(design, ds)
+    gaugeopt = 'stdgaugeopt' if gauge_opt_params is None else {'go0': gauge_opt_params}
+    proto = GateSetTomography(GSTInitialModel(target_model=target_model),
+                              gaugeopt_suite=gaugeopt, verbosity=verbosity,
+                              name='GateSetTomography')
+    return proto.run(data)
+
+
+def run_stdpractice_gst(data_filename_or_set, processorspec_or_model, prep_fiducials,
+                        meas_fiducials, germs, max_lengths, modes=('full TP', 'CPTPLND', 'Target'),
+                        gaugeopt_suite='stdgaugeopt', comm=None, mem_limit=None,
+                        verbosity=2):
+    """One-call StandardGST (reference: longsequence.py:690)."""
+    ds = data_filename_or_set
+    if isinstance(ds, str):
+        from pygsti_tpu.io import read_dataset
+        ds = read_dataset(ds)
+    target = processorspec_or_model
+    design = StandardGSTDesign(target, prep_fiducials, meas_fiducials, germs, max_lengths)
+    data = ProtocolData(design, ds)
+    proto = StandardGST(modes, gaugeopt_suite=gaugeopt_suite, verbosity=verbosity)
+    return proto.run(data)
+
+
+def run_model_test(model_to_test, data_filename_or_set, target_model, prep_fiducials,
+                   meas_fiducials, germs, max_lengths, verbosity=2):
+    """One-call model test (reference: longsequence.py:34)."""
+    ds = data_filename_or_set
+    design = StandardGSTDesign(target_model, prep_fiducials, meas_fiducials, germs,
+                               max_lengths)
+    data = ProtocolData(design, ds)
+    proto = ModelTest(model_to_test, target_model, verbosity=verbosity)
+    return proto.run(data)

@@ -104,9 +104,10 @@ class SimpleForwardSimulator(ForwardSimulator):
     over the layout's static index tensors and the model's tensors_fn.
     """
 
-    def __init__(self, model=None, param_blk_size=None):
+    def __init__(self, model=None, param_blk_size=None, mesh=None):
         super().__init__(model)
         self.param_blk_size = param_blk_size  # param chunking for jacfwd memory
+        self.mesh = mesh  # jax.sharding.Mesh: shard the circuit/element axis
         self._cache = {}
 
     # -- compiled function factory --------------------------------------------
@@ -126,6 +127,14 @@ class SimpleForwardSimulator(ForwardSimulator):
         prep_idx = jnp.asarray(layout.prep_index)    # [B]
         elem_c = jnp.asarray(layout.elem_circuit)    # [E]
         elem_e = jnp.asarray(layout.elem_effect)     # [E]
+        if self.mesh is not None:
+            # shard the batch axis across the mesh; XLA inserts the
+            # collectives for the element gathers and JTJ reductions.
+            from pygsti_tpu.parallel.mesh import shard_circuits
+            op_idx = shard_circuits(self.mesh, op_idx)
+            prep_idx = shard_circuits(self.mesh, prep_idx)
+            elem_c = shard_circuits(self.mesh, elem_c)
+            elem_e = shard_circuits(self.mesh, elem_e)
 
         def probs(v):
             t = compute(v)

@@ -31,9 +31,17 @@ class CircuitOutcomeProbabilityLayout(object):
       outcomes     : list (per circuit) of outcome tuples
     """
 
-    def __init__(self, circuits, model, dataset=None, observed_outcomes_only=False):
+    def __init__(self, circuits, model, dataset=None, observed_outcomes_only=False,
+                 pad_to_multiple=None):
         self.circuits = [c if isinstance(c, Circuit) else Circuit(c) for c in circuits]
         self.model = model
+        # pad the circuit batch to a multiple (for even sharding across a
+        # device mesh); padded circuits replicate circuit 0 but get zero
+        # counts/total-counts so they contribute nothing to objectives.
+        self.num_real_circuits = len(self.circuits)
+        if pad_to_multiple and self.num_real_circuits % pad_to_multiple != 0:
+            n_pad = pad_to_multiple - self.num_real_circuits % pad_to_multiple
+            self.circuits = self.circuits + [self.circuits[0]] * n_pad
 
         op_keys = model.op_keys
         op_index_map = {k: i for i, k in enumerate(op_keys)}
@@ -141,6 +149,8 @@ class CircuitOutcomeProbabilityLayout(object):
         counts = np.zeros(self.num_elements)
         totals = np.zeros(self.num_elements)
         for b, c in enumerate(self.circuits):
+            if b >= self.num_real_circuits:
+                break  # padded circuits keep zero counts AND zero totals
             row = dataset[c]
             total = row.total
             sl = self.element_slices[b]

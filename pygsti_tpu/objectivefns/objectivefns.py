@@ -307,10 +307,18 @@ class ModelDatasetCircuitsStore(object):
 
 class TimeIndependentMDCObjectiveFunction(object):
     """Model+dataset+circuits objective with compiled device functions
-    (reference: objectivefns.py:4299)."""
+    (reference: objectivefns.py:4299).
+
+    Compiled graphs take the count arrays as *runtime arguments* and are
+    cached per (layout, objective-config) on the model's simulator, so GST
+    iterations over nested circuit lists share one compilation: iteration i
+    evaluates the full final-list layout with counts masked (total_counts=0)
+    for circuits beyond its list (zero-total elements contribute nothing to
+    any objective or Jacobian row).
+    """
 
     def __init__(self, raw_objfn, model, dataset, circuits, penalties=None,
-                 name=None, layout=None, verbosity=0):
+                 name=None, layout=None, verbosity=0, num_active_circuits=None):
         self.raw_objfn = raw_objfn
         self.model = model
         self.dataset = dataset
@@ -318,105 +326,65 @@ class TimeIndependentMDCObjectiveFunction(object):
         self.name = name or raw_objfn.name
         self.layout = layout if layout is not None else \
             model.sim.create_layout(self.circuits, dataset)
+        self.penalties = penalties or {}
         counts, totals = self.layout.counts_arrays(dataset)
+        if num_active_circuits is not None:
+            # mask out elements of circuits beyond the active prefix
+            cutoff = self.layout.element_slices[num_active_circuits - 1].stop \
+                if num_active_circuits > 0 else 0
+            counts = counts.copy()
+            totals = totals.copy()
+            counts[cutoff:] = 0
+            totals[cutoff:] = 0
+            self.num_active_elements = cutoff
+        else:
+            self.num_active_elements = self.layout.num_elements
         self.counts = counts
         self.total_counts = totals
         with np.errstate(invalid='ignore', divide='ignore'):
             freqs = np.where(totals > 0, counts / np.where(totals > 0, totals, 1.0), 0.0)
         self.freqs = freqs
-        self.penalties = penalties or {}
-        self._build_compiled()
-
-    # -- compiled device functions -------------------------------------------
-    def _build_compiled(self):
-        raw = self.raw_objfn
-        probs_fn = self.model.sim.probs_fn(self.layout)
-        counts = jnp.asarray(self.counts)
-        totals = jnp.asarray(self.total_counts)
-        freqs = jnp.asarray(self.freqs)
-        n_params = self.model.num_params
-
-        # penalty terms (appended as extra lsvec rows; reference:
-        # objectivefns.py:4447 set_penalties)
-        regularize_factor = self.penalties.get('regularize_factor', 0)
-
-        def lsvec_fn(v):
-            p = probs_fn(v)
-            ls = raw.lsvec(p, counts, totals, freqs)
-            if regularize_factor > 0:
-                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
-            return ls
-
-        def fn_fn(v):
-            p = probs_fn(v)
-            val = jnp.sum(raw.terms(p, counts, totals, freqs))
-            if regularize_factor > 0:
-                val = val + jnp.sum((regularize_factor * jnp.abs(v)) ** 2)
-            return val
-
-        def jtj_jtf_fn(v):
-            p = probs_fn(v)
-            ls = raw.lsvec(p, counts, totals, freqs)
-            dls = raw.dlsvec(p, counts, totals, freqs)
-            dp = jax.jacfwd(probs_fn)(v)           # [E, P]
-            J = dls[:, None] * dp                  # chain rule
-            if regularize_factor > 0:
-                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
-                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
-            jtj = J.T @ J
-            jtf = J.T @ ls
-            return ls, jtj, jtf
-
-        def dlsvec_fn(v):
-            p = probs_fn(v)
-            dls = raw.dlsvec(p, counts, totals, freqs)
-            dp = jax.jacfwd(probs_fn)(v)
-            J = dls[:, None] * dp
-            if regularize_factor > 0:
-                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
-            return J
-
-        self._lsvec_jit = jax.jit(lsvec_fn)
-        self._fn_jit = jax.jit(fn_fn)
-        self._jtj_jtf_jit = jax.jit(jtj_jtf_fn)
-        self._dlsvec_jit = jax.jit(dlsvec_fn)
-        self._probs_jit = jax.jit(probs_fn)
+        self._counts_j = jnp.asarray(counts)
+        self._totals_j = jnp.asarray(totals)
+        self._freqs_j = jnp.asarray(freqs)
+        self._fns = _compiled_objective_graphs(model, self.layout, raw_objfn,
+                                               self.penalties)
 
     # -- API -----------------------------------------------------------------
+    def _v(self, paramvec):
+        return jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
+
     def fn(self, paramvec=None):
-        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
-        return float(self._fn_jit(v))
+        return float(self._fns['fn'](self._v(paramvec), self._counts_j,
+                                     self._totals_j, self._freqs_j))
 
     def lsvec(self, paramvec=None, oob_check=False):
-        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
-        return np.asarray(self._lsvec_jit(v))
+        return np.asarray(self._fns['lsvec'](self._v(paramvec), self._counts_j,
+                                             self._totals_j, self._freqs_j))
 
     def dlsvec(self, paramvec=None):
-        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
-        return np.asarray(self._dlsvec_jit(v))
+        return np.asarray(self._fns['dlsvec'](self._v(paramvec), self._counts_j,
+                                              self._totals_j, self._freqs_j))
 
     def terms(self, paramvec=None):
-        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
-        p = self._probs_jit(v)
-        return np.asarray(self.raw_objfn.terms(p, jnp.asarray(self.counts),
-                                               jnp.asarray(self.total_counts),
-                                               jnp.asarray(self.freqs)))
+        p = self._fns['probs'](self._v(paramvec))
+        return np.asarray(self.raw_objfn.terms(p, self._counts_j, self._totals_j,
+                                               self._freqs_j))
 
     def percircuit(self, paramvec=None):
         terms = self.terms(paramvec)
-        out = np.empty(len(self.circuits))
+        out = np.empty(len(self.layout.circuits))
         for i, sl in enumerate(self.layout.element_slices):
             out[i] = np.sum(terms[sl])
         return out
 
     def probs(self, paramvec=None):
-        v = jnp.asarray(paramvec if paramvec is not None else self.model.to_vector())
-        return np.asarray(self._probs_jit(v))
+        return np.asarray(self._fns['probs'](self._v(paramvec)))
 
     def jtj_jtf(self, paramvec):
         """Device-fused (lsvec, JTJ, J^T f) for the LM optimizer."""
-        v = jnp.asarray(paramvec)
-        ls, jtj, jtf = self._jtj_jtf_jit(v)
+        ls, jtj, jtf = self._fns['jtj_jtf'](self._v(paramvec), self._counts_j,
+                                            self._totals_j, self._freqs_j)
         return np.asarray(ls), np.asarray(jtj), np.asarray(jtf)
 
     def chi2k_distributed_qty(self, objective_function_value):
@@ -430,10 +398,199 @@ class TimeIndependentMDCObjectiveFunction(object):
         return self.dataset.degrees_of_freedom(self.circuits)
 
 
+def _raw_objfn_key(raw):
+    if isinstance(raw, RawChi2Function) and not isinstance(raw, RawFreqWeightedChi2Function):
+        return ('chi2', raw.min_prob_clip_for_weighting)
+    if isinstance(raw, RawFreqWeightedChi2Function):
+        return ('fwchi2', raw.min_freq_clip_for_weighting)
+    if isinstance(raw, RawPoissonPicDeltaLogLFunction):
+        return ('logl', raw.min_p, raw.radius)
+    if isinstance(raw, RawDeltaLogLFunction):
+        return ('dlogl-np', raw.min_p)
+    if isinstance(raw, RawTVDFunction):
+        return ('tvd',)
+    return (type(raw).__name__, id(raw))
+
+
+def _compiled_objective_graphs(model, layout, raw, penalties):
+    """Build (or fetch cached) jitted objective graphs for a (layout, raw
+    objective) pair.  Graphs take (v, counts, totals, freqs) as arguments."""
+    sim = model.sim
+    if not hasattr(sim, '_obj_graph_cache'):
+        sim._obj_graph_cache = {}
+    key = (id(layout), _raw_objfn_key(raw),
+           tuple(sorted((penalties or {}).items())))
+    if key in sim._obj_graph_cache:
+        return sim._obj_graph_cache[key]
+
+    probs_fn = sim.probs_fn(layout)
+    regularize_factor = (penalties or {}).get('regularize_factor', 0)
+
+    def lsvec_fn(v, counts, totals, freqs):
+        p = probs_fn(v)
+        ls = raw.lsvec(p, counts, totals, freqs)
+        if regularize_factor > 0:
+            ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
+        return ls
+
+    def fn_fn(v, counts, totals, freqs):
+        p = probs_fn(v)
+        val = jnp.sum(raw.terms(p, counts, totals, freqs))
+        if regularize_factor > 0:
+            val = val + jnp.sum((regularize_factor * jnp.abs(v)) ** 2)
+        return val
+
+    # -- Jacobian products: per-circuit reverse mode w.r.t. stacked model
+    #    tensors + single chain through the small params->tensors jacobian
+    #    (TPU-native replacement for the reference's product/dproduct caches,
+    #    matrixforwardsim.py:675-794); falls back to naive jacfwd for
+    #    non-uniform-outcome layouts.
+    B = layout.op_indices.shape[0]
+    n_out_uniform = (B > 0 and layout.num_elements % B == 0
+                     and all(sl.stop - sl.start == layout.num_elements // B
+                             for sl in layout.element_slices))
+    dim = model.dim
+    compute = model.tensors_fn()
+
+    if n_out_uniform and getattr(sim, 'mesh', None) is None:
+        n_out = layout.num_elements // B
+        n_ops = len(model.op_keys)
+        n_preps = len(model.prep_keys)
+        n_eff = sum(model.povms[k].num_outcomes for k in model.povm_keys)
+        NT = n_ops * dim * dim + n_preps * dim + n_eff * dim
+        itemsize = 8
+        blk = max(64, int((256 * 1024 * 1024) // (max(n_out, 1) * NT * itemsize)))
+        nb = -(-B // blk)
+        Bp = nb * blk
+        D = layout.op_indices.shape[1]
+        pad = Bp - B
+        op_idx_p = np.concatenate([layout.op_indices,
+                                   np.full((pad, D), layout.identity_index,
+                                           dtype=np.int32)])
+        prep_idx_p = np.concatenate([layout.prep_index, np.zeros(pad, np.int32)])
+        eff_rows = layout.elem_effect.reshape(B, n_out)
+        eff_rows_p = np.concatenate([eff_rows, np.zeros((pad, n_out), np.int32)])
+        idx_blocks = (jnp.asarray(op_idx_p.reshape(nb, blk, D)),
+                      jnp.asarray(prep_idx_p.reshape(nb, blk)),
+                      jnp.asarray(eff_rows_p.reshape(nb, blk, n_out)))
+        n_real_elements = layout.num_elements
+        pad_el = pad * n_out
+
+        o_sz = n_ops * dim * dim
+        p_sz = n_preps * dim
+
+        def compute_flat(v):
+            t = compute(v)
+            return jnp.concatenate([t.ops.reshape(-1), t.preps.reshape(-1),
+                                    t.effects.reshape(-1)])
+
+        def unflatten(tf):
+            ops = tf[:o_sz].reshape(n_ops, dim, dim)
+            preps = tf[o_sz:o_sz + p_sz].reshape(n_preps, dim)
+            effects = tf[o_sz + p_sz:].reshape(n_eff, dim)
+            return ops, preps, effects
+
+        def per_circuit_probs(tf, op_row, prep_i, eff_row):
+            ops, preps, effects = unflatten(tf)
+            eye = jnp.eye(dim, dtype=ops.dtype)[None]
+            G = jnp.concatenate([ops, eye], axis=0)
+            rho = preps[prep_i]
+            def step(r, k):
+                return G[k] @ r, None
+            rho, _ = jax.lax.scan(step, rho, op_row)
+            return effects[eff_row] @ rho          # [n_out]
+
+        _pc_jac = jax.vmap(jax.jacrev(per_circuit_probs), in_axes=(None, 0, 0, 0))
+        _pc_fwd = jax.vmap(per_circuit_probs, in_axes=(None, 0, 0, 0))
+
+        def _block_data(counts, totals, freqs):
+            cnt = jnp.pad(counts, (0, pad_el)).reshape(nb, blk * n_out)
+            tot = jnp.pad(totals, (0, pad_el)).reshape(nb, blk * n_out)
+            frq = jnp.pad(freqs, (0, pad_el)).reshape(nb, blk * n_out)
+            return cnt, tot, frq
+
+        def jtj_jtf_fn(v, counts, totals, freqs):
+            P = v.shape[0]
+            tf = compute_flat(v)
+            Tv = jax.jacfwd(compute_flat)(v)       # [NT, P]
+            cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
+            def body(carry, x):
+                M, q = carry
+                op_b, prep_b, eff_b, cb, tb, fb = x
+                p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
+                ls = raw.lsvec(p, cb, tb, fb)
+                dls = raw.dlsvec(p, cb, tb, fb)
+                Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
+                Jw = dls[:, None] * Jt
+                return (M + Jw.T @ Jw, q + Jw.T @ ls), ls
+            init = (jnp.zeros((NT, NT), dtype=v.dtype), jnp.zeros(NT, dtype=v.dtype))
+            (M, q), ls_blocks = jax.lax.scan(body, init,
+                                             idx_blocks + (cnt_b, tot_b, frq_b))
+            jtj = Tv.T @ (M @ Tv)
+            jtf = Tv.T @ q
+            ls = ls_blocks.reshape(-1)[:n_real_elements]
+            if regularize_factor > 0:
+                pen = regularize_factor * jnp.abs(v)
+                ls = jnp.concatenate([ls, pen])
+                jtj = jtj + (regularize_factor ** 2) * jnp.eye(P, dtype=v.dtype)
+                jtf = jtf + regularize_factor * jnp.sign(v) * pen
+            return ls, jtj, jtf
+
+        def dlsvec_fn(v, counts, totals, freqs):
+            tf = compute_flat(v)
+            Tv = jax.jacfwd(compute_flat)(v)
+            cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
+            def body(_, x):
+                op_b, prep_b, eff_b, cb, tb, fb = x
+                p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
+                dls = raw.dlsvec(p, cb, tb, fb)
+                Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
+                return None, (dls[:, None] * Jt) @ Tv
+            _, J_blocks = jax.lax.scan(body, None, idx_blocks + (cnt_b, tot_b, frq_b))
+            J = J_blocks.reshape(-1, v.shape[0])[:n_real_elements]
+            if regularize_factor > 0:
+                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
+                                    axis=0)
+            return J
+    else:
+        def jtj_jtf_fn(v, counts, totals, freqs):
+            p = probs_fn(v)
+            ls = raw.lsvec(p, counts, totals, freqs)
+            dls = raw.dlsvec(p, counts, totals, freqs)
+            dp = jax.jacfwd(probs_fn)(v)           # [E, P]
+            J = dls[:, None] * dp
+            if regularize_factor > 0:
+                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
+                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
+                                    axis=0)
+            return ls, J.T @ J, J.T @ ls
+
+        def dlsvec_fn(v, counts, totals, freqs):
+            p = probs_fn(v)
+            dls = raw.dlsvec(p, counts, totals, freqs)
+            J = dls[:, None] * jax.jacfwd(probs_fn)(v)
+            if regularize_factor > 0:
+                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
+                                    axis=0)
+            return J
+
+    fns = {
+        'lsvec': jax.jit(lsvec_fn),
+        'fn': jax.jit(fn_fn),
+        'jtj_jtf': jax.jit(jtj_jtf_fn),
+        'dlsvec': jax.jit(dlsvec_fn),
+        'probs': jax.jit(probs_fn),
+    }
+    sim._obj_graph_cache[key] = fns
+    return fns
+
+
 # -- standalone convenience fns (reference: tools/likelihoodfns.py, chi2fns.py)
 
-def logl(model, dataset, circuits=None, min_prob_clip=DEFAULT_MIN_PROB_CLIP,
+def logl(model, dataset, circuits=None, min_prob_clip=1e-6,
          radius=DEFAULT_RADIUS, poisson_picture=True):
+    # Note: the tools-level default min_prob_clip is 1e-6 (reference:
+    # tools/likelihoodfns.py:115), NOT the GST objective default of 1e-4.
     """Log-likelihood of the model (up to the data-dependent constant used by
     the reference: returns logL = max_logl - delta_logl)."""
     circuits = list(circuits) if circuits is not None else list(dataset.keys())
@@ -458,7 +615,7 @@ def logl_max(model, dataset, circuits=None, poisson_picture=True):
     return total
 
 
-def two_delta_logl(model, dataset, circuits=None, min_prob_clip=DEFAULT_MIN_PROB_CLIP,
+def two_delta_logl(model, dataset, circuits=None, min_prob_clip=1e-6,
                    radius=DEFAULT_RADIUS):
     circuits = list(circuits) if circuits is not None else list(dataset.keys())
     raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip, 'radius': radius})

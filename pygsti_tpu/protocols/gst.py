@@ -1,0 +1,451 @@
+"""GST protocols: designs, GateSetTomography, StandardGST, results
+(reference: pygsti/protocols/gst.py:92,156,1245,1740,2989)."""
+
+from __future__ import annotations
+
+import collections
+import time as _time
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.verbosityprinter import VerbosityPrinter
+from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
+from pygsti_tpu.circuits.circuitlist import CircuitList
+from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+from pygsti_tpu.protocols.protocol import (Protocol, ProtocolData, ProtocolResults,
+                                           CircuitListsDesign, ProtocolCheckpoint)
+from pygsti_tpu.protocols.estimate import Estimate
+from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
+from pygsti_tpu.optimize.simplerlm import SimplerLMOptimizer
+from pygsti_tpu.algorithms import core as _alg
+from pygsti_tpu.models.gaugegroup import (TPGaugeGroup, UnitaryGaugeGroup,
+                                          TPSpamGaugeGroup, SpamGaugeGroup,
+                                          TrivialGaugeGroup,
+                                          default_gauge_group_for_model)
+
+
+class GateSetTomographyDesign(CircuitListsDesign):
+    """Circuit-lists design + a target model (reference: gst.py:92)."""
+
+    def __init__(self, processorspec_or_model, circuit_lists, all_circuits_needing_data=None,
+                 qubit_labels=None, nested=False):
+        super().__init__(circuit_lists, all_circuits_needing_data, qubit_labels, nested)
+        self.target_model = processorspec_or_model
+
+
+class StandardGSTDesign(GateSetTomographyDesign):
+    """Standard germs/fiducials/max-lengths design (reference: gst.py:156)."""
+
+    def __init__(self, target_model, prep_fiducials, meas_fiducials, germs, max_lengths,
+                 germ_length_limits=None, fiducial_pairs=None, nest=True,
+                 circuit_rules=None, op_label_aliases=None, dscheck=None,
+                 action_if_missing="raise", qubit_labels=None, verbosity=0,
+                 add_default_protocol=False):
+        self.prep_fiducials = list(prep_fiducials)
+        self.meas_fiducials = list(meas_fiducials)
+        self.germs = list(germs)
+        self.maxlengths = list(max_lengths)
+        lists = create_lsgst_circuit_lists(
+            target_model, self.prep_fiducials, self.meas_fiducials, self.germs,
+            self.maxlengths, fid_pairs=fiducial_pairs, nest=nest,
+            germ_length_limits=germ_length_limits, op_label_aliases=op_label_aliases,
+            dscheck=dscheck, action_if_missing=action_if_missing, verbosity=verbosity)
+        super().__init__(target_model, lists, qubit_labels=qubit_labels, nested=nest)
+
+
+class GSTInitialModel(NicelySerializable):
+    """How to seed the GST optimization (reference: gst.py:402)."""
+
+    @classmethod
+    def cast(cls, obj):
+        if isinstance(obj, cls):
+            return obj
+        if obj is None:
+            return cls()
+        if isinstance(obj, str):
+            return cls(starting_point=obj)
+        return cls(model=obj)
+
+    def __init__(self, model=None, target_model=None, starting_point=None,
+                 depolarize_start=0, randomize_start=0, lgst_gaugeopt_tol=1e-6,
+                 contract_start_to_cptp=False):
+        self.model = model
+        self.target_model = target_model
+        if starting_point is None:
+            starting_point = "User-supplied-Model" if model is not None else "LGST-if-possible"
+        self.starting_point = starting_point
+        self.depolarize_start = depolarize_start
+        self.randomize_start = randomize_start
+
+    def retrieve_model(self, edesign, gaugeopt_target, dataset, comm=None):
+        target = self.target_model if self.target_model is not None else edesign.target_model
+        if self.starting_point == "User-supplied-Model":
+            mdl = self.model
+        elif self.starting_point in ("LGST", "LGST-if-possible"):
+            mdl = None
+            if hasattr(edesign, 'prep_fiducials'):
+                try:
+                    full_target = target.copy()
+                    mdl = _alg.run_lgst(dataset, edesign.prep_fiducials,
+                                        edesign.meas_fiducials, full_target)
+                except Exception:
+                    if self.starting_point == "LGST":
+                        raise
+                    mdl = None
+            elif self.starting_point == "LGST":
+                raise ValueError("Cannot run LGST: design has no fiducials")
+            if mdl is None:
+                mdl = target.copy()
+        elif self.starting_point == "target":
+            mdl = target.copy()
+        else:
+            raise ValueError("Invalid starting point %r" % self.starting_point)
+        if self.depolarize_start > 0:
+            mdl = mdl.depolarize(op_noise=self.depolarize_start)
+        return mdl
+
+
+class GSTBadFitOptions(NicelySerializable):
+    """What to do when the GST fit is bad (reference: gst.py:595)."""
+
+    @classmethod
+    def cast(cls, obj):
+        if isinstance(obj, cls):
+            return obj
+        if obj is None:
+            return cls()
+        if isinstance(obj, dict):
+            return cls(**obj)
+        raise ValueError("Cannot cast %r" % (obj,))
+
+    def __init__(self, threshold=2.0, actions=(), wildcard_budget_includes_spam=True,
+                 wildcard_smart_init=True):
+        self.threshold = threshold
+        self.actions = tuple(actions)
+        self.wildcard_budget_includes_spam = wildcard_budget_includes_spam
+
+
+class GSTObjFnBuilders(NicelySerializable):
+    """Iteration + final objective builders (reference: gst.py:749)."""
+
+    @classmethod
+    def cast(cls, obj):
+        if isinstance(obj, cls):
+            return obj
+        if obj is None:
+            return cls.create_from()
+        if isinstance(obj, dict):
+            return cls.create_from(**obj)
+        if isinstance(obj, (list, tuple)):
+            return cls(*obj)
+        raise ValueError("Cannot cast %r" % (obj,))
+
+    @classmethod
+    def create_from(cls, objective='logl', freq_weighted_chi2=False,
+                    always_perform_mle=False, only_perform_mle=False):
+        chi2_builder = ObjectiveFunctionBuilder.create_from('chi2', freq_weighted_chi2)
+        mle_builder = ObjectiveFunctionBuilder.create_from('logl')
+        if objective == "chi2":
+            return cls([chi2_builder], [])
+        elif objective == "logl":
+            if always_perform_mle:
+                it = [mle_builder] if only_perform_mle else [chi2_builder, mle_builder]
+                return cls(it, [])
+            return cls([chi2_builder], [mle_builder])
+        raise ValueError("Invalid objective: %r" % objective)
+
+    def __init__(self, iteration_builders, final_builders=()):
+        self.iteration_builders = list(iteration_builders)
+        self.final_builders = list(final_builders)
+
+
+class GSTGaugeOptSuite(NicelySerializable):
+    """Named gauge-optimization suites (reference: gst.py:858).
+
+    'stdgaugeopt' = 3 stages: (1) full-group frobenius gates+spam, (2)
+    unitary-group gates-only, (3) spam-group spam-only (gst.py:1052-1107).
+    """
+
+    @classmethod
+    def cast(cls, obj):
+        if isinstance(obj, cls):
+            return obj
+        if obj is None:
+            return cls(gaugeopt_suite_names=None)
+        if isinstance(obj, str):
+            return cls(gaugeopt_suite_names=(obj,))
+        if isinstance(obj, (tuple, list)):
+            return cls(gaugeopt_suite_names=obj)
+        if isinstance(obj, dict):
+            return cls(gaugeopt_argument_dicts=obj)
+        raise ValueError("Cannot cast %r" % (obj,))
+
+    def __init__(self, gaugeopt_suite_names=None, gaugeopt_argument_dicts=None,
+                 gaugeopt_target=None):
+        self.gaugeopt_suite_names = tuple(gaugeopt_suite_names) \
+            if gaugeopt_suite_names is not None else None
+        self.gaugeopt_argument_dicts = dict(gaugeopt_argument_dicts) \
+            if gaugeopt_argument_dicts is not None else None
+        self.gaugeopt_target = gaugeopt_target
+
+    def is_empty(self):
+        return self.gaugeopt_suite_names is None and self.gaugeopt_argument_dicts is None
+
+    def to_dictionary(self, model, unreliable_ops=(), verbosity=0):
+        """Resolve suite names into gauge-opt argument dicts."""
+        out = collections.OrderedDict()
+        if self.gaugeopt_argument_dicts is not None:
+            out.update(self.gaugeopt_argument_dicts)
+        if self.gaugeopt_suite_names is None:
+            return out
+        for name in self.gaugeopt_suite_names:
+            if name in ('stdgaugeopt', 'stdgaugeopt-unreliable2Q'):
+                gg = default_gauge_group_for_model(model)
+                stages = []
+                if gg.name in ("Full", "TP"):
+                    stages.append({'item_weights': {'gates': 1.0, 'spam': 1.0}})
+                stages.append({'gauge_group': UnitaryGaugeGroup(model.state_space, model.basis),
+                               'item_weights': {'gates': 1.0, 'spam': 0.0}})
+                s3gg = SpamGaugeGroup(model.state_space) if gg.name == "Full" \
+                    else TPSpamGaugeGroup(model.state_space)
+                stages.append({'gauge_group': s3gg,
+                               'item_weights': {'gates': 0.0, 'spam': 1.0},
+                               'spam_penalty_factor': 1.0})
+                out[name] = {'stages': stages}
+            elif name == 'TPpenalty':
+                out[name] = {'item_weights': {'gates': 1.0, 'spam': 1.0}}
+            elif name in ('varySpam', 'varySpamWt', 'varyValidSpamWt', 'toggleValidSpam'):
+                for wt in (1e-4, 1e-1):
+                    out['%s.spam%g' % (name, wt)] = {'item_weights': {'gates': 1.0, 'spam': wt}}
+            elif name == 'unreliable2Q':
+                out[name] = {'item_weights': {'gates': 1.0, 'spam': 1.0}}
+            elif name == 'none':
+                continue
+            else:
+                raise ValueError("Unknown gauge opt suite %r" % name)
+        return out
+
+
+class ModelEstimateResults(ProtocolResults):
+    """GST results: dict of named Estimates (reference: gst.py:2989)."""
+
+    def __init__(self, data, protocol_instance, init_circuits=True):
+        super().__init__(data, protocol_instance)
+        self.estimates = collections.OrderedDict()
+        if init_circuits and isinstance(self.data.edesign, CircuitListsDesign):
+            self.circuit_lists = collections.OrderedDict(
+                [('iteration %d' % i, cl) for i, cl in
+                 enumerate(self.data.edesign.circuit_lists)])
+            self.circuit_lists['final'] = self.data.edesign.circuit_lists[-1]
+        else:
+            self.circuit_lists = collections.OrderedDict()
+
+    def add_estimate(self, estimate, estimate_key='default'):
+        estimate.parent = self
+        self.estimates[estimate_key] = estimate
+
+    def add_model_test(self, target_model, themodel, estimate_key='test', gaugeopt_keys="auto",
+                       verbosity=0):
+        """Add an estimate that is just a fixed model evaluated against the data."""
+        from pygsti_tpu.protocols.modeltest import ModelTest
+        final_circuits = list(self.circuit_lists.get('final',
+                              self.data.edesign.all_circuits_needing_data))
+        from pygsti_tpu.objectivefns.objectivefns import TimeIndependentMDCObjectiveFunction, \
+            RawPoissonPicDeltaLogLFunction
+        obj = TimeIndependentMDCObjectiveFunction(RawPoissonPicDeltaLogLFunction(),
+                                                  themodel, self.data.dataset, final_circuits)
+        params = {'final_objfn_value': 2 * obj.fn(),
+                  'final_dof': self.data.dataset.degrees_of_freedom(final_circuits)}
+        est = Estimate(self, {'target': target_model, 'final iteration estimate': themodel},
+                       params)
+        self.add_estimate(est, estimate_key)
+        return est
+
+    def __getitem__(self, key):
+        return self.estimates[key]
+
+    def keys(self):
+        return self.estimates.keys()
+
+    def __str__(self):
+        return ("ModelEstimateResults with estimates: %s" % list(self.estimates.keys()))
+
+
+class GateSetTomography(Protocol):
+    """The main long-sequence GST protocol (reference: gst.py:1245)."""
+
+    def __init__(self, initial_model=None, gaugeopt_suite='stdgaugeopt',
+                 objfn_builders=None, optimizer=None, badfit_options=None,
+                 verbosity=2, name=None):
+        super().__init__(name)
+        self.initial_model = GSTInitialModel.cast(initial_model)
+        self.gaugeopt_suite = GSTGaugeOptSuite.cast(gaugeopt_suite)
+        self.objfn_builders = GSTObjFnBuilders.cast(objfn_builders)
+        if optimizer is None:
+            optimizer = SimplerLMOptimizer()
+        self.optimizer = SimplerLMOptimizer.cast(optimizer)
+        self.badfit_options = GSTBadFitOptions.cast(badfit_options)
+        self.verbosity = verbosity
+
+    def run(self, data, memlimit=None, comm=None, checkpoint=None, checkpoint_path=None,
+            disable_checkpointing=False):
+        printer = VerbosityPrinter.create_printer(self.verbosity)
+        edesign = data.edesign
+        ds = data.dataset
+        target = edesign.target_model
+
+        seed_model = self.initial_model.retrieve_model(edesign, None, ds)
+        circuit_lists = edesign.circuit_lists
+
+        tstart = _time.time()
+        models, opt_results = _alg.run_iterative_gst(
+            ds, seed_model, circuit_lists, self.optimizer,
+            self.objfn_builders.iteration_builders, self.objfn_builders.final_builders,
+            verbosity=self.verbosity - 1)
+        fit_time = _time.time() - tstart
+
+        results = ModelEstimateResults(data, self)
+        final_circuits = list(circuit_lists[-1])
+        final_objfn_value = opt_results[-1][-1].chi2_k_distributed_qty
+        dof = ds.degrees_of_freedom(final_circuits) - models[-1].num_params
+        params = {
+            'protocol': self,
+            'final_objfn_value': final_objfn_value,
+            'final_dof': max(dof, 1),
+            'fit_time': fit_time,
+            'raw_objective_values': [[r.f for r in rs] for rs in opt_results],
+        }
+        est = Estimate.create_gst_estimate(results, target, seed_model, models, params)
+        results.add_estimate(est, estimate_key=self.name)
+        _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
+                                 self.badfit_options, printer)
+        return results
+
+
+class LinearGateSetTomography(Protocol):
+    """LGST protocol (reference: gst.py:1562)."""
+
+    def __init__(self, target_model=None, gaugeopt_suite='stdgaugeopt', verbosity=2,
+                 name=None):
+        super().__init__(name)
+        self.target_model = target_model
+        self.gaugeopt_suite = GSTGaugeOptSuite.cast(gaugeopt_suite)
+        self.verbosity = verbosity
+
+    def run(self, data, memlimit=None, comm=None):
+        printer = VerbosityPrinter.create_printer(self.verbosity)
+        edesign = data.edesign
+        target = self.target_model if self.target_model is not None else edesign.target_model
+        mdl_lgst = _alg.run_lgst(data.dataset, edesign.prep_fiducials,
+                                 edesign.meas_fiducials, target,
+                                 verbosity=self.verbosity - 1)
+        results = ModelEstimateResults(data, self, init_circuits=False)
+        est = Estimate(results, {'target': target, 'seed': mdl_lgst,
+                                 'final iteration estimate': mdl_lgst}, {})
+        results.add_estimate(est, estimate_key=self.name)
+        _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
+                                 GSTBadFitOptions(), printer)
+        return results
+
+
+class StandardGST(Protocol):
+    """Run GST with multiple parameterizations (reference: gst.py:1740)."""
+
+    def __init__(self, modes=('full TP', 'CPTPLND', 'Target'), gaugeopt_suite='stdgaugeopt',
+                 target_model=None, models_to_test=None, objfn_builders=None,
+                 optimizer=None, badfit_options=None, verbosity=2, name=None):
+        super().__init__(name)
+        if isinstance(modes, str):
+            modes = modes.split(',')
+        self.modes = tuple(modes)
+        self.gaugeopt_suite = GSTGaugeOptSuite.cast(gaugeopt_suite)
+        self.target_model = target_model
+        self.models_to_test = models_to_test or {}
+        self.objfn_builders = objfn_builders
+        self.optimizer = optimizer
+        self.badfit_options = badfit_options
+        self.verbosity = verbosity
+
+    def run(self, data, memlimit=None, comm=None, checkpoint=None, checkpoint_path=None,
+            disable_checkpointing=False):
+        printer = VerbosityPrinter.create_printer(self.verbosity)
+        edesign = data.edesign
+        target = self.target_model if self.target_model is not None else edesign.target_model
+
+        results = ModelEstimateResults(data, self)
+        for mode in self.modes:
+            printer.log("-- Performing '%s' gate set tomography --" % mode)
+            if mode == "Target" or mode in self.models_to_test:
+                themodel = target.copy() if mode == "Target" else self.models_to_test[mode]
+                results.add_model_test(target, themodel, estimate_key=mode)
+            else:
+                parameterization = mode
+                mode_target = _convert_target(target, parameterization)
+                gst = GateSetTomography(
+                    GSTInitialModel(target_model=mode_target),
+                    self.gaugeopt_suite, self.objfn_builders, self.optimizer,
+                    self.badfit_options, verbosity=self.verbosity - 1, name=mode)
+                sub_results = gst.run(data)
+                results.add_estimate(sub_results.estimates[mode], estimate_key=mode)
+        return results
+
+
+def _convert_target(target, parameterization):
+    """Build a target model in the given parameterization from a (likely
+    static or TP) target (reference: model.convert_members_inplace)."""
+    from pygsti_tpu.models.modelconstruction import _make_op, _make_prep, _make_povm
+    m = target.copy()
+    nq = m.state_space.num_qubits
+    for lbl, op in list(m.operations.items()):
+        m.operations[lbl] = _make_op(op.to_dense(), parameterization, m.basis)
+    for lbl, p in list(m.preps.items()):
+        m.preps[lbl] = _make_prep(p.to_dense(), parameterization, m.basis, nq)
+    for lbl, povm in list(m.povms.items()):
+        effects = collections.OrderedDict(povm.items())
+        m.povms[lbl] = _make_povm(effects, parameterization, m.basis, nq)
+    m.default_gate_type = parameterization
+    m._mark_for_rebuild()
+    return m
+
+
+def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
+                             badfit_options, printer):
+    """Add gauge-optimized models + badfit handling (reference: gst.py:2066)."""
+    from pygsti_tpu.algorithms.gaugeopt import gaugeopt_to_target
+    est = results.estimates[estlbl]
+    if gaugeopt_suite is None or gaugeopt_suite.is_empty():
+        return
+    mdl = est.models['final iteration estimate']
+    godict = gaugeopt_suite.to_dictionary(mdl)
+    go_target = gaugeopt_suite.gaugeopt_target if gaugeopt_suite.gaugeopt_target is not None \
+        else target_model
+    for golbl, goparams in godict.items():
+        stages = goparams.get('stages', [goparams])
+        cur = mdl
+        for stage in stages:
+            stage = dict(stage)
+            stage.pop('spam_penalty_factor', None)
+            cur = gaugeopt_to_target(cur, go_target, **stage)
+        est.models[golbl] = cur
+        est.goparameters[golbl] = goparams
+        printer.log("  -- Added gauge-optimized result '%s'" % golbl, 2)
+
+
+class GateSetTomographyCheckpoint(ProtocolCheckpoint):
+    """Per-iteration GST checkpoint (reference: gst.py:3475)."""
+
+    def __init__(self, mdl_list=None, last_completed_iter=-1, last_completed_circuit_list=None,
+                 final_objfn=None, name=None, parent=None):
+        super().__init__(name, parent)
+        self.mdl_list = mdl_list or []
+        self.last_completed_iter = last_completed_iter
+        self.last_completed_circuit_list = last_completed_circuit_list
+        self.final_objfn = final_objfn
+
+
+class StandardGSTCheckpoint(ProtocolCheckpoint):
+    """Multi-mode checkpoint (reference: gst.py:3540)."""
+
+    def __init__(self, children=None, name=None, parent=None):
+        super().__init__(name, parent)
+        self.children = children or {}

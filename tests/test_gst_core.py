@@ -46,7 +46,8 @@ class TestObjectiveParity:
         for c in ds.keys():
             rds.add_count_dict(ref_pygsti.circuits.Circuit(c.str),
                                {k[0]: v for k, v in ds[c].counts.items()})
-        return rds.done_adding_data()
+        rds.done_adding_data()
+        return rds
 
     def test_chi2_matches(self, ref_pygsti, gst_setup):
         target, _, lists, ds = gst_setup
