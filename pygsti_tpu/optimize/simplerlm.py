@@ -197,6 +197,10 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
             tm = time.time()
             f, JTJ, JTf = jtj_jtf_fn(x)
             norm_f = float(np.dot(f, f))
+            if not np.all(np.isfinite(JTJ)):
+                msg = "Non-finite JTJ (out of model's numeric range)"
+                converged = (k > 0)
+                break
             minus_JTf = -JTf
             jtj_diag = np.diag(JTJ).copy()
 
