@@ -1,0 +1,240 @@
+"""Random circuit sampling for benchmarking protocols
+(reference: pygsti/algorithms/randomcircuit.py, 2463 LoC)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.label import Label, LabelTupTup
+from pygsti_tpu.circuits.circuit import Circuit
+from pygsti_tpu.tools import symplectic as sym
+from pygsti_tpu.algorithms.compilers import compile_clifford, CompilationRules
+
+
+def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
+                               qubit_labels=None, randomizeout=False, citerations=20,
+                               compilercache=None, seed=None, rand_state=None):
+    """Sample one Clifford RB circuit of the given length (reference:
+    randomcircuit.py:1132).
+
+    Samples `length + 1` uniform Cliffords, compiles each to native gates,
+    appends the compiled inverse of their composition, and returns
+    (circuit, ideal_outcome_bits).  With randomizeout=True a uniformly random
+    Pauli is absorbed into the inversion so the ideal outcome is a random
+    bit string.
+    """
+    rng = rand_state if rand_state is not None else np.random.RandomState(seed)
+    qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
+    n = len(qubit_labels)
+    rules = clifford_compilations if isinstance(clifford_compilations, CompilationRules) \
+        else CompilationRules(pspec)
+
+    s_comp = np.identity(2 * n, np.int64)
+    p_comp = np.zeros(2 * n, np.int64)
+    layers = []
+    for _ in range(length + 1):
+        s, p = sym.random_clifford(n, rand_state=rng)
+        circ = compile_clifford(s, p, pspec, qubit_labels, rules)
+        layers.extend(circ.layertup)
+        s_comp, p_comp = sym.compose_cliffords(s_comp, p_comp, s, p)
+
+    s_inv, p_inv = sym.inverse_clifford(s_comp, p_comp)
+    if randomizeout:
+        # compose a random Pauli before the inversion
+        s_pauli = np.identity(2 * n, np.int64)
+        p_pauli = 2 * rng.randint(0, 2, 2 * n)
+        s_inv, p_inv = sym.compose_cliffords(s_pauli, p_pauli, s_inv, p_inv)
+    inv_circ = compile_clifford(s_inv, p_inv, pspec, qubit_labels, rules)
+    layers.extend(inv_circ.layertup)
+
+    full = Circuit(layers, qubit_labels)
+    # ideal outcome via stabilizer propagation
+    s_tot, p_tot = sym.symplectic_rep_of_clifford_circuit(full, pspec=pspec)
+    state = sym.prep_stabilizer_state(n, [0] * n)
+    state = sym.apply_clifford_to_stabilizer_state(s_tot, p_tot, *state)
+    idealout = sym.measure_all_qubits_deterministic(*state)
+    return full, idealout
+
+
+def sample_circuit_layer_by_edgegrab(pspec, qubit_labels=None, two_q_gate_density=0.25,
+                                     one_q_gate_names=None, rand_state=None):
+    """'edgegrab' layer sampler (reference: randomcircuit.py:201): grab a
+    random set of disjoint edges, place 2Q gates on a subset, 1Q gates
+    elsewhere."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
+    if one_q_gate_names is None:
+        one_q_gate_names = [g for g in pspec.gate_names
+                            if pspec.gate_num_qubits(g) == 1 and g not in ('{idle}', '(idle)')]
+    twoq_names = [g for g in pspec.gate_names if pspec.gate_num_qubits(g) == 2]
+
+    # random maximal set of disjoint edges
+    edges = [e for e in pspec.qubit_graph.edges()
+             if e[0] in qubit_labels and e[1] in qubit_labels]
+    rng.shuffle(edges)
+    chosen = []
+    used = set()
+    for e in edges:
+        if e[0] not in used and e[1] not in used:
+            chosen.append(e)
+            used.update(e)
+    # keep each edge w.p. mean_two_q_gates/len(chosen)
+    n = len(qubit_labels)
+    mean_two_q_gates = two_q_gate_density * n / 2
+    prob = min(mean_two_q_gates / max(len(chosen), 1), 1.0)
+    components = []
+    occupied = set()
+    for e in chosen:
+        if rng.rand() < prob and twoq_names:
+            g2 = twoq_names[rng.randint(len(twoq_names))]
+            components.append(Label(g2, e))
+            occupied.update(e)
+    for q in qubit_labels:
+        if q not in occupied:
+            g1 = one_q_gate_names[rng.randint(len(one_q_gate_names))]
+            components.append(Label(g1, (q,)))
+    return LabelTupTup.init(tuple(components))
+
+
+def create_random_circuit(pspec, length, qubit_labels=None, sampler='edgegrab',
+                          samplerargs=None, rand_state=None, seed=None):
+    """Random circuit of `length` layers using the given layer sampler
+    (reference: randomcircuit.py create_random_circuit)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState(seed)
+    qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
+    samplerargs = samplerargs or {}
+    layers = []
+    for _ in range(length):
+        if sampler == 'edgegrab':
+            layers.append(sample_circuit_layer_by_edgegrab(
+                pspec, qubit_labels, rand_state=rng, **samplerargs))
+        else:
+            raise ValueError("Unknown sampler %r" % sampler)
+    return Circuit(layers, qubit_labels)
+
+
+def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
+                             qubit_labels=None, sampler='edgegrab', samplerargs=None,
+                             addlocal=False, lsargs=None, randomizeout=False,
+                             cliffordtwirl=True, conditionaltwirl=True,
+                             citerations=20, seed=None, rand_state=None):
+    """Sample one direct RB circuit (reference: randomcircuit.py:782).
+
+    Structure: random stabilizer prep (here: a uniform Clifford), `length`
+    sampled layers of native gates, then an inversion (compiled Clifford)
+    returning to a computational state.  The reference compiles
+    stabilizer-state preparations (shorter); we use full Clifford
+    compilation, which is equivalent for benchmarking analysis purposes.
+    """
+    rng = rand_state if rand_state is not None else np.random.RandomState(seed)
+    qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
+    n = len(qubit_labels)
+    rules = clifford_compilations if isinstance(clifford_compilations, CompilationRules) \
+        else CompilationRules(pspec)
+
+    layers = []
+    # initial twirl
+    s0, p0 = sym.random_clifford(n, rand_state=rng)
+    layers.extend(compile_clifford(s0, p0, pspec, qubit_labels, rules).layertup)
+    # random core layers
+    core = create_random_circuit(pspec, length, qubit_labels, sampler,
+                                 samplerargs, rand_state=rng)
+    layers.extend(core.layertup)
+    # inversion
+    partial = Circuit(layers, qubit_labels)
+    s_par, p_par = sym.symplectic_rep_of_clifford_circuit(partial, pspec=pspec)
+    s_inv, p_inv = sym.inverse_clifford(s_par, p_par)
+    if randomizeout:
+        s_pauli = np.identity(2 * n, np.int64)
+        p_pauli = 2 * rng.randint(0, 2, 2 * n)
+        s_inv, p_inv = sym.compose_cliffords(s_pauli, p_pauli, s_inv, p_inv)
+    layers.extend(compile_clifford(s_inv, p_inv, pspec, qubit_labels, rules).layertup)
+
+    full = Circuit(layers, qubit_labels)
+    s_tot, p_tot = sym.symplectic_rep_of_clifford_circuit(full, pspec=pspec)
+    state = sym.prep_stabilizer_state(n, [0] * n)
+    state = sym.apply_clifford_to_stabilizer_state(s_tot, p_tot, *state)
+    idealout = sym.measure_all_qubits_deterministic(*state)
+    return full, idealout
+
+
+def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
+                             qubit_labels=None, sampler='edgegrab', samplerargs=None,
+                             localclifford=True, paulirandomize=True, seed=None,
+                             rand_state=None):
+    """Sample one mirror RB circuit (reference: randomcircuit.py:1447).
+
+    Structure: random 1Q-Clifford layer; length/2 sampled layers; (Pauli
+    layer); the inverses of the sampled layers in reverse; inverse 1Q layer.
+    All gates must have self-contained inverses in the native set; we invert
+    each layer via per-gate symplectic inversion + 1Q-word compilation.
+    """
+    assert length % 2 == 0, "Mirror RB length must be even"
+    rng = rand_state if rand_state is not None else np.random.RandomState(seed)
+    qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
+    n = len(qubit_labels)
+    rules = CompilationRules(pspec)
+
+    srep_dict = dict(sym.compute_internal_gate_symplectic_representations())
+    srep_dict.update(pspec.compute_clifford_symplectic_reps())
+
+    def invert_layer(layer):
+        out = []
+        for comp in (layer.components if not layer.is_simple else (layer,)):
+            s_g, p_g = srep_dict[comp.name]
+            s_i, p_i = sym.inverse_clifford(s_g, p_g)
+            if len(comp.sslbls) == 1:
+                out.extend(compile_1q_word(s_i, p_i, rules, comp.sslbls[0]))
+            else:
+                # self-inverse 2Q gates (CNOT/CZ/SWAP) invert to themselves
+                assert np.array_equal(s_i, s_g) and np.array_equal(p_i % 4, p_g % 4), \
+                    "2Q gate %s is not self-inverse" % comp.name
+                out.append(comp)
+        return out
+
+    from pygsti_tpu.algorithms.compilers import compile_1q_clifford
+
+    def compile_1q_word(s, p, rules, q):
+        return compile_1q_clifford(s, p, rules.native_1q, q)
+
+    layers = []
+    # initial random 1q-Clifford layer
+    init_cliffs = []
+    for q in qubit_labels:
+        s, p = sym.random_clifford(1, rand_state=rng)
+        init_cliffs.append((q, s, p))
+        init_word = compile_1q_word(s, p, rules, q)
+        layers.extend(init_word)
+
+    core_layers = []
+    for _ in range(length // 2):
+        layer = sample_circuit_layer_by_edgegrab(pspec, qubit_labels,
+                                                 rand_state=rng,
+                                                 **(samplerargs or {}))
+        core_layers.append(layer)
+        layers.append(layer)
+
+    if paulirandomize:
+        # central random Pauli layer (compiled into native 1Q words)
+        for q in qubit_labels:
+            xz = (rng.randint(2), rng.randint(2))
+            name = {(1, 0): 'X', (0, 1): 'Z', (1, 1): 'Y'}.get(xz)
+            if name is not None:
+                from pygsti_tpu.algorithms.compilers import _gen_sreps
+                s_p, p_p = _gen_sreps()[name]
+                layers.extend(compile_1q_word(s_p, p_p, rules, q))
+
+    for layer in reversed(core_layers):
+        layers.extend(invert_layer(layer))
+
+    # final inverse 1q-Clifford layer
+    for (q, s, p) in init_cliffs:
+        s_i, p_i = sym.inverse_clifford(s, p)
+        layers.extend(compile_1q_word(s_i, p_i, rules, q))
+
+    full = Circuit(layers, qubit_labels)
+    s_tot, p_tot = sym.symplectic_rep_of_clifford_circuit(full, pspec=pspec)
+    state = sym.prep_stabilizer_state(n, [0] * n)
+    state = sym.apply_clifford_to_stabilizer_state(s_tot, p_tot, *state)
+    idealout = sym.measure_all_qubits_deterministic(*state)
+    return full, idealout

@@ -1,0 +1,77 @@
+"""RB decay-curve fitting (reference: pygsti/algorithms/rbfit.py:20)."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.optimize as spo
+
+
+def std_least_squares_fit(lengths, asps, n, seed=None, asymptote=None, ftype='full',
+                          rtype='EI'):
+    """Fit averaged success probabilities to A + B p^m (reference:
+    rbfit.std_least_squares_fit).
+
+    ftype: 'full' (fit A, B, p), 'FA' (fixed asymptote A), or 'full+FA'
+    handled by the caller.  Returns dict with 'estimates' {'a','b','p','r'}
+    and 'success'.
+    """
+    lengths = np.asarray(lengths, dtype=float)
+    asps = np.asarray(asps, dtype=float)
+    if asymptote is None:
+        asymptote = 1.0 / 2 ** n
+
+    # seed: A = asymptote, b = first - asymptote, p from endpoints
+    if seed is None:
+        a0 = asymptote
+        b0 = max(asps[0] - a0, 1e-6)
+        if len(lengths) >= 2 and asps[-1] - a0 > 0 and b0 > 0:
+            span = max(lengths[-1] - lengths[0], 1)
+            p0 = ((asps[-1] - a0) / b0) ** (1.0 / span)
+            p0 = min(max(p0, 0.0), 1.0)
+        else:
+            p0 = 0.9
+        seed = [a0, b0, p0]
+
+    def curve(m, a, b, p):
+        return a + b * p ** m
+
+    try:
+        if ftype == 'FA':
+            popt, _ = spo.curve_fit(lambda m, b, p: curve(m, asymptote, b, p),
+                                    lengths, asps, p0=seed[1:],
+                                    bounds=([-np.inf, 0.0], [np.inf, 1.0]),
+                                    maxfev=10000)
+            a, b, p = asymptote, popt[0], popt[1]
+        else:
+            popt, _ = spo.curve_fit(curve, lengths, asps, p0=seed,
+                                    bounds=([-np.inf, -np.inf, 0.0],
+                                            [np.inf, np.inf, 1.0]),
+                                    maxfev=10000)
+            a, b, p = popt
+        success = True
+    except RuntimeError:
+        a, b, p = seed
+        success = False
+
+    r = p_to_r(p, 2 ** n, rtype)
+    return {'estimates': {'a': a, 'b': b, 'p': p, 'r': r}, 'success': success,
+            'seed': seed}
+
+
+def p_to_r(p, d, rtype='EI'):
+    """Decay constant -> error rate.  'EI' (entanglement infidelity):
+    r = (1 - p)(d^2 - 1)/d^2;  'AGI': r = (1 - p)(d - 1)/d (reference:
+    tools/rbtools.p_to_r)."""
+    if rtype == 'EI':
+        return (1 - p) * (d ** 2 - 1) / d ** 2
+    if rtype == 'AGI':
+        return (1 - p) * (d - 1) / d
+    raise ValueError("Unknown rtype %r" % rtype)
+
+
+def r_to_p(r, d, rtype='EI'):
+    if rtype == 'EI':
+        return 1 - d ** 2 * r / (d ** 2 - 1)
+    if rtype == 'AGI':
+        return 1 - d * r / (d - 1)
+    raise ValueError("Unknown rtype %r" % rtype)

@@ -1,0 +1,89 @@
+"""End-to-end RB tests: circuit sampling, simulation, decay fitting."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.processors import QubitProcessorSpec
+from pygsti_tpu.algorithms.randomcircuit import (create_clifford_rb_circuit,
+                                                 create_direct_rb_circuit,
+                                                 create_mirror_rb_circuit)
+from pygsti_tpu.algorithms.rbfit import std_least_squares_fit, p_to_r
+from pygsti_tpu.protocols.rb import CliffordRBDesign, RandomizedBenchmarking
+from pygsti_tpu.protocols.protocol import ProtocolData
+from pygsti_tpu.models.modelconstruction import create_explicit_model
+from pygsti_tpu.data import simulate_data
+from pygsti_tpu.tools import symplectic as sym
+
+
+@pytest.fixture(scope='module')
+def pspec_1q():
+    return QubitProcessorSpec(1, ['Gxpi2', 'Gypi2'])
+
+
+@pytest.fixture(scope='module')
+def pspec_2q():
+    return QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'], geometry='line')
+
+
+class TestRBCircuits:
+    def test_clifford_rb_circuit_identity(self, pspec_1q):
+        """Without randomizeout the ideal outcome is all zeros and the
+        circuit composes to the identity symplectic."""
+        for seed in range(4):
+            c, ideal = create_clifford_rb_circuit(pspec_1q, length=3, seed=seed)
+            assert ideal == (0,)
+            s, p = sym.symplectic_rep_of_clifford_circuit(c, pspec=pspec_1q)
+            assert np.array_equal(s, np.identity(2, np.int64))
+
+    def test_clifford_rb_randomizeout(self, pspec_1q):
+        outs = set()
+        for seed in range(8):
+            c, ideal = create_clifford_rb_circuit(pspec_1q, length=2, seed=seed,
+                                                  randomizeout=True)
+            outs.add(ideal)
+        assert len(outs) > 1, "randomizeout should produce varied outcomes"
+
+    def test_clifford_rb_2q(self, pspec_2q):
+        c, ideal = create_clifford_rb_circuit(pspec_2q, length=2, seed=5)
+        assert ideal == (0, 0)
+
+    def test_direct_rb(self, pspec_2q):
+        c, ideal = create_direct_rb_circuit(pspec_2q, length=4, seed=7)
+        assert len(ideal) == 2
+
+    def test_mirror_rb(self, pspec_2q):
+        c, ideal = create_mirror_rb_circuit(pspec_2q, length=4, seed=9,
+                                            paulirandomize=True)
+        assert len(ideal) == 2
+
+
+class TestRBFit:
+    def test_exact_decay_recovered(self):
+        depths = np.array([0, 1, 2, 4, 8, 16, 32])
+        a, b, p = 0.5, 0.5, 0.97
+        asps = a + b * p ** depths
+        fit = std_least_squares_fit(depths, asps, 1)
+        assert fit['success']
+        assert np.isclose(fit['estimates']['p'], p, atol=1e-6)
+        assert np.isclose(fit['estimates']['r'], p_to_r(p, 2), atol=1e-6)
+
+
+class TestRBEndToEnd:
+    def test_1q_rb_recovers_depolarizing_rate(self, pspec_1q):
+        """Simulate Clifford RB on a depolarized model; the fitted r should
+        approximate the per-Clifford depolarization strength."""
+        design = CliffordRBDesign(pspec_1q, None, depths=(0, 2, 4, 8, 16),
+                                  circuits_per_depth=8, seed=2026)
+        noise = 0.01
+        model = create_explicit_model(pspec_1q, ideal_gate_type='full')
+        model = model.depolarize(op_noise=noise)
+        ds = simulate_data(model, design.all_circuits_needing_data, 2000, seed=4)
+        data = ProtocolData(design, ds)
+        rb = RandomizedBenchmarking(bootstrap_samples=20)
+        results = rb.run(data)
+        r = results.r
+        # each Clifford compiles to ~2 native gates, each with EI ~= 3/4*noise...
+        # just check r is positive, of sensible magnitude, and the decay fit worked
+        assert results.fits['full']['success']
+        assert 1e-4 < r < 0.2, "r = %g out of expected range" % r
+        assert results.r_std is not None
