@@ -26,6 +26,8 @@ def main():
     param = os.environ.get("BENCH_PARAM", "full")
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
@@ -63,8 +65,11 @@ def main():
 
     design = GateSetTomographyDesign(target, lists)
     data = ProtocolData(design, ds)
+    gaugeopt = os.environ.get("BENCH_GAUGEOPT", "stdgaugeopt")
+    if gaugeopt in ("none", "0"):
+        gaugeopt = None
     gst = GateSetTomography(GSTInitialModel(model=target.copy()),
-                            gaugeopt_suite='stdgaugeopt',
+                            gaugeopt_suite=gaugeopt,
                             objfn_builders=builders, verbosity=2)
 
     t0 = time.time()

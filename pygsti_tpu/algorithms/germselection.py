@@ -1,0 +1,261 @@
+"""Germ selection: find amplificationally-complete germ sets
+(reference: pygsti/algorithms/germselection.py:59, 5235 LoC).
+
+A germ set is amplificationally complete (AC) when the union of the germs'
+*twirled derivatives* spans the non-gauge parameter directions: errors along
+every non-gauge direction grow linearly with germ power L.  The twirled
+derivative of germ product M(theta) keeps only the derivative components
+that survive averaging under conjugation by M's eigenbasis (the large-L
+limit of d(M^L)/dtheta / L).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.verbosityprinter import VerbosityPrinter
+from pygsti_tpu.circuits.circuit import Circuit
+
+
+def _germ_product_and_jacobian(model, germ):
+    """Dense product M of the germ's ops and dM/dtheta [d^2*d^2, P] via jax."""
+    import jax
+    import jax.numpy as jnp
+    compute = model.tensors_fn()
+    op_keys = model.op_keys
+    idx = [op_keys.index(l) for l in germ.layertup]
+    dim = model.dim
+
+    def product(v):
+        t = compute(v)
+        m = jnp.eye(dim, dtype=t.ops.dtype)
+        for i in idx:
+            m = t.ops[i] @ m
+        return m
+
+    v = jnp.asarray(model.to_vector())
+    M = np.asarray(product(v))
+    J = np.asarray(jax.jacfwd(product)(v)).reshape(dim * dim, -1)
+    return M, J
+
+
+def twirled_deriv(model, germ, eps=1e-6):
+    """Twirled derivative of the germ product: project dM/dtheta onto the
+    commutant of M (keep only equal-eigenvalue projector blocks), which is
+    the direction amplified by germ powers (reference:
+    germselection._twirled_deriv)."""
+    M, J = _germ_product_and_jacobian(model, germ)
+    d2 = M.shape[0]
+    evals, V = np.linalg.eig(M)
+    Vinv = np.linalg.inv(V)
+    # twirl: T = sum_{i,j:|li - lj| < eps} P_i dM P_j   (in eigenbasis: mask)
+    mask = (np.abs(evals[:, None] - evals[None, :]) < eps).astype(complex)
+    P = J.shape[1]
+    out = np.empty((d2 * d2, P), dtype=complex)
+    for p in range(P):
+        dM = J[:, p].reshape(d2, d2)
+        dM_eig = Vinv @ dM @ V
+        out[:, p] = (V @ (mask * dM_eig) @ Vinv).reshape(-1)
+    return out
+
+
+def _nongauge_projector(model, item_weights=None):
+    """Projector onto non-gauge parameter directions: complement of the
+    column space of the gauge-generator matrix dG_gauge (reference:
+    model.num_gauge_params / gaugegroup machinery)."""
+    import jax
+    import jax.numpy as jnp
+    from pygsti_tpu.models.gaugegroup import default_gauge_group_for_model
+    gg = default_gauge_group_for_model(model)
+    if gg.num_params == 0:
+        return np.eye(model.num_params)
+    # derivative of model paramvec under infinitesimal gauge transformations:
+    # dtheta/depsilon for S = S(x0 + eps e_k)
+    x0 = gg.initial_params()
+    v0 = model.to_vector()
+    eps = 1e-7
+
+    work = model.copy()
+    cols = []
+    for k in range(gg.num_params):
+        x = x0.copy()
+        x[k] += eps
+        el = gg.compute_element(x)
+        m = model.copy()
+        try:
+            m.transform_inplace(el)
+        except AssertionError:
+            continue  # gauge direction incompatible with parameterization
+        cols.append((m.to_vector() - v0) / eps)
+    if not cols:
+        return np.eye(model.num_params)
+    gauge_dirs = np.stack(cols, axis=1)  # [P, n_gauge]
+    q, r = np.linalg.qr(gauge_dirs)
+    # numerical rank
+    keep = np.abs(np.diag(r)) > 1e-7 * max(np.abs(np.diag(r)).max(), 1e-30)
+    q = q[:, keep]
+    return np.eye(model.num_params) - q @ q.T
+
+
+def compute_composite_germ_set_score(model, germs, score_func='all', eps=1e-6,
+                                     non_gauge_projector=None):
+    """Score a germ set: build J_comp = sum_g Re(T_g^dag T_g) projected onto
+    non-gauge space; score 'all' = sum of inverse nonzero eigenvalues
+    (lower = better), 'worst' = 1/smallest-nonzero-eigenvalue.  Returns
+    (score, n_amplified, eigenvalues)."""
+    P = model.num_params
+    proj = non_gauge_projector if non_gauge_projector is not None \
+        else _nongauge_projector(model)
+    n_nongauge = int(round(np.trace(proj)))
+    Jc = np.zeros((P, P))
+    for germ in germs:
+        T = twirled_deriv(model, germ, eps) @ proj
+        Jc += np.real(T.conj().T @ T)
+    evals = np.linalg.eigvalsh(Jc)
+    evals = evals[::-1]  # descending
+    nonzero = evals[:n_nongauge]
+    n_amplified = int(np.sum(nonzero > 1e-10 * max(evals[0], 1e-30)))
+    safe = np.clip(nonzero, 1e-30, None)
+    if score_func == 'all':
+        score = float(np.sum(1.0 / safe))
+    else:
+        score = float(1.0 / safe[-1])
+    return score, n_amplified, evals
+
+
+def max_amplified_directions(model, op_labels=None, max_len=3, eps=1e-6,
+                             non_gauge_projector=None):
+    """The number of non-gauge directions amplifiable by ANY germ set: the
+    rank of the union of twirled derivatives over all candidate germs up to
+    `max_len` (saturation count).  This is the meaningful completeness
+    target: directions outside this span (e.g. SPAM parameters) cannot be
+    amplified by germs at all."""
+    import itertools
+    proj = non_gauge_projector if non_gauge_projector is not None \
+        else _nongauge_projector(model)
+    if op_labels is None:
+        op_labels = list(model.operations.keys())
+    lls = model.state_space.qubit_labels
+    germs, seen = [], set()
+    for L in range(1, max_len + 1):
+        for combo in itertools.product(op_labels, repeat=L):
+            key = _cyclic_canonical(combo)
+            if key not in seen:
+                seen.add(key)
+                germs.append(Circuit(combo, lls))
+    _, n_amp, _ = compute_composite_germ_set_score(model, germs, 'all', eps, proj)
+    return n_amp
+
+
+def test_germs_list_completeness(model, germs, score_func='all', threshold=1e6,
+                                 eps=1e-6):
+    """Return amplified(germs) - amplified(saturating candidate set): >= 0
+    means the set amplifies every germ-amplifiable non-gauge direction
+    (cf. reference germselection.test_germs_list_completeness, which compares
+    against a spam-removed model's non-gauge count)."""
+    proj = _nongauge_projector(model)
+    n_max = max_amplified_directions(model, non_gauge_projector=proj, eps=eps)
+    _, n_amp, _ = compute_composite_germ_set_score(model, germs, score_func, eps, proj)
+    return n_amp - n_max
+
+
+def find_germs(target_model, randomize=True, randomization_strength=1e-2,
+               num_gs_copies=1, seed=None, candidate_germ_counts=None,
+               candidate_seed=None, force="singletons", algorithm='greedy',
+               score_func='all', threshold=1e6, verbosity=1, mem_limit=None,
+               assume_real=True, float_type=np.float64):
+    """Find an amplificationally-complete germ set by greedy selection from
+    power-limited candidate circuits (reference: germselection.find_germs:59)."""
+    printer = VerbosityPrinter.create_printer(verbosity)
+    model = target_model
+    if randomize:
+        model = model.randomize_with_unitary(randomization_strength, seed=seed) \
+            if hasattr(model, 'randomize_with_unitary') else \
+            model.rotate(max_rotate=randomization_strength, seed=seed) \
+            if model.state_space.num_qubits == 1 else model.depolarize(
+                max_op_noise=randomization_strength, seed=seed)
+
+    op_labels = list(model.operations.keys())
+    lls = model.state_space.qubit_labels
+
+    # candidates: all products up to given lengths
+    if candidate_germ_counts is None:
+        candidate_germ_counts = {3: 'all upto'}
+    candidates = []
+    seen = set()
+    import itertools
+    rng = np.random.RandomState(candidate_seed)
+    for length, count in candidate_germ_counts.items():
+        if count == 'all upto':
+            for L in range(1, length + 1):
+                for combo in itertools.product(op_labels, repeat=L):
+                    c = Circuit(combo, lls)
+                    key = _cyclic_canonical(combo)
+                    if key not in seen:
+                        seen.add(key)
+                        candidates.append(c)
+        else:
+            for _ in range(count):
+                L = length
+                combo = tuple(op_labels[rng.randint(len(op_labels))] for _ in range(L))
+                key = _cyclic_canonical(combo)
+                if key not in seen:
+                    seen.add(key)
+                    candidates.append(Circuit(combo, lls))
+
+    proj = _nongauge_projector(model)
+    n_nongauge = max_amplified_directions(model, op_labels, non_gauge_projector=proj)
+    printer.log("Germ selection: %d candidates, %d amplifiable directions to cover"
+                % (len(candidates), n_nongauge))
+
+    # start with forced germs (singletons)
+    germs = []
+    if force == "singletons":
+        germs = [Circuit((l,), lls) for l in op_labels]
+
+    # greedy: add the candidate that most improves the score
+    twirled = {}
+
+    def set_score(germ_list):
+        Jc = np.zeros((model.num_params, model.num_params))
+        for g in germ_list:
+            if g not in twirled:
+                T = twirled_deriv(model, g) @ proj
+                twirled[g] = np.real(T.conj().T @ T)
+            Jc += twirled[g]
+        evals = np.linalg.eigvalsh(Jc)[::-1][:n_nongauge]
+        safe = np.clip(evals, 1e-30, None)
+        n_amp = int(np.sum(evals > 1e-10 * max(evals[0], 1e-30)))
+        if score_func == 'all':
+            return float(np.sum(1.0 / safe)), n_amp
+        return float(1.0 / safe[-1]), n_amp
+
+    cur_score, n_amp = set_score(germs)
+    max_iters = len(candidates)
+    for _ in range(max_iters):
+        if n_amp >= n_nongauge and cur_score < threshold:
+            break
+        best = None
+        for cand in candidates:
+            if cand in germs:
+                continue
+            s, na = set_score(germs + [cand])
+            if best is None or (na, -s) > (best[1], -best[2]):
+                best = (cand, na, s)
+        if best is None:
+            break
+        germs.append(best[0])
+        n_amp, cur_score = best[1], best[2]
+        printer.log("  added germ %s -> %d/%d amplified, score %.3g"
+                    % (best[0].str, n_amp, n_nongauge, cur_score), 2)
+        if best[1] >= n_nongauge and cur_score < threshold:
+            break
+    assert n_amp >= n_nongauge, \
+        "Could not find an amplificationally complete germ set (%d/%d)" % (n_amp, n_nongauge)
+    return germs
+
+
+def _cyclic_canonical(combo):
+    """Canonical form under cyclic rotation (germs are cyclic)."""
+    rots = [combo[i:] + combo[:i] for i in range(len(combo))]
+    return min(rots)

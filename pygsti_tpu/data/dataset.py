@@ -19,12 +19,13 @@ from pygsti_tpu.circuits.circuit import Circuit
 class _DataSetRow(object):
     """View of one circuit's data."""
 
-    __slots__ = ('counts', '_timestamps', '_reps')
+    __slots__ = ('counts', '_timestamps', '_reps', '_series')
 
-    def __init__(self, counts, timestamps=None, reps=None):
+    def __init__(self, counts, timestamps=None, reps=None, series=None):
         self.counts = counts
         self._timestamps = timestamps
         self._reps = reps
+        self._series = series
 
     @property
     def total(self):
@@ -50,6 +51,11 @@ class _DataSetRow(object):
     def reps(self):
         return self._reps
 
+    @property
+    def outcome_series(self):
+        """Raw time-ordered outcome sequence (None if not time-series data)."""
+        return self._series
+
     def __getitem__(self, outcome):
         return self.counts[OutcomeLabelDict.to_outcome(outcome)]
 
@@ -73,6 +79,7 @@ class DataSet(object):
         self._rows = collections.OrderedDict()  # Circuit -> OutcomeLabelDict
         self._times = {}
         self._reps = {}
+        self._series = {}  # Circuit -> list of outcome tuples (raw time order)
         self._outcome_labels = [OutcomeLabelDict.to_outcome(o) for o in outcome_labels] \
             if outcome_labels is not None else []
         self.comment = comment
@@ -113,12 +120,15 @@ class DataSet(object):
         self._rows[circuit] = counts
         self._times[circuit] = np.asarray(time_stamp_list)
         self._reps[circuit] = np.asarray(reps)
+        self._series[circuit] = [OutcomeLabelDict.to_outcome(ol)
+                                 for ol in outcome_label_list]
 
     # -- read -----------------------------------------------------------------
     def __getitem__(self, circuit):
         circuit = self._cast_circuit(circuit)
         row = self._rows[circuit]
-        return _DataSetRow(row, self._times.get(circuit), self._reps.get(circuit))
+        return _DataSetRow(row, self._times.get(circuit), self._reps.get(circuit),
+                           self._series.get(circuit))
 
     def __contains__(self, circuit):
         return self._cast_circuit(circuit) in self._rows

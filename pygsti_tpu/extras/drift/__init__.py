@@ -1,0 +1,6 @@
+"""Drift / stability analysis (reference: pygsti/extras/drift/, 4.2k LoC)."""
+
+from pygsti_tpu.extras.drift.signal import (dct_power_spectrum, lsp_power_spectrum,
+                                            power_significance_threshold,
+                                            dct_basis_function)
+from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer

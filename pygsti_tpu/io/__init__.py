@@ -1,0 +1,5 @@
+"""I/O: text formats for datasets and circuit lists (reference: pygsti/io/)."""
+
+from pygsti_tpu.io.readers import (read_dataset, read_circuit_list, load_dataset,
+                                   load_circuit_list)
+from pygsti_tpu.io.writers import (write_dataset, write_circuit_list)

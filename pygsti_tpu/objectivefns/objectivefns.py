@@ -180,6 +180,26 @@ class RawPoissonPicDeltaLogLFunction(RawObjectiveFunction):
                         total_counts * ((-2.0 / a ** 2) * probs + 2.0 / a))
         return jnp.where(counts == 0, zfc, d2)
 
+    def dlsvec(self, probs, counts, total_counts, freqs):
+        """Numerically-stable d(sqrt(terms))/dp.
+
+        Near the per-element minimum (p ~= f) the direct 0.5*dterms/
+        sqrt(terms) form divides cancellation noise by cancellation noise
+        (terms is computed by subtracting O(N log) quantities); below the
+        roundoff floor we switch to the exact quadratic-regime limit
+        d(sqrt(0.5*h*(p-f)^2))/dp = sqrt(h/2)*sign(p-f), which is both
+        stable and more accurate than the reference's guarded division
+        (objectivefns.py:671)."""
+        terms = self.terms(probs, counts, total_counts, freqs)
+        dterms = self.dterms(probs, counts, total_counts, freqs)
+        h = self.hterms(probs, counts, total_counts, freqs)
+        eps = jnp.finfo(probs.dtype).eps
+        noise_floor = 100.0 * eps * jnp.maximum(total_counts, 1.0)
+        lsvec = jnp.sqrt(jnp.maximum(terms, 1e-300))
+        std = 0.5 * dterms / jnp.maximum(lsvec, 1e-150)
+        quad = jnp.sqrt(jnp.maximum(h, 0.0) / 2.0) * jnp.sign(dterms)
+        return jnp.where(terms < noise_floor, quad, std)
+
 
 class RawDeltaLogLFunction(RawObjectiveFunction):
     """Non-Poisson-picture delta log likelihood: N*f*log(f/p)

@@ -1,0 +1,154 @@
+"""Tests for RPE, volumetric benchmarks, drift analysis, and IO."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.data import DataSet, simulate_data
+
+
+class TestRPE:
+    def test_angle_recovery(self):
+        """RPE recovers a known rotation angle from ideal counts."""
+        from pygsti_tpu.algorithms.robust_phase_estimation import rpe_phase_estimate
+        theta = np.pi / 2 + 0.01  # slightly over-rotated X(pi/2)
+        N = 10000
+        cos_counts, sin_counts = [], []
+        for k in range(6):
+            m = 2 ** k
+            p_cos = (1 + np.cos(m * theta)) / 2
+            p_sin = (1 + np.sin(m * theta)) / 2
+            cos_counts.append((int(N * p_cos), N - int(N * p_cos)))
+            sin_counts.append((int(N * p_sin), N - int(N * p_sin)))
+        est = rpe_phase_estimate(cos_counts, sin_counts)
+        assert np.isclose(est % (2 * np.pi), theta, atol=1e-3), (est, theta)
+
+    def test_rpe_protocol(self):
+        from pygsti_tpu.protocols.rpe import (RobustPhaseEstimationDesign,
+                                              RobustPhaseEstimationProtocol)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.baseobjs import Label
+        theta_err = 0.02
+        model = mp.target_model('full')
+        # over-rotate Gxpi2 by theta_err
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.internalgates import sigmaX
+        from pygsti_tpu.tools.optools import unitary_to_pauligate
+        u = spl.expm(-1j * (np.pi / 2 + theta_err) / 2 * sigmaX)
+        from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+        model.operations[Label('Gxpi2', 0)] = FullArbitraryOp(
+            np.real(unitary_to_pauligate(u)))
+
+        # cos: |0> + Gx^d -> measure (p0 = (1+cos d theta)/2)
+        # sin: extra Gx at the start shifts to sin quadrature
+        design = RobustPhaseEstimationDesign(
+            Label('Gxpi2', 0), [1, 2, 4, 8, 16, 32],
+            qubit_labels=(0,), sin_meas=[Label('Gxpi2', 0)])
+        ds = simulate_data(model, design.all_circuits_needing_data, 50000, seed=7)
+        data = ProtocolData(design, ds)
+        res = RobustPhaseEstimationProtocol().run(data)
+        # measured angle should be pi/2 + theta_err
+        est = res.angle_estimate % (2 * np.pi)
+        assert np.isclose(est, np.pi / 2 + theta_err, atol=2e-3), est
+
+
+class TestVB:
+    def test_summary_statistics(self):
+        from pygsti_tpu.protocols.vb import ByDepthSummaryStatistics, polarization
+        from pygsti_tpu.protocols.rb import CliffordRBDesign
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import create_explicit_model
+        pspec = QubitProcessorSpec(1, ['Gxpi2', 'Gypi2'])
+        design = CliffordRBDesign(pspec, None, depths=(0, 2), circuits_per_depth=3,
+                                  seed=11)
+        model = create_explicit_model(pspec, ideal_gate_type='full').depolarize(op_noise=0.02)
+        ds = simulate_data(model, design.all_circuits_needing_data, 500, seed=3)
+        stats_proto = ByDepthSummaryStatistics()
+        res = stats_proto.run(ProtocolData(design, ds))
+        sps = res.statistics['success_probabilities']
+        assert set(sps.keys()) == {0, 2}
+        assert all(0.3 < p <= 1.0 for p in sps[0])
+        df = res.to_dataframe()
+        assert len(df) == 6
+
+    def test_polarization(self):
+        from pygsti_tpu.protocols.vb import polarization
+        assert np.isclose(polarization(1.0, 1), 1.0)
+        assert np.isclose(polarization(0.5, 1), 0.0)
+
+
+class TestDrift:
+    def test_no_drift_on_constant(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        rng = np.random.RandomState(0)
+        bits = rng.binomial(1, 0.5, 1000)
+        detected, modes, _ = StabilityAnalyzer.analyze_clickstream(bits)
+        assert not detected
+
+    def test_detects_oscillation(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        rng = np.random.RandomState(1)
+        T = 1000
+        t = np.arange(T)
+        p = 0.5 + 0.4 * np.cos(2 * np.pi * 5 * t / T)
+        bits = rng.binomial(1, p)
+        detected, modes, _ = StabilityAnalyzer.analyze_clickstream(bits)
+        assert detected
+        traj = StabilityAnalyzer.estimate_probability_trajectory(bits, modes)
+        assert np.corrcoef(traj, p)[0, 1] > 0.8
+
+    def test_stability_protocol(self):
+        from pygsti_tpu.protocols.stability import StabilityAnalysis
+        from pygsti_tpu.protocols.protocol import ProtocolData, ExperimentDesign
+        rng = np.random.RandomState(2)
+        ds = DataSet()
+        T = 500
+        t = np.arange(T)
+        # drifting circuit
+        p_drift = 0.5 + 0.35 * np.cos(2 * np.pi * 3 * t / T)
+        bits = rng.binomial(1, p_drift)
+        ds.add_raw_series_data(Circuit('Gxpi2:0@(0)'),
+                               ['1' if b else '0' for b in bits], t.tolist())
+        # stable circuit
+        bits2 = rng.binomial(1, 0.3, T)
+        ds.add_raw_series_data(Circuit('Gypi2:0@(0)'),
+                               ['1' if b else '0' for b in bits2], t.tolist())
+        design = ExperimentDesign(list(ds.keys()))
+        res = StabilityAnalysis().run(ProtocolData(design, ds))
+        assert res.instability_detected
+        assert Circuit('Gxpi2:0@(0)') in res.unstable_circuits
+        assert Circuit('Gypi2:0@(0)') not in res.unstable_circuits
+
+
+class TestIO:
+    def test_dataset_roundtrip(self, tmp_path):
+        from pygsti_tpu.io import write_dataset, read_dataset
+        ds = DataSet()
+        ds.add_count_dict(Circuit('Gxpi2:0@(0)'), {'0': 55, '1': 45})
+        ds.add_count_dict(Circuit('{}@(0)'), {'0': 99, '1': 1})
+        path = str(tmp_path / 'test.txt')
+        write_dataset(path, ds)
+        ds2 = read_dataset(path)
+        for c in ds.keys():
+            assert dict(ds2[c].counts) == dict(ds[c].counts)
+
+    def test_circuit_list_roundtrip(self, tmp_path):
+        from pygsti_tpu.io import write_circuit_list, read_circuit_list
+        circs = [Circuit('Gxpi2:0Gypi2:0@(0)'), Circuit('{}@(0)')]
+        path = str(tmp_path / 'circuits.txt')
+        write_circuit_list(path, circs)
+        circs2 = read_circuit_list(path)
+        assert circs2 == circs
+
+    def test_reference_format_compat(self, ref_pygsti, tmp_path):
+        """Reference can read datasets we write."""
+        from pygsti_tpu.io import write_dataset
+        ds = DataSet()
+        ds.add_count_dict(Circuit('Gxpi2:0@(0)'), {'0': 55, '1': 45})
+        path = str(tmp_path / 'compat.txt')
+        write_dataset(path, ds)
+        rds = ref_pygsti.io.read_dataset(path)
+        rc = ref_pygsti.circuits.Circuit('Gxpi2:0@(0)')
+        assert rds[rc]['0'] == 55 and rds[rc]['1'] == 45

@@ -1,0 +1,63 @@
+"""Tests for germ and fiducial selection."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+from pygsti_tpu.algorithms.fiducialselection import (find_fiducials,
+                                                     compute_composite_fiducial_score)
+from pygsti_tpu.algorithms.fiducialselection import test_fiducial_list as check_fiducial_list
+from pygsti_tpu.algorithms.germselection import (find_germs,
+                                                 compute_composite_germ_set_score)
+from pygsti_tpu.algorithms.germselection import test_germs_list_completeness as check_germs_completeness
+
+
+class TestFiducialSelection:
+    def test_standard_fiducials_are_complete(self):
+        model = mp.target_model('full TP')
+        assert check_fiducial_list(model, mp.prep_fiducials(), 'prep')
+        assert check_fiducial_list(model, mp.meas_fiducials(), 'meas')
+
+    def test_incomplete_set_detected(self):
+        model = mp.target_model('full TP')
+        assert not check_fiducial_list(model, mp.prep_fiducials()[:2], 'prep')
+
+    def test_find_fiducials(self):
+        model = mp.target_model('full TP')
+        prep, meas = find_fiducials(model, candidate_fid_counts=3, verbosity=0)
+        assert check_fiducial_list(model, prep, 'prep')
+        assert check_fiducial_list(model, meas, 'meas')
+        assert len(prep) <= 8
+
+
+class TestGermSelection:
+    def test_standard_germs_beat_singletons(self):
+        """The standard XYI germ set amplifies strictly more directions than
+        the single-gate germs alone."""
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.algorithms.germselection import (
+            compute_composite_germ_set_score, _nongauge_projector)
+        model = mp.target_model('full TP').rotate(max_rotate=0.01, seed=0)
+        proj = _nongauge_projector(model)
+        singles = [Circuit((l,), (0,)) for l in model.operations.keys()]
+        _, n_single, _ = compute_composite_germ_set_score(model, singles,
+                                                          non_gauge_projector=proj)
+        _, n_std, _ = compute_composite_germ_set_score(model, mp.germs(),
+                                                       non_gauge_projector=proj)
+        assert n_std > n_single
+
+    def test_find_germs(self):
+        """find_germs reaches the saturation amplification count."""
+        from pygsti_tpu.algorithms.germselection import (
+            compute_composite_germ_set_score, _nongauge_projector,
+            max_amplified_directions)
+        model = mp.target_model('full TP')
+        germs = find_germs(model, randomize=True, randomization_strength=0.01,
+                           seed=1, candidate_germ_counts={3: 'all upto'},
+                           verbosity=0)
+        check_model = mp.target_model('full TP').rotate(max_rotate=0.01, seed=1)
+        proj = _nongauge_projector(check_model)
+        n_max = max_amplified_directions(check_model, non_gauge_projector=proj)
+        _, n_amp, _ = compute_composite_germ_set_score(check_model, germs,
+                                                       non_gauge_projector=proj)
+        assert n_amp >= n_max - 2, (n_amp, n_max)
