@@ -25,7 +25,7 @@ from pygsti_tpu.models.gaugegroup import (GaugeGroup, GaugeGroupElement,
 def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_factor=0,
                        spam_penalty_factor=0, gates_metric="frobenius",
                        spam_metric="frobenius", gauge_group=None, method='auto',
-                       maxiter=100000, maxfev=None, tol=1e-8, return_all=False,
+                       maxiter=1000, maxfev=None, tol=1e-10, return_all=False,
                        comm=None, verbosity=0, check_jac=False, n_leak=0):
     """Optimize the gauge degrees of freedom so `model` best matches
     `target_model` (reference: gaugeopt.py:235)."""

@@ -89,6 +89,13 @@ class FullArbitraryOp(LinearOperator):
         mx = np.asarray(mx, dtype=float)
         super().__init__(mx.shape[0], mx.reshape(-1).copy())
 
+    def _to_nice_serialization(self):
+        return {'mx': self.to_dense()}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(np.asarray(state['mx']))
+
     def to_dense_jax(self, v):
         d = self._dim
         return v.reshape(d, d)
@@ -114,6 +121,13 @@ class FullTPOp(LinearOperator):
         d = self._dim
         first_row = jnp.zeros((1, d), dtype=v.dtype).at[0, 0].set(1.0)
         return jnp.concatenate([first_row, v.reshape(d - 1, d)], axis=0)
+
+    def _to_nice_serialization(self):
+        return {'mx': self.to_dense()}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(np.asarray(state['mx']))
 
     def transform_inplace(self, s, sinv):
         d = self._dim

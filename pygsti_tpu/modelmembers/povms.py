@@ -61,6 +61,15 @@ class POVM(ModelMember):
 class UnconstrainedPOVM(POVM):
     """Every effect fully parameterized (reference: povms/unconstrainedpovm.py)."""
 
+    def _to_nice_serialization(self):
+        return {'effects': [[ol, ev] for ol, ev in
+                            zip(self.outcome_labels, np.asarray(self.to_dense()))]}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(collections.OrderedDict(
+            (ol, np.asarray(ev)) for ol, ev in state['effects']))
+
     def __init__(self, effect_dict):
         items = [(str(k), np.asarray(v, dtype=float).reshape(-1))
                  for k, v in (effect_dict.items() if isinstance(effect_dict, dict)
@@ -80,6 +89,15 @@ class UnconstrainedPOVM(POVM):
 class TPPOVM(POVM):
     """Trace-preserving POVM: last effect = identity-vec minus the others
     (reference: povms/tppovm.py)."""
+
+    def _to_nice_serialization(self):
+        return {'effects': [[ol, ev] for ol, ev in
+                            zip(self.outcome_labels, np.asarray(self.to_dense()))]}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(collections.OrderedDict(
+            (ol, np.asarray(ev)) for ol, ev in state['effects']))
 
     def __init__(self, effect_dict):
         items = [(str(k), np.asarray(v, dtype=float).reshape(-1))
@@ -114,6 +132,13 @@ class TPPOVM(POVM):
 class ComputationalBasisPOVM(POVM):
     """Z-basis measurement on n qubits, 0 parameters
     (reference: povms/computationalpovm.py)."""
+
+    def _to_nice_serialization(self):
+        return {'nqubits': self.nqubits}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(state['nqubits'])
 
     def __init__(self, nqubits, basis='pp'):
         from pygsti_tpu.tools.basistools import stdmx_to_vec

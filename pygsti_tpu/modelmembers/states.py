@@ -25,6 +25,13 @@ class State(ModelMember):
 class StaticState(State):
     """Fixed state vector (reference: states/staticstate.py)."""
 
+    def _to_nice_serialization(self):
+        return {'vec': self.to_dense()}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(np.asarray(state['vec']))
+
     def __init__(self, vec):
         vec = np.asarray(vec, dtype=float).reshape(-1)
         super().__init__(len(vec), np.empty(0))
@@ -43,6 +50,13 @@ class StaticState(State):
 class FullState(State):
     """Fully parameterized state vector (reference: states/fullstate.py)."""
 
+    def _to_nice_serialization(self):
+        return {'vec': self.to_dense()}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(np.asarray(state['vec']))
+
     def __init__(self, vec):
         vec = np.asarray(vec, dtype=float).reshape(-1)
         super().__init__(len(vec), vec.copy())
@@ -57,6 +71,13 @@ class FullState(State):
 class TPState(State):
     """Trace = 1 state: first component fixed at 1/sqrt(udim) (identity-first
     basis); the rest are parameters (reference: states/tpstate.py)."""
+
+    def _to_nice_serialization(self):
+        return {'vec': self.to_dense()}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(np.asarray(state['vec']))
 
     def __init__(self, vec):
         vec = np.asarray(vec, dtype=float).reshape(-1)
@@ -79,6 +100,13 @@ class TPState(State):
 class ComputationalBasisState(State):
     """|00..0>-style computational basis state, 0 parameters
     (reference: states/computationalstate.py)."""
+
+    def _to_nice_serialization(self):
+        return {'zvals': list(self.zvals)}
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(state['zvals'])
 
     def __init__(self, zvals, basis='pp'):
         from pygsti_tpu.tools.basistools import stdmx_to_vec

@@ -329,6 +329,47 @@ class ExplicitOpModel(OpModel):
             count += diff.size
         return np.sqrt(total / count) if count else 0.0
 
+    # -- serialization --------------------------------------------------------
+    def to_nice_serialization(self):
+        from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
+        def ser(obj):
+            return obj.to_nice_serialization()
+        return {
+            'module': type(self).__module__, 'class': type(self).__name__,
+            'state_space_labels': list(self.state_space.tensor_product_block_labels),
+            'state_space_udims': list(self.state_space.tensor_product_block_dims),
+            'basis': getattr(self.basis, 'name', 'pp'),
+            'default_gate_type': self.default_gate_type,
+            'default_prep_type': self.default_prep_type,
+            'default_povm_type': self.default_povm_type,
+            'preps': [[lbl.name if hasattr(lbl, 'name') else str(lbl), ser(o)]
+                      for lbl, o in self.preps.items()],
+            'povms': [[str(lbl), ser(o)] for lbl, o in self.povms.items()],
+            'operations': [[list(lbl) if isinstance(lbl, tuple) else str(lbl), ser(o)]
+                           for lbl, o in self.operations.items()],
+        }
+
+    @classmethod
+    def from_nice_serialization(cls, state):
+        from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
+        from pygsti_tpu.baseobjs.statespace import QuditSpace, QubitSpace
+        from pygsti_tpu.baseobjs.label import Label
+        lbls = [tuple(l) if isinstance(l, list) else l
+                for l in state['state_space_labels']]
+        udims = state['state_space_udims']
+        ss = QubitSpace(lbls) if all(d == 2 for d in udims) else QuditSpace(lbls, udims)
+        m = cls(ss, state['basis'], state['default_gate_type'],
+                state['default_prep_type'], state['default_povm_type'])
+        for lbl, s in state['preps']:
+            m.preps[Label(lbl)] = NicelySerializable.from_nice_serialization(s)
+        for lbl, s in state['povms']:
+            m.povms[Label(lbl)] = NicelySerializable.from_nice_serialization(s)
+        for lbl, s in state['operations']:
+            key = Label(tuple(lbl)) if isinstance(lbl, list) else Label(lbl)
+            m.operations[key] = NicelySerializable.from_nice_serialization(s)
+        m._mark_for_rebuild()
+        return m
+
     def __str__(self):
         lines = ["ExplicitOpModel (dim=%d, %d params):" % (self.dim, self.num_params)]
         for lbl in self.preps:

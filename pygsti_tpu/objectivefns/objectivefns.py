@@ -480,6 +480,7 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         NT = n_ops * dim * dim + n_preps * dim + n_eff * dim
         itemsize = 8
         blk = max(64, int((256 * 1024 * 1024) // (max(n_out, 1) * NT * itemsize)))
+        blk = min(blk, B)  # never pad the batch beyond one block
         nb = -(-B // blk)
         Bp = nb * blk
         D = layout.op_indices.shape[1]

@@ -32,6 +32,24 @@ class GateSetTomographyDesign(CircuitListsDesign):
         super().__init__(circuit_lists, all_circuits_needing_data, qubit_labels, nested)
         self.target_model = processorspec_or_model
 
+    def _to_nice_serialization(self):
+        state = super()._to_nice_serialization()
+        if hasattr(self.target_model, 'to_nice_serialization'):
+            state['target_model'] = self.target_model.to_nice_serialization()
+        return state
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+        from pygsti_tpu.circuits.circuit import Circuit
+        lists = [[Circuit(s) for s in cl] for cl in state['circuit_lists']]
+        target = ExplicitOpModel.from_nice_serialization(state['target_model']) \
+            if 'target_model' in state else None
+        return GateSetTomographyDesign(target, lists,
+                                       [Circuit(s) for s in state['circuits']],
+                                       state.get('qubit_labels'),
+                                       state.get('nested', False))
+
 
 class StandardGSTDesign(GateSetTomographyDesign):
     """Standard germs/fiducials/max-lengths design (reference: gst.py:156)."""
@@ -51,6 +69,25 @@ class StandardGSTDesign(GateSetTomographyDesign):
             germ_length_limits=germ_length_limits, op_label_aliases=op_label_aliases,
             dscheck=dscheck, action_if_missing=action_if_missing, verbosity=verbosity)
         super().__init__(target_model, lists, qubit_labels=qubit_labels, nested=nest)
+
+    def _to_nice_serialization(self):
+        state = GateSetTomographyDesign._to_nice_serialization(self)
+        state['prep_fiducials'] = [c.str for c in self.prep_fiducials]
+        state['meas_fiducials'] = [c.str for c in self.meas_fiducials]
+        state['germs'] = [c.str for c in self.germs]
+        state['maxlengths'] = list(self.maxlengths)
+        return state
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+        from pygsti_tpu.circuits.circuit import Circuit
+        target = ExplicitOpModel.from_nice_serialization(state['target_model']) \
+            if 'target_model' in state else None
+        return cls(target, [Circuit(s) for s in state['prep_fiducials']],
+                   [Circuit(s) for s in state['meas_fiducials']],
+                   [Circuit(s) for s in state['germs']], state['maxlengths'],
+                   qubit_labels=state.get('qubit_labels'))
 
 
 class GSTInitialModel(NicelySerializable):

@@ -1,0 +1,4 @@
+"""Reporting: reportable metrics + HTML report generation."""
+
+from pygsti_tpu.report import reportables
+from pygsti_tpu.report.factory import construct_standard_report, Report

@@ -1,0 +1,77 @@
+"""End-to-end protocol + report tests: GateSetTomography protocol run,
+gauge optimization, model test, HTML report generation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+from pygsti_tpu.protocols.protocol import ProtocolData
+from pygsti_tpu.protocols.gst import (StandardGSTDesign, GateSetTomography,
+                                      GSTInitialModel, StandardGST)
+from pygsti_tpu.protocols.modeltest import ModelTest
+from pygsti_tpu.data import simulate_data
+
+
+@pytest.fixture(scope='module')
+def gst_data():
+    design = StandardGSTDesign(mp.target_model('full TP'), mp.prep_fiducials(),
+                               mp.meas_fiducials(), mp.germs(), [1, 2, 4])
+    datagen = mp.target_model('full TP').depolarize(op_noise=0.03, spam_noise=0.01)
+    ds = simulate_data(datagen, design.all_circuits_needing_data, 1000, seed=42)
+    return ProtocolData(design, ds), datagen
+
+
+class TestGSTProtocol:
+    def test_gst_protocol_run(self, gst_data):
+        data, datagen = gst_data
+        proto = GateSetTomography(verbosity=0, name='GateSetTomography')
+        results = proto.run(data)
+        est = results.estimates['GateSetTomography']
+        assert 'final iteration estimate' in est.models
+        assert 'stdgaugeopt' in est.models  # gauge-optimized variant added
+        nsig = est.misfit_sigma()
+        assert nsig < 10, "bad fit: Nsigma=%s" % nsig
+        # gauge-optimized model should be close to datagen
+        go = est.models['stdgaugeopt']
+        err = np.max(np.abs(go.operations[('Gxpi2', 0)].to_dense()
+                            - datagen.operations[('Gxpi2', 0)].to_dense()))
+        assert err < 0.05, "gauge-opt model far from truth: %g" % err
+
+    def test_model_test_protocol(self, gst_data):
+        data, datagen = gst_data
+        proto = ModelTest(datagen, mp.target_model('full TP'), verbosity=0,
+                          name='ModelTest')
+        results = proto.run(data)
+        est = results.estimates['ModelTest']
+        assert est.misfit_sigma() < 5  # datagen model should fit its own data
+
+        bad = mp.target_model('full TP').depolarize(op_noise=0.2)
+        proto2 = ModelTest(bad, mp.target_model('full TP'), verbosity=0, name='Bad')
+        results2 = proto2.run(data)
+        assert results2.estimates['Bad'].misfit_sigma() > 10
+
+    def test_report_generation(self, gst_data, tmp_path):
+        data, _ = gst_data
+        proto = GateSetTomography(verbosity=0, name='GateSetTomography')
+        results = proto.run(data)
+        from pygsti_tpu.report import construct_standard_report
+        report = construct_standard_report(results, "Test Report")
+        path = str(tmp_path / "report.html")
+        report.write_html(path)
+        assert os.path.exists(path)
+        content = open(path).read()
+        assert "Model violation" in content
+        assert "Gxpi2" in content
+        assert len(content) > 1500
+
+    def test_serialization_roundtrip(self, gst_data, tmp_path):
+        data, _ = gst_data
+        d = str(tmp_path / "gstdata")
+        data.write(d)
+        data2 = ProtocolData.from_dir(d)
+        assert len(data2.edesign.all_circuits_needing_data) == \
+            len(data.edesign.all_circuits_needing_data)
+        c0 = data.edesign.all_circuits_needing_data[0]
+        assert dict(data2.dataset[c0].counts) == dict(data.dataset[c0].counts)
