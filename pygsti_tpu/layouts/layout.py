@@ -43,6 +43,10 @@ class CircuitOutcomeProbabilityLayout(object):
             n_pad = pad_to_multiple - self.num_real_circuits % pad_to_multiple
             self.circuits = self.circuits + [self.circuits[0]] * n_pad
 
+        # implicit models register their unique circuit layers first
+        if hasattr(model, 'register_circuit_layers'):
+            model.register_circuit_layers(self.circuits)
+
         op_keys = model.op_keys
         op_index_map = {k: i for i, k in enumerate(op_keys)}
         prep_keys = model.prep_keys

@@ -106,6 +106,9 @@ class ExplicitOpModel(OpModel):
         self.operations = _MemberDict(self, _cast_operation)
         self.instruments = _MemberDict(self, lambda m, v: v)
         self._compiled = None
+        # composite circuit layers built as products of existing operations
+        # (the reference's ExplicitLayerRules behavior, explicitmodel.py:1952)
+        self._derived_layers = collections.OrderedDict()
 
     # -- paramvec layout (reference order: preps, povms, ops, instruments) ---
     def _iter_parameterized_objs(self):
@@ -140,9 +143,21 @@ class ExplicitOpModel(OpModel):
             self.operations[label] = value
 
     # -- structure tables -----------------------------------------------------
+    def register_circuit_layers(self, circuits):
+        """Register composite layers (e.g. [Gxpi2:0Gypi2:1]) not directly in
+        .operations as derived products of their component operations."""
+        for c in circuits:
+            for layer in c.layertup:
+                if layer in self.operations or layer in self._derived_layers:
+                    continue
+                comps = layer.components
+                if len(comps) > 1 and all(comp in self.operations for comp in comps):
+                    self._derived_layers[layer] = [Label(comp) for comp in comps]
+                    self._clear_compiled()
+
     @property
     def op_keys(self):
-        return list(self.operations.keys())
+        return list(self.operations.keys()) + list(self._derived_layers.keys())
 
     @property
     def prep_keys(self):
@@ -158,6 +173,7 @@ class ExplicitOpModel(OpModel):
         m = ExplicitOpModel(self.state_space, self.basis, self.default_gate_type,
                             self.default_prep_type, self.default_povm_type,
                             self._sim_type)
+        m._derived_layers = collections.OrderedDict(self._derived_layers)
         for lbl, obj in self.preps.items():
             m.preps[lbl] = _copy.deepcopy(obj)
         for lbl, obj in self.povms.items():
@@ -195,9 +211,19 @@ class ExplicitOpModel(OpModel):
         povm_items = [(p.gpindices, p) for p in self.povms.values()]
         inst_items = [(i.gpindices, i) for i in self.instruments.values()]
 
+        base_op_keys = list(self.operations.keys())
+        derived = [[base_op_keys.index(k) for k in comps]
+                   for comps in self._derived_layers.values()]
+
         def compute(v):
-            ops = jnp.stack([o.to_dense_jax(v[sl]) for sl, o in op_items]) \
-                if op_items else jnp.zeros((0, self.dim, self.dim))
+            base = [o.to_dense_jax(v[sl]) for sl, o in op_items]
+            for comp_idxs in derived:
+                m = base[comp_idxs[0]]
+                for i in comp_idxs[1:]:
+                    m = base[i] @ m
+                base.append(m)
+            ops = jnp.stack(base) \
+                if base else jnp.zeros((0, self.dim, self.dim))
             preps = jnp.stack([p.to_dense_jax(v[sl]) for sl, p in prep_items]) \
                 if prep_items else jnp.zeros((0, self.dim))
             effects = jnp.concatenate([p.to_dense_jax(v[sl]) for sl, p in povm_items],

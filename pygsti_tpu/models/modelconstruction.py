@@ -246,3 +246,110 @@ def create_explicit_model_from_expressions(state_space, op_labels, op_expression
 
     mdl._mark_for_rebuild()
     return mdl
+
+
+def _noise_op_for_gate(udim_gate, basis_name, depol=None, stochastic=None, lindblad=None):
+    """Build the noise operation (superop on the gate's qubits) from noise
+    spec entries (reference: models/modelnoise.py conventions)."""
+    d2 = udim_gate * udim_gate
+    factors = []
+    if depol is not None:
+        factors.append(_op.DepolarizeOp(d2, float(depol)))
+    if stochastic is not None:
+        rates = np.asarray(stochastic, dtype=float)
+        factors.append(_op.StochasticNoiseOp(d2, Basis.cast('pp', d2), rates))
+    if lindblad is not None:
+        coeffs = {}
+        for k, val in lindblad.items():
+            typ, lbls = k[0], k[1:]
+            coeffs[(typ,) + tuple(lbls)] = val
+        has_other = any(k[0] in ('S', 'C', 'A') for k in coeffs)
+        param = 'H+s' if has_other else 'H'
+        # map ('H','X')-style keys to basis labels
+        init = {}
+        for k, val in coeffs.items():
+            if k[0] in ('H', 'S'):
+                init[(k[0], k[1])] = val
+        eg = _op.build_lindblad_errorgen(Basis.cast('pp', d2), param, initial_coeffs=init)
+        factors.append(_op.ExpErrorgenOp(eg))
+    if not factors:
+        return None
+    if len(factors) == 1:
+        return factors[0]
+    return _op.ComposedOp(factors)
+
+
+def create_crosstalk_free_model(processor_spec, custom_gates=None,
+                                depolarization_strengths=None, stochastic_error_probs=None,
+                                lindblad_error_coeffs=None, depolarization_parameterization='depolarize',
+                                stochastic_parameterization='stochastic',
+                                lindblad_parameterization='auto', evotype=None,
+                                simulator='auto', on_construction_error='raise',
+                                independent_gates=False, independent_spam=True,
+                                ensure_composed_gates=False, ideal_gate_type='auto',
+                                ideal_spam_type='computational', implicit_idle_mode='none',
+                                basis='pp'):
+    """Create a crosstalk-free (local-noise) implicit model
+    (reference: modelconstruction.create_crosstalk_free_model:1568).
+
+    Per-gate noise given by the three dicts (keyed by gate name or
+    (gate_name, qubits) label) acts only on each gate's target qubits.
+    """
+    from pygsti_tpu.models.localnoisemodel import LocalNoiseModel
+    from pygsti_tpu.baseobjs.label import Label
+
+    pspec = processor_spec
+    depolarization_strengths = depolarization_strengths or {}
+    stochastic_error_probs = stochastic_error_probs or {}
+    lindblad_error_coeffs = lindblad_error_coeffs or {}
+    custom_gates = custom_gates or {}
+    nq = pspec.num_qubits
+
+    def noise_for(name_or_label):
+        for key in (name_or_label, getattr(name_or_label, 'name', name_or_label)):
+            d = depolarization_strengths.get(key)
+            s = stochastic_error_probs.get(key)
+            l = lindblad_error_coeffs.get(key)
+            if d is not None or s is not None or l is not None:
+                return d, s, l
+        return None, None, None
+
+    gate_members = collections.OrderedDict()
+    for name in pspec.gate_names:
+        if name in ('{idle}', '(idle)'):
+            continue
+        u = pspec.gate_unitaries[name]
+        udim = u.shape[0]
+        d2 = udim * udim
+        ideal = _op.StaticArbitraryOp(np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2))))
+        d, s, l = noise_for(Label(name))
+        noise = _noise_op_for_gate(udim, basis, d, s, l)
+        member = ideal if noise is None else _op.ComposedOp([ideal, noise])
+        if name in custom_gates:
+            member = custom_gates[name]
+        gate_members[Label(name)] = member
+
+    # idle noise
+    idle_member = None
+    idle_names = [n for n in pspec.gate_names if n in ('{idle}', '(idle)')]
+    if idle_names:
+        d, s, l = noise_for(Label(idle_names[0])) if False else noise_for(idle_names[0])
+        noise = _noise_op_for_gate(2 ** nq, basis, d, s, l)
+        idle_member = noise if noise is not None else \
+            _op.StaticArbitraryOp(np.eye(4 ** nq))
+
+    # SPAM
+    prep_noise = noise_for('rho0')
+    prep_member = _st.ComputationalBasisState([0] * nq, basis)
+    pn = _noise_op_for_gate(2 ** nq, basis, *prep_noise)
+    if pn is not None:
+        prep_member = _st.ComposedState(prep_member, pn)
+    povm_noise = noise_for('Mdefault')
+    povm_member = _pv.ComputationalBasisPOVM(nq, basis)
+    mn = _noise_op_for_gate(2 ** nq, basis, *povm_noise)
+    if mn is not None:
+        povm_member = _pv.ComposedPOVM(mn, povm_member)
+
+    mdl = LocalNoiseModel(pspec, gate_members, prep_member, povm_member,
+                          basis=basis, simulator=simulator, idle_member=idle_member)
+    return mdl

@@ -1,0 +1,79 @@
+"""Tests for implicit (crosstalk-free local-noise) models."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.processors import QubitProcessorSpec
+from pygsti_tpu.models.modelconstruction import (create_crosstalk_free_model,
+                                                 create_explicit_model)
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.data import simulate_data
+
+
+@pytest.fixture(scope='module')
+def pspec_3q():
+    return QubitProcessorSpec(3, ['Gxpi2', 'Gypi2', 'Gcnot'], geometry='line')
+
+
+class TestCrosstalkFreeModel:
+    def test_ideal_probabilities(self, pspec_3q):
+        mdl = create_crosstalk_free_model(pspec_3q)
+        p = mdl.probabilities(Circuit('Gxpi2:0Gxpi2:0@(0,1,2)'))
+        assert np.isclose(p[('100',)], 1.0, atol=1e-10)
+        p = mdl.probabilities(Circuit('Gxpi2:1Gxpi2:1Gcnot:1:2@(0,1,2)'))
+        assert np.isclose(p[('011',)], 1.0, atol=1e-10)
+
+    def test_parallel_layers(self, pspec_3q):
+        mdl = create_crosstalk_free_model(pspec_3q)
+        p = mdl.probabilities(Circuit('[Gxpi2:0Gxpi2:2][Gxpi2:0Gxpi2:2]@(0,1,2)'))
+        assert np.isclose(p[('101',)], 1.0, atol=1e-10)
+
+    def test_depolarizing_noise_is_local(self, pspec_3q):
+        mdl = create_crosstalk_free_model(
+            pspec_3q, depolarization_strengths={'Gxpi2': 0.1})
+        # noisy on the gate's qubit
+        p = mdl.probabilities(Circuit('Gxpi2:0Gxpi2:0@(0,1,2)'))
+        assert p[('100',)] < 0.95
+        # other qubits untouched: prob of flips elsewhere = 0
+        assert np.isclose(p[('101',)] + p[('110',)] + p[('111',)], p[('100',)] * 0
+                          + (1 - sum(p[(o,)] for o in ('100', '000'))), atol=1e-9)
+        assert np.isclose(p[('001',)] + p[('010',)] + p[('011',)], 0.0, atol=1e-10)
+
+    def test_matches_explicit_for_2q(self):
+        """Crosstalk-free 2Q model with no noise matches the explicit model."""
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'], geometry='line')
+        impl = create_crosstalk_free_model(pspec)
+        expl = create_explicit_model(pspec, ideal_gate_type='static')
+        circs = [Circuit('Gxpi2:0Gcnot:0:1@(0,1)'), Circuit('[Gxpi2:0Gypi2:1]@(0,1)'),
+                 Circuit('Gypi2:1Gcnot:0:1Gxpi2:0@(0,1)')]
+        for c in circs:
+            pi = impl.probabilities(c)
+            pe = expl.probabilities(c)
+            for o in pi:
+                assert np.isclose(pi[o], pe[o], atol=1e-10), (c.str, o)
+
+    def test_lindblad_noise(self, pspec_3q):
+        mdl = create_crosstalk_free_model(
+            pspec_3q, lindblad_error_coeffs={'Gxpi2': {('H', 'X'): 0.05}})
+        # over-rotation error: repeated gate accumulates coherent error
+        p2 = mdl.probabilities(Circuit('Gxpi2:0Gxpi2:0@(0,1,2)'))
+        assert p2[('100',)] < 1.0 - 1e-4
+
+    def test_gst_on_crosstalk_free_data(self, pspec_3q):
+        """simulate 5-qubit-style workflow at 3 qubits: model testing."""
+        mdl = create_crosstalk_free_model(
+            pspec_3q, depolarization_strengths={'Gxpi2': 0.02, 'Gypi2': 0.02,
+                                                'Gcnot': 0.05})
+        circs = [Circuit('Gxpi2:0Gcnot:0:1Gypi2:2@(0,1,2)'),
+                 Circuit('Gcnot:1:2Gcnot:0:1@(0,1,2)'),
+                 Circuit('[Gxpi2:0Gypi2:1]Gcnot:1:2@(0,1,2)')]
+        ds = simulate_data(mdl, circs, 1000, seed=0)
+        from pygsti_tpu.objectivefns import two_delta_logl
+        tdl = two_delta_logl(mdl, ds, circs)
+        k = ds.degrees_of_freedom(circs)
+        assert tdl < k + 5 * np.sqrt(2 * k)
+
+    def test_num_params(self, pspec_3q):
+        mdl = create_crosstalk_free_model(
+            pspec_3q, depolarization_strengths={'Gxpi2': 0.01})
+        assert mdl.num_params == 1  # one shared depol rate leaf
