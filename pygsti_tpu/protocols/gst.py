@@ -450,22 +450,86 @@ def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
     """Add gauge-optimized models + badfit handling (reference: gst.py:2066)."""
     from pygsti_tpu.algorithms.gaugeopt import gaugeopt_to_target
     est = results.estimates[estlbl]
-    if gaugeopt_suite is None or gaugeopt_suite.is_empty():
+    if gaugeopt_suite is not None and not gaugeopt_suite.is_empty():
+        mdl = est.models['final iteration estimate']
+        godict = gaugeopt_suite.to_dictionary(mdl)
+        go_target = gaugeopt_suite.gaugeopt_target \
+            if gaugeopt_suite.gaugeopt_target is not None else target_model
+        for golbl, goparams in godict.items():
+            stages = goparams.get('stages', [goparams])
+            cur = mdl
+            for stage in stages:
+                stage = dict(stage)
+                stage.pop('spam_penalty_factor', None)
+                cur = gaugeopt_to_target(cur, go_target, **stage)
+            est.models[golbl] = cur
+            est.goparameters[golbl] = goparams
+            printer.log("  -- Added gauge-optimized result '%s'" % golbl, 2)
+    if badfit_options is not None:
+        _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer)
+
+
+def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer):
+    """When the fit is bad (Nsigma > threshold), apply badfit actions
+    (reference: gst.py:2178): 'wildcard1d' computes a diamond-distance-scaled
+    wildcard budget; 'robust' computes per-circuit data-scaling factors."""
+    import numpy as _np
+    est = results.estimates[estlbl]
+    nsigma = est.misfit_sigma()
+    if nsigma is None or nsigma <= badfit_options.threshold or not badfit_options.actions:
         return
+    printer.log("  -- Fit is bad (Nsigma=%.1f > %.1f): applying badfit actions %s"
+                % (nsigma, badfit_options.threshold, badfit_options.actions))
     mdl = est.models['final iteration estimate']
-    godict = gaugeopt_suite.to_dictionary(mdl)
-    go_target = gaugeopt_suite.gaugeopt_target if gaugeopt_suite.gaugeopt_target is not None \
-        else target_model
-    for golbl, goparams in godict.items():
-        stages = goparams.get('stages', [goparams])
-        cur = mdl
-        for stage in stages:
-            stage = dict(stage)
-            stage.pop('spam_penalty_factor', None)
-            cur = gaugeopt_to_target(cur, go_target, **stage)
-        est.models[golbl] = cur
-        est.goparameters[golbl] = goparams
-        printer.log("  -- Added gauge-optimized result '%s'" % golbl, 2)
+    ds = results.dataset
+    final_circuits = list(results.circuit_lists.get(
+        'final', results.data.edesign.all_circuits_needing_data))
+
+    for action in badfit_options.actions:
+        if action in ('wildcard', 'wildcard1d'):
+            from pygsti_tpu.objectivefns.wildcardbudget import (
+                PrimitiveOpsSingleScaleWildcardBudget, optimize_wildcard_budget_1d)
+            from pygsti_tpu.objectivefns.objectivefns import (
+                RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+            from pygsti_tpu.tools import optools as _ot2
+            import scipy.stats as _st
+            op_labels = list(mdl.operations.keys())
+            ref_vals = []
+            for lbl in op_labels:
+                try:
+                    dd = 0.5 * _ot2.diamonddist(mdl.operations[lbl].to_dense(),
+                                                target_model.operations[lbl].to_dense(),
+                                                mdl.basis, return_x=False)
+                except Exception:
+                    dd = _ot2.jtracedist(mdl.operations[lbl].to_dense(),
+                                         target_model.operations[lbl].to_dense(),
+                                         mdl.basis)
+                ref_vals.append(max(dd, 1e-6))
+            if badfit_options.wildcard_budget_includes_spam:
+                op_labels = op_labels + ['SPAM']
+                ref_vals = ref_vals + [max(_np.mean(ref_vals), 1e-6)]
+            budget = PrimitiveOpsSingleScaleWildcardBudget(op_labels, ref_vals)
+            obj = TimeIndependentMDCObjectiveFunction(
+                RawPoissonPicDeltaLogLFunction(), mdl, ds, final_circuits)
+            k = max(ds.degrees_of_freedom(final_circuits) - mdl.num_params, 1)
+            threshold = _st.chi2.ppf(1 - 0.05, k) if k > 0 else 0.0
+            budget = optimize_wildcard_budget_1d(obj, budget, threshold)
+            est.parameters['unmodeled_error'] = budget
+            printer.log("     wildcard1d: alpha=%.4g  (%s)" % (budget.alpha, budget))
+        elif action in ('robust', 'Robust', 'robust+', 'Robust+'):
+            # per-circuit scaling factors downweighting outliers
+            from pygsti_tpu.objectivefns.objectivefns import (
+                RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+            obj = TimeIndependentMDCObjectiveFunction(
+                RawPoissonPicDeltaLogLFunction(), mdl, ds, final_circuits)
+            percirc = obj.percircuit()
+            expected = _np.array([max(len(obj.layout.outcomes[i]) - 1, 1)
+                                  for i in range(len(obj.layout.circuits))], dtype=float)
+            ratio = percirc / _np.maximum(expected, 1e-10) / 2.0
+            scale = _np.where(ratio > 1.0, 1.0 / ratio, 1.0)
+            est.parameters['data_scaling_factors'] = scale
+            printer.log("     robust scaling: %d circuits downweighted"
+                        % int(_np.sum(scale < 1.0)))
 
 
 class GateSetTomographyCheckpoint(ProtocolCheckpoint):

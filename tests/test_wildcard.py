@@ -1,0 +1,96 @@
+"""Tests for wildcard budgets and badfit handling."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+from pygsti_tpu.data import simulate_data
+from pygsti_tpu.objectivefns.wildcardbudget import (PrimitiveOpsWildcardBudget,
+                                                    PrimitiveOpsSingleScaleWildcardBudget,
+                                                    optimize_wildcard_budget_1d)
+
+
+class TestWildcardBudget:
+    def test_circuit_budget(self):
+        from pygsti_tpu.baseobjs.label import Label
+        wb = PrimitiveOpsWildcardBudget([Label('Gxpi2', 0), Label('Gypi2', 0)])
+        wb.from_vector([0.01, 0.02])
+        c = Circuit('Gxpi2:0Gxpi2:0Gypi2:0@(0)')
+        assert np.isclose(wb.circuit_budget(c), 0.04)
+
+    def test_update_probs_within_budget(self):
+        from pygsti_tpu.baseobjs.label import Label
+        wb = PrimitiveOpsWildcardBudget([Label('Gxpi2', 0)])
+        wb.from_vector([0.5])  # large budget
+        c = Circuit('Gxpi2:0@(0)')
+        probs = np.array([0.7, 0.3])
+        freqs = np.array([0.5, 0.5])
+        newp = wb.update_probs(probs, freqs, None, None, [slice(0, 2)], [c])
+        assert np.allclose(newp, freqs)  # budget >= TVD: match exactly
+
+    def test_update_probs_partial(self):
+        from pygsti_tpu.baseobjs.label import Label
+        wb = PrimitiveOpsWildcardBudget([Label('Gxpi2', 0)])
+        wb.from_vector([0.1])
+        c = Circuit('Gxpi2:0@(0)')
+        probs = np.array([0.7, 0.3])
+        freqs = np.array([0.5, 0.5])
+        newp = wb.update_probs(probs, freqs, None, None, [slice(0, 2)], [c])
+        # moved halfway (budget 0.1 / tvd 0.2)
+        assert np.allclose(newp, [0.6, 0.4])
+
+    def test_1d_wildcard_fixes_bad_fit(self):
+        """A model with unmodeled coherent error gets a positive alpha making
+        the adjusted logL acceptable."""
+        from pygsti_tpu.objectivefns.objectivefns import (
+            RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+        import scipy.stats as st
+        target = mp.target_model('full TP')
+        datagen = mp.target_model('full TP').rotate((0.05, 0.02, 0.0))
+        lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(), [1, 2, 4])
+        circuits = list(lists[-1])
+        ds = simulate_data(datagen, circuits, 2000, seed=9)
+        # "fit" = the target model (which has unmodeled rotation error)
+        obj = TimeIndependentMDCObjectiveFunction(
+            RawPoissonPicDeltaLogLFunction(), target, ds, circuits)
+        two_dlogl = 2 * obj.fn()
+        k = ds.degrees_of_freedom(circuits)
+        threshold = st.chi2.ppf(0.95, k)
+        assert two_dlogl > threshold  # fit is bad
+
+        op_labels = list(target.operations.keys())
+        budget = PrimitiveOpsSingleScaleWildcardBudget(op_labels, [0.05] * len(op_labels))
+        budget = optimize_wildcard_budget_1d(obj, budget, threshold)
+        assert budget.alpha > 0
+        # adjusted probs should now be acceptable
+        import jax.numpy as jnp
+        p_adj = budget.update_probs(obj.probs(), obj.freqs, obj.counts,
+                                    obj.total_counts, obj.layout.element_slices,
+                                    obj.layout.circuits)
+        val = 2 * float(np.sum(np.asarray(obj.raw_objfn.terms(
+            jnp.asarray(p_adj), jnp.asarray(obj.counts),
+            jnp.asarray(obj.total_counts), jnp.asarray(obj.freqs)))))
+        assert val <= threshold * 1.01
+
+
+class TestBadfitIntegration:
+    def test_gst_with_wildcard_action(self):
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols.gst import (StandardGSTDesign, GateSetTomography,
+                                              GSTBadFitOptions)
+        target = mp.target_model('full TP')
+        design = StandardGSTDesign(target, mp.prep_fiducials(), mp.meas_fiducials(),
+                                   mp.germs(), [1, 2])
+        datagen = mp.target_model('full TP').depolarize(op_noise=0.02)
+        ds = simulate_data(datagen, design.all_circuits_needing_data, 1000, seed=5)
+        proto = GateSetTomography(
+            badfit_options=GSTBadFitOptions(threshold=-1,  # force badfit path
+                                            actions=('wildcard1d', 'robust')),
+            verbosity=0, name='GST')
+        results = proto.run(ProtocolData(design, ds))
+        est = results.estimates['GST']
+        assert 'unmodeled_error' in est.parameters
+        assert 'data_scaling_factors' in est.parameters
