@@ -48,7 +48,7 @@ class ModelMember(NicelySerializable):
     def to_dense(self, on_space='minimal'):
         """Dense numpy representation at the current parameter values."""
         import jax.numpy as jnp
-        return np.asarray(self.to_dense_jax(jnp.asarray(self._paramvals)))
+        return np.array(self.to_dense_jax(jnp.asarray(self._paramvals)))
 
     def deriv_wrt_params(self, wrt_filter=None):
         """Jacobian d(vec(dense))/d(params), shape (dense_size, num_params).

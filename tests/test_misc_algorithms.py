@@ -1,0 +1,60 @@
+"""Tests for DataComparator and model contraction."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.data import DataSet
+from pygsti_tpu.data.datacomparator import DataComparator
+from pygsti_tpu.algorithms.contract import contract
+from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+from pygsti_tpu.tools.optools import is_cptp
+
+
+class TestDataComparator:
+    def _make_ds(self, p, seed, n=1000, circuits=10):
+        rng = np.random.RandomState(seed)
+        ds = DataSet()
+        for i in range(circuits):
+            c = Circuit([('Gxpi2', 0)] * (i + 1), (0,))
+            n0 = rng.binomial(n, p)
+            ds.add_count_dict(c, {'0': n0, '1': n - n0})
+        return ds
+
+    def test_consistent_datasets(self):
+        ds1 = self._make_ds(0.5, 1)
+        ds2 = self._make_ds(0.5, 2)
+        comp = DataComparator([ds1, ds2]).run()
+        assert len(comp.inconsistent_circuits) == 0
+        assert abs(comp.aggregate_nsigma) < 3
+
+    def test_inconsistent_datasets(self):
+        ds1 = self._make_ds(0.5, 3)
+        ds2 = self._make_ds(0.65, 4)
+        comp = DataComparator([ds1, ds2]).run()
+        assert len(comp.inconsistent_circuits) > 5
+        assert comp.aggregate_nsigma > 10
+        assert comp.get_maximum_sstvd() > 0.05
+
+
+class TestContract:
+    def test_contract_to_tp(self):
+        m = mp.target_model('full')
+        # perturb to break TP
+        op = m.operations[('Gxpi2', 0)]
+        mx = op.to_dense()
+        mx[0, 1] = 0.05
+        m.operations[('Gxpi2', 0)] = type(op)(mx)
+        m2 = contract(m, 'TP')
+        mx2 = m2.operations[('Gxpi2', 0)].to_dense()
+        assert np.allclose(mx2[0], [1, 0, 0, 0])
+
+    def test_contract_to_cptp(self):
+        m = mp.target_model('full')
+        op = m.operations[('Gxpi2', 0)]
+        mx = op.to_dense() * 1.05  # scale breaks CP and TP
+        m.operations[('Gxpi2', 0)] = type(op)(mx)
+        assert not is_cptp(mx, 'pp')
+        m2 = contract(m, 'CPTP')
+        mx2 = m2.operations[('Gxpi2', 0)].to_dense()
+        assert is_cptp(mx2, 'pp', tol=1e-5)
