@@ -367,6 +367,9 @@ class TimeIndependentMDCObjectiveFunction(object):
         self._counts_j = jnp.asarray(counts)
         self._totals_j = jnp.asarray(totals)
         self._freqs_j = jnp.asarray(freqs)
+        _, flag, regs = _switch_config(raw_objfn)
+        self._flag_j = jnp.asarray(flag, dtype=jnp.int32)
+        self._regs_j = jnp.asarray(regs)
         self._fns = _compiled_objective_graphs(model, self.layout, raw_objfn,
                                                self.penalties)
 
@@ -376,15 +379,18 @@ class TimeIndependentMDCObjectiveFunction(object):
 
     def fn(self, paramvec=None):
         return float(self._fns['fn'](self._v(paramvec), self._counts_j,
-                                     self._totals_j, self._freqs_j))
+                                     self._totals_j, self._freqs_j,
+                                     self._flag_j, self._regs_j))
 
     def lsvec(self, paramvec=None, oob_check=False):
         return np.asarray(self._fns['lsvec'](self._v(paramvec), self._counts_j,
-                                             self._totals_j, self._freqs_j))
+                                             self._totals_j, self._freqs_j,
+                                             self._flag_j, self._regs_j))
 
     def dlsvec(self, paramvec=None):
         return np.asarray(self._fns['dlsvec'](self._v(paramvec), self._counts_j,
-                                              self._totals_j, self._freqs_j))
+                                              self._totals_j, self._freqs_j,
+                                              self._flag_j, self._regs_j))
 
     def terms(self, paramvec=None):
         p = self._fns['probs'](self._v(paramvec))
@@ -404,7 +410,8 @@ class TimeIndependentMDCObjectiveFunction(object):
     def jtj_jtf(self, paramvec):
         """Device-fused (lsvec, JTJ, J^T f) for the LM optimizer."""
         ls, jtj, jtf = self._fns['jtj_jtf'](self._v(paramvec), self._counts_j,
-                                            self._totals_j, self._freqs_j)
+                                            self._totals_j, self._freqs_j,
+                                            self._flag_j, self._regs_j)
         return np.asarray(ls), np.asarray(jtj), np.asarray(jtf)
 
     def chi2k_distributed_qty(self, objective_function_value):
@@ -416,6 +423,122 @@ class TimeIndependentMDCObjectiveFunction(object):
 
     def num_data_params(self):
         return self.dataset.degrees_of_freedom(self.circuits)
+
+
+
+# ---------------------------------------------------------------------------
+# Switched raw objectives: chi2 and Poisson-logL share ONE compiled graph,
+# selected by a traced integer flag with regularization constants as traced
+# scalars.  This halves the number of (expensive) device compilations in
+# iterative GST, where chi2 iterations hand off to a final logL stage.
+# Formulas mirror RawChi2Function / RawPoissonPicDeltaLogLFunction above.
+# ---------------------------------------------------------------------------
+
+def _sw_chi2_lsvec(p, c, t, f, mpc):
+    cp = jnp.clip(p, mpc, None)
+    return (p - f) * jnp.sqrt(t / cp)
+
+
+def _sw_chi2_dlsvec(p, c, t, f, mpc):
+    cp = jnp.clip(p, mpc, None)
+    w = jnp.sqrt(t / cp)
+    dw = jnp.where(p > mpc, -0.5 * jnp.sqrt(t) / cp ** 1.5, 0.0)
+    return w + (p - f) * dw
+
+
+def _sw_logl_terms(p, c, t, f, minp, radius):
+    fnz = jnp.where(c == 0, 1.0, f)
+    freq_term = c * (jnp.log(fnz) - 1.0)
+    pos = jnp.where(p < minp, minp, p)
+    c0 = t - c / minp
+    c1 = 0.5 * c / (minp ** 2)
+    terms = freq_term - c * jnp.log(pos) + t * pos
+    terms = jnp.maximum(terms, 0)
+    terms = jnp.where(p < minp, terms + c0 * (p - minp) + c1 * (p - minp) ** 2, terms)
+    zf = t * jnp.where(p >= radius, p,
+                       (-1.0 / (3 * radius ** 2)) * p ** 3 + p ** 2 / radius
+                       + radius / 3.0)
+    return jnp.where(c == 0, zf, terms)
+
+
+def _sw_logl_dterms(p, c, t, f, minp, radius):
+    pos = jnp.where(p < minp, minp, p)
+    c0 = t - c / minp
+    c1 = 0.5 * c / (minp ** 2)
+    d = t - c / pos
+    d = jnp.where(p < minp, c0 + 2 * c1 * (p - minp), d)
+    zf = t * jnp.where(p >= radius, 1.0, (-1.0 / radius ** 2) * p ** 2 + 2 * p / radius)
+    return jnp.where(c == 0, zf, d)
+
+
+def _sw_logl_hterms(p, c, t, f, minp, radius):
+    pos = jnp.where(p < minp, minp, p)
+    c1 = 0.5 * c / (minp ** 2)
+    d2 = jnp.where(p < minp, 2 * c1, c / pos ** 2)
+    zf = jnp.where(p >= radius, 0.0, t * ((-2.0 / radius ** 2) * p + 2.0 / radius))
+    return jnp.where(c == 0, zf, d2)
+
+
+def _sw_logl_lsvec(p, c, t, f, minp, radius):
+    return jnp.sqrt(_sw_logl_terms(p, c, t, f, minp, radius))
+
+
+def _sw_logl_dlsvec(p, c, t, f, minp, radius):
+    # numerically-stable form (see RawPoissonPicDeltaLogLFunction.dlsvec)
+    terms = _sw_logl_terms(p, c, t, f, minp, radius)
+    dterms = _sw_logl_dterms(p, c, t, f, minp, radius)
+    h = _sw_logl_hterms(p, c, t, f, minp, radius)
+    eps = jnp.finfo(p.dtype).eps
+    noise_floor = 100.0 * eps * jnp.maximum(t, 1.0)
+    lsvec = jnp.sqrt(jnp.maximum(terms, 1e-300))
+    std = 0.5 * dterms / jnp.maximum(lsvec, 1e-150)
+    quad = jnp.sqrt(jnp.maximum(h, 0.0) / 2.0) * jnp.sign(dterms)
+    return jnp.where(terms < noise_floor, quad, std)
+
+
+class _SwitchedRaw(object):
+    """flag 0 = chi2 (regs[0] = min_prob_clip_for_weighting);
+    flag 1 = Poisson logL (regs[1] = min_prob_clip, regs[2] = radius)."""
+
+    def lsvec(self, p, c, t, f, flag, regs):
+        return jnp.where(flag == 0,
+                         _sw_chi2_lsvec(p, c, t, f, regs[0]),
+                         _sw_logl_lsvec(p, c, t, f, regs[1], regs[2]))
+
+    def dlsvec(self, p, c, t, f, flag, regs):
+        return jnp.where(flag == 0,
+                         _sw_chi2_dlsvec(p, c, t, f, regs[0]),
+                         _sw_logl_dlsvec(p, c, t, f, regs[1], regs[2]))
+
+    def terms(self, p, c, t, f, flag, regs):
+        return jnp.where(flag == 0,
+                         _sw_chi2_lsvec(p, c, t, f, regs[0]) ** 2,
+                         _sw_logl_terms(p, c, t, f, regs[1], regs[2]))
+
+
+class _PassthroughRaw(object):
+    """Adapter giving any raw objective the 6-arg switched signature."""
+
+    def __init__(self, raw):
+        self._raw = raw
+
+    def lsvec(self, p, c, t, f, flag, regs):
+        return self._raw.lsvec(p, c, t, f)
+
+    def dlsvec(self, p, c, t, f, flag, regs):
+        return self._raw.dlsvec(p, c, t, f)
+
+    def terms(self, p, c, t, f, flag, regs):
+        return self._raw.terms(p, c, t, f)
+
+
+def _switch_config(raw):
+    """(use_switched, flag, regs) for a raw objective instance."""
+    if type(raw) is RawChi2Function:
+        return True, 0, np.array([raw.min_prob_clip_for_weighting, 1e-4, 1e-4])
+    if type(raw) is RawPoissonPicDeltaLogLFunction:
+        return True, 1, np.array([1e-4, raw.min_p, raw.radius])
+    return False, 0, np.zeros(3)
 
 
 def _raw_objfn_key(raw):
@@ -438,24 +561,26 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     sim = model.sim
     if not hasattr(sim, '_obj_graph_cache'):
         sim._obj_graph_cache = {}
-    key = (id(layout), _raw_objfn_key(raw),
+    use_switched, _, _ = _switch_config(raw)
+    key = (id(layout), 'switched' if use_switched else _raw_objfn_key(raw),
            tuple(sorted((penalties or {}).items())))
     if key in sim._obj_graph_cache:
         return sim._obj_graph_cache[key]
 
+    raw = _SwitchedRaw() if use_switched else _PassthroughRaw(raw)
     probs_fn = sim.probs_fn(layout)
     regularize_factor = (penalties or {}).get('regularize_factor', 0)
 
-    def lsvec_fn(v, counts, totals, freqs):
+    def lsvec_fn(v, counts, totals, freqs, flag, regs):
         p = probs_fn(v)
-        ls = raw.lsvec(p, counts, totals, freqs)
+        ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
         if regularize_factor > 0:
             ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
         return ls
 
-    def fn_fn(v, counts, totals, freqs):
+    def fn_fn(v, counts, totals, freqs, flag, regs):
         p = probs_fn(v)
-        val = jnp.sum(raw.terms(p, counts, totals, freqs))
+        val = jnp.sum(raw.terms(p, counts, totals, freqs, flag, regs))
         if regularize_factor > 0:
             val = val + jnp.sum((regularize_factor * jnp.abs(v)) ** 2)
         return val
@@ -530,7 +655,7 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             frq = jnp.pad(freqs, (0, pad_el)).reshape(nb, blk * n_out)
             return cnt, tot, frq
 
-        def jtj_jtf_fn(v, counts, totals, freqs):
+        def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             P = v.shape[0]
             tf = compute_flat(v)
             Tv = jax.jacfwd(compute_flat)(v)       # [NT, P]
@@ -539,8 +664,8 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 M, q = carry
                 op_b, prep_b, eff_b, cb, tb, fb = x
                 p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
-                ls = raw.lsvec(p, cb, tb, fb)
-                dls = raw.dlsvec(p, cb, tb, fb)
+                ls = raw.lsvec(p, cb, tb, fb, flag, regs)
+                dls = raw.dlsvec(p, cb, tb, fb, flag, regs)
                 Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
                 Jw = dls[:, None] * Jt
                 return (M + Jw.T @ Jw, q + Jw.T @ ls), ls
@@ -557,14 +682,14 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 jtf = jtf + regularize_factor * jnp.sign(v) * pen
             return ls, jtj, jtf
 
-        def dlsvec_fn(v, counts, totals, freqs):
+        def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             tf = compute_flat(v)
             Tv = jax.jacfwd(compute_flat)(v)
             cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
             def body(_, x):
                 op_b, prep_b, eff_b, cb, tb, fb = x
                 p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
-                dls = raw.dlsvec(p, cb, tb, fb)
+                dls = raw.dlsvec(p, cb, tb, fb, flag, regs)
                 Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
                 return None, (dls[:, None] * Jt) @ Tv
             _, J_blocks = jax.lax.scan(body, None, idx_blocks + (cnt_b, tot_b, frq_b))
@@ -574,10 +699,10 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                                     axis=0)
             return J
     else:
-        def jtj_jtf_fn(v, counts, totals, freqs):
+        def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
-            ls = raw.lsvec(p, counts, totals, freqs)
-            dls = raw.dlsvec(p, counts, totals, freqs)
+            ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
+            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
             dp = jax.jacfwd(probs_fn)(v)           # [E, P]
             J = dls[:, None] * dp
             if regularize_factor > 0:
@@ -586,9 +711,9 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                                     axis=0)
             return ls, J.T @ J, J.T @ ls
 
-        def dlsvec_fn(v, counts, totals, freqs):
+        def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
-            dls = raw.dlsvec(p, counts, totals, freqs)
+            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
             J = dls[:, None] * jax.jacfwd(probs_fn)(v)
             if regularize_factor > 0:
                 J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
