@@ -57,8 +57,13 @@ def _sslbl_str(sslbl):
     return str(sslbl)
 
 
+_label_intern = {}
+
+
 class LabelTup(tuple):
-    """A simple label: (name, *state_space_labels). Compares equal to the raw tuple."""
+    """A simple label: (name, *state_space_labels). Compares equal to the raw
+    tuple.  Simple labels are interned: circuits repeat the same few labels
+    millions of times, so construction hits a dict instead of allocating."""
 
     __slots__ = ()
 
@@ -68,7 +73,12 @@ class LabelTup(tuple):
             return LabelTupWithArgs.init(name, sslbls, args)
         if len(sslbls) == 0:
             return LabelStr(name)
-        return cls.__new__(cls, (name,) + tuple(sslbls))
+        key = (name,) + tuple(sslbls)
+        cached = _label_intern.get(key)
+        if cached is None:
+            cached = cls.__new__(cls, key)
+            _label_intern[key] = cached
+        return cached
 
     def __new__(cls, tup):
         return tuple.__new__(cls, tup)

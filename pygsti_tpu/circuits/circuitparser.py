@@ -154,8 +154,44 @@ class _Parser:
         return tuple(lbls)
 
 
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        from pygsti_tpu.ops import load_fastparser
+        _native = load_fastparser()
+    return _native
+
+
+def _native_layers_to_labels(raw_layers):
+    out = []
+    for item in raw_layers:
+        if len(item) > 0 and isinstance(item[0], str):
+            out.append(Label(item[0], tuple(item[1:])) if len(item) > 1
+                       else Label(item[0]))
+        else:  # composite layer (tuple of simple tuples) or empty-layer ()
+            comps = tuple(Label(c[0], tuple(c[1:])) if len(c) > 1 else Label(c[0])
+                          for c in item)
+            out.append(LabelTupTup.init(comps))
+    return tuple(out)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=262144)
 def parse_circuit_str(s):
-    """Parse a circuit string -> (tuple_of_layer_labels, line_labels_or_None)."""
+    """Parse a circuit string -> (tuple_of_layer_labels, line_labels_or_None).
+
+    Results are memoized (circuit strings repeat heavily across designs and
+    datasets).  A native C++ parser (pygsti_tpu/ops/fastcircuitparser.cpp)
+    is available via `_get_native()` and used by bulk-IO paths; the default
+    path is the pure-Python parser, whose interned-label construction is
+    faster for typical short strings."""
     s = s.strip()
     p = _Parser(s)
     if p.s.startswith('{}'):
