@@ -483,13 +483,16 @@ def _params_to_lower_tri_jax(v, n):
     return L
 
 
-def build_lindblad_errorgen(basis, parameterization='GLND', dim=None, initial_coeffs=None):
+def build_lindblad_errorgen(basis, parameterization='GLND', dim=None, initial_coeffs=None,
+                            max_weight=None):
     """Construct a LindbladErrorgen over all non-identity elements of `basis`.
 
     parameterization: 'H' (ham only), 'H+S' / 'H+s' (ham + diag stochastic;
     capital S = CPTP-constrained), 'GLND' (ham + full hermitian block,
     unconstrained), 'CPTPLND' (ham + full cholesky block, CPTP).
     Matches reference naming (lindbladerrorgen.py LindbladParameterization).
+    `max_weight` restricts to basis elements of Pauli weight <= max_weight
+    (the reference's cloud-noise weight restriction).
     """
     from pygsti_tpu.baseobjs.basis import Basis
     from pygsti_tpu.tools import lindbladtools as _lt
@@ -499,6 +502,10 @@ def build_lindblad_errorgen(basis, parameterization='GLND', dim=None, initial_co
     els = b.elements
     d2 = b.dim
     nonid = list(range(1, els.shape[0]))
+    if max_weight is not None:
+        # weight = number of non-'I' characters in the pp-basis label
+        nonid = [i for i in nonid
+                 if sum(1 for ch in b.labels[i] if ch != 'I') <= max_weight]
     lbls = [b.labels[i] for i in nonid]
     init = initial_coeffs or {}
 
