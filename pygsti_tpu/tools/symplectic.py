@@ -515,3 +515,71 @@ def random_clifford(n, rand_state=None):
     pseed = 2 * rng.randint(0, 2, 2 * n)
     p = construct_valid_phase_vector(s, pseed)
     return s, p
+
+
+# ---------------------------------------------------------------------------
+# Measurement with state collapse (Aaronson-Gottesman PRA 70, 052328 update,
+# in the Hostens column convention used here)
+# ---------------------------------------------------------------------------
+
+def _multiply_columns(state_s, state_p, dest_col, src_col, n):
+    """col_dest <- col_src * col_dest (Pauli product with phase tracking)."""
+    x1, z1, e1 = _column_pauli(state_s, state_p, src_col, n)
+    x2, z2, e2 = _column_pauli(state_s, state_p, dest_col, n)
+    x, z, e = _pauli_product_phase_exponent(x1, z1, e1, x2, z2, e2)
+    state_s[0:n, dest_col] = x
+    state_s[n:2 * n, dest_col] = z
+    state_p[dest_col] = e % 4
+
+
+def pauli_z_measurement(state_s, state_p, qubit_index):
+    """Measure Z on `qubit_index`: returns
+    (p0, (s0, p0vec), p1, (s1, p1vec)) -- outcome probabilities and the
+    collapsed post-measurement states (None for zero-probability branches).
+    """
+    two_n = len(state_p)
+    n = two_n // 2
+    a = qubit_index
+    prob0, det = pauli_z_measurement_probability(state_s, state_p, a)
+    if det:
+        if prob0 > 0.5:
+            return 1.0, (state_s, state_p), 0.0, None
+        return 0.0, None, 1.0, (state_s, state_p)
+
+    def collapse(outcome_bit):
+        s = state_s.copy()
+        p = state_p.copy()
+        pivot = next(c for c in range(n) if s[a, c] == 1)
+        for c in range(2 * n):
+            if c != pivot and s[a, c] == 1:
+                _multiply_columns(s, p, c, pivot, n)
+        # destabilizer of the pivot becomes the old stabilizer
+        s[:, n + pivot] = s[:, pivot]
+        p[n + pivot] = p[pivot]
+        # new stabilizer = +/- Z_a
+        s[:, pivot] = 0
+        s[n + a, pivot] = 1
+        p[pivot] = 0 if outcome_bit == 0 else 2
+        return s, p
+
+    return 0.5, collapse(0), 0.5, collapse(1)
+
+
+def stabilizer_outcome_probability(state_s, state_p, outcome_bits):
+    """Probability of a specific computational outcome bitstring for a
+    stabilizer state (poly-time, any qubit count)."""
+    prob = 1.0
+    s, p = state_s, state_p
+    for a, bit in enumerate(outcome_bits):
+        p0, st0, p1, st1 = pauli_z_measurement(s, p, a)
+        if bit == 0:
+            if p0 == 0.0:
+                return 0.0
+            prob *= p0
+            s, p = st0
+        else:
+            if p1 == 0.0:
+                return 0.0
+            prob *= p1
+            s, p = st1
+    return prob
