@@ -214,6 +214,7 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
             raw, mdl, dataset, lists[i], penalties=builder.penalties,
             name=builder.name)
 
+    import time as _time
     for i in range(starting_index, n_iters):
         printer.log("--- Iterative GST: Iter %d of %d  (%d circuits) ---"
                     % (i + 1, n_iters, len(lists[i])))
@@ -222,10 +223,13 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
         if i == n_iters - 1:
             builders = builders + list(final_objfn_builders)
         for builder in builders:
+            t0 = _time.time()
             objective = make_objective(builder, i)
             result = optimizer.run(objective,
                                    printer=VerbosityPrinter.create_printer(verbosity))
             opt_results.append(result)
+            printer.log("    %s stage: %.1fs (f=%.1f)"
+                        % (builder.name, _time.time() - t0, result.f), 2)
         yield (opt_results, mdl.copy())
 
 
