@@ -57,9 +57,15 @@ class CircuitOutcomeProbabilityLayout(object):
         self.num_ops = len(op_keys)
 
         B = len(self.circuits)
-        seqs = []
-        prep_idx = np.zeros(B, dtype=np.int32)
-        povm_lbls = []
+        seqs = []           # op-index sequences, one per EXPANDED row
+        prep_rows = []      # prep index per row
+        povm_rows_lbls = [] # povm label per row
+        inst_prefixes = []  # instrument-outcome prefix tuple per row
+        row_circuit = []    # original-circuit index per row
+        import itertools
+        has_instruments = len(getattr(model, 'instruments', {})) > 0
+        op_keys_full = op_keys  # includes instrument pseudo-keys for explicit models
+
         for b, c in enumerate(self.circuits):
             layers = list(c.layertup)
             # explicit prep label at front?
@@ -72,47 +78,91 @@ class CircuitOutcomeProbabilityLayout(object):
                 povm_lbl = layers.pop()
             else:
                 povm_lbl = model._default_povm_label()
-            prep_idx[b] = prep_index_map[prep_lbl]
-            povm_lbls.append(povm_lbl)
-            try:
-                seqs.append([op_index_map[l] for l in layers])
-            except KeyError as e:
-                raise KeyError("Circuit layer %s is not an operation of the model "
-                               "(circuit %s)" % (e.args[0], c.str))
 
+            inst_positions = []
+            if has_instruments:
+                inst_positions = [(t, l) for t, l in enumerate(layers)
+                                  if l in model.instruments]
+
+            if not inst_positions:
+                try:
+                    seqs.append([op_index_map[l] for l in layers])
+                except KeyError as e:
+                    raise KeyError("Circuit layer %s is not an operation of the "
+                                   "model (circuit %s)" % (e.args[0], c.str))
+                prep_rows.append(prep_index_map[prep_lbl])
+                povm_rows_lbls.append(povm_lbl)
+                inst_prefixes.append(())
+                row_circuit.append(b)
+            else:
+                # expand: one row per combination of instrument members
+                # (reference: model.expand_instruments_and_separate_povm,
+                # models/model.py:1600)
+                member_lists = [list(model.instruments[l].member_labels)
+                                for (_, l) in inst_positions]
+                for combo in itertools.product(*member_lists):
+                    seq = []
+                    combo_iter = iter(zip(inst_positions, combo))
+                    next_pos, next_member = next(combo_iter, ((None, None), None))
+                    ci = 0
+                    for t, l in enumerate(layers):
+                        if next_pos[0] == t:
+                            seq.append(op_index_map[('INSTRUMENT', next_pos[1],
+                                                     next_member)])
+                            next_pos, next_member = next(combo_iter,
+                                                         ((None, None), None))
+                        else:
+                            seq.append(op_index_map[l])
+                    seqs.append(seq)
+                    prep_rows.append(prep_index_map[prep_lbl])
+                    povm_rows_lbls.append(povm_lbl)
+                    inst_prefixes.append(tuple(combo))
+                    row_circuit.append(b)
+
+        n_rows = len(seqs)
         self.depths = np.array([len(s) for s in seqs], dtype=np.int32)
-        D = int(self.depths.max()) if B > 0 else 0
-        op_indices = np.full((B, D), self.identity_index, dtype=np.int32)
-        for b, s in enumerate(seqs):
-            op_indices[b, :len(s)] = s
+        D = int(self.depths.max()) if n_rows > 0 else 0
+        op_indices = np.full((n_rows, D), self.identity_index, dtype=np.int32)
+        for r, s in enumerate(seqs):
+            op_indices[r, :len(s)] = s
         self.op_indices = op_indices
-        self.prep_index = prep_idx
+        self.prep_index = np.array(prep_rows, dtype=np.int32)
         self.max_depth = D
+        self.num_rows = n_rows
 
         # -- element map -------------------------------------------------------
-        elem_circuit = []
+        elem_circuit = []   # row index per element (for the rho gather)
         elem_effect = []
-        self.element_slices = []
-        self.outcomes = []
+        self.element_slices = []   # per ORIGINAL circuit
+        self.outcomes = []         # per ORIGINAL circuit
         off = 0
+        row_nouts = set()
+        r = 0
         for b, c in enumerate(self.circuits):
-            row_slice, outcome_labels = povm_rows[povm_lbls[b]]
-            rows = list(range(row_slice.start, row_slice.stop))
-            outs = [(ol,) for ol in outcome_labels]
-            if observed_outcomes_only and dataset is not None and c in dataset:
-                observed = set(dataset[c].counts.keys())
-                keep = [i for i, o in enumerate(outs) if o in observed]
-                rows = [rows[i] for i in keep]
-                outs = [outs[i] for i in keep]
-            n = len(rows)
-            elem_circuit.extend([b] * n)
-            elem_effect.extend(rows)
-            self.element_slices.append(slice(off, off + n))
-            self.outcomes.append(outs)
-            off += n
+            circ_outcomes = []
+            start_off = off
+            while r < n_rows and row_circuit[r] == b:
+                row_slice, outcome_labels = povm_rows[povm_rows_lbls[r]]
+                rows_idx = list(range(row_slice.start, row_slice.stop))
+                outs = [inst_prefixes[r] + (ol,) for ol in outcome_labels]
+                if observed_outcomes_only and dataset is not None and c in dataset:
+                    observed = set(dataset[c].counts.keys())
+                    keep = [i for i, o in enumerate(outs) if o in observed]
+                    rows_idx = [rows_idx[i] for i in keep]
+                    outs = [outs[i] for i in keep]
+                n = len(rows_idx)
+                row_nouts.add(n)
+                elem_circuit.extend([r] * n)
+                elem_effect.extend(rows_idx)
+                circ_outcomes.extend(outs)
+                off += n
+                r += 1
+            self.element_slices.append(slice(start_off, off))
+            self.outcomes.append(circ_outcomes)
         self.elem_circuit = np.array(elem_circuit, dtype=np.int32)
         self.elem_effect = np.array(elem_effect, dtype=np.int32)
         self.num_elements = off
+        self.rows_uniform_n_out = (len(row_nouts) <= 1)
 
     # -- COPA contract ---------------------------------------------------------
     def __len__(self):

@@ -157,7 +157,14 @@ class ExplicitOpModel(OpModel):
 
     @property
     def op_keys(self):
-        return list(self.operations.keys()) + list(self._derived_layers.keys())
+        """Operation keys for layout compilation: real operations, derived
+        composite layers, then instrument members (pseudo-ops keyed
+        ('INSTRUMENT', inst_label, member_label))."""
+        keys = list(self.operations.keys()) + list(self._derived_layers.keys())
+        for ilbl, inst in self.instruments.items():
+            for mlbl in inst.member_labels:
+                keys.append(('INSTRUMENT', ilbl, mlbl))
+        return keys
 
     @property
     def prep_keys(self):
@@ -222,6 +229,10 @@ class ExplicitOpModel(OpModel):
                 for i in comp_idxs[1:]:
                     m = base[i] @ m
                 base.append(m)
+            for sl, inst in inst_items:
+                mats = inst.to_dense_jax(v[sl])   # [n_members, d, d]
+                for k in range(mats.shape[0]):
+                    base.append(mats[k])
             ops = jnp.stack(base) \
                 if base else jnp.zeros((0, self.dim, self.dim))
             preps = jnp.stack([p.to_dense_jax(v[sl]) for sl, p in prep_items]) \

@@ -590,10 +590,9 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     #    (TPU-native replacement for the reference's product/dproduct caches,
     #    matrixforwardsim.py:675-794); falls back to naive jacfwd for
     #    non-uniform-outcome layouts.
-    B = layout.op_indices.shape[0]
+    B = layout.op_indices.shape[0]  # number of expanded rows
     n_out_uniform = (B > 0 and layout.num_elements % B == 0
-                     and all(sl.stop - sl.start == layout.num_elements // B
-                             for sl in layout.element_slices))
+                     and getattr(layout, 'rows_uniform_n_out', False))
     dim = model.dim
     compute = model.tensors_fn()
 
