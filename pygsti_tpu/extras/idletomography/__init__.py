@@ -1,0 +1,6 @@
+"""Idle tomography: Pauli-basis characterization of idle errors
+(reference: pygsti/extras/idletomography/, 3.5k LoC)."""
+
+from pygsti_tpu.extras.idletomography.idtcore import (IdleTomographyDesign,
+                                                      IdleTomography,
+                                                      IdleTomographyResults)

@@ -1,0 +1,81 @@
+"""Tests for extras: crosstalk detection and idle tomography."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.data import simulate_data
+
+
+class TestCrosstalkDetection:
+    def _make_data(self, coupling, n_samples=200, seed=0):
+        """2 regions; region 0's outcome depends on region 1's setting iff
+        coupling > 0."""
+        rng = np.random.RandomState(seed)
+        tuples = []
+        for _ in range(n_samples):
+            s0, s1 = rng.randint(2), rng.randint(2)
+            p0 = 0.2 + coupling * s1
+            o0 = int(rng.rand() < p0)
+            o1 = int(rng.rand() < 0.5)
+            tuples.append(((s0, s1), (o0, o1)))
+        return tuples
+
+    def test_no_crosstalk(self):
+        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
+        res = do_basic_crosstalk_detection(self._make_data(0.0, 500), 2)
+        assert not res.crosstalk_detected
+
+    def test_crosstalk_detected(self):
+        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
+        res = do_basic_crosstalk_detection(self._make_data(0.5, 500), 2)
+        assert res.crosstalk_detected
+        assert (0, 1) in res.crosstalk_pairs
+        assert (1, 0) not in res.crosstalk_pairs
+
+
+class TestIdleTomography:
+    def test_detects_idle_overrotation(self):
+        """Idle with a small Z over-rotation: H_Z rate recovered."""
+        from pygsti_tpu.extras.idletomography import (IdleTomographyDesign,
+                                                      IdleTomography)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        from pygsti_tpu.tools.optools import unitary_to_pauligate
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.internalgates import sigmaZ
+
+        theta = 0.02
+        model = mp.target_model('static')
+        model.operations[Label(())] = StaticArbitraryOp(
+            np.real(unitary_to_pauligate(spl.expm(-1j * theta / 2 * sigmaZ))))
+
+        design = IdleTomographyDesign((0,), max_lengths=(0, 1, 2, 4, 8, 16))
+        ds = simulate_data(model, design.all_circuits_needing_data, 50000, seed=1)
+        res = IdleTomography().run(ProtocolData(design, ds))
+        rates = res.intrinsic_rates[0]
+        # d<Y>/dN for X-prep = +theta (rotation about Z): H_Z ~ theta/2
+        assert abs(rates['H_Z']) > 3 * abs(rates['H_X'])
+        assert abs(rates['H_Z']) > 3 * abs(rates['H_Y'])
+        assert np.isclose(abs(rates['H_Z']), theta / 2, rtol=0.2)
+
+    def test_detects_idle_decay(self):
+        """Depolarizing idle: all three decay rates positive and similar."""
+        from pygsti_tpu.extras.idletomography import (IdleTomographyDesign,
+                                                      IdleTomography)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+
+        model = mp.target_model('static')
+        model.operations[Label(())] = StaticArbitraryOp(
+            np.diag([1.0, 0.98, 0.98, 0.98]))
+        design = IdleTomographyDesign((0,), max_lengths=(0, 1, 2, 4, 8))
+        ds = simulate_data(model, design.all_circuits_needing_data, 20000, seed=3)
+        res = IdleTomography().run(ProtocolData(design, ds))
+        rates = res.intrinsic_rates[0]
+        for P in ('X', 'Y', 'Z'):
+            assert 0.005 < rates['decay_%s' % P] < 0.05
