@@ -1,0 +1,6 @@
+"""Interpolated gates: continuously-parameterized operations built from
+sampled (physics-simulation) process matrices
+(reference: pygsti/extras/interpygate/, 802 LoC)."""
+
+from pygsti_tpu.extras.interpygate.core import (InterpolatedDenseOp,
+                                                InterpolatedOpFactory)
