@@ -1,0 +1,124 @@
+"""Fiducial pair reduction (reference:
+pygsti/algorithms/fiducialpairreduction.py:59,302,511).
+
+For each germ, only a subset of (prep_fiducial, meas_fiducial) pairs is
+needed to detect the germ's amplified parameters.  We build, per germ, the
+sensitivity matrix M[(i,j), k] = d p_{ij} / d (amplified direction k) --
+the derivative of the fiducial-pair probability through the germ's twirled
+derivative -- and greedily select pairs until M reaches full column rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.verbosityprinter import VerbosityPrinter
+from pygsti_tpu.algorithms.germselection import twirled_deriv, _nongauge_projector
+
+
+def _germ_pair_sensitivities(model, germ, prep_fiducials, meas_fiducials,
+                             non_gauge_projector=None, eps=1e-6):
+    """[n_pairs*n_outcomes, n_amp_directions] sensitivity matrix + the number
+    of amplified directions for this germ."""
+    proj = non_gauge_projector if non_gauge_projector is not None \
+        else _nongauge_projector(model)
+    T = twirled_deriv(model, germ, eps) @ proj          # [d2*d2, P]
+    # amplified directions: right singular vectors with nonzero singular value
+    U, s, Vh = np.linalg.svd(T, full_matrices=False)
+    keep = s > 1e-8 * max(s[0], 1e-30)
+    directions = Vh[keep]                                # [n_amp, P]
+    dG_dirs = T @ directions.conj().T                    # [d2*d2, n_amp]
+    d2 = model.dim
+    n_amp = dG_dirs.shape[1]
+
+    prep_lbl = model._default_prep_label()
+    povm_lbl = model._default_povm_label()
+    rho0 = model.preps[prep_lbl].to_dense()
+    E_stack = model.povms[povm_lbl].to_dense()           # [n_out, d2]
+
+    rows = []
+    pair_index = []
+    for i, f1 in enumerate(prep_fiducials):
+        rho = rho0.copy()
+        for l in f1.layertup:
+            rho = model.operations[l].to_dense() @ rho
+        for j, f2 in enumerate(meas_fiducials):
+            H = np.eye(d2)
+            for l in f2.layertup:
+                H = model.operations[l].to_dense() @ H
+            E_eff = E_stack @ H                          # [n_out, d2]
+            for e in range(E_eff.shape[0]):
+                # d p / d direction_k = E_eff[e] . dG_k . rho
+                row = np.array([np.real(E_eff[e] @ dG_dirs[:, k].reshape(d2, d2) @ rho)
+                                for k in range(n_amp)])
+                rows.append(row)
+                pair_index.append((i, j))
+    return np.stack(rows), pair_index, n_amp
+
+
+def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
+                                            meas_fiducials, germs,
+                                            prepovm_tuples="first", search_mode="greedy",
+                                            constrain_to_tp=True, n_random=100,
+                                            min_iterations=None, base_loweig_tol=1e-1,
+                                            seed=None, verbosity=0, num_soln_returned=1,
+                                            type_soln_returned='best', retry_for_smaller=True,
+                                            mem_limit=None):
+    """Per-germ fiducial pair reduction (reference:
+    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ:302).
+    Returns {germ: [(iPrep, iMeas), ...]}."""
+    printer = VerbosityPrinter.create_printer(verbosity)
+    model = target_model.rotate(max_rotate=1e-2, seed=seed) \
+        if target_model.state_space.num_qubits == 1 else \
+        target_model.depolarize(max_op_noise=1e-2, seed=seed)
+    proj = _nongauge_projector(model)
+
+    out = {}
+    for germ in germs:
+        M, pair_index, n_amp = _germ_pair_sensitivities(
+            model, germ, prep_fiducials, meas_fiducials, proj)
+        if n_amp == 0:
+            out[germ] = [(0, 0)]
+            continue
+        # greedy: add the pair whose rows most increase the rank / conditioning
+        chosen_pairs = []
+        chosen_rows = []
+        pair_rows = {}
+        for r, pi in zip(M, pair_index):
+            pair_rows.setdefault(pi, []).append(r)
+        remaining = list(pair_rows.keys())
+        cur_rank = 0
+        while cur_rank < n_amp and remaining:
+            best = None
+            for pi in remaining:
+                trial = chosen_rows + pair_rows[pi]
+                s = np.linalg.svd(np.stack(trial), compute_uv=False)
+                rank = int(np.sum(s > 1e-8 * max(s[0], 1e-30)))
+                smin = s[min(rank, n_amp) - 1] if rank > 0 else 0.0
+                if best is None or (rank, smin) > (best[1], best[2]):
+                    best = (pi, rank, smin)
+            chosen_pairs.append(best[0])
+            chosen_rows.extend(pair_rows[best[0]])
+            remaining.remove(best[0])
+            cur_rank = best[1]
+        out[germ] = chosen_pairs
+        printer.log("  germ %s: %d/%d pairs (rank %d/%d)"
+                    % (germ.str, len(chosen_pairs),
+                       len(prep_fiducials) * len(meas_fiducials), cur_rank, n_amp), 2)
+    return out
+
+
+def find_sufficient_fiducial_pairs(target_model, prep_fiducials, meas_fiducials,
+                                   germs, test_lengths=(256, 2048), prepovm_tuples="first",
+                                   tol=0.75, search_mode="sequential", n_random=100,
+                                   seed=None, verbosity=0, test_pair_list=None,
+                                   mem_limit=None, minimum_pairs=1):
+    """Global (same pairs for all germs) reduction: union of per-germ needs
+    (reference: fiducialpairreduction.find_sufficient_fiducial_pairs:59)."""
+    per_germ = find_sufficient_fiducial_pairs_per_germ(
+        target_model, prep_fiducials, meas_fiducials, germs, seed=seed,
+        verbosity=verbosity)
+    union = set()
+    for pairs in per_germ.values():
+        union.update(pairs)
+    return sorted(union)

@@ -69,9 +69,10 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
             running.append(c)
 
     if include_lgst and (len(max_lengths) == 0 or max_lengths[0] != 0):
-        for f1 in prep_fiducials:
-            for f2 in meas_fiducials:
-                add(f1 + f2)
+        # the full LGST set: fiducial pairs AND per-gate sandwiches (exempt
+        # from fiducial-pair reduction; reference gstcircuits include_lgst)
+        for c in create_lgst_circuits(prep_fiducials, meas_fiducials, op_label_src):
+            add(c)
 
     def pairs_for_germ(germ):
         if fid_pairs is None:

@@ -61,3 +61,37 @@ class TestGermSelection:
         _, n_amp, _ = compute_composite_germ_set_score(check_model, germs,
                                                        non_gauge_projector=proj)
         assert n_amp >= n_max - 2, (n_amp, n_max)
+
+
+class TestFiducialPairReduction:
+    def test_per_germ_reduction(self):
+        """Reduced pairs per germ are fewer than all pairs, and GST circuit
+        lists built with them still fit well."""
+        from pygsti_tpu.algorithms.fiducialpairreduction import (
+            find_sufficient_fiducial_pairs_per_germ)
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.algorithms.core import run_iterative_gst, run_lgst
+        from pygsti_tpu.objectivefns import two_delta_logl
+
+        target = mp.target_model('full TP')
+        pairs = find_sufficient_fiducial_pairs_per_germ(
+            target, mp.prep_fiducials(), mp.meas_fiducials(), mp.germs(), seed=0)
+        total_all = len(mp.prep_fiducials()) * len(mp.meas_fiducials())
+        assert all(0 < len(p) < total_all for p in pairs.values())
+
+        lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(),
+                                           [1, 2, 4], fid_pairs=pairs)
+        full_lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                                mp.meas_fiducials(), mp.germs(),
+                                                [1, 2, 4])
+        assert len(lists[-1]) < len(full_lists[-1])
+
+        datagen = mp.target_model('full TP').depolarize(op_noise=0.03)
+        ds = simulate_data(datagen, lists[-1], 1000, seed=6)
+        seed_mdl = run_lgst(ds, mp.prep_fiducials(), mp.meas_fiducials(), target)
+        models, _ = run_iterative_gst(ds, seed_mdl, lists, None, ['chi2'], ['logl'])
+        tdl = two_delta_logl(models[-1], ds, list(lists[-1]))
+        k = ds.degrees_of_freedom(list(lists[-1])) - models[-1].num_params
+        assert (tdl - k) / np.sqrt(2 * max(k, 1)) < 5
