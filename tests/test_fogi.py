@@ -1,0 +1,64 @@
+"""Tests for FOGI (first-order gauge-invariant) analysis."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.baseobjs.basis import Basis
+from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+from pygsti_tpu.tools.fogitools import (FOGIStore, compute_gauge_action_matrix,
+                                        compute_fogi_directions)
+from pygsti_tpu.models.gaugegroup import UnitaryGaugeGroup
+
+
+@pytest.fixture(scope='module')
+def store():
+    target = mp.target_model('static')
+    target_ops = {lbl: op.to_dense() for lbl, op in target.operations.items()}
+    rho0 = target.preps['rho0'].to_dense()
+    effects = target.povms['Mdefault'].to_dense()
+    return FOGIStore(target_ops, Basis.cast('pp', 4), rho0_vec=rho0,
+                     effect_stack=effects)
+
+
+class TestFOGI:
+    def test_counts(self, store):
+        """n_fogi = n_coeffs - rank(gauge action) > 0 and < n_coeffs."""
+        n_total = len(store.errorgen_space_labels)
+        n_fogi = store.num_fogi_quantities
+        assert 0 < n_fogi < n_total
+        # 1Q H+S: 6 coeffs/op x 3 ops + 12 SPAM = 30 coeffs; 6 gauge dirs
+        assert n_total == 30
+        assert n_fogi >= n_total - 6
+
+    def test_directions_annihilate_gauge(self, store):
+        target = mp.target_model('static')
+        target_ops = {lbl: op.to_dense() for lbl, op in target.operations.items()}
+        M, _, _ = compute_gauge_action_matrix(
+            target_ops, Basis.cast('pp', 4),
+            rho0_vec=target.preps['rho0'].to_dense(),
+            effect_stack=target.povms['Mdefault'].to_dense())
+        assert np.max(np.abs(store.fogi_directions @ M)) < 1e-8
+
+    def test_fogi_rates_gauge_invariant(self, store):
+        """Gauge-transforming a noisy model changes FOGI rates only at
+        second order in the gauge strength."""
+        noisy = mp.target_model('full').depolarize(op_noise=0.02)
+        base_rates = store.fogi_errorgen_rates(noisy)
+
+        gg = UnitaryGaugeGroup(noisy.state_space, noisy.basis)
+        eps = 1e-4
+        x = gg.initial_params()
+        x[1] += eps  # a small unitary gauge rotation
+        el = gg.compute_element(x)
+        gauged = noisy.copy()
+        gauged.transform_inplace(el)
+        gauged_rates = store.fogi_errorgen_rates(gauged)
+
+        # FOGI rates: invariant to first order
+        fogi_change = np.max(np.abs(gauged_rates - base_rates))
+        assert fogi_change < 10 * eps ** 2 + 1e-9, fogi_change
+
+        # sanity: NON-invariant quantities (raw coefficients) change at O(eps)
+        raw_change = np.max(np.abs(store.errorgen_vector(gauged)
+                                   - store.errorgen_vector(noisy)))
+        assert raw_change > eps / 10
