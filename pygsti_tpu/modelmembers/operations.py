@@ -605,3 +605,41 @@ class StochasticNoiseOp(LinearOperator):
         total = jnp.sum(rates)
         eye = jnp.eye(self._dim)
         return (1.0 - total) * eye + jnp.tensordot(rates, self._unit_super, axes=([0], [0]))
+
+
+class LinearTimeDriftOp(LinearOperator):
+    """Time-dependent operation: G(t) = expm(t * L_drift) @ G_base
+    (the reference's time-dependent-GST pattern of linearly-parameterized
+    ops with time; cf. timedep tests in pygsti and
+    forwardsims bulk_fill_timedep_*).
+
+    Parameters = base-op params followed by drift-errorgen params; the
+    time-dependent dense rep comes from ``to_dense_jax_t(v, t)``.
+    """
+
+    def __init__(self, base_op, drift_errorgen):
+        self.base_op = base_op
+        self.drift_errorgen = drift_errorgen
+        super().__init__(base_op.dim, np.empty(0))
+
+    @property
+    def num_params(self):
+        return self.base_op.num_params + self.drift_errorgen.num_params
+
+    def to_vector(self):
+        return np.concatenate([self.base_op.to_vector(),
+                               self.drift_errorgen.to_vector()])
+
+    def from_vector(self, v, close=False, dirty_value=True):
+        nb = self.base_op.num_params
+        self.base_op.from_vector(v[:nb])
+        self.drift_errorgen.from_vector(v[nb:])
+
+    def to_dense_jax(self, v):
+        return self.to_dense_jax_t(v, 0.0)
+
+    def to_dense_jax_t(self, v, t):
+        nb = self.base_op.num_params
+        base = self.base_op.to_dense_jax(v[:nb])
+        L = self.drift_errorgen.to_dense_jax(v[nb:])
+        return jax.scipy.linalg.expm(t * L) @ base

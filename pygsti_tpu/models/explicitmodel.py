@@ -245,6 +245,31 @@ class ExplicitOpModel(OpModel):
 
         return compute
 
+    def tensors_fn_t(self):
+        """Like tensors_fn but time-dependent: returns compute(v, t) where
+        members with a ``to_dense_jax_t`` method receive the time."""
+        self._rebuild_paramvec_if_needed()
+        import jax.numpy as jnp
+
+        op_items = [(o.gpindices, o) for o in self.operations.values()]
+        prep_items = [(p.gpindices, p) for p in self.preps.values()]
+        povm_items = [(p.gpindices, p) for p in self.povms.values()]
+
+        def dense_at(o, v, t):
+            if hasattr(o, 'to_dense_jax_t'):
+                return o.to_dense_jax_t(v, t)
+            return o.to_dense_jax(v)
+
+        def compute(v, t):
+            ops = jnp.stack([dense_at(o, v[sl], t) for sl, o in op_items]) \
+                if op_items else jnp.zeros((0, self.dim, self.dim))
+            preps = jnp.stack([dense_at(p, v[sl], t) for sl, p in prep_items])
+            effects = jnp.concatenate([dense_at(p, v[sl], t)
+                                       for sl, p in povm_items], axis=0)
+            return ModelTensors(ops, preps, effects, None)
+
+        return compute
+
     # -- convenience ----------------------------------------------------------
     def probabilities(self, circuit, clip_to=None):
         return self.sim.probs(circuit, clip_to=clip_to)
