@@ -414,6 +414,39 @@ class TimeIndependentMDCObjectiveFunction(object):
                                             self._flag_j, self._regs_j)
         return np.asarray(ls), np.asarray(jtj), np.asarray(jtf)
 
+    def run_device_lm(self, x0, maxiter=100, tol=None, linesearch=None):
+        """Run the ENTIRE Levenberg-Marquardt loop on device as one jitted
+        while_loop (optimize/device_lm.py) -- no per-iteration host round
+        trips.  Returns (x, converged, msg, mu, nu, norm_f, f)."""
+        from pygsti_tpu.optimize.device_lm import make_device_lm, EXIT_MESSAGES
+        tol = tol or {}
+        linesearch = linesearch or {}
+        sim = self.model.sim
+        key = ('device_lm', id(self.layout),
+               tuple(sorted((self.penalties or {}).items())), maxiter,
+               tuple(sorted(tol.items())),
+               tuple(sorted(linesearch.items())))
+        if key not in sim._obj_graph_cache:
+            lm = make_device_lm(
+                self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
+                num_params=len(x0),
+                f_norm2_tol=tol.get('f', 1.0), jac_norm_tol=tol.get('jac', 1e-6),
+                rel_ftol=tol.get('relf', 1e-6), rel_xtol=tol.get('relx', 1e-8),
+                max_iter=maxiter, max_dx_scale=tol.get('maxdx', 1.0),
+                ls_beta=linesearch.get('beta', 0.25),
+                ls_max_evals=linesearch.get('max_evals', 6),
+                ls_kappa=linesearch.get('kappa', 1.0))
+            sim._obj_graph_cache[key] = jax.jit(lm)
+        lm_jit = sim._obj_graph_cache[key]
+        x, f, norm_f, mu, nu, code, k = lm_jit(
+            jnp.asarray(x0), self._counts_j, self._totals_j, self._freqs_j,
+            self._flag_j, self._regs_j)
+        code = int(code)
+        converged = code in (1, 2, 3, 4, 5)
+        msg = EXIT_MESSAGES.get(code, "exit code %d" % code)
+        return (np.asarray(x), converged, msg, float(mu), float(nu),
+                float(norm_f), np.asarray(f))
+
     def chi2k_distributed_qty(self, objective_function_value):
         return self.raw_objfn.chi2k_distributed_qty(objective_function_value)
 
@@ -725,6 +758,8 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         'jtj_jtf': jax.jit(jtj_jtf_fn),
         'dlsvec': jax.jit(dlsvec_fn),
         'probs': jax.jit(probs_fn),
+        'lsvec_raw': lsvec_fn,
+        'jtj_jtf_raw': jtj_jtf_fn,
     }
     sim._obj_graph_cache[key] = fns
     return fns

@@ -1,0 +1,223 @@
+"""Device-resident Levenberg-Marquardt: the whole LM loop as ONE jitted
+graph (lax.while_loop), eliminating per-iteration host round trips.
+
+Mirrors the update semantics of simplish_leastsq (see optimize/simplerlm.py
+and the reference pygsti/optimize/simplerlm.py:391): identity damping on the
+JTJ diagonal, (mu, nu) schedule with gain-ratio factor 1-(2 dF/dL-1)^3,
+guarded backtracking line search, and the same convergence criteria.  Out-of
+-bounds checking is not implemented on device (CPTP-by-construction
+parameterizations don't need it); callers needing OOB fall back to the host
+loop.
+
+Exit codes: 0 = running, 1 = f_norm2_tol, 2 = jac_norm_tol, 3 = rel_xtol,
+4 = rel_ftol, 5 = max_iter, 6 = nu overflow, 7 = singular, 8 = non-finite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class _LMState(NamedTuple):
+    k: Any
+    x: Any
+    f: Any
+    norm_f: Any
+    mu: Any
+    nu: Any
+    best_x: Any
+    best_norm_f: Any
+    best_f: Any
+    best_mu: Any
+    best_nu: Any
+    exit_code: Any
+
+
+def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
+    """Solve (JTJ + mu*I) dx = -JTf via Cholesky; NaNs signal failure."""
+    A = JTJ.at[jnp.diag_indices_from(JTJ)].set(jtj_diag + mu)
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(L, minus_JTf, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return dx
+
+
+def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
+                   f_norm2_tol=1.0, jac_norm_tol=1e-6, rel_ftol=1e-6,
+                   rel_xtol=1e-8, max_iter=100, max_dx_scale=1.0,
+                   ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0):
+    """Build the jitted LM driver.
+
+    jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f.
+    Returns lm_run(x0, *data) -> (x, f, norm_f, mu, nu, exit_code, n_iters).
+    """
+    tau = 1e-3
+    half_max_nu = 2.0 ** 62
+    max_norm_dx = (max_dx_scale ** 2) * num_params if max_dx_scale else None
+
+    def lm_run(x0, *data):
+        f0 = lsvec_fn(x0, *data)
+        norm_f0 = jnp.dot(f0, f0)
+
+        init = _LMState(jnp.asarray(0), x0, f0, norm_f0,
+                        jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
+                        x0, norm_f0, f0,
+                        jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
+                        jnp.asarray(0))
+
+        def cond(st):
+            return (st.exit_code == 0) & (st.k < max_iter)
+
+        def body(st):
+            f, JTJ, JTf = jtj_jtf_fn(st.x, *data)
+            norm_f = jnp.dot(f, f)
+            minus_JTf = -JTf
+            jtj_diag = jnp.diag(JTJ)
+            norm_JTf = jnp.max(jnp.abs(minus_JTf))
+            norm_x = jnp.dot(st.x, st.x)
+            finite_jtj = jnp.all(jnp.isfinite(JTJ))
+
+            mu0 = jnp.where(st.k == 0, tau * jnp.max(jtj_diag), st.mu)
+            nu0 = jnp.where(st.k == 0, 2.0, st.nu)
+
+            # ---- inner damping loop -------------------------------------
+            # carry: (mu, nu, done, accepted, new_x, new_f, new_norm_f, code)
+            def inner_cond(c):
+                mu, nu, done, accepted, nx, nf, nnf, code = c
+                return jnp.logical_not(done)
+
+            def inner_body(c):
+                mu, nu, done, accepted, nx_prev, nf_prev, nnf_prev, code = c
+                dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
+                solve_ok = jnp.all(jnp.isfinite(dx))
+                norm_dx = jnp.dot(dx, dx)
+                clip = (max_norm_dx is not None) & (norm_dx > max_norm_dx) \
+                    if max_norm_dx else jnp.asarray(False)
+                scale = jnp.where(clip, jnp.sqrt(max_norm_dx / jnp.maximum(norm_dx, 1e-300)),
+                                  1.0) if max_norm_dx else 1.0
+                dx = dx * scale
+                norm_dx = jnp.dot(dx, dx)
+
+                xtol_conv = norm_dx < (rel_xtol ** 2) * norm_x
+
+                new_x = st.x + dx
+                new_f = lsvec_fn(new_x, *data)
+                norm_new_f = jnp.dot(new_f, new_f)
+
+                # guarded backtracking line search
+                do_ls = clip | (norm_dx > (ls_kappa ** 2) * norm_x) \
+                    | jnp.logical_not(jnp.isfinite(norm_new_f))
+
+                def linesearch(_):
+                    def ls_body(i, carry):
+                        best_t, best_norm, t, stop = carry
+                        trial_f = lsvec_fn(st.x + t * dx, *data)
+                        tn = jnp.dot(trial_f, trial_f)
+                        better = jnp.isfinite(tn) & (tn < best_norm) & ~stop
+                        best_t = jnp.where(better, t, best_t)
+                        best_norm = jnp.where(better, tn, best_norm)
+                        stop = stop | ~better
+                        return (best_t, best_norm, t * ls_beta, stop)
+                    init_norm = jnp.where(jnp.isfinite(norm_new_f), norm_new_f, jnp.inf)
+                    best_t, _, _, _ = jax.lax.fori_loop(
+                        0, ls_max_evals, ls_body,
+                        (jnp.asarray(1.0, st.x.dtype), init_norm,
+                         jnp.asarray(ls_beta, st.x.dtype), jnp.asarray(False)))
+                    return best_t
+
+                best_t = jax.lax.cond(do_ls, linesearch, lambda _: jnp.asarray(1.0, st.x.dtype),
+                                      None)
+                shrunk = best_t < 1.0
+                dx2 = dx * best_t
+                new_x = st.x + dx2
+                new_f = jax.lax.cond(shrunk, lambda _: lsvec_fn(new_x, *data),
+                                     lambda _: new_f, None)
+                norm_new_f = jnp.dot(new_f, new_f)
+                norm_dx2 = jnp.dot(dx2, dx2)
+
+                dL = jnp.dot(dx2, mu * dx2 + minus_JTf)
+                dF = norm_f - norm_new_f
+
+                ftol_conv = (dL / norm_f < rel_ftol) & (dF >= 0) \
+                    & (dF / norm_f < rel_ftol) & (dF / jnp.maximum(dL, 1e-300) < 2.0)
+
+                accept = solve_ok & jnp.isfinite(norm_new_f) & (dL > 0) & (dF > 0) \
+                    & ~xtol_conv & ~ftol_conv
+
+                # damping update on accept
+                t_gain = 1.0 - (2 * dF / jnp.maximum(dL, 1e-300) - 1.0) ** 3
+                mu_factor = jnp.where(norm_dx2 > 1e-8, jnp.maximum(t_gain, 1.0 / 3.0), 0.3)
+                mu_factor = jnp.where(shrunk, jnp.maximum(mu_factor, 1.0), mu_factor)
+                mu_acc = mu * mu_factor
+                nu_acc = jnp.asarray(2.0, st.x.dtype)
+
+                # reject: mu *= nu; nu *= 2  (exit on nu overflow)
+                mu_rej = mu * nu
+                nu_rej = 2 * nu
+                overflow = nu > half_max_nu
+
+                code_new = jnp.where(xtol_conv, 3,
+                            jnp.where(ftol_conv, 4,
+                             jnp.where(accept, 0,
+                              jnp.where(overflow, 6,
+                               jnp.where(~jnp.isfinite(norm_new_f) & ~solve_ok, 8, 0)))))
+                # continue the inner loop only on reject without overflow
+                done_new = accept | xtol_conv | ftol_conv | overflow
+                mu_new = jnp.where(accept, mu_acc, jnp.where(done_new, mu, mu_rej))
+                nu_new = jnp.where(accept, nu_acc, jnp.where(done_new, nu, nu_rej))
+                return (mu_new, nu_new, done_new, accept, new_x, new_f, norm_new_f,
+                        code_new)
+
+            mu_f, nu_f, _, accepted, new_x, new_f, norm_new_f, inner_code = \
+                jax.lax.while_loop(inner_cond, inner_body,
+                                   (mu0, nu0, jnp.asarray(False), jnp.asarray(False),
+                                    st.x, f, norm_f, jnp.asarray(0)))
+
+            x1 = jnp.where(accepted, new_x, st.x)
+            f1 = jnp.where(accepted, new_f, f)
+            norm_f1 = jnp.where(accepted, norm_new_f, norm_f)
+
+            improved = accepted & (norm_f1 < st.best_norm_f)
+            best_x = jnp.where(improved, x1, st.best_x)
+            best_norm_f = jnp.where(improved, norm_f1, st.best_norm_f)
+            best_f = jnp.where(improved, f1, st.best_f)
+            best_mu = jnp.where(improved, mu_f, st.best_mu)
+            best_nu = jnp.where(improved, nu_f, st.best_nu)
+
+            exit_code = jnp.where(norm_f < f_norm2_tol, 1,
+                         jnp.where(norm_JTf < jac_norm_tol, 2,
+                          jnp.where(~finite_jtj, 8, inner_code)))
+
+            return _LMState(st.k + 1, x1, f1, norm_f1, mu_f, nu_f,
+                            best_x, best_norm_f, best_f, best_mu, best_nu,
+                            exit_code)
+
+        final = jax.lax.while_loop(cond, body, init)
+        hit_max = (final.exit_code == 0) & (final.k >= max_iter)
+        exit_code = jnp.where(hit_max, 5, final.exit_code)
+        # return the best known point (matching the host loop / reference)
+        use_best = final.best_norm_f <= final.norm_f
+        x_out = jnp.where(use_best, final.best_x, final.x)
+        f_out = jnp.where(use_best, final.best_f, final.f)
+        norm_out = jnp.where(use_best, final.best_norm_f, final.norm_f)
+        return x_out, f_out, norm_out, final.mu, final.nu, exit_code, final.k
+
+    return lm_run
+
+
+EXIT_MESSAGES = {
+    1: "Sum of squares is at most tolerance",
+    2: "norm(J'f) is at most tolerance",
+    3: "Relative change, |dx|/|x|, is at most rel_xtol",
+    4: "Both actual and predicted relative reductions are at most rel_ftol",
+    5: "Maximum iterations exceeded (treated as converged)",
+    6: "Stopping after nu overflow",
+    7: "(near-)singular linear system",
+    8: "Non-finite values encountered",
+}

@@ -77,9 +77,31 @@ class SimplerLMOptimizer(object):
         self.linesearch = linesearch
 
     def run(self, objective, profiler=None, printer=None):
-        """Minimize `objective` (an MDC objective with lsvec/jtj_jtf)."""
+        """Minimize `objective` (an MDC objective with lsvec/jtj_jtf).
+
+        When the objective supports it (and no out-of-bounds checking is
+        requested), the entire LM loop runs on device as one jitted graph
+        (optimize/device_lm.py); set PYGSTI_TPU_HOST_LM=1 to force the
+        host-driven loop."""
+        import os
         printer = VerbosityPrinter.create_printer(printer if printer is not None else 1)
         x0 = objective.model.to_vector()
+
+        use_device = (self.oob_check_interval == 0 and self.fditer == 0
+                      and hasattr(objective, 'run_device_lm')
+                      and os.environ.get('PYGSTI_TPU_HOST_LM', '0') != '1')
+        if use_device:
+            x, converged, msg, mu, nu, norm_f, f = objective.run_device_lm(
+                x0, maxiter=self.maxiter, tol=self.tol, linesearch=self.linesearch)
+            printer.log("Device LM message = %s" % msg, 2)
+            assert converged, "Failed to converge: %s" % msg
+            objective.model.from_vector(x)
+            unpenalized_f = f[0:objective.num_elements]
+            unpenalized_normf = float(np.sum(unpenalized_f ** 2))
+            chi2k_qty = objective.chi2k_distributed_qty(unpenalized_normf)
+            return OptimizerResult(objective, x, norm_f, None, unpenalized_normf,
+                                   chi2k_qty, {'msg': msg, 'mu': mu, 'nu': nu,
+                                               'fvec': f})
 
         def obj_fn(x, oob_check=False):
             return objective.lsvec(x, oob_check)
