@@ -83,10 +83,32 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
             pass
         return val
 
+    x0 = gauge_group.initial_params()
+
+    if method in ('auto', 'adam'):
+        # fully on-device optimization: one jitted Adam loop (avoids
+        # per-iteration host round trips), then a short L-BFGS polish.
+        import optax
+        steps = min(maxiter, 2000)
+        opt = optax.adam(3e-2)
+
+        @jax.jit
+        def run_adam(x_init):
+            def step(carry, _):
+                x, state = carry
+                g = jax.grad(objective)(x)
+                updates, state = opt.update(g, state, x)
+                return (optax.apply_updates(x, updates), state), None
+            (x_fin, _), _ = jax.lax.scan(step, (x_init, opt.init(x_init)),
+                                         None, length=steps)
+            return x_fin
+
+        x_adam = np.asarray(run_adam(jnp.asarray(x0)))
+    else:
+        x_adam = x0
+
     obj_jit = jax.jit(objective)
     grad_jit = jax.jit(jax.grad(objective))
-
-    x0 = gauge_group.initial_params()
 
     def fun(x):
         return float(obj_jit(jnp.asarray(x)))
@@ -94,8 +116,9 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
     def grad(x):
         return np.asarray(grad_jit(jnp.asarray(x)), dtype=float)
 
-    res = spo.minimize(fun, x0, jac=grad, method='L-BFGS-B',
-                       options={'maxiter': maxiter, 'ftol': tol, 'gtol': 1e-10})
+    res = spo.minimize(fun, x_adam, jac=grad, method='L-BFGS-B',
+                       options={'maxiter': min(maxiter, 200), 'ftol': tol,
+                                'gtol': 1e-10})
     printer.log("Gauge optimization: %s -> %s (%d iters)" % (fun(x0), res.fun, res.nit), 2)
 
     el = gauge_group.compute_element(res.x)
