@@ -643,3 +643,200 @@ class LinearTimeDriftOp(LinearOperator):
         base = self.base_op.to_dense_jax(v[:nb])
         L = self.drift_errorgen.to_dense_jax(v[nb:])
         return jax.scipy.linalg.expm(t * L) @ base
+
+
+class EigenvalueParamDenseOp(LinearOperator):
+    """A real operation matrix parameterized only by its eigenvalues
+    (reference: operations/eigpdenseop.py:24 EigenvalueParamDenseOp).
+
+    The matrix is eigendecomposed once at construction; the eigenvector
+    frame ``B`` is then frozen and the (real, or conjugate-pair) eigenvalues
+    become the parameters.  Used by per-germ-power fiducial pair reduction.
+    Parameters: one per real eigenvalue; (re, im) per complex-conjugate pair.
+    With ``tp_constrained_and_unital=True`` the unit eigenvalue belonging to
+    the eigenvector closest to [1,0,...,0] is held fixed.
+    """
+
+    def __init__(self, matrix, include_off_diags_in_degen_blocks=False,
+                 tp_constrained_and_unital=False):
+        mx = np.asarray(matrix)
+        assert np.linalg.norm(np.imag(mx)) < 1e-7, "matrix must be real"
+        mx = np.real(mx).astype(float)
+        d = mx.shape[0]
+        evals, B = np.linalg.eig(mx)
+
+        # classify eigenvalues: real vs conjugate pairs
+        used = np.zeros(len(evals), bool)
+        real_idx, pair_idx = [], []
+        for i, ev in enumerate(evals):
+            if used[i]:
+                continue
+            if abs(ev.imag) < 1e-10:
+                real_idx.append(i); used[i] = True
+            else:
+                # find the conjugate partner
+                j = None
+                for k in range(i + 1, len(evals)):
+                    if not used[k] and abs(evals[k] - np.conj(ev)) < 1e-8:
+                        j = k; break
+                assert j is not None, "complex eigenvalue without conjugate pair"
+                pair_idx.append((i, j)); used[i] = used[j] = True
+
+        fixed_idx = None
+        if tp_constrained_and_unital:
+            unit_row = np.zeros(d); unit_row[0] = 1.0
+            assert np.allclose(mx[0, :], unit_row) and np.allclose(mx[:, 0], unit_row), \
+                "matrix must be TP and unital"
+            # the real unit eigenvalue whose eigenvector is closest to e0
+            cands = [i for i in real_idx if abs(evals[i] - 1.0) < 1e-8]
+            assert cands, "TP-constrained matrix must have a unit eigenvalue"
+            fixed_idx = max(cands, key=lambda i: abs(B[0, i]))
+            B[:, fixed_idx] = unit_row
+            real_idx = [i for i in real_idx if i != fixed_idx]
+
+        params = [evals[i].real for i in real_idx]
+        for (i, j) in pair_idx:
+            params.extend([evals[i].real, evals[i].imag])
+
+        super().__init__(d, np.asarray(params, float))
+        self._B = jnp.asarray(B.astype(complex))
+        self._Binv = jnp.asarray(np.linalg.inv(B).astype(complex))
+        self._real_idx = np.asarray(real_idx, np.int32)
+        self._pair_idx = pair_idx
+        self._fixed_idx = fixed_idx
+        self._fixed_val = complex(evals[fixed_idx]) if fixed_idx is not None else None
+        self._n_evals = len(evals)
+
+    def to_dense_jax(self, v):
+        evals = jnp.zeros(self._n_evals, dtype=jnp.complex128
+                          if v.dtype == jnp.float64 else jnp.complex64)
+        if self._fixed_idx is not None:
+            evals = evals.at[self._fixed_idx].set(self._fixed_val)
+        nr = len(self._real_idx)
+        if nr:
+            evals = evals.at[jnp.asarray(self._real_idx)].set(
+                v[:nr].astype(evals.dtype))
+        for k, (i, j) in enumerate(self._pair_idx):
+            lam = v[nr + 2 * k] + 1j * v[nr + 2 * k + 1]
+            evals = evals.at[i].set(lam).at[j].set(jnp.conj(lam))
+        return jnp.real(self._B @ (evals[:, None] * self._Binv))
+
+
+class LinearlyParamArbitraryOp(LinearOperator):
+    """Matrix whose elements depend linearly on the parameters
+    (reference: operations/lpdenseop.py:56 LinearlyParamArbitraryOp).
+
+    ``dense = left @ (base + sum_p v[p] * M_p) @ right`` where each ``M_p``
+    has ones at the coordinates mapped to parameter p.
+    """
+
+    def __init__(self, base_matrix, parameter_array, parameter_to_base_indices_map,
+                 left_transform=None, right_transform=None, real=True):
+        base = np.asarray(base_matrix, complex)
+        d = base.shape[0]
+        nP = len(parameter_array)
+        masks = np.zeros((nP, d, d), complex)
+        for p, ij_tuples in parameter_to_base_indices_map.items():
+            for (i, j) in ij_tuples:
+                masks[p, i, j] = 1.0
+        super().__init__(d, np.asarray(parameter_array, float))
+        self._base = jnp.asarray(base)
+        self._masks = jnp.asarray(masks)
+        self._left = jnp.asarray(left_transform if left_transform is not None
+                                 else np.eye(d))
+        self._right = jnp.asarray(right_transform if right_transform is not None
+                                  else np.eye(d))
+        self._real = real
+
+    def to_dense_jax(self, v):
+        mx = self._base + jnp.tensordot(v.astype(self._masks.dtype),
+                                        self._masks, axes=1)
+        out = self._left @ mx @ self._right
+        return jnp.real(out) if self._real else out
+
+
+class AffineShiftOp(LinearOperator):
+    """Identity plus an affine shift: ones on the diagonal, parameters in the
+    first column (rows 1..d-1) (reference: operations/affineshiftop.py:20).
+    """
+
+    def __init__(self, m):
+        mx = np.asarray(m, float)
+        d = mx.shape[0]
+        if not (np.allclose(np.diag(mx), 1)
+                and np.allclose((mx - np.eye(d))[:, 1:], 0.0)):
+            raise ValueError("AffineShiftOp requires arrowhead structure "
+                             "(unit diagonal, off-diagonals only in column 0)")
+        super().__init__(d, mx[1:, 0].copy())
+
+    def to_dense_jax(self, v):
+        d = self._dim
+        return jnp.eye(d, dtype=v.dtype).at[1:, 0].set(v)
+
+    def set_dense(self, m):
+        mx = np.asarray(m, float)
+        d = self._dim
+        if not (np.allclose(np.diag(mx), 1)
+                and np.allclose((mx - np.eye(d))[:, 1:], 0.0)):
+            raise ValueError("matrix does not have the arrowhead structure")
+        self._paramvals = mx[1:, 0].copy()
+
+
+class FullCPTPOp(LinearOperator):
+    """CP(TP)-by-construction channel parameterized by the Cholesky factor of
+    its trace-normalized Choi matrix (reference: operations/fullcptpop.py:30
+    FullCPTPOp).
+
+    params = (real diag, (re, im) lower-tri) of L; the dense superoperator is
+    the inverse Jamiolkowski image of ``L L^dag / tr(L L^dag)``.  Because the
+    Choi matrix is PSD by construction the operation stays CP for every
+    parameter value, making it safe for unconstrained (device-LM) optimization.
+    """
+
+    def __init__(self, choi_mx, basis='pp', truncate=False):
+        choi = np.asarray(choi_mx, complex)
+        d = choi.shape[0]
+        trc = np.trace(choi).real
+        if not np.isclose(trc, 1.0):
+            assert truncate, "choi_mx must have trace 1 (or truncate=True)"
+            choi = choi - np.eye(d) / d * (trc - 1.0)
+        evals, U = np.linalg.eigh((choi + choi.conj().T) / 2)
+        assert truncate or all(ev >= -1e-12 for ev in evals), \
+            "choi_mx must be PSD (or truncate=True)"
+        choi = (U * evals.clip(1e-16, None)) @ U.conj().T
+        L = np.linalg.cholesky(choi)
+        super().__init__(d, _lower_tri_to_params(L, d))
+        self.basis_name = basis
+        from pygsti_tpu.tools import jamiolkowski as _jam
+        from pygsti_tpu.baseobjs.basis import Basis
+        b = Basis.cast(basis, d)
+        # precompute the linear map choi(flat) -> superop(flat)
+        n = d * d
+        A = np.zeros((n, n), complex)
+        for k in range(n):
+            e = np.zeros(n); e[k] = 1.0
+            A[:, k] = _jam.jamiolkowski_iso_inv(e.reshape(d, d), b, b).reshape(-1)
+        self._jam_inv = jnp.asarray(A)
+
+    @classmethod
+    def from_superop_matrix(cls, superop_mx, basis='pp', truncate=False):
+        from pygsti_tpu.tools import jamiolkowski as _jam
+        from pygsti_tpu.baseobjs.basis import Basis
+        d = superop_mx.shape[0]
+        b = Basis.cast(basis, d)
+        choi = _jam.jamiolkowski_iso(superop_mx, b, b)
+        return cls(choi, basis, truncate)
+
+    def to_dense_jax(self, v):
+        d = self._dim
+        L = _params_to_lower_tri_jax(v, d)
+        choi = L @ L.conj().T
+        choi = choi / jnp.trace(choi)
+        out = (self._jam_inv @ choi.reshape(-1)).reshape(d, d)
+        return jnp.real(out)
+
+    @property
+    def kraus_operators(self):
+        """Kraus operators of the current channel (KrausOperatorInterface
+        analogue; reference: operations/krausop.py:14)."""
+        return _ot.kraus_decomposition(self.to_dense(), self.basis_name)

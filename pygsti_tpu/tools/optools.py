@@ -215,8 +215,10 @@ def eigenvalue_entanglement_infidelity(a, b, mx_basis='pp'):
 def kraus_decomposition(superop, mx_basis='pp', tol=1e-9):
     """Kraus operators of a CP map from its Choi eigendecomposition
     (reference: optools Kraus decomposition:658)."""
-    from pygsti_tpu.tools.jamiolkowski import jamiolkowski_iso
-    choi = jamiolkowski_iso(superop, mx_basis)  # trace-normalized Choi
+    from pygsti_tpu.tools.jamiolkowski import fast_jamiolkowski_iso_std
+    # std-pairing Choi: J = vec(K) vec(K)^dag / d summed over Kraus ops,
+    # so each eigenvector unvecs (row-major) directly to a Kraus operator.
+    choi = fast_jamiolkowski_iso_std(superop, mx_basis)
     d2 = choi.shape[0]
     d = int(round(np.sqrt(d2)))
     evals, evecs = np.linalg.eigh((choi + choi.conj().T) / 2)

