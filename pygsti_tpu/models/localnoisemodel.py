@@ -56,6 +56,9 @@ class LocalNoiseModel(OpModel):
         self.prep_blks = {'layers': collections.OrderedDict([(Label('rho0'), prep_member)])}
         self.povm_blks = {'layers': collections.OrderedDict([(Label('Mdefault'), povm_member)])}
         self.idle_member = idle_member  # optional full-space or 1q idle leaf
+        # op factories: {gate_name: OpFactory} for arg-carrying labels like
+        # Gzr;0.5:0 (reference: localnoisemodel.py:186 factories['gates'])
+        self.factories = {'gates': collections.OrderedDict()}
         # layer registry: Label -> recipe [(leaf_key, targets), ...]
         self._layer_keys = []
         self._layer_recipes = []
@@ -81,6 +84,20 @@ class LocalNoiseModel(OpModel):
     def _leaf_for(self, comp):
         """Find the leaf member key for a simple gate label."""
         gates = self.operation_blks['gates']
+        args = getattr(comp, 'args', None)
+        if args:
+            # factory-created op, cached under the full arged label
+            if comp in gates:
+                return comp
+            factory = self.factories['gates'].get(comp.name, None) \
+                or self.factories['gates'].get(Label(comp.name), None)
+            if factory is None:
+                raise KeyError("No op factory for arged layer component %s"
+                               % str(comp))
+            fargs = tuple(float(a) if isinstance(a, str) else a for a in args)
+            gates[comp] = factory.create_op(fargs, comp.sslbls)
+            self._need_rebuild = True
+            return comp
         key = Label(comp.name, comp.sslbls) if comp.sslbls else Label(comp.name)
         if key in gates:
             return key

@@ -319,6 +319,11 @@ def create_crosstalk_free_model(processor_spec, custom_gates=None,
         if name in ('{idle}', '(idle)'):
             continue
         u = pspec.gate_unitaries[name]
+        if callable(u):
+            # continuously-parameterized gate -> op factory (reference:
+            # localnoisemodel.py:198 gate_is_factory)
+            gate_members[('__factory__', Label(name))] = u
+            continue
         udim = u.shape[0]
         d2 = udim * udim
         ideal = _op.StaticArbitraryOp(np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2))))
@@ -350,6 +355,22 @@ def create_crosstalk_free_model(processor_spec, custom_gates=None,
     if mn is not None:
         povm_member = _pv.ComposedPOVM(mn, povm_member)
 
+    factory_fns = {lbl: fn for key, fn in list(gate_members.items())
+                   if isinstance(key, tuple) and key[0] == '__factory__'
+                   for lbl in [key[1]]}
+    for key in [k for k in gate_members
+                if isinstance(k, tuple) and k[0] == '__factory__']:
+        del gate_members[key]
+
     mdl = LocalNoiseModel(pspec, gate_members, prep_member, povm_member,
                           basis=basis, simulator=simulator, idle_member=idle_member)
+    if factory_fns:
+        from pygsti_tpu.modelmembers.opfactory import UnitaryOpFactory
+        for lbl, fn in factory_fns.items():
+            # probe udim from a zero-arg call; default to 1-qubit
+            try:
+                udim = np.asarray(fn((0.0,))).shape[0]
+            except Exception:
+                udim = 2
+            mdl.factories['gates'][lbl.name] = UnitaryOpFactory(fn, udim, basis)
     return mdl

@@ -24,7 +24,10 @@ class QubitProcessorSpec(object):
         nonstd = nonstd_gate_unitaries or {}
         for name in self.gate_names:
             if name in nonstd:
-                self.gate_unitaries[name] = np.asarray(nonstd[name])
+                u = nonstd[name]
+                # callables are op-factory generators (continuously
+                # parameterized gates, e.g. Gzr;theta)
+                self.gate_unitaries[name] = u if callable(u) else np.asarray(u)
             elif name in std:
                 self.gate_unitaries[name] = std[name]
             elif name in ('{idle}', '(idle)', 'Gidle', '[]', ''):
@@ -50,6 +53,8 @@ class QubitProcessorSpec(object):
         u = self.gate_unitaries[gate_name]
         if u is None:
             return self.num_qubits
+        if callable(u):
+            u = np.asarray(u((0.0,)))
         return int(round(np.log2(u.shape[0])))
 
     def resolved_availability(self, gate_name, tuple_or_function='tuple'):

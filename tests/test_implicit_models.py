@@ -77,3 +77,54 @@ class TestCrosstalkFreeModel:
         mdl = create_crosstalk_free_model(
             pspec_3q, depolarization_strengths={'Gxpi2': 0.01})
         assert mdl.num_params == 1  # one shared depol rate leaf
+
+
+class TestOpFactories:
+    def test_unitary_op_factory_in_crosstalk_free_model(self):
+        """Continuously-parameterized gates via circuit-label args
+        (reference: opfactory.py:771 UnitaryOpFactory)."""
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.baseobjs.label import Label
+
+        def zr(args):
+            th = args[0]
+            return np.array([[1, 0], [0, np.exp(1j * th)]])
+
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gzr', 'Gcnot'], geometry='line',
+                                   nonstd_gate_unitaries={'Gzr': zr})
+        mdl = create_crosstalk_free_model(pspec)
+        lz = Label('Gzr', (0,), args=(np.pi / 2,))
+        c = Circuit([Label('Gxpi2', 0), lz, Label('Gxpi2', 0)], (0, 1))
+        p = mdl.probabilities(c)
+        X = np.array([[np.cos(np.pi / 4), -1j * np.sin(np.pi / 4)],
+                      [-1j * np.sin(np.pi / 4), np.cos(np.pi / 4)]])
+        psi = X @ zr((np.pi / 2,)) @ X @ np.array([1, 0])
+        assert abs(p[('00',)] - abs(psi[0]) ** 2) < 1e-9
+
+    def test_composed_and_embedded_factories(self):
+        import numpy as np
+        from pygsti_tpu.baseobjs.statespace import QubitSpace
+        from pygsti_tpu.modelmembers.opfactory import (UnitaryOpFactory,
+                                                       EmbeddingOpFactory,
+                                                       ComposedOpFactory)
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+
+        def zr(args):
+            th = args[0]
+            return np.array([[1, 0], [0, np.exp(1j * th)]])
+
+        f = UnitaryOpFactory(zr, 2)
+        op = f.create_op((0.5,))
+        assert op.to_dense().shape == (4, 4)
+
+        ss = QubitSpace(2)
+        ef = EmbeddingOpFactory(ss, f)
+        big = ef.create_op((0.5,), sslbls=(1,))
+        assert big.to_dense().shape == (16, 16)
+
+        cf = ComposedOpFactory([f, StaticArbitraryOp(np.eye(4))])
+        cop = cf.create_op((0.5,))
+        assert np.allclose(cop.to_dense(), op.to_dense(), atol=1e-12)
