@@ -252,6 +252,144 @@ class RawTVDFunction(RawObjectiveFunction):
         return 0.5 * total_counts * jnp.sign(probs - freqs)
 
 
+class RawChiAlphaFunction(RawObjectiveFunction):
+    """N[x + 1/(alpha x^alpha) - (1 + 1/alpha)] with x = p/f; interpolates
+    logL (alpha->0) <-> chi2 (alpha=1) (reference: objectivefns.py:2112).
+
+    Below the stitch point ``x0`` the function is replaced by its Taylor
+    expansion with derivatives evaluated at ``x1``; zero-count terms use a
+    'harsh' cubic (radius) or 'relaxed' quadratic (fmin) regularization.
+    """
+
+    def __init__(self, regularization=None, name='chialpha', alpha=1):
+        self.name = name
+        self.alpha = alpha
+        self.x0 = 0.01
+        self.x1 = 0.01
+        self.radius = 1e-4
+        self.fmin = None
+        if regularization:
+            self.set_regularization(**regularization)
+
+    def set_regularization(self, pfratio_stitchpt=0.01, pfratio_derivpt=0.01,
+                           radius=None, fmin=None):
+        self.x0 = pfratio_stitchpt
+        self.x1 = pfratio_derivpt
+        if radius is None and fmin is None:
+            radius = 1e-4  # sensible default (reference requires one of them)
+        self.radius = radius
+        self.fmin = fmin
+
+    def _zero_freq_terms(self, total_counts, probs):
+        if self.radius is not None:
+            a = self.radius
+            return total_counts * jnp.where(
+                probs >= a, probs,
+                (-1.0 / (3 * a ** 2)) * probs ** 3 + probs ** 2 / a + a / 3.0)
+        c1 = (0.5 / self.fmin) * (1. + self.alpha) / (self.x1 ** (2 + self.alpha))
+        p0 = 1.0 / c1
+        return total_counts * jnp.where(probs > p0, probs, c1 * probs ** 2)
+
+    def _zero_freq_dterms(self, total_counts, probs):
+        if self.radius is not None:
+            a = self.radius
+            return total_counts * jnp.where(
+                probs >= a, 1.0, (-1.0 / a ** 2) * probs ** 2 + 2 * probs / a)
+        c1 = (0.5 / self.fmin) * (1. + self.alpha) / (self.x1 ** (2 + self.alpha))
+        p0 = 1.0 / c1
+        return total_counts * jnp.where(probs > p0, 1.0, 2 * c1 * probs)
+
+    def terms(self, probs, counts, total_counts, freqs):
+        alpha, x0 = self.alpha, self.x0
+        freqs_nozeros = jnp.where(counts == 0, 1.0, freqs)
+        x = probs / freqs_nozeros
+        itaylor = x < x0
+        c0 = 1. - 1. / (self.x1 ** (1 + alpha))
+        c1 = 0.5 * (1. + alpha) / self.x1 ** (2 + alpha)
+        xt = jnp.where(itaylor, x0, x)
+        t = counts * (xt + 1.0 / (alpha * xt ** alpha) - (1.0 + 1.0 / alpha))
+        t = jnp.where(itaylor,
+                      t + c0 * counts * (x - x0) + c1 * counts * (x - x0) ** 2, t)
+        return jnp.where(counts == 0, self._zero_freq_terms(total_counts, probs), t)
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        alpha, x0 = self.alpha, self.x0
+        freqs_nozeros = jnp.where(counts == 0, 1.0, freqs)
+        x = probs / freqs_nozeros
+        itaylor = x < x0
+        c0 = 1. - 1. / (self.x1 ** (1 + alpha))
+        c1 = 0.5 * (1. + alpha) / self.x1 ** (2 + alpha)
+        x_safe = jnp.where(x <= 0, x0, x)  # guard x**(1+alpha) at x<=0
+        d = total_counts * (1 - 1. / x_safe ** (1. + alpha))
+        d = jnp.where(itaylor, total_counts * (c0 + 2 * c1 * (x - x0)), d)
+        return jnp.where(counts == 0,
+                         self._zero_freq_dterms(total_counts, probs), d)
+
+
+class RawCustomWeightedChi2Function(RawObjectiveFunction):
+    """custom_weight^2 (p-f)^2 with user-supplied per-element weights
+    (default 1) (reference: objectivefns.py:2606)."""
+
+    def __init__(self, regularization=None, name='cwchi2', custom_weights=None):
+        self.name = name
+        self.custom_weights = custom_weights
+
+    def _w(self, probs):
+        if self.custom_weights is None:
+            return jnp.ones_like(probs)
+        return jnp.asarray(self.custom_weights)
+
+    def lsvec(self, probs, counts, total_counts, freqs):
+        return self._w(probs) * (probs - freqs)
+
+    def dlsvec(self, probs, counts, total_counts, freqs):
+        return self._w(probs)
+
+    def terms(self, probs, counts, total_counts, freqs):
+        return self.lsvec(probs, counts, total_counts, freqs) ** 2
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        w = self._w(probs)
+        return 2 * w * w * (probs - freqs)
+
+
+class RawMaxLogLFunction(RawObjectiveFunction):
+    """N*f*log(f) (independent of p) — the max-model log-likelihood terms
+    (reference: objectivefns.py:3698)."""
+
+    def __init__(self, regularization=None, name='maxlogl', poisson_picture=True):
+        self.name = name
+        self.poisson_picture = poisson_picture
+
+    def terms(self, probs, counts, total_counts, freqs):
+        freqs_nozeros = jnp.where(counts == 0, 1.0, freqs)
+        if self.poisson_picture:
+            return counts * (jnp.log(freqs_nozeros) - 1.0)
+        return counts * jnp.log(freqs_nozeros)
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        return jnp.zeros_like(probs)
+
+
+class RawAbsPower(RawObjectiveFunction):
+    """|p - f|^power elementwise (reference: objectivefns.py:4254)."""
+
+    def __init__(self, power, regularization=None, name='Lp^p'):
+        assert power >= 1
+        self.name = name
+        self.power = power
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return -1
+
+    def terms(self, probs, counts, total_counts, freqs):
+        return jnp.abs(probs - freqs) ** self.power
+
+    def dterms(self, probs, counts, total_counts, freqs):
+        t = probs - freqs
+        return self.power * jnp.sign(t) * jnp.abs(t) ** (self.power - 1)
+
+
 _RAW_CLASSES = {
     'chi2': RawChi2Function,
     'fwchi2': RawFreqWeightedChi2Function,
@@ -260,6 +398,9 @@ _RAW_CLASSES = {
     'dlogl': RawPoissonPicDeltaLogLFunction,
     'dlogl-nonpoisson': RawDeltaLogLFunction,
     'tvd': RawTVDFunction,
+    'chialpha': RawChiAlphaFunction,
+    'cwchi2': RawCustomWeightedChi2Function,
+    'maxlogl': RawMaxLogLFunction,
 }
 
 
@@ -588,6 +729,80 @@ def _raw_objfn_key(raw):
     return (type(raw).__name__, id(raw))
 
 
+# -- CPTP / SPAM penalties (reference: objectivefns.py:5785 _cptp_penalty,
+#    :5806 _spam_penalty; NEG_EIG_PENALTY_USE_SQRT=True, SQRT_SHIFT=1e-6) ----
+_NEG_EIG_SQRT_SHIFT = 1e-6
+
+
+@jax.custom_jvp
+def _sum_neg_evals(A):
+    """-sum of negative eigenvalues of a Hermitian matrix.  Custom JVP avoids
+    the NaN gradients jax's eigh JVP produces at degenerate eigenvalues
+    (common at GST target seeds where Choi matrices are rank-deficient)."""
+    ev = jnp.linalg.eigvalsh(A)
+    return -jnp.sum(jnp.minimum(ev, 0.0))
+
+
+@_sum_neg_evals.defjvp
+def _sum_neg_evals_jvp(primals, tangents):
+    A, = primals
+    dA, = tangents
+    ev, U = jnp.linalg.eigh(A)
+    val = -jnp.sum(jnp.minimum(ev, 0.0))
+    mask = (ev < 0).astype(ev.dtype)
+    inner = jnp.einsum('ji,jk,ki->i', U.conj(), dA, U)
+    return val, -jnp.sum(mask * jnp.real(inner)).astype(val.dtype)
+
+
+def _make_penalty_fn(model, penalties):
+    """Extra lsvec rows for cptp_penalty_factor / spam_penalty_factor, as a
+    pure function of the parameter vector (None when inactive)."""
+    cptp_factor = (penalties or {}).get('cptp_penalty_factor', 0)
+    spam_factor = (penalties or {}).get('spam_penalty_factor', 0)
+    if not (cptp_factor or spam_factor):
+        return None
+    from pygsti_tpu.baseobjs.basis import Basis
+    dim = model.dim
+    udim = int(round(np.sqrt(dim)))
+    basis = getattr(model, 'basis', 'pp')
+    b = Basis.cast(basis, dim) if isinstance(basis, str) else basis
+    M = np.asarray(b.create_transform_matrix('std'))
+    Minv = np.linalg.inv(M)
+    M_j, Minv_j = jnp.asarray(M.astype(complex)), jnp.asarray(Minv.astype(complex))
+    els_j = jnp.asarray(np.asarray(b.elements).astype(complex))  # [dim, u, u]
+    compute = model.tensors_fn()
+    # penalize only primary operations (not derived layers / instrument rows)
+    if hasattr(model, 'operations'):
+        op_pen_idx = [model.op_keys.index(k) for k in model.operations.keys()
+                      if k in model.op_keys]
+    else:
+        op_pen_idx = list(range(len(model.op_keys)))
+    op_pen_idx = np.asarray(op_pen_idx, np.int32)
+
+    def choi_std(G):
+        s_std = (M_j @ G.astype(M_j.dtype)) @ Minv_j
+        return s_std.reshape(udim, udim, udim, udim).transpose(
+            0, 2, 1, 3).reshape(dim, dim) / udim
+
+    def pen_fn(v):
+        t = compute(v)
+        rows = []
+        if cptp_factor:
+            for i in op_pen_idx:
+                c = choi_std(t.ops[int(i)])
+                rows.append(cptp_factor * jnp.sqrt(
+                    _NEG_EIG_SQRT_SHIFT + _sum_neg_evals((c + c.conj().T) / 2)))
+        if spam_factor:
+            vecs = jnp.concatenate([t.preps, t.effects], axis=0)
+            for i in range(vecs.shape[0]):
+                mx = jnp.tensordot(vecs[i].astype(els_j.dtype), els_j, axes=1)
+                rows.append(spam_factor * jnp.sqrt(
+                    _NEG_EIG_SQRT_SHIFT + _sum_neg_evals((mx + mx.conj().T) / 2)))
+        return jnp.stack(rows)
+
+    return pen_fn
+
+
 def _compiled_objective_graphs(model, layout, raw, penalties):
     """Build (or fetch cached) jitted objective graphs for a (layout, raw
     objective) pair.  Graphs take (v, counts, totals, freqs) as arguments."""
@@ -751,6 +966,31 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
                                     axis=0)
             return J
+
+    pen_fn = _make_penalty_fn(model, penalties)
+    if pen_fn is not None:
+        base_lsvec, base_fnfn = lsvec_fn, fn_fn
+        base_jtj, base_dls = jtj_jtf_fn, dlsvec_fn
+
+        def lsvec_fn(v, counts, totals, freqs, flag, regs):
+            return jnp.concatenate(
+                [base_lsvec(v, counts, totals, freqs, flag, regs), pen_fn(v)])
+
+        def fn_fn(v, counts, totals, freqs, flag, regs):
+            return base_fnfn(v, counts, totals, freqs, flag, regs) \
+                + jnp.sum(pen_fn(v) ** 2)
+
+        def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
+            ls, jtj, jtf = base_jtj(v, counts, totals, freqs, flag, regs)
+            pen = pen_fn(v)
+            Jp = jax.jacrev(pen_fn)(v)
+            return (jnp.concatenate([ls, pen]), jtj + Jp.T @ Jp,
+                    jtf + Jp.T @ pen)
+
+        def dlsvec_fn(v, counts, totals, freqs, flag, regs):
+            return jnp.concatenate(
+                [base_dls(v, counts, totals, freqs, flag, regs),
+                 jax.jacrev(pen_fn)(v)], axis=0)
 
     fns = {
         'lsvec': jax.jit(lsvec_fn),

