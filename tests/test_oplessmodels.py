@@ -32,12 +32,6 @@ class TestOplessModels:
         eps = 1e-7
         v0 = m.to_vector().copy()
         fd = np.empty_like(analytic)
-        for i in range(m.num_params):
-            v = v0.copy(); v[i] += eps
-            m.from_vector(v)
-            fd[i] = (m._success_prob(CIRC, cache) - None or 0)
-        # recompute properly
-        m.from_vector(v0)
         sp0 = m._success_prob(CIRC, cache)
         for i in range(m.num_params):
             v = v0.copy(); v[i] += eps
