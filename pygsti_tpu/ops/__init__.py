@@ -26,3 +26,37 @@ def load_fastparser():
     except Exception:
         pass
     return None
+
+
+def load_fastopcalc():
+    """Return a numpy-friendly wrapper over the native opcalc module, or None."""
+    import numpy as _np
+    mod = None
+    try:
+        from pygsti_tpu.ops import _fastopcalc
+        mod = _fastopcalc
+    except ImportError:
+        try:
+            from pygsti_tpu.ops.build import build_extension
+            if build_extension(quiet=True, name="fastopcalc"):
+                from pygsti_tpu.ops import _fastopcalc
+                mod = _fastopcalc
+        except Exception:
+            return None
+    if mod is None:
+        return None
+
+    class _Wrapper:
+        @staticmethod
+        def bulk_eval_real(vtape, ctape, paramvec):
+            raw, count, code = mod.bulk_eval_real_raw(vtape, ctape, paramvec)
+            return _np.frombuffer(raw, dtype=_np.float64, count=count)
+
+        @staticmethod
+        def bulk_eval_complex(vtape, ctape, paramvec):
+            raw, count, code = mod.bulk_eval_complex_raw(vtape, ctape, paramvec)
+            return _np.frombuffer(raw, dtype=_np.complex128, count=count)
+
+        abs_sum_bulk_eval_complex = staticmethod(mod.abs_sum_bulk_eval_complex)
+
+    return _Wrapper

@@ -7,13 +7,13 @@ import subprocess
 import sysconfig
 
 
-def build_extension(quiet=False):
-    """Compile _fastcircuitparser.cpp into this package directory.
+def build_extension(quiet=False, name="fastcircuitparser"):
+    """Compile <name>.cpp into this package directory as _<name>.
     Returns True on success."""
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "fastcircuitparser.cpp")
+    src = os.path.join(here, name + ".cpp")
     ext_suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = os.path.join(here, "_fastcircuitparser" + ext_suffix)
+    out = os.path.join(here, "_" + name + ext_suffix)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return True
     include = sysconfig.get_paths()["include"]
@@ -31,5 +31,6 @@ def build_extension(quiet=False):
 
 
 if __name__ == "__main__":
-    ok = build_extension(quiet=False)
-    print("built" if ok else "FAILED")
+    for name in ("fastcircuitparser", "fastopcalc"):
+        ok = build_extension(quiet=False, name=name)
+        print(name, "built" if ok else "FAILED")
