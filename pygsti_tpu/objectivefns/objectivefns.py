@@ -17,6 +17,8 @@ rule, objectivefns.py:1128-1749), keeping regularization kinks out of AD.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -568,7 +570,7 @@ class TimeIndependentMDCObjectiveFunction(object):
                tuple(sorted(tol.items())),
                tuple(sorted(linesearch.items())))
         if key not in sim._obj_graph_cache:
-            lm = make_device_lm(
+            init_fn, chunk_fn, fin_fn, _ = make_device_lm(
                 self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
                 num_params=len(x0),
                 f_norm2_tol=tol.get('f', 1.0), jac_norm_tol=tol.get('jac', 1e-6),
@@ -577,11 +579,22 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_beta=linesearch.get('beta', 0.25),
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0))
-            sim._obj_graph_cache[key] = jax.jit(lm)
-        lm_jit = sim._obj_graph_cache[key]
-        x, f, norm_f, mu, nu, code, k = lm_jit(
-            jnp.asarray(x0), self._counts_j, self._totals_j, self._freqs_j,
-            self._flag_j, self._regs_j)
+            sim._obj_graph_cache[key] = (jax.jit(init_fn), jax.jit(chunk_fn),
+                                         jax.jit(fin_fn))
+        init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
+        data = (self._counts_j, self._totals_j, self._freqs_j,
+                self._flag_j, self._regs_j)
+        # bounded-iterations chunks: each device program stays well under the
+        # TPU runtime's single-execution watchdog (a full-GST LM pass can run
+        # many minutes, which kills the worker if submitted as one program)
+        chunk = int(os.environ.get('PYGSTI_TPU_LM_CHUNK', '10'))
+        state = init_jit(jnp.asarray(x0), *data)
+        while True:
+            k_now = int(state.k)
+            if int(state.exit_code) != 0 or k_now >= maxiter:
+                break
+            state = chunk_jit(state, jnp.asarray(k_now + chunk), *data)
+        x, f, norm_f, mu, nu, code, k = fin_jit(state)
         code = int(code)
         converged = code in (1, 2, 3, 4, 5)
         msg = EXIT_MESSAGES.get(code, "exit code %d" % code)

@@ -61,18 +61,22 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
     half_max_nu = 2.0 ** 62
     max_norm_dx = (max_dx_scale ** 2) * num_params if max_dx_scale else None
 
-    def lm_run(x0, *data):
+    def lm_init(x0, *data):
         f0 = lsvec_fn(x0, *data)
         norm_f0 = jnp.dot(f0, f0)
-
-        init = _LMState(jnp.asarray(0), x0, f0, norm_f0,
+        return _LMState(jnp.asarray(0), x0, f0, norm_f0,
                         jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
                         x0, norm_f0, f0,
                         jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
                         jnp.asarray(0))
 
+    def lm_chunk(state, k_stop, *data):
+        """Advance the LM loop until exit, max_iter, or `k_stop` iterations
+        (bounded per-call work keeps single TPU programs under the runtime's
+        execution watchdog; state stays on device between calls)."""
+
         def cond(st):
-            return (st.exit_code == 0) & (st.k < max_iter)
+            return (st.exit_code == 0) & (st.k < max_iter) & (st.k < k_stop)
 
         def body(st):
             f, JTJ, JTf = jtj_jtf_fn(st.x, *data)
@@ -198,7 +202,9 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                             best_x, best_norm_f, best_f, best_mu, best_nu,
                             exit_code)
 
-        final = jax.lax.while_loop(cond, body, init)
+        return jax.lax.while_loop(cond, body, state)
+
+    def lm_finalize(final):
         hit_max = (final.exit_code == 0) & (final.k >= max_iter)
         exit_code = jnp.where(hit_max, 5, final.exit_code)
         # return the best known point (matching the host loop / reference)
@@ -208,7 +214,7 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
         norm_out = jnp.where(use_best, final.best_norm_f, final.norm_f)
         return x_out, f_out, norm_out, final.mu, final.nu, exit_code, final.k
 
-    return lm_run
+    return lm_init, lm_chunk, lm_finalize, max_iter
 
 
 EXIT_MESSAGES = {
