@@ -52,13 +52,27 @@ def repeat_and_truncate(circuit, max_length):
     return (circuit.repeat(reps))[:max_length]
 
 
-def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, germs,
-                               max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
-                               nest=True, include_lgst=True, germ_length_limits=None,
-                               op_label_aliases=None, dscheck=None,
-                               action_if_missing="raise", verbosity=0):
-    """Create the series of nested GST circuit lists (one per max-length)."""
+def make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials, germs,
+                       max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
+                       nest=True, include_lgst=True, germ_length_limits=None,
+                       op_label_aliases=None, dscheck=None,
+                       action_if_missing="raise", verbosity=0):
+    """Create the series of nested GST circuit structures, one per max-length
+    (reference: gstcircuits.make_lsgst_structs:259).  Each returned object is
+    a PlaquetteGridCircuitStructure (a CircuitList with a (L, germ) plaquette
+    grid used by report color-box plots)."""
+    from pygsti_tpu.circuits.circuitstructure import (
+        GermFiducialPairPlaquette, PlaquetteGridCircuitStructure)
     germ_length_limits = germ_length_limits or {}
+    import collections as _collections
+    plaquettes = _collections.OrderedDict()  # (L, germ) -> plaquette
+    lgst_circuits = []
+    germs = list(germs)
+    line_labels = germs[0].line_labels if len(germs) > 0 else \
+        (list(prep_fiducials) + list(meas_fiducials))[0].line_labels
+    empty_germ = Circuit((), line_labels)
+    struct_germs = ([empty_germ] + germs) \
+        if (include_lgst and empty_germ not in germs) else germs
 
     running = []
     seen = set()
@@ -73,6 +87,7 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
         # from fiducial-pair reduction; reference gstcircuits include_lgst)
         for c in create_lgst_circuits(prep_fiducials, meas_fiducials, op_label_src):
             add(c)
+            lgst_circuits.append(c)
 
     def pairs_for_germ(germ):
         if fid_pairs is None:
@@ -96,8 +111,22 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
                         add(f1 + f2)
         if L == 0:
             # "0" means the LGST strings (already added above)
-            lists.append(CircuitList(list(running), op_label_aliases))
+            lists.append(PlaquetteGridCircuitStructure(
+                dict(plaquettes), [l for l in max_lengths if l <= L], struct_germs,
+                "L", "germ", lgst_circuits, op_label_aliases))
             continue
+        if include_lgst and L == next((l for l in max_lengths if l != 0), None):
+            # LGST fiducial pairs as an empty-germ plaquette at the first L
+            # (reference: gstcircuits.py:571-575; no FPR on LGST strings)
+            fidpairs0 = _collections.OrderedDict(
+                ((j, i), (f1, f2))
+                for (i, f1) in enumerate(prep_fiducials)
+                for (j, f2) in enumerate(meas_fiducials))
+            for (j, i), (f1, f2) in fidpairs0.items():
+                add(f1 + f2)
+            plaquettes[(L, empty_germ)] = GermFiducialPairPlaquette(
+                empty_germ, 1, fidpairs0, len(meas_fiducials),
+                len(prep_fiducials), op_label_aliases)
         for germ in germs:
             Lg = min(L, germ_length_limits.get(germ, L))
             if trunc_scheme == "whole germ powers":
@@ -106,17 +135,49 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
                     continue
                 base = germ.repeat(reps)
             elif trunc_scheme == "truncated germ powers":
+                reps = 0
                 base = repeat_and_truncate(germ, Lg)
             elif trunc_scheme == "length as exponent":
+                reps = Lg
                 base = germ.repeat(Lg)
             else:
                 raise ValueError("Unknown trunc_scheme %r" % trunc_scheme)
-            for f1, f2 in pairs_for_germ(germ):
+            germ_pairs = set(pairs_for_germ(germ))
+            fidpairs = _collections.OrderedDict()
+            for (i, f1), (j, f2) in ((iv, jv) for iv in enumerate(prep_fiducials)
+                                     for jv in enumerate(meas_fiducials)):
+                if (f1, f2) not in germ_pairs:
+                    continue
                 c = f1 + base + f2
                 if dscheck is not None and c not in dscheck:
                     if action_if_missing == "raise":
                         raise ValueError("Circuit %s missing from dataset" % c.str)
                     continue
                 add(c)
-        lists.append(CircuitList(list(running), op_label_aliases))
+                fidpairs[(j, i)] = (f1, f2)
+            plaq = GermFiducialPairPlaquette(
+                germ, reps, fidpairs, len(meas_fiducials), len(prep_fiducials),
+                op_label_aliases)
+            if reps == 0 and base.depth > 0:  # truncated-germ-power scheme
+                from pygsti_tpu.circuits.circuitstructure import FiducialPairPlaquette
+                plaq = FiducialPairPlaquette(base, fidpairs, len(meas_fiducials),
+                                             len(prep_fiducials), op_label_aliases)
+            plaquettes[(L, germ)] = plaq
+        lists.append(PlaquetteGridCircuitStructure(
+            dict(plaquettes), [l for l in max_lengths if l <= L], struct_germs,
+            "L", "germ", lgst_circuits, op_label_aliases))
     return lists
+
+
+def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, germs,
+                               max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
+                               nest=True, include_lgst=True, germ_length_limits=None,
+                               op_label_aliases=None, dscheck=None,
+                               action_if_missing="raise", verbosity=0):
+    """Create the series of nested GST circuit lists (one per max-length).
+    Returns PlaquetteGridCircuitStructure objects (CircuitList subclasses)."""
+    return make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials,
+                              germs, max_lengths, fid_pairs, trunc_scheme,
+                              nest, include_lgst, germ_length_limits,
+                              op_label_aliases, dscheck, action_if_missing,
+                              verbosity)

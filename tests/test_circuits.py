@@ -91,3 +91,32 @@ class TestParserParity:
             mine = Circuit(c.str)
             assert mine.str == c.str
             assert mine.depth == c.depth
+
+
+class TestCircuitStructure:
+    def test_lsgst_structs_plaquettes(self):
+        """make_lsgst_structs returns plaquette grids with LGST empty-germ
+        plaquette first (reference: gstcircuits.py:527-575)."""
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import make_lsgst_structs
+        from pygsti_tpu.circuits.circuitstructure import (
+            PlaquetteGridCircuitStructure, GermFiducialPairPlaquette)
+        structs = make_lsgst_structs(mp.target_model('static'),
+                                     mp.prep_fiducials(), mp.meas_fiducials(),
+                                     mp.germs(), [1, 2, 4])
+        st = structs[-1]
+        assert isinstance(st, PlaquetteGridCircuitStructure)
+        assert st.xs == [1, 2, 4] and len(st.ys) == len(mp.germs()) + 1
+        keys = list(st.plaquettes.keys())
+        assert keys[0][0] == 1 and keys[0][1].depth == 0  # empty-germ LGST plaq
+        p = st.plaquettes[keys[0]]
+        assert isinstance(p, GermFiducialPairPlaquette)
+        assert len(p) == len(mp.prep_fiducials()) * len(mp.meas_fiducials())
+        # every circuit in a plaquette appears in the struct's circuit list
+        all_circuits = set(st)
+        for plaq in st.plaquettes.values():
+            for c in plaq.circuits:
+                assert c in all_circuits
+        # truncation keeps structure consistent
+        st2 = st.truncate(xs_to_keep=[1, 2])
+        assert st2.xs == [1, 2] and len(st2) < len(st)
