@@ -13,7 +13,8 @@ from pygsti_tpu.algorithms.compilers import compile_clifford, CompilationRules
 
 def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
                                qubit_labels=None, randomizeout=False, citerations=20,
-                               compilercache=None, seed=None, rand_state=None):
+                               compilercache=None, seed=None, rand_state=None,
+                               interleaved_circuit=None):
     """Sample one Clifford RB circuit of the given length (reference:
     randomcircuit.py:1132).
 
@@ -32,11 +33,18 @@ def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
     s_comp = np.identity(2 * n, np.int64)
     p_comp = np.zeros(2 * n, np.int64)
     layers = []
+    if interleaved_circuit is not None:
+        s_int, p_int = sym.symplectic_rep_of_clifford_circuit(
+            interleaved_circuit, pspec=pspec)
     for _ in range(length + 1):
         s, p = sym.random_clifford(n, rand_state=rng)
         circ = compile_clifford(s, p, pspec, qubit_labels, rules)
         layers.extend(circ.layertup)
         s_comp, p_comp = sym.compose_cliffords(s_comp, p_comp, s, p)
+        if interleaved_circuit is not None:
+            # interleave the target gate after each random Clifford
+            layers.extend(interleaved_circuit.layertup)
+            s_comp, p_comp = sym.compose_cliffords(s_comp, p_comp, s_int, p_int)
 
     s_inv, p_inv = sym.inverse_clifford(s_comp, p_comp)
     if randomizeout:
@@ -238,3 +246,89 @@ def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
     state = sym.apply_clifford_to_stabilizer_state(s_tot, p_tot, *state)
     idealout = sym.measure_all_qubits_deterministic(*state)
     return full, idealout
+
+
+def create_binary_rb_circuit(pspec, clifford_compilations=None, length=1,
+                             qubit_labels=None, layer_sampling='mixed1q2q',
+                             sampler='edgegrab', samplerargs=None,
+                             addlocal=False, lsargs=None, seed=None):
+    """Generate one binary RB (BiRB) circuit (reference:
+    randomcircuit.create_binary_rb_circuit:2268).
+
+    Structure: random stabilizer prep (an eigenstate of a random +/- Pauli P),
+    `length` random layers U, then a single-qubit basis-change layer M mapping
+    Q = U P U^-1 onto a Z-type Pauli.  Returns (circuit, meas, sign): `meas`
+    is the 'I'/'Z' string of the measured Pauli and `sign` the ideal
+    eigenvalue; the BiRB statistic is the measured Pauli expectation.
+    """
+    from pygsti_tpu.tools import symplectic as sym
+    from pygsti_tpu.algorithms.compilers import compile_clifford, CompilationRules
+    from pygsti_tpu.circuits import Circuit
+
+    rng = np.random.RandomState(seed)
+    if qubit_labels is None:
+        qubit_labels = tuple(pspec.qubit_labels)
+    n = len(qubit_labels)
+    rules = clifford_compilations if isinstance(clifford_compilations, CompilationRules) \
+        else CompilationRules(pspec)
+
+    # -- 1) random Clifford C -> prep circuit; P = C (+/-Z_0) C^-1 ----------
+    s_C, p_C = sym.random_clifford(n, rng)
+    rand_sign_bit = rng.randint(2)           # eigenstate sign of Z_0: |0> or |1>
+    prep_circ = compile_clifford(s_C, p_C, pspec, qubit_labels, rules)
+    if rand_sign_bit:
+        from pygsti_tpu.baseobjs.label import Label
+        xname = next((g for g in pspec.gate_names if g in ('Gxpi', 'Gx')), None)
+        if xname is not None:
+            prep_circ = Circuit([Label(xname, qubit_labels[0])],
+                                qubit_labels) + prep_circ
+        else:  # no pi-pulse available: stick to + eigenstates
+            rand_sign_bit = 0
+
+    # Pauli P as a single transformed stabilizer column: start with (-1)^b Z_0
+    col = np.zeros((2 * n, 1), np.int64)
+    col[n, 0] = 1
+    ph = np.array([2 * rand_sign_bit], np.int64)
+    P_s, P_p = sym.apply_clifford_to_stabilizer_state(s_C, p_C, col, ph)
+
+    # -- 2) core random circuit U ------------------------------------------
+    samplerargs = samplerargs or []
+    core = create_random_circuit(pspec, length, qubit_labels=qubit_labels,
+                                 sampler=sampler, samplerargs=samplerargs,
+                                 rand_state=rng)
+    s_U, p_U = sym.symplectic_rep_of_clifford_circuit(core, pspec=pspec)
+
+    # Q = U P U^-1
+    Q_s, Q_p = sym.apply_clifford_to_stabilizer_state(s_U, p_U, P_s, P_p)
+    qx, qz = Q_s[:n, 0], Q_s[n:, 0]
+
+    # -- 3) per-qubit basis change M: g X g^-1 = Z (H) / g Y g^-1 = Z ------
+    from pygsti_tpu.algorithms.compilers import compile_1q_clifford
+    from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+    std = standard_gatename_unitaries()
+    H_u = std['Gh']
+    HSdg_u = H_u @ std['Gp'].conj().T          # S^dag then H
+    meas_words = []
+    for i, q in enumerate(qubit_labels):
+        if qx[i] and not qz[i]:        # X -> Z
+            s1, p1 = sym.unitary_to_symplectic(H_u)
+            meas_words.append(compile_1q_clifford(s1, p1, rules.native_1q, q))
+        elif qx[i] and qz[i]:          # Y -> Z
+            s1, p1 = sym.unitary_to_symplectic(HSdg_u)
+            meas_words.append(compile_1q_clifford(s1, p1, rules.native_1q, q))
+    basis_circ_layers = []
+    maxlen = max((len(w) for w in meas_words), default=0)
+    for k in range(maxlen):
+        basis_circ_layers.append([w[k] for w in meas_words if len(w) > k])
+    basis_circ = Circuit(basis_circ_layers, qubit_labels)
+
+    s_M, p_M = sym.symplectic_rep_of_clifford_circuit(basis_circ, pspec=pspec)
+    Z_s, Z_p = sym.apply_clifford_to_stabilizer_state(s_M, p_M, Q_s, Q_p)
+    zx, zz = Z_s[:n, 0], Z_s[n:, 0]
+    assert not zx.any(), "basis change failed to map Pauli onto Z-type"
+    meas = ''.join('Z' if zz[i] else 'I' for i in range(n))
+    # phase exponent of i^p Z-type Pauli must be 0 or 2 -> sign
+    sign = 1 if int(Z_p[0]) % 4 == 0 else -1
+
+    full = prep_circ + core + basis_circ
+    return full, meas, sign

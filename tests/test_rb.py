@@ -87,3 +87,76 @@ class TestRBEndToEnd:
         assert results.fits['full']['success']
         assert 1e-4 < r < 0.2, "r = %g out of expected range" % r
         assert results.r_std is not None
+
+
+class TestBinaryRB:
+    def test_birb_design_and_analysis(self):
+        """BiRB end-to-end: design, simulate weak depolarizing noise, fit
+        energies decay (reference: rb.py:1024 BinaryRBDesign)."""
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.protocols.rb import BinaryRBDesign, RandomizedBenchmarking
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gxpi', 'Gcnot'],
+                                   geometry='line')
+        design = BinaryRBDesign(pspec, depths=[0, 2, 6], circuits_per_depth=4,
+                                seed=11)
+        mdl = create_crosstalk_free_model(
+            pspec, depolarization_strengths={g: 0.01 for g in pspec.gate_names})
+        ds = simulate_data(mdl, design.all_circuits_needing_data, 400, seed=5)
+        data = ProtocolData(design, ds)
+        res = RandomizedBenchmarking(datatype='energies',
+                                     bootstrap_samples=0).run(data)
+        p = res.fits['full']['estimates']['p']
+        assert 0.5 < p <= 1.0  # weak noise: polarization decays mildly
+
+    def test_birb_noiseless_energy_is_sign(self):
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.algorithms.randomcircuit import create_binary_rb_circuit
+        from pygsti_tpu.tools import symplectic as sym
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gxpi', 'Gcnot'],
+                                   geometry='line')
+        for seed in range(4):
+            circ, meas, sign = create_binary_rb_circuit(pspec, length=3,
+                                                        seed=seed)
+            s_c, p_c = sym.symplectic_rep_of_clifford_circuit(circ, pspec=pspec)
+            st = sym.prep_stabilizer_state(2)
+            out = sym.apply_clifford_to_stabilizer_state(s_c, p_c, *st)
+            support = [i for i, ch in enumerate(meas) if ch == 'Z']
+            exp = sum(sym.stabilizer_outcome_probability(*out, [b0, b1])
+                      * (-1) ** sum([b0, b1][i] for i in support)
+                      for b0 in (0, 1) for b1 in (0, 1))
+            assert abs(exp - sign) < 1e-9
+
+
+class TestInterleavedRB:
+    def test_irb_end_to_end(self):
+        """IRB: interleaved design + protocol produce an IRB number close to
+        the interleaved gate's depolarizing error (reference: rb.py:1685)."""
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.protocols.rb import (InterleavedRBDesign,
+                                             InterleavedRandomizedBenchmarking)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+
+        pspec = QubitProcessorSpec(1, ['Gxpi2', 'Gypi2'])
+        interleaved = Circuit([('Gxpi2', 0)], (0,))
+        design = InterleavedRBDesign(pspec, interleaved, depths=[0, 2, 4, 8, 16],
+                                     circuits_per_depth=10, seed=21)
+        mdl = create_crosstalk_free_model(
+            pspec, depolarization_strengths={'Gxpi2': 0.01, 'Gypi2': 0.001})
+        ds = simulate_data(mdl, design.all_circuits_needing_data, 5000, seed=6)
+        data = ProtocolData(design, ds)
+        res = InterleavedRandomizedBenchmarking(bootstrap_samples=0).run(data)
+        irb = res.irb_numbers['full']
+        # Gxpi2 depol 0.01 -> EI infidelity ~ 0.01 * 3/4 = 0.0075
+        assert 0.002 < irb < 0.02, irb
+        # the interleaved arm must decay faster than the standard arm
+        assert res.icrb_results.r > res.crb_results.r
