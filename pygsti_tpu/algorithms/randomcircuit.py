@@ -169,7 +169,7 @@ def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
 def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
                              qubit_labels=None, sampler='edgegrab', samplerargs=None,
                              localclifford=True, paulirandomize=True, seed=None,
-                             rand_state=None):
+                             rand_state=None, fixed_layers=None):
     """Sample one mirror RB circuit (reference: randomcircuit.py:1447).
 
     Structure: random 1Q-Clifford layer; length/2 sampled layers; (Pauli
@@ -215,10 +215,14 @@ def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
         layers.extend(init_word)
 
     core_layers = []
-    for _ in range(length // 2):
-        layer = sample_circuit_layer_by_edgegrab(pspec, qubit_labels,
-                                                 rand_state=rng,
-                                                 **(samplerargs or {}))
+    for k in range(length // 2):
+        if fixed_layers is not None:
+            # periodic mirror circuits: cycle through the given germ layers
+            layer = fixed_layers[k % len(fixed_layers)]
+        else:
+            layer = sample_circuit_layer_by_edgegrab(pspec, qubit_labels,
+                                                     rand_state=rng,
+                                                     **(samplerargs or {}))
         core_layers.append(layer)
         layers.append(layer)
 

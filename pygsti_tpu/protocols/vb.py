@@ -115,3 +115,40 @@ class SummaryStatisticsResults(ProtocolResults):
                              'SuccessProbability': v,
                              'Polarization': self.statistics['polarization'][depth][i]})
         return pd.DataFrame(rows)
+
+
+class PeriodicMirrorCircuitDesign(ByDepthDesign):
+    """Periodic mirror-circuit benchmarking design: the core layers cycle
+    through a fixed 'germ' layer sequence instead of being random, with
+    random 1Q-Clifford caps and Pauli randomization as in mirror RB
+    (reference: vb.py:328 PeriodicMirrorCircuitDesign)."""
+
+    def __init__(self, pspec, depths, circuits_per_depth, germ_circuit,
+                 qubit_labels=None, localclifford=True, paulirandomize=True,
+                 seed=None):
+        from pygsti_tpu.algorithms import randomcircuit as _rc
+        import numpy as _np
+        qubit_labels = tuple(qubit_labels) if qubit_labels is not None \
+            else tuple(pspec.qubit_labels)
+        rng = _np.random.RandomState(seed)
+        fixed_layers = [germ_circuit.layertup[i]
+                        for i in range(germ_circuit.depth)]
+        circuit_lists, idealout_lists = [], []
+        for d in depths:
+            circs, ideals = [], []
+            for _ in range(circuits_per_depth):
+                c, ideal = _rc.create_mirror_rb_circuit(
+                    pspec, None, d, qubit_labels,
+                    localclifford=localclifford, paulirandomize=paulirandomize,
+                    rand_state=rng, fixed_layers=fixed_layers)
+                circs.append(c)
+                ideals.append(ideal)
+            circuit_lists.append(circs)
+            idealout_lists.append(ideals)
+        all_circs = [c for cl in circuit_lists for c in cl]
+        ExperimentDesign.__init__(self, all_circs, qubit_labels)
+        self.depths = list(depths)
+        self.circuit_lists = circuit_lists
+        self.idealout_lists = idealout_lists
+        self.circuits_per_depth = circuits_per_depth
+        self.germ_circuit = germ_circuit

@@ -160,3 +160,48 @@ class TestInterleavedRB:
         assert 0.002 < irb < 0.02, irb
         # the interleaved arm must decay faster than the standard arm
         assert res.icrb_results.r > res.crb_results.r
+
+
+class TestVBExtras:
+    def test_periodic_mirror_design(self):
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.protocols.vb import PeriodicMirrorCircuitDesign
+        from pygsti_tpu.tools import symplectic as sym
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gxpi', 'Gzpi',
+                                       'Gypi', 'Gcnot'], geometry='line')
+        germ = Circuit([[('Gxpi2', 0), ('Gypi2', 1)], [('Gcnot', 0, 1)]], (0, 1))
+        design = PeriodicMirrorCircuitDesign(pspec, [0, 4], 3, germ, seed=4)
+        for circs, ideals in zip(design.circuit_lists, design.idealout_lists):
+            for c, ideal in zip(circs, ideals):
+                s_c, p_c = sym.symplectic_rep_of_clifford_circuit(c, pspec=pspec)
+                st = sym.prep_stabilizer_state(2)
+                out = sym.apply_clifford_to_stabilizer_state(s_c, p_c, *st)
+                assert abs(sym.stabilizer_outcome_probability(
+                    *out, list(ideal)) - 1.0) < 1e-9
+
+    def test_vbdataframe(self):
+        import numpy as np
+        from pygsti_tpu.protocols.vbdataframe import (VBDataFrame,
+                                                      classify_circuit_shape)
+        rng = np.random.RandomState(0)
+        rows = []
+        for d in [2, 4, 8]:
+            for w in [1, 2]:
+                for _ in range(5):
+                    sp = max(0, 1.0 - 0.05 * d * w + rng.randn() * 0.01)
+                    rows.append({'Depth': d, 'Width': w, 'polarization': sp,
+                                 'total_counts': 100})
+        vbdf = VBDataFrame.from_benchmarking_data(rows)
+        vb = vbdf.vb_data(statistic='mean')
+        assert vb[(2, 1)] > vb[(8, 2)]
+        regions = vbdf.capability_regions(threshold=0.7)
+        assert regions[(2, 1)] == 2 and regions[(8, 2)] == 0
+        # monotonic_min never increases with depth/width
+        vbm = vbdf.vb_data(statistic='monotonic_min')
+        assert vbm[(8, 2)] <= vbm[(2, 1)]
+        # classify: clearly-above and clearly-below
+        assert classify_circuit_shape([0.9] * 10, [500] * 10, 0.5) == 2
+        assert classify_circuit_shape([0.1] * 10, [500] * 10, 0.5) == 0
+        assert classify_circuit_shape([0.9] * 5 + [0.1] * 5, [500] * 10, 0.5) == 1
