@@ -51,7 +51,8 @@ def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
 def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                    f_norm2_tol=1.0, jac_norm_tol=1e-6, rel_ftol=1e-6,
                    rel_xtol=1e-8, max_iter=100, max_dx_scale=1.0,
-                   ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0):
+                   ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0,
+                   max_inner=16):
     """Build the jitted LM driver.
 
     jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f.
@@ -91,13 +92,19 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
             nu0 = jnp.where(st.k == 0, 2.0, st.nu)
 
             # ---- inner damping loop -------------------------------------
-            # carry: (mu, nu, done, accepted, new_x, new_f, new_norm_f, code)
+            # carry: (mu, nu, done, accepted, new_x, new_f, new_norm_f, code,
+            #         inner_k).  Bounded at max_inner attempts per body call:
+            # an unbounded ladder of lsvec evaluations inside one device
+            # program can exceed the TPU runtime's execution watchdog (which
+            # kills the worker).  On hitting the bound the (mu, nu) ladder
+            # state carries into the next outer iteration, which recomputes
+            # the same JTJ at the unchanged x and continues the ladder.
             def inner_cond(c):
-                mu, nu, done, accepted, nx, nf, nnf, code = c
-                return jnp.logical_not(done)
+                mu, nu, done, accepted, nx, nf, nnf, code, inner_k = c
+                return jnp.logical_not(done) & (inner_k < max_inner)
 
             def inner_body(c):
-                mu, nu, done, accepted, nx_prev, nf_prev, nnf_prev, code = c
+                mu, nu, done, accepted, nx_prev, nf_prev, nnf_prev, code, inner_k = c
                 dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
                 solve_ok = jnp.all(jnp.isfinite(dx))
                 norm_dx = jnp.dot(dx, dx)
@@ -176,12 +183,13 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                 mu_new = jnp.where(accept, mu_acc, jnp.where(done_new, mu, mu_rej))
                 nu_new = jnp.where(accept, nu_acc, jnp.where(done_new, nu, nu_rej))
                 return (mu_new, nu_new, done_new, accept, new_x, new_f, norm_new_f,
-                        code_new)
+                        code_new, inner_k + 1)
 
-            mu_f, nu_f, _, accepted, new_x, new_f, norm_new_f, inner_code = \
+            mu_f, nu_f, _, accepted, new_x, new_f, norm_new_f, inner_code, _ik = \
                 jax.lax.while_loop(inner_cond, inner_body,
                                    (mu0, nu0, jnp.asarray(False), jnp.asarray(False),
-                                    st.x, f, norm_f, jnp.asarray(0)))
+                                    st.x, f, norm_f, jnp.asarray(0),
+                                    jnp.asarray(0)))
 
             x1 = jnp.where(accepted, new_x, st.x)
             f1 = jnp.where(accepted, new_f, f)
