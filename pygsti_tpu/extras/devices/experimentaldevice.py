@@ -1,0 +1,106 @@
+"""ExperimentalDevice: device connectivity container (reference:
+pygsti/extras/devices/experimentaldevice.py:22 ExperimentalDevice; the
+ibmq_*.py modules' edge-list data is represented here as named topology
+generators).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.baseobjs.qubitgraph import QubitGraph
+
+
+def _line(n):
+    return [('Q%d' % i, 'Q%d' % (i + 1)) for i in range(n - 1)]
+
+
+def _t5():
+    # 5-qubit "T" (belem/lima/quito style): 0-1, 1-2, 1-3, 3-4
+    return [('Q0', 'Q1'), ('Q1', 'Q2'), ('Q1', 'Q3'), ('Q3', 'Q4')]
+
+
+def _h7():
+    # 7-qubit "H" (lagos/casablanca/jakarta style)
+    return [('Q0', 'Q1'), ('Q1', 'Q2'), ('Q1', 'Q3'), ('Q3', 'Q5'),
+            ('Q4', 'Q5'), ('Q5', 'Q6')]
+
+
+def _grid(rows, cols):
+    edges = []
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            if c + 1 < cols:
+                edges.append(('Q%d' % i, 'Q%d' % (i + 1)))
+            if r + 1 < rows:
+                edges.append(('Q%d' % i, 'Q%d' % (i + cols)))
+    return edges
+
+
+# named public device topologies (connectivity only)
+DEVICE_EDGELISTS = {
+    'ibmq_athens': _line(5), 'ibmq_bogota': _line(5),
+    'ibmq_santiago': _line(5), 'ibmq_manila': _line(5),
+    'ibmq_belem': _t5(), 'ibmq_lima': _t5(), 'ibmq_quito': _t5(),
+    'ibmq_essex': _t5(), 'ibmq_london': _t5(), 'ibmq_burlington': _t5(),
+    'ibmq_lagos': _h7(), 'ibmq_casablanca': _h7(), 'ibmq_jakarta': _h7(),
+    'ibmq_perth': _h7(), 'ibmq_nairobi': _h7(),
+}
+
+
+class ExperimentalDevice(object):
+    """Qubits + connectivity graph + native-gate mapping
+    (reference: experimentaldevice.py:22)."""
+
+    def __init__(self, qubits, graph, gate_mapping=None):
+        self.qubits = list(qubits)
+        self.graph = graph
+        self.gate_mapping = gate_mapping if gate_mapping is not None \
+            else {'Gcnot': 'cx'}
+
+    @classmethod
+    def from_edgelist(cls, qubits, edgelist, gate_mapping=None):
+        return cls(qubits, QubitGraph(list(qubits), initial_edges=list(edgelist)),
+                   gate_mapping)
+
+    @classmethod
+    def from_legacy_device(cls, devname, gate_mapping=None):
+        if devname not in DEVICE_EDGELISTS:
+            raise ValueError("Unknown device %r (known: %s)"
+                             % (devname, sorted(DEVICE_EDGELISTS)))
+        edges = DEVICE_EDGELISTS[devname]
+        qubits = sorted({q for e in edges for q in e},
+                        key=lambda s: int(s[1:]))
+        return cls.from_edgelist(qubits, edges, gate_mapping)
+
+    @classmethod
+    def from_qiskit_backend(cls, backend, gate_mapping=None):
+        num_qubits = backend.num_qubits
+        qubits = ['Q%d' % i for i in range(num_qubits)]
+        edges = [(qubits[e[0]], qubits[e[1]]) for e in backend.coupling_map]
+        return cls.from_edgelist(qubits, edges, gate_mapping)
+
+    def create_processor_spec(self, gate_names=None, qubit_subset=None,
+                              remove_edges=None, subset_only=True):
+        from pygsti_tpu.processors import QubitProcessorSpec
+        if gate_names is None:
+            gate_names = ['Gxpi2', 'Gypi2'] + list(self.gate_mapping.keys())
+        if qubit_subset is None:
+            qubit_subset = list(self.qubits)
+        assert set(qubit_subset) <= set(self.qubits)
+        remove = set(map(tuple, remove_edges or []))
+        edges = [e for e in self.graph.edges()
+                 if e[0] in qubit_subset and e[1] in qubit_subset
+                 and e not in remove and (e[1], e[0]) not in remove]
+        graph = QubitGraph(list(qubit_subset), initial_edges=edges)
+        return QubitProcessorSpec(len(qubit_subset), gate_names,
+                                  geometry=graph,
+                                  qubit_labels=tuple(qubit_subset))
+
+    def create_error_rates_model(self, caldata=None, calformat='native',
+                                 model_type='TwirledLayers', idle_name=None):
+        from pygsti_tpu.extras.devices.devcore import create_error_rates_model
+        return create_error_rates_model(caldata, self, calformat=calformat,
+                                        model_type=model_type,
+                                        idle_name=idle_name)
