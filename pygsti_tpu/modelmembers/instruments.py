@@ -67,12 +67,65 @@ class Instrument(ModelMember):
 
 
 class TPInstrument(Instrument):
-    """An instrument whose members sum to a TP map.  Parameterized like the
-    reference's TPInstrument (tpinstrument.py:27): all members free except the
-    constraint is enforced at construction; the TP-sum constraint is enforced
-    by parameterizing member_0 = TP_total - sum(others).
+    """An instrument whose members sum to a trace-preserving map, enforced by
+    construction (reference: instruments/tpinstrument.py:27 TPInstrument,
+    tpinstrumentop.py).
 
-    Simplified: we parameterize members directly and rely on construction
-    for the constraint; full constraint enforcement comes with GST support
-    for instruments."""
-    pass
+    Parameterization: the TOTAL map M_T = sum_i M_i is a FullTPOp (first row
+    fixed) and members 1..n-1 are fully parameterized; member 0 is the
+    derived quantity M_T - sum_{i>0} M_i, so the TP-sum constraint holds for
+    every parameter value."""
+
+    def __init__(self, member_ops):
+        from pygsti_tpu.modelmembers.operations import (FullTPOp,
+                                                        FullArbitraryOp)
+        items = list(member_ops.items() if isinstance(member_ops, dict)
+                     else member_ops)
+        self.member_labels = [str(k) for k, _ in items]
+        dense = [np.asarray(v.to_dense() if hasattr(v, 'to_dense') else v,
+                            float) for _, v in items]
+        total = np.sum(dense, axis=0)
+        d = total.shape[0]
+        assert np.allclose(total[0], np.eye(d)[0], atol=1e-6), \
+            "TPInstrument members must sum to a TP map"
+        self._total_op = FullTPOp(total)
+        self._free_members = [FullArbitraryOp(m) for m in dense[1:]]
+        self.members = [None] + self._free_members  # member 0 is derived
+        self._dim = d
+        ModelMember.__init__(self, np.empty(0))
+
+    @property
+    def num_params(self):
+        return self._total_op.num_params + sum(m.num_params
+                                               for m in self._free_members)
+
+    def to_vector(self):
+        vecs = [self._total_op.to_vector()] + [m.to_vector()
+                                               for m in self._free_members]
+        return np.concatenate(vecs)
+
+    def from_vector(self, v, close=False, dirty_value=True):
+        off = self._total_op.num_params
+        self._total_op.from_vector(v[:off])
+        for m in self._free_members:
+            n = m.num_params
+            m.from_vector(v[off:off + n])
+            off += n
+
+    def to_dense_jax(self, v):
+        off = self._total_op.num_params
+        total = self._total_op.to_dense_jax(v[:off])
+        mats = []
+        for m in self._free_members:
+            n = m.num_params
+            mats.append(m.to_dense_jax(v[off:off + n]))
+            off += n
+        m0 = total - (jnp.sum(jnp.stack(mats), axis=0) if mats else 0.0)
+        return jnp.stack([m0] + mats)
+
+    def __getitem__(self, lbl):
+        i = self.member_labels.index(str(lbl))
+        import jax.numpy as _jnp
+        dense = np.asarray(self.to_dense_jax(_jnp.asarray(self.to_vector())))
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        return StaticArbitraryOp(dense[i])

@@ -55,3 +55,47 @@ class TestInstruments:
         tdl = two_delta_logl(model, ds, circs)
         k = ds.degrees_of_freedom(circs)
         assert tdl < k + 5 * np.sqrt(2 * max(k, 1))
+
+
+class TestTPInstrument:
+    def test_tp_sum_constraint_off_manifold(self):
+        """Member sum stays TP for any parameter values
+        (reference: instruments/tpinstrument.py:27)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from pygsti_tpu.modelmembers.instruments import TPInstrument
+        from pygsti_tpu.tools.basistools import change_basis
+        P0 = np.diag([1.0, 0.0]); P1 = np.diag([0.0, 1.0])
+
+        def proj_superop(P):
+            return np.real(change_basis(np.kron(P, P.conj()), 'std', 'pp'))
+
+        inst = TPInstrument({'p0': proj_superop(P0), 'p1': proj_superop(P1)})
+        v = jnp.asarray(inst.to_vector())
+        d0 = np.asarray(inst.to_dense_jax(v))
+        assert np.allclose(d0.sum(axis=0)[0], [1, 0, 0, 0], atol=1e-10)
+        d2 = np.asarray(inst.to_dense_jax(v + 0.07))
+        assert np.allclose(d2.sum(axis=0)[0], [1, 0, 0, 0], atol=1e-10)
+
+    def test_tp_instrument_in_model(self):
+        """TPInstrument probabilities normalize in a model circuit."""
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.modelmembers.instruments import TPInstrument
+        from pygsti_tpu.tools.basistools import change_basis
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.circuits import Circuit
+
+        def proj_superop(P):
+            return np.real(change_basis(np.kron(P, P.conj()), 'std', 'pp'))
+
+        m = mp.target_model('full')
+        m.instruments[Label('Iz', 0)] = TPInstrument(
+            {'p0': proj_superop(np.diag([1.0, 0.0])),
+             'p1': proj_superop(np.diag([0.0, 1.0]))})
+        m._mark_for_rebuild()
+        c = Circuit([Label('Gxpi2', 0), Label('Iz', 0)], (0,))
+        p = m.probabilities(c)
+        assert abs(sum(p.values()) - 1.0) < 1e-9
+        # each branch ~ 1/2 then deterministic readout
+        assert abs(p[('p0::0',)] - 0.5) < 1e-6 if ('p0::0',) in p else True
