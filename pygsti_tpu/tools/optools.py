@@ -200,6 +200,17 @@ def decompose_gate_matrix(op_mx):
     angles = np.angle(evals)
     out['pi rotations'] = float(np.max(np.abs(angles)) / np.pi)
     out['decay of diagonal rotation terms'] = float(1.0 - np.mean(mags))
+    if d2 == 4:
+        # rotation axis: +1-eigenvector of the unital 3x3 block, as the
+        # 4-vector [0, nx, ny, nz] (reference decomposition's convention)
+        R = np.real(m[1:, 1:])
+        evals_r, evecs_r = np.linalg.eig(R)
+        i = int(np.argmin(np.abs(evals_r - 1.0)))
+        axis = np.real(evecs_r[:, i])
+        nrm = np.linalg.norm(axis)
+        if nrm > 1e-12:
+            axis = axis / nrm
+        out['axis of rotation'] = np.concatenate([[0.0], axis])
     out['isValid'] = True
     return out
 
