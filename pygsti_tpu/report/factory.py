@@ -100,6 +100,28 @@ class Report(object):
             sections.append("<h3>Model violation</h3>")
             sections.append(_table(["Quantity", "Value"], rows))
 
+            # -- per-circuit color box plot ----------------------------------
+            try:
+                from pygsti_tpu.circuits.circuitstructure import \
+                    PlaquetteGridCircuitStructure
+                from pygsti_tpu.report.workspaceplots import \
+                    model_violation_boxplot_html
+                struct = None
+                edesign = getattr(results.data, 'edesign', None)
+                if edesign is not None and hasattr(edesign, 'circuit_lists'):
+                    cand = edesign.circuit_lists[-1]
+                    if isinstance(cand, PlaquetteGridCircuitStructure):
+                        struct = cand
+                ds = getattr(results.data, 'dataset', None)
+                final_mdl = est.models.get('final iteration estimate')
+                if struct is not None and ds is not None \
+                        and final_mdl is not None:
+                    sections.append(model_violation_boxplot_html(
+                        final_mdl, ds, struct))
+            except Exception as e:  # box plot is auxiliary; never break report
+                sections.append('<p class="meta">(box plot unavailable: %s)</p>'
+                                % _html.escape(str(e)))
+
             target = est.models.get('target')
             # choose the displayed model: last gauge-opt variant if present
             display_key = None

@@ -75,3 +75,47 @@ class TestGSTProtocol:
             len(data.edesign.all_circuits_needing_data)
         c0 = data.edesign.all_circuits_needing_data[0]
         assert dict(data2.dataset[c0].counts) == dict(data.dataset[c0].counts)
+
+
+class TestColorBoxPlot:
+    def test_boxplot_in_report(self, gst_results_fixture=None):
+        """Per-circuit model violation box plot appears in the HTML report."""
+        import jax
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.protocols.gst import StandardGSTDesign, GateSetTomography
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.report.factory import construct_standard_report
+        import tempfile, os
+
+        design = StandardGSTDesign(mp.target_model('static'),
+                                   mp.prep_fiducials(), mp.meas_fiducials(),
+                                   mp.germs(), [1])
+        ds = simulate_data(mp.target_model('full').depolarize(op_noise=0.02),
+                           design.all_circuits_needing_data, 500, seed=1)
+        data = ProtocolData(design, ds)
+        gst = GateSetTomography(mp.target_model('full TP'),
+                                gaugeopt_suite='stdgaugeopt', verbosity=0)
+        results = gst.run(data)
+        with tempfile.TemporaryDirectory() as d:
+            path = construct_standard_report(results, "t").write_html(
+                os.path.join(d, 'r.html'))
+            txt = open(path).read()
+        assert 'class="boxplot"' in txt and 'class="bx"' in txt
+        assert 'box plot unavailable' not in txt
+
+    def test_per_circuit_contributions(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.report.workspaceplots import per_circuit_2dlogl
+        m = mp.target_model('full')
+        circs = create_lsgst_circuit_lists(m, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(),
+                                           [1])[-1]
+        ds = simulate_data(m.copy(), circs, 2000, seed=2)
+        vals = per_circuit_2dlogl(m, ds, list(circs))
+        total = sum(vals.values())
+        # ~chi2_k distributed: mean ~ dof per circuit (1); loose sanity bound
+        assert 0 < total < 5 * len(vals)
