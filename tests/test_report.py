@@ -119,3 +119,31 @@ class TestColorBoxPlot:
         total = sum(vals.values())
         # ~chi2_k distributed: mean ~ dof per circuit (1); loose sanity bound
         assert 0 < total < 5 * len(vals)
+
+
+class TestDriftReport:
+    def test_drift_report_html(self):
+        import numpy as np
+        import tempfile, os
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.protocols.protocol import ProtocolData, ExperimentDesign
+        from pygsti_tpu.protocols.stability import StabilityAnalysis
+        from pygsti_tpu.report.driftreport import construct_drift_report
+
+        rng = np.random.RandomState(0)
+        ds = DataSet()
+        c1 = Circuit([('Gxpi2', 0)], (0,))
+        T = 256
+        p_t = 0.5 + 0.3 * np.sin(2 * np.pi * 4 * np.arange(T) / T)
+        bits = (rng.uniform(size=T) < p_t).astype(int)
+        ds.add_raw_series_data(c1, [str(b) for b in bits], list(range(T)),
+                               [1] * T)
+        data = ProtocolData(ExperimentDesign([c1], (0,)), ds)
+        res = StabilityAnalysis().run(data)
+        assert res.instability_detected
+        with tempfile.TemporaryDirectory() as d:
+            path = construct_drift_report(res).write_html(
+                os.path.join(d, 'drift.html'))
+            txt = open(path).read()
+        assert 'YES' in txt and '<svg' in txt and 'Power spectra' in txt
