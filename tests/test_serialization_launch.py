@@ -1,0 +1,52 @@
+"""Tests for MongoDB serialization protocol and launcher artifacts."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.baseobjs.mongoserializable import (MongoSerializable,
+                                                   create_mongodb_collection)
+from pygsti_tpu.protocols.protocol import ExperimentDesign, ProtocolData
+from pygsti_tpu.circuits import Circuit
+from pygsti_tpu.data import DataSet
+
+
+class TestMongoSerialization:
+    def test_round_trip_mock_collection(self):
+        ed = ExperimentDesign([Circuit([('Gxpi2', 0)], (0,))], (0,))
+        coll = create_mongodb_collection()
+        doc_id = MongoSerializable.write_to_mongodb(ed, coll)
+        back = MongoSerializable.from_mongodb(coll, doc_id)
+        assert list(back.all_circuits_needing_data) == \
+            list(ed.all_circuits_needing_data)
+
+    def test_overwrite(self):
+        ed = ExperimentDesign([Circuit([('Gxpi2', 0)], (0,))], (0,))
+        coll = create_mongodb_collection()
+        MongoSerializable.write_to_mongodb(ed, coll, doc_id='x')
+        ed2 = ExperimentDesign([Circuit([('Gypi2', 0)], (0,))], (0,))
+        MongoSerializable.write_to_mongodb(ed2, coll, doc_id='x',
+                                           overwrite_existing=True)
+        back = MongoSerializable.from_mongodb(coll, 'x')
+        assert list(back.all_circuits_needing_data)[0].layertup[0].name == 'Gypi2'
+
+
+class TestLaunchTools:
+    def test_stage_protocol_run(self):
+        from pygsti_tpu.tools.launchtools import stage_protocol_run
+        from pygsti_tpu.protocols.stability import StabilityAnalysis
+        ed = ExperimentDesign([Circuit([('Gxpi2', 0)], (0,))], (0,))
+        ds = DataSet()
+        ds.add_count_dict(Circuit([('Gxpi2', 0)], (0,)), {'0': 5, '1': 5})
+        data = ProtocolData(ed, ds)
+        with tempfile.TemporaryDirectory() as d:
+            out = stage_protocol_run(StabilityAnalysis(), data, d,
+                                     slurm=True, nodes=4, tpu_type='v5e-8')
+            assert os.path.exists(out['runner'])
+            slurm = open(out['slurm_script']).read()
+            assert '--nodes=4' in slurm and 'tpu:v5e-8' in slurm
+            runner = open(out['runner']).read()
+            assert 'jax.distributed' in runner
+            assert os.access(out['runner'], os.X_OK)
