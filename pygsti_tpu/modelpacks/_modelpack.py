@@ -26,13 +26,15 @@ class GSTModelPack(object):
     _meas_fids = []
     _global_fid_pairs = None
     _pergerm_fid_pairs = None
+    _availability = None   # optional {gate_name: [qubit-tuples]} restriction
 
     @classmethod
     def processor_spec(cls):
         names = list(cls._gates)
         if cls._include_idle:
             names = ['{idle}'] + names
-        return QubitProcessorSpec(cls._nqubits, names, geometry='line')
+        return QubitProcessorSpec(cls._nqubits, names, geometry='line',
+                                  availability=cls._availability)
 
     @classmethod
     def target_model(cls, gate_type='full', prep_type='auto', povm_type='auto',

@@ -103,6 +103,14 @@ def standard_gatename_unitaries():
     u['Gy'] = u['Gypi2']
     u['Gz'] = u['Gzpi2']
 
+    # tensor-product two-qubit pi/2 rotations (used by the smq2Q_*_condensed
+    # model packs; reference builds them from expressions like
+    # 'X(pi/2,0):X(pi/2,1)', smq2Q_XXII_condensed.py:400)
+    for nm, (a, b) in {'Gxxpi2': ('Gxpi2', 'Gxpi2'),
+                       'Gyypi2': ('Gypi2', 'Gypi2'),
+                       'Gxypi2': ('Gxpi2', 'Gypi2'),
+                       'Gyxpi2': ('Gypi2', 'Gxpi2')}.items():
+        u[nm] = np.kron(u[a], u[b])
     return {k: v for k, v in u.items()}
 
 
@@ -137,3 +145,4 @@ def unitary_from_gatename(name, args=None):
     if u is None:
         raise KeyError("Unknown standard gate name: %r" % name)
     return u
+

@@ -152,3 +152,28 @@ class TestIO:
         rds = ref_pygsti.io.read_dataset(path)
         rc = ref_pygsti.circuits.Circuit('Gxpi2:0@(0)')
         assert rds[rc]['0'] == 55 and rds[rc]['1'] == 45
+
+
+class TestNewModelpacks:
+    def test_all_2q_packs_load(self):
+        import importlib
+        for n in ['smq2Q_XY', 'smq2Q_XYI', 'smq2Q_XYI1', 'smq2Q_XYI2',
+                  'smq2Q_XXII', 'smq2Q_XXYYII', 'smq2Q_XYXX', 'smq2Q_XYZZ',
+                  'smq2Q_XYZICNOT', 'smq2Q_XYICPHASE',
+                  'smq2Q_XXII_condensed', 'smq2Q_XXYYII_condensed']:
+            m = importlib.import_module('pygsti_tpu.modelpacks.' + n)
+            tm = m.target_model('static')
+            c = m.prep_fiducials()[1] + m.germs()[1] + m.meas_fiducials()[1]
+            p = tm.probabilities(c)
+            assert abs(sum(p.values()) - 1.0) < 1e-9, n
+
+    def test_single_qubit_restricted_packs(self):
+        from pygsti_tpu.modelpacks import smq2Q_XYI1, smq2Q_XYI2
+        assert len(smq2Q_XYI1.target_model('static').operations) == 3
+        assert len(smq2Q_XYI2.target_model('static').operations) == 3
+
+    def test_rpe_packs(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_Xpi2_rpe
+        d = smq1Q_Xpi2_rpe.create_rpe_experiment_design(8)
+        assert len(d.depths) == 4  # 1,2,4,8
