@@ -90,6 +90,58 @@ class ForwardSimulator(object):
             out[c] = d
         return out
 
+    def hprobs(self, circuit):
+        """{outcome: [P, P] Hessian} of the circuit's outcome probabilities
+        (reference: forwardsim.py:757 -- finite-difference there; exact
+        second-order AD here)."""
+        import jax
+        import jax.numpy as jnp
+        layout = self.create_layout([circuit])
+        pf = self.probs_fn(layout)
+        v = jnp.asarray(self.model.to_vector())
+        H = np.asarray(jax.jacfwd(jax.jacrev(pf))(v))    # [n_el, P, P]
+        out = {}
+        for k, outcome in enumerate(layout.outcomes[0]):
+            out[outcome] = H[k]
+        return out
+
+    def bulk_hprobs(self, circuits):
+        """{circuit: {outcome: Hessian}} via one batched evaluation."""
+        import jax
+        import jax.numpy as jnp
+        layout = self.create_layout(circuits)
+        pf = self.probs_fn(layout)
+        v = jnp.asarray(self.model.to_vector())
+        H = np.asarray(jax.jacfwd(jax.jacrev(pf))(v))
+        out = {}
+        for i, c in enumerate(layout.circuits):
+            sl = layout.element_slices[i]
+            out[c] = {outcome: H[sl.start + k]
+                      for k, outcome in enumerate(layout.outcomes[i])}
+        return out
+
+    def bulk_fill_hprobs(self, array_to_fill, layout,
+                         pr_array_to_fill=None, deriv1_array_to_fill=None,
+                         deriv2_array_to_fill=None):
+        """Fill [n_elements, P, P] Hessian array (reference:
+        forwardsim.py:958 bulk_fill_hprobs)."""
+        import jax
+        import jax.numpy as jnp
+        pf = self.probs_fn(layout)
+        v = jnp.asarray(self.model.to_vector())
+        if pr_array_to_fill is not None:
+            pr_array_to_fill[:] = np.asarray(pf(v))
+        if deriv1_array_to_fill is not None or deriv2_array_to_fill is not None:
+            J = np.asarray(jax.jacfwd(pf)(v))
+            if deriv1_array_to_fill is not None:
+                deriv1_array_to_fill[:] = J
+            if deriv2_array_to_fill is not None:
+                deriv2_array_to_fill[:] = J
+        H = np.asarray(jax.jacfwd(jax.jacrev(pf))(v))
+        if array_to_fill is not None:
+            array_to_fill[:] = H
+        return H
+
     def bulk_fill_probs(self, array_to_fill, layout):
         raise NotImplementedError()
 
