@@ -118,14 +118,14 @@ def make_mirror_edesign(test_edesign, num_mcs_per_circ=10,
                 m1 = L_br + T_for_concat + rev_rc
                 test_ref_invs.setdefault(m1, []).append(
                     {'base_aux': aux, 'idealout': bs1, 'id': j,
-                     'width': len(qubits)})
+                     'width': len(qubits), 'base_circuit': T.str})
 
                 # M2: everything randomized
                 full = L_rr + R + R_inv + L_rr_inv
                 m2, bs2 = rc(full)
                 ref_ref_invs.setdefault(m2, []).append(
                     {'base_aux': aux, 'idealout': bs2, 'id': j,
-                     'width': len(qubits)})
+                     'width': len(qubits), 'base_circuit': T.str})
             elif mirroring_strategy == 'central_pauli':
                 # central-Pauli mirror: L + T + P + conj(T^-1 L^-1)
                 rev = R_inv + L_br_inv
@@ -134,7 +134,7 @@ def make_mirror_edesign(test_edesign, num_mcs_per_circ=10,
                 m1 = L_br + T_for_concat + rev_cp
                 test_ref_invs.setdefault(m1, []).append(
                     {'base_aux': aux, 'idealout': bs1, 'id': j,
-                     'width': len(qubits)})
+                     'width': len(qubits), 'base_circuit': T.str})
             else:
                 raise ValueError("Unknown mirroring strategy %r"
                                  % mirroring_strategy)
@@ -144,7 +144,7 @@ def make_mirror_edesign(test_edesign, num_mcs_per_circ=10,
             spam_rc, bs3 = rc(spam)
             spam_refs.setdefault(spam_rc, []).append(
                 {'base_aux': aux, 'idealout': bs3, 'id': j,
-                 'width': len(qubits)})
+                 'width': len(qubits), 'base_circuit': T.str})
 
     edesigns = {}
     if mirroring_strategy == 'pauli_rc':

@@ -72,3 +72,35 @@ class TestMirrorEdesign:
         L = init_layer((0, 1), rand_state=np.random.RandomState(0))
         assert L.depth == 1 and L.num_lines == 2
         assert init_layer((0, 1), state_initialization='none').depth == 0
+
+
+class TestScarabMCFE:
+    def test_process_fidelity_estimation_end_to_end(self):
+        """MCFE recovers the process fidelity of a noisy u3-cx circuit
+        (reference: scarab.py:293)."""
+        import numpy as np
+        import jax
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+        from pygsti_tpu.protocols.scarab import (mirror_benchmark,
+                                                 calculate_mirror_benchmark_results)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.processors.random_compilation import u3_unitary
+
+        def u3f(args):
+            return u3_unitary(*(float(a) for a in args))
+
+        pspec = QubitProcessorSpec(2, ['Gu3', 'Gcnot'], geometry='line',
+                                   nonstd_gate_unitaries={'Gu3': u3f})
+        mdl = create_crosstalk_free_model(
+            pspec, depolarization_strengths={'Gu3': 0.003, 'Gcnot': 0.02})
+        ed = mirror_benchmark([TEST_CIRC], num_mcs_per_circ=6,
+                              rand_state=np.random.RandomState(0))
+        ds = simulate_data(mdl, ed.all_circuits_needing_data, 2000, seed=3)
+        vbdf = calculate_mirror_benchmark_results(
+            [TEST_CIRC], ProtocolData(ed, ds), num_bootstraps=10,
+            rand_state=np.random.RandomState(1))
+        pfid = vbdf.dataframe['process_fidelity'].iloc[0]
+        assert 0.9 < pfid <= 1.0
+        assert vbdf.dataframe['process_fidelity_std'].iloc[0] < 0.05
