@@ -50,3 +50,35 @@ class TestLaunchTools:
             runner = open(out['runner']).read()
             assert 'jax.distributed' in runner
             assert os.access(out['runner'], os.X_OK)
+
+
+class TestIBMQExperiment:
+    def test_offline_lifecycle(self):
+        from pygsti_tpu.extras.ibmq import IBMQExperiment
+        from pygsti_tpu.protocols.protocol import ExperimentDesign
+        from pygsti_tpu.circuits import Circuit
+        circs = [Circuit([('Gxpi2', 0)], (0,)),
+                 Circuit([('Gxpi2', 0), ('Gxpi2', 0)], (0,))]
+        exp = IBMQExperiment(ExperimentDesign(circs, (0,)), num_shots=100,
+                             seed=0)
+        data = exp.add_counts_from_dict({circs[0]: {'0': 50, '1': 50},
+                                         circs[1]: {'1': 100}})
+        assert data.dataset[circs[1]].counts[('1',)] == 100
+        with tempfile.TemporaryDirectory() as d:
+            exp.write(d)
+            exp2 = IBMQExperiment.from_dir(d)
+            assert exp2.num_shots == 100
+
+    def test_qiskit_gated(self):
+        import pytest as _pytest
+        from pygsti_tpu.extras.ibmq import IBMQExperiment
+        from pygsti_tpu.protocols.protocol import ExperimentDesign
+        from pygsti_tpu.circuits import Circuit
+        exp = IBMQExperiment(ExperimentDesign(
+            [Circuit([('Gxpi2', 0)], (0,))], (0,)))
+        try:
+            import qiskit  # noqa
+            _pytest.skip("qiskit installed; gating test not applicable")
+        except ImportError:
+            with _pytest.raises(ImportError):
+                exp.transpile()
