@@ -1061,3 +1061,70 @@ def chi2(model, dataset, circuits=None, min_prob_clip_for_weighting=1e-4):
     raw = RawChi2Function({'min_prob_clip_for_weighting': min_prob_clip_for_weighting})
     obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
     return obj.fn()
+
+
+class CachedObjectiveFunction(object):
+    """Serializable snapshot of an objective function's values at a point
+    (reference: objectivefns.py:6160 CachedObjectiveFunction)."""
+
+    collection_name = "pygsti_cached_objective_fns"
+
+    def __init__(self, objective_function):
+        objfn = objective_function
+        self.name = getattr(objfn, 'name', 'objfn')
+        self.description = getattr(objfn, 'description', None)
+        self.circuits = list(objfn.circuits)
+        v = objfn.model.to_vector()
+        self.model_paramvec = np.array(v)
+        self.fn = float(objfn.fn())
+        ls = objfn.lsvec()
+        self.chi2k_distributed_fn = float(
+            objfn.chi2k_distributed_qty(self.fn))
+        self.num_elements = len(ls)
+        self.lsvec_norm2 = float(np.dot(ls, ls))
+        # per-circuit aggregated values
+        layout = objfn.layout
+        terms = np.asarray(ls) ** 2
+        self.percircuit = np.array([
+            float(np.sum(terms[layout.element_slices[i]]))
+            for i in range(len(self.circuits))])
+        self.chi2k_distributed_percircuit = np.array(
+            [objfn.chi2k_distributed_qty(x) for x in self.percircuit])
+
+    def write(self, dirname):
+        import json
+        import pathlib
+        p = pathlib.Path(dirname)
+        p.mkdir(parents=True, exist_ok=True)
+        with open(p / 'cached_objfn.json', 'w') as f:
+            json.dump({'name': self.name, 'fn': self.fn,
+                       'chi2k_distributed_fn': self.chi2k_distributed_fn,
+                       'num_elements': self.num_elements,
+                       'lsvec_norm2': self.lsvec_norm2,
+                       'circuits': [c.str for c in self.circuits],
+                       'model_paramvec': self.model_paramvec.tolist(),
+                       'percircuit': self.percircuit.tolist()}, f)
+
+    @classmethod
+    def from_dir(cls, dirname, quick_load=False):
+        import json
+        import pathlib
+        with open(pathlib.Path(dirname) / 'cached_objfn.json') as f:
+            state = json.load(f)
+        obj = cls.__new__(cls)
+        obj.name = state['name']
+        obj.description = None
+        obj.fn = state['fn']
+        obj.chi2k_distributed_fn = state['chi2k_distributed_fn']
+        obj.num_elements = state['num_elements']
+        obj.lsvec_norm2 = state['lsvec_norm2']
+        from pygsti_tpu.circuits.circuit import Circuit
+        from pygsti_tpu.circuits.circuitparser import parse_circuit_str
+        def _parse(cs):
+            layers, lls = parse_circuit_str(cs)
+            return Circuit(list(layers), lls if lls is not None else None)
+        obj.circuits = [_parse(s) for s in state['circuits']]
+        obj.model_paramvec = np.array(state['model_paramvec'])
+        obj.percircuit = np.array(state['percircuit'])
+        obj.chi2k_distributed_percircuit = obj.percircuit.copy()
+        return obj
