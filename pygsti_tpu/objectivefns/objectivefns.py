@@ -565,17 +565,15 @@ class TimeIndependentMDCObjectiveFunction(object):
         tol = tol or {}
         linesearch = linesearch or {}
         sim = self.model.sim
+        # tolerances / maxiter are runtime args: one compiled executable
+        # serves every GST stage (chi2 iterations AND the final logL stage)
         key = ('device_lm', id(self.layout),
-               tuple(sorted((self.penalties or {}).items())), maxiter,
-               tuple(sorted(tol.items())),
+               tuple(sorted((self.penalties or {}).items())),
                tuple(sorted(linesearch.items())))
         if key not in sim._obj_graph_cache:
-            init_fn, chunk_fn, fin_fn, _ = make_device_lm(
+            init_fn, chunk_fn, fin_fn = make_device_lm(
                 self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
                 num_params=len(x0),
-                f_norm2_tol=tol.get('f', 1.0), jac_norm_tol=tol.get('jac', 1e-6),
-                rel_ftol=tol.get('relf', 1e-6), rel_xtol=tol.get('relx', 1e-8),
-                max_iter=maxiter, max_dx_scale=tol.get('maxdx', 1.0),
                 ls_beta=linesearch.get('beta', 0.25),
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0))
@@ -584,6 +582,10 @@ class TimeIndependentMDCObjectiveFunction(object):
         init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)
+        maxdx = tol.get('maxdx', 1.0)
+        tols_j = jnp.asarray([tol.get('f', 1.0), tol.get('jac', 1e-6),
+                              tol.get('relf', 1e-6), tol.get('relx', 1e-8),
+                              (maxdx ** 2) * len(x0) if maxdx else np.inf])
         # bounded-iterations chunks: each device program stays well under the
         # TPU runtime's single-execution watchdog (a full-GST LM pass can run
         # many minutes, which kills the worker if submitted as one program)
@@ -593,8 +595,9 @@ class TimeIndependentMDCObjectiveFunction(object):
             k_now = int(state.k)
             if int(state.exit_code) != 0 or k_now >= maxiter:
                 break
-            state = chunk_jit(state, jnp.asarray(k_now + chunk), *data)
-        x, f, norm_f, mu, nu, code, k = fin_jit(state)
+            state = chunk_jit(state, jnp.asarray(min(k_now + chunk, maxiter)),
+                              tols_j, *data)
+        x, f, norm_f, mu, nu, code, k = fin_jit(state, jnp.asarray(maxiter))
         code = int(code)
         converged = code in (1, 2, 3, 4, 5)
         msg = EXIT_MESSAGES.get(code, "exit code %d" % code)

@@ -49,18 +49,19 @@ def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
 
 
 def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
-                   f_norm2_tol=1.0, jac_norm_tol=1e-6, rel_ftol=1e-6,
-                   rel_xtol=1e-8, max_iter=100, max_dx_scale=1.0,
                    ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0,
                    max_inner=16):
     """Build the jitted LM driver.
 
     jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f.
-    Returns lm_run(x0, *data) -> (x, f, norm_f, mu, nu, exit_code, n_iters).
+    Returns (lm_init, lm_chunk, lm_finalize).  Convergence tolerances and the
+    iteration cap are RUNTIME arguments (a 5-vector `tols` =
+    [f_norm2_tol, jac_norm_tol, rel_ftol, rel_xtol, max_norm_dx] and the
+    integers k_stop / max_iter), so every GST stage -- chi2 iterations, the
+    final logL stage, different maxiters -- shares one compiled executable.
     """
     tau = 1e-3
     half_max_nu = 2.0 ** 62
-    max_norm_dx = (max_dx_scale ** 2) * num_params if max_dx_scale else None
 
     def lm_init(x0, *data):
         f0 = lsvec_fn(x0, *data)
@@ -71,13 +72,15 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                         jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
                         jnp.asarray(0))
 
-    def lm_chunk(state, k_stop, *data):
-        """Advance the LM loop until exit, max_iter, or `k_stop` iterations
-        (bounded per-call work keeps single TPU programs under the runtime's
+    def lm_chunk(state, k_stop, tols, *data):
+        """Advance the LM loop until exit or `k_stop` iterations (bounded
+        per-call work keeps single TPU programs under the runtime's
         execution watchdog; state stays on device between calls)."""
+        f_norm2_tol, jac_norm_tol, rel_ftol, rel_xtol, max_norm_dx = \
+            tols[0], tols[1], tols[2], tols[3], tols[4]
 
         def cond(st):
-            return (st.exit_code == 0) & (st.k < max_iter) & (st.k < k_stop)
+            return (st.exit_code == 0) & (st.k < k_stop)
 
         def body(st):
             f, JTJ, JTf = jtj_jtf_fn(st.x, *data)
@@ -108,10 +111,10 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                 dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
                 solve_ok = jnp.all(jnp.isfinite(dx))
                 norm_dx = jnp.dot(dx, dx)
-                clip = (max_norm_dx is not None) & (norm_dx > max_norm_dx) \
-                    if max_norm_dx else jnp.asarray(False)
-                scale = jnp.where(clip, jnp.sqrt(max_norm_dx / jnp.maximum(norm_dx, 1e-300)),
-                                  1.0) if max_norm_dx else 1.0
+                clip = norm_dx > max_norm_dx
+                scale = jnp.where(
+                    clip, jnp.sqrt(max_norm_dx / jnp.maximum(norm_dx, 1e-300)),
+                    1.0)
                 dx = dx * scale
                 norm_dx = jnp.dot(dx, dx)
 
@@ -212,7 +215,7 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
 
         return jax.lax.while_loop(cond, body, state)
 
-    def lm_finalize(final):
+    def lm_finalize(final, max_iter):
         hit_max = (final.exit_code == 0) & (final.k >= max_iter)
         exit_code = jnp.where(hit_max, 5, final.exit_code)
         # return the best known point (matching the host loop / reference)
@@ -222,7 +225,7 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
         norm_out = jnp.where(use_best, final.best_norm_f, final.norm_f)
         return x_out, f_out, norm_out, final.mu, final.nu, exit_code, final.k
 
-    return lm_init, lm_chunk, lm_finalize, max_iter
+    return lm_init, lm_chunk, lm_finalize
 
 
 EXIT_MESSAGES = {
