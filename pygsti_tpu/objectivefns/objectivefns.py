@@ -899,18 +899,61 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             effects = tf[o_sz + p_sz:].reshape(n_eff, dim)
             return ops, preps, effects
 
-        def per_circuit_probs(tf, op_row, prep_i, eff_row):
-            ops, preps, effects = unflatten(tf)
-            eye = jnp.eye(dim, dtype=ops.dtype)[None]
-            G = jnp.concatenate([ops, eye], axis=0)
-            rho = preps[prep_i]
-            def step(r, k):
-                return G[k] @ r, None
-            rho, _ = jax.lax.scan(step, rho, op_row)
-            return effects[eff_row] @ rho          # [n_out]
+        K1 = n_ops + 1   # op stack + identity padding slot
+        # Jacobian/Gram arithmetic dtype: f32 by default (the Jacobian only
+        # steers LM steps -- convergence checks always use f64 lsvec -- and
+        # f32 halves HBM traffic and runs matmuls at full MXU rate; f64
+        # emulation would dominate otherwise).  Override with
+        # PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
+        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', 'float32'))
 
-        _pc_jac = jax.vmap(jax.jacrev(per_circuit_probs), in_axes=(None, 0, 0, 0))
-        _pc_fwd = jax.vmap(per_circuit_probs, in_axes=(None, 0, 0, 0))
+        def _block_probs_jac(tf, op_b, prep_b, eff_b):
+            """(probs [blk*n_out], Jt [blk*n_out, NT]) for one circuit block.
+
+            Scatter-free Jacobian: per-position outer products are binned
+            into per-op gradients with a ONE-HOT einsum contraction (an MXU
+            matmul) instead of reverse-mode scatter-adds, which are
+            pathologically slow on TPU.  Replaces the reference's
+            _compute_dproduct_cache (matrixforwardsim.py:729).
+            """
+            ops, preps, effects = unflatten(tf)
+            ops = ops.astype(j_dtype)
+            preps = preps.astype(j_dtype)
+            effects = effects.astype(j_dtype)
+            eye = jnp.eye(dim, dtype=ops.dtype)[None]
+            G = jnp.concatenate([ops, eye], axis=0)      # [K+1, d, d]
+            rho0 = preps[prep_b]                          # [blk, d]
+            E = effects[eff_b]                            # [blk, n_out, d]
+            cols = op_b.T                                 # [D, blk]
+
+            def fwd_step(S, idx_col):
+                return jnp.einsum('bij,bj->bi', G[idx_col], S), S
+            S_final, F_prev = jax.lax.scan(fwd_step, rho0, cols)
+            # F_prev[l] = state BEFORE layer l, [D, blk, d]
+
+            def bwd_step(carry, xs):
+                Bc, A = carry
+                idx_col, f_prev = xs
+                onehot = jax.nn.one_hot(idx_col, K1, dtype=G.dtype)
+                A = A + jnp.einsum('bk,bni,bj->bnkij', onehot, Bc, f_prev)
+                Bc = jnp.einsum('bni,bij->bnj', Bc, G[idx_col])
+                return (Bc, A), None
+
+            A0 = jnp.zeros((op_b.shape[0], n_out, K1, dim, dim), dtype=G.dtype)
+            (B_final, A), _ = jax.lax.scan(
+                bwd_step, (E, A0), (cols[::-1], F_prev[::-1]))
+
+            p = jnp.einsum('bni,bi->bn', E, S_final)
+            nblk = op_b.shape[0]
+            J_ops = A[:, :, :n_ops].reshape(nblk, n_out, n_ops * dim * dim)
+            prep_oh = jax.nn.one_hot(prep_b, n_preps, dtype=G.dtype)
+            J_preps = jnp.einsum('br,bnj->bnrj', prep_oh, B_final).reshape(
+                nblk, n_out, n_preps * dim)
+            eff_oh = jax.nn.one_hot(eff_b, n_eff, dtype=G.dtype)
+            J_eff = jnp.einsum('bne,bj->bnej', eff_oh, S_final).reshape(
+                nblk, n_out, n_eff * dim)
+            Jt = jnp.concatenate([J_ops, J_preps, J_eff], axis=2)
+            return p.reshape(-1), Jt.reshape(nblk * n_out, NT)
 
         def _block_data(counts, totals, freqs):
             cnt = jnp.pad(counts, (0, pad_el)).reshape(nb, blk * n_out)
@@ -926,16 +969,17 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             def body(carry, x):
                 M, q = carry
                 op_b, prep_b, eff_b, cb, tb, fb = x
-                p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
-                ls = raw.lsvec(p, cb, tb, fb, flag, regs)
-                dls = raw.dlsvec(p, cb, tb, fb, flag, regs)
-                Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
-                Jw = dls[:, None] * Jt
-                return (M + Jw.T @ Jw, q + Jw.T @ ls), ls
-            init = (jnp.zeros((NT, NT), dtype=v.dtype), jnp.zeros(NT, dtype=v.dtype))
+                p, Jt = _block_probs_jac(tf, op_b, prep_b, eff_b)
+                p64 = p.astype(v.dtype)
+                ls = raw.lsvec(p64, cb, tb, fb, flag, regs)
+                dls = raw.dlsvec(p64, cb, tb, fb, flag, regs)
+                Jw = dls.astype(j_dtype)[:, None] * Jt
+                return (M + Jw.T @ Jw,
+                        q + (Jw.T @ ls.astype(j_dtype)).astype(v.dtype)), ls
+            init = (jnp.zeros((NT, NT), dtype=j_dtype), jnp.zeros(NT, dtype=v.dtype))
             (M, q), ls_blocks = jax.lax.scan(body, init,
                                              idx_blocks + (cnt_b, tot_b, frq_b))
-            jtj = Tv.T @ (M @ Tv)
+            jtj = Tv.T @ (M.astype(v.dtype) @ Tv)
             jtf = Tv.T @ q
             ls = ls_blocks.reshape(-1)[:n_real_elements]
             if regularize_factor > 0:
@@ -951,10 +995,10 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
             def body(_, x):
                 op_b, prep_b, eff_b, cb, tb, fb = x
-                p = _pc_fwd(tf, op_b, prep_b, eff_b).reshape(-1)
-                dls = raw.dlsvec(p, cb, tb, fb, flag, regs)
-                Jt = _pc_jac(tf, op_b, prep_b, eff_b).reshape(-1, NT)
-                return None, (dls[:, None] * Jt) @ Tv
+                p, Jt = _block_probs_jac(tf, op_b, prep_b, eff_b)
+                dls = raw.dlsvec(p.astype(v.dtype), cb, tb, fb, flag, regs)
+                return None, ((dls.astype(j_dtype)[:, None] * Jt)
+                              @ Tv.astype(j_dtype)).astype(v.dtype)
             _, J_blocks = jax.lax.scan(body, None, idx_blocks + (cnt_b, tot_b, frq_b))
             J = J_blocks.reshape(-1, v.shape[0])[:n_real_elements]
             if regularize_factor > 0:

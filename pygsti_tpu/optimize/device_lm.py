@@ -83,8 +83,12 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
             return (st.exit_code == 0) & (st.k < k_stop)
 
         def body(st):
-            f, JTJ, JTf = jtj_jtf_fn(st.x, *data)
-            norm_f = jnp.dot(f, f)
+            # use the carried residual (full-precision lsvec evaluations)
+            # rather than the Jacobian pass's f, which may be computed at
+            # reduced precision
+            _, JTJ, JTf = jtj_jtf_fn(st.x, *data)
+            f = st.f
+            norm_f = st.norm_f
             minus_JTf = -JTf
             jtj_diag = jnp.diag(JTJ)
             norm_JTf = jnp.max(jnp.abs(minus_JTf))
