@@ -201,7 +201,13 @@ class ErrorGeneratorPropagator(object):
                                 z |= (1 << gq)
                         embedded.append(PauliLabel(x, z, num_qubits))
                     lbl = ElementaryErrorgenLabel(typ, *embedded)
-                    out[lbl] = out.get(lbl, 0.0) + coeff
+                    # pyGSTi coefficients are w.r.t. gate-locally NORMALIZED
+                    # Paulis (P / sqrt(2^k)); internally rates are stored in
+                    # UNNORMALIZED-Pauli units: H scales 1/sqrt(2^k),
+                    # S/C/A scale 1/2^k
+                    k = len(paulis[0])
+                    scale = (2.0 ** k) ** -0.5 if typ == 'H' else (2.0 ** k) ** -1
+                    out[lbl] = out.get(lbl, 0.0) + coeff * scale
             return out
 
         return cls(layer_coeff_fn=layer_coeffs, num_qubits=num_qubits)
@@ -300,9 +306,8 @@ class ErrorGeneratorPropagator(object):
         n = self.num_qubits
         d2 = 4 ** n
         out = np.zeros((d2, d2))
-        norm = np.sqrt(2.0 ** n)
         for lbl, coeff in errorgen_dict.items():
-            paulis = [p.to_dense() / norm for p in lbl.basis_element_labels]
+            paulis = [p.to_dense() for p in lbl.basis_element_labels]
             typ = lbl.errorgen_type
             if typ in ('H', 'S'):
                 eg = _lt.create_elementary_errorgen(typ, paulis[0])

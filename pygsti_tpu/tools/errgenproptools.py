@@ -1,0 +1,183 @@
+"""Analytic corrections for error-generator propagation (reference:
+pygsti/tools/errgenproptools.py: bch_approximation:100, alpha:7880,
+slow_amplitude_of_state:7294, approximate_stabilizer_probability machinery).
+
+Implements stabilizer-state amplitudes on the framework's symplectic
+(s, p) tableau representation and the first-order sensitivities
+("alpha" factors) of computational outcome probabilities to elementary
+H/S/C/A error generators -- the analytic path for predicting noisy-Clifford
+outcome probabilities at 10+ qubits without density matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygsti_tpu.tools import symplectic as _sym
+from pygsti_tpu.tools import matrixmod2 as _mod2
+
+
+# -- stabilizer amplitudes ---------------------------------------------------
+
+def _greedy_reference_bitstring(state_s, state_p):
+    """A bitstring in the state's support, with its (real, positive)
+    amplitude magnitude sqrt(prod p_i)."""
+    n = len(state_p) // 2
+    s, p = state_s, state_p
+    bits = []
+    amp2 = 1.0
+    for a in range(n):
+        p0, st0, p1, st1 = _sym.pauli_z_measurement(s, p, a)
+        if p0 >= p1:
+            bits.append(0)
+            amp2 *= p0
+            s, p = st0
+        else:
+            bits.append(1)
+            amp2 *= p1
+            s, p = st1
+    return np.array(bits, np.int64), np.sqrt(amp2)
+
+
+def _stabilizer_group_solve(state_s, state_p, xdiff):
+    """(x, z, e) of a stabilizer-group element whose X-part equals `xdiff`
+    (plain i^e X^x Z^z convention), or None if outside the group's X-span."""
+    n = len(state_p) // 2
+    X = state_s[:n, :n] % 2            # X-parts of the n stabilizer gens
+    c = _mod2.solve_mod2(X, np.asarray(xdiff, np.int64) % 2)
+    if c is None:
+        return None
+    x = np.zeros(n, np.int64)
+    z = np.zeros(n, np.int64)
+    e = 0
+    for j in range(n):
+        if c[j]:
+            gx = state_s[:n, j] % 2
+            gz = state_s[n:, j] % 2
+            ge = int(state_p[j]) % 4
+            x, z, e = _sym._pauli_product_phase_exponent(x, z, e, gx, gz, ge)
+    return x, z, e
+
+
+class StabilizerAmplitudes(object):
+    """Amplitude oracle for one stabilizer state: complex <b|psi> with a
+    consistent global-phase convention (<b0|psi> real positive for the
+    reference bitstring b0) (reference: errgenproptools.py:7294
+    slow_amplitude_of_state)."""
+
+    def __init__(self, state_s, state_p):
+        self.s = state_s
+        self.p = state_p
+        self.n = len(state_p) // 2
+        self.b0, self.a0 = _greedy_reference_bitstring(state_s, state_p)
+
+    def amplitude(self, bits):
+        bits = np.asarray(bits, np.int64)
+        g = _stabilizer_group_solve(self.s, self.p, bits ^ self.b0)
+        if g is None:
+            return 0.0 + 0.0j
+        x, z, e = g
+        # a_b = i^e (-1)^{z . b0} a_{b0}   (from g |psi> = |psi>)
+        return (1j ** e) * ((-1) ** int(np.dot(z, self.b0) % 2)) * self.a0
+
+    def pauli_amplitude(self, bits, px, pz, pe):
+        """<b| P |psi> for P = i^pe X^px Z^pz (plain convention)."""
+        bits = np.asarray(bits, np.int64)
+        b2 = bits ^ np.asarray(px, np.int64)
+        phase = (1j ** (pe % 4)) * ((-1) ** int(np.dot(pz, b2) % 2))
+        return phase * self.amplitude(b2)
+
+
+def _hermitian_pauli(x_bits, z_bits, n):
+    """(x, z, e) of the HERMITIAN Pauli W = prod_q w_q with w in
+    {I, X, Y, Z}: plain-convention exponent e = (#Y) mod 4 since Y = i XZ
+    gives W = i^{x.z} X^x Z^z."""
+    x = np.array([(x_bits >> q) & 1 for q in range(n)], np.int64)
+    z = np.array([(z_bits >> q) & 1 for q in range(n)], np.int64)
+    e = int(np.dot(x, z)) % 4
+    return x, z, e
+
+
+# -- alpha sensitivities -----------------------------------------------------
+
+def alpha(errorgen, state_s, state_p, bitstring, amps=None):
+    """First-order sensitivity d p(bitstring) / d rate for an elementary
+    error generator acting on a stabilizer state (reference:
+    errgenproptools.py:7880 alpha).
+
+    `errorgen` is an ElementaryErrorgenLabel ('H'|'S'|'C'|'A' with
+    PauliLabel operands); `bitstring` is a 0/1 sequence.
+    """
+    n = len(state_p) // 2
+    if amps is None:
+        amps = StabilizerAmplitudes(state_s, state_p)
+    bits = np.asarray(list(bitstring), np.int64) if not isinstance(
+        bitstring, np.ndarray) else bitstring
+    typ = errorgen.errorgen_type
+    paulis = errorgen.basis_element_labels
+
+    def W(pl):
+        return _hermitian_pauli(pl.x_bits, pl.z_bits, n)
+
+    a_b = amps.amplitude(bits)
+    if typ == 'S':
+        px, pz, pe = W(paulis[0])
+        u = amps.pauli_amplitude(bits, px, pz, pe)
+        return float(abs(u) ** 2 - abs(a_b) ** 2)
+    if typ == 'H':
+        px, pz, pe = W(paulis[0])
+        u = amps.pauli_amplitude(bits, px, pz, pe)
+        return float(2.0 * np.imag(u * np.conj(a_b)))
+    if typ in ('C', 'A'):
+        (px1, pz1, pe1) = W(paulis[0])
+        (px2, pz2, pe2) = W(paulis[1])
+        uP = amps.pauli_amplitude(bits, px1, pz1, pe1)
+        uQ = amps.pauli_amplitude(bits, px2, pz2, pe2)
+        # products PQ and QP in plain convention
+        xpq, zpq, epq = _sym._pauli_product_phase_exponent(
+            px1, pz1, pe1, px2, pz2, pe2)
+        xqp, zqp, eqp = _sym._pauli_product_phase_exponent(
+            px2, pz2, pe2, px1, pz1, pe1)
+        wPQ = amps.pauli_amplitude(bits, xpq, zpq, epq)
+        wQP = amps.pauli_amplitude(bits, xqp, zqp, eqp)
+        if typ == 'C':
+            # L_C(rho) = P rho Q + Q rho P - (1/2){PQ + QP, rho}
+            return float(2.0 * np.real(uP * np.conj(uQ))
+                         - np.real((wPQ + wQP) * np.conj(a_b)))
+        # L_A(rho) = i(P rho Q - Q rho P + (1/2){PQ - QP, rho})
+        # <b|.|b> = -2 Im(uP conj(uQ)) - Im((wPQ - wQP) conj(a_b))
+        return float(-2.0 * np.imag(uP * np.conj(uQ))
+                     - np.imag((wPQ - wQP) * np.conj(a_b)))
+    raise ValueError("Unknown errorgen type %r" % typ)
+
+
+def approximate_stabilizer_probability(errorgen_dict, state_s, state_p,
+                                       bitstring, order=1):
+    """p_ideal(bitstring) + first-order corrections sum_j rate_j alpha_j
+    (reference: approximate_stabilizer_probability machinery built on
+    errgenproptools.alpha)."""
+    bits = np.asarray(list(bitstring), np.int64)
+    p_ideal = _sym.stabilizer_outcome_probability(state_s, state_p,
+                                                  list(bits))
+    if order == 0 or not errorgen_dict:
+        return float(p_ideal)
+    amps = StabilizerAmplitudes(state_s, state_p)
+    corr = 0.0
+    for lbl, rate in errorgen_dict.items():
+        corr += rate * alpha(lbl, state_s, state_p, bits, amps)
+    return float(p_ideal + corr)
+
+
+def approximate_circuit_outcome_probability(propagator, circuit, bitstring,
+                                            pspec=None, order=1):
+    """End-to-end: propagate the circuit's error generators, evolve |0..0>
+    through the ideal Clifford circuit, and apply first-order corrections."""
+    errorgens = propagator.propagate_errorgens(circuit, pspec=pspec)
+    n = propagator.num_qubits
+    srep = _sym.symplectic_rep_of_clifford_circuit(circuit, pspec=pspec)
+    st = _sym.prep_stabilizer_state(n)
+    out_s, out_p = _sym.apply_clifford_to_stabilizer_state(srep[0], srep[1],
+                                                           *st)
+    # propagator coefficients: {ElementaryErrorgenLabel: rate}
+    return approximate_stabilizer_probability(errorgens, out_s, out_p,
+                                              bitstring, order)

@@ -1,0 +1,116 @@
+"""Tests for analytic stabilizer-probability corrections (errgenproptools)."""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.tools import symplectic as sym
+from pygsti_tpu.tools.errgenproptools import (
+    StabilizerAmplitudes, alpha, approximate_stabilizer_probability,
+    approximate_circuit_outcome_probability)
+from pygsti_tpu.errorgenpropagation.errorpropagator import (
+    PauliLabel, ElementaryErrorgenLabel, ErrorGeneratorPropagator)
+from pygsti_tpu.tools.lindbladtools import create_elementary_errorgen
+
+PAULIS_1 = {'I': np.eye(2), 'X': np.array([[0, 1], [1, 0]]),
+            'Y': np.array([[0, -1j], [1j, 0]]), 'Z': np.diag([1, -1.0])}
+
+
+def _pstr_to_mat(s):
+    m = 1
+    for ch in s:
+        m = np.kron(m, PAULIS_1[ch])
+    return m
+
+
+def _pstr_to_label(s, n):
+    x = z = 0
+    for q, ch in enumerate(s):
+        if ch in 'XY':
+            x |= (1 << q)
+        if ch in 'ZY':
+            z |= (1 << q)
+    return PauliLabel(x, z, n)
+
+
+class TestStabilizerAmplitudes:
+    def test_amplitudes_reproduce_probabilities_and_stabilizers(self):
+        rng = np.random.RandomState(0)
+        n = 2
+        for _ in range(5):
+            s_c, p_c = sym.random_clifford(n, rng)
+            S, P = sym.apply_clifford_to_stabilizer_state(
+                s_c, p_c, *sym.prep_stabilizer_state(n))
+            amps = StabilizerAmplitudes(S, P)
+            vec = np.array([amps.amplitude([b0, b1])
+                            for b0 in (0, 1) for b1 in (0, 1)])
+            probs = np.array([sym.stabilizer_outcome_probability(S, P, [b0, b1])
+                              for b0 in (0, 1) for b1 in (0, 1)])
+            assert np.allclose(np.abs(vec) ** 2, probs, atol=1e-12)
+            assert abs(np.linalg.norm(vec) - 1) < 1e-12
+
+
+class TestAlpha:
+    def test_alpha_matches_dense_errorgens(self):
+        """alpha == <b| L(rho) |b> for all H/S/C/A types."""
+        rng = np.random.RandomState(1)
+        n = 2
+        cases = [('H', ('XI',)), ('S', ('YZ',)), ('C', ('XI', 'ZI')),
+                 ('A', ('XI', 'YI')), ('A', ('XZ', 'ZX'))]
+        for _ in range(3):
+            s_c, p_c = sym.random_clifford(n, rng)
+            S, P = sym.apply_clifford_to_stabilizer_state(
+                s_c, p_c, *sym.prep_stabilizer_state(n))
+            amps = StabilizerAmplitudes(S, P)
+            vec = np.array([amps.amplitude([b0, b1])
+                            for b0 in (0, 1) for b1 in (0, 1)])
+            rho = np.outer(vec, vec.conj())
+            for typ, pstrs in cases:
+                L = create_elementary_errorgen(
+                    typ, *[_pstr_to_mat(s) for s in pstrs])
+                Lrho = (L @ rho.reshape(-1)).reshape(4, 4)
+                lbl = ElementaryErrorgenLabel(
+                    typ, *[_pstr_to_label(s, n) for s in pstrs])
+                for bidx, bits in enumerate([[0, 0], [0, 1], [1, 0], [1, 1]]):
+                    a = alpha(lbl, S, P, bits, amps)
+                    assert abs(a - np.real(Lrho[bidx, bidx])) < 1e-9
+
+
+class TestEndToEnd:
+    def test_first_order_matches_dense_weak_noise(self):
+        import jax
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import \
+            create_crosstalk_free_model
+        from pygsti_tpu.circuits import Circuit
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gh', 'Gcnot'],
+                                   geometry='line')
+        coeffs = {'Gxpi2': {('H', 'X'): 0.005, ('S', 'Y'): 0.002},
+                  'Gcnot': {('H', 'ZZ'): 0.004, ('S', 'XI'): 0.003}}
+        mdl = create_crosstalk_free_model(pspec, lindblad_error_coeffs=coeffs)
+        prop = ErrorGeneratorPropagator.from_errorgen_dict(coeffs, 2)
+        c = Circuit([('Gh', 0), ('Gcnot', 0, 1), ('Gxpi2', 0),
+                     ('Gcnot', 0, 1)], (0, 1))
+        p_dense = mdl.probabilities(c)
+        for bits, outcome in [((0, 0), '00'), ((1, 1), '11')]:
+            p_apx = approximate_circuit_outcome_probability(prop, c, bits,
+                                                            pspec=pspec)
+            assert abs(p_apx - p_dense[(outcome,)]) < 6e-5
+
+    def test_scales_to_many_qubits(self):
+        """Analytic corrections run in poly time at 16 qubits."""
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.baseobjs.label import Label
+        n = 16
+        pspec = QubitProcessorSpec(n, ['Gh', 'Gcnot'], geometry='line')
+        layers = [[Label('Gh', 0)]] + \
+            [[Label('Gcnot', i, i + 1)] for i in range(n - 1)]
+        c = Circuit(layers, tuple(range(n)))  # GHZ prep
+        coeffs = {'Gcnot': {('S', 'XI'): 0.001, ('H', 'ZZ'): 0.002}}
+        prop = ErrorGeneratorPropagator.from_errorgen_dict(coeffs, n)
+        p00 = approximate_circuit_outcome_probability(
+            prop, c, [0] * n, pspec=pspec)
+        p11 = approximate_circuit_outcome_probability(
+            prop, c, [1] * n, pspec=pspec)
+        assert 0.4 < p00 < 0.6 and 0.4 < p11 < 0.6
+        assert abs((p00 + p11) - 1.0) < 0.1  # leading outcomes still dominate

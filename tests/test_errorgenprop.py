@@ -39,7 +39,9 @@ def _dense_noisy_channel(circuit, gate_errorgens, n):
                     chars = ['I'] * n
                     for li, ch in enumerate(pstr):
                         chars[targets[li]] = ch
-                    full.append(PauliLabel.from_str("".join(chars)).to_dense() / norm)
+                    # gate-local normalization (pyGSTi coefficient convention)
+                    full.append(PauliLabel.from_str("".join(chars)).to_dense()
+                                / np.sqrt(2.0 ** len(pstr)))
                 eg = _lt.create_elementary_errorgen(typ, *full) if typ in 'CA' else \
                     _lt.create_elementary_errorgen(typ, full[0])
                 L += coeff * np.real(change_basis(eg, 'std', 'pp'))
@@ -69,7 +71,9 @@ class TestPropagation:
         errs = prop.propagate_errorgens(Circuit('Gxpi2:0@(0)'))
         assert len(errs) == 1
         (lbl, coeff), = errs.items()
-        assert lbl.errorgen_type == 'H' and abs(abs(coeff) - 0.01) < 1e-12
+        # rates are stored in unnormalized-Pauli units: 0.01 / sqrt(2)
+        assert lbl.errorgen_type == 'H'
+        assert abs(abs(coeff) - 0.01 / np.sqrt(2)) < 1e-12
 
     def test_conjugation_through_gate(self):
         """H_Z before an X(pi/2) maps to +/-H_Y at the end; verify densely."""
