@@ -104,7 +104,7 @@ class TestEndToEnd:
         n = 16
         pspec = QubitProcessorSpec(n, ['Gh', 'Gcnot'], geometry='line')
         layers = [[Label('Gh', 0)]] + \
-            [[Label('Gcnot', i, i + 1)] for i in range(n - 1)]
+            [[Label('Gcnot', (i, i + 1))] for i in range(n - 1)]
         c = Circuit(layers, tuple(range(n)))  # GHZ prep
         coeffs = {'Gcnot': {('S', 'XI'): 0.001, ('H', 'ZZ'): 0.002}}
         prop = ErrorGeneratorPropagator.from_errorgen_dict(coeffs, n)
