@@ -85,6 +85,22 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
 
     x0 = gauge_group.initial_params()
 
+    # Gauge optimization is tiny (d x d matrices, ~d^2 params): run it on the
+    # CPU backend.  This avoids shipping a 2000-step scan graph to the remote
+    # TPU compiler (slow, and pointless for this problem size).
+    _cpu = jax.devices('cpu')[0] if jax.devices('cpu') else None
+    import contextlib
+    _dev_ctx = jax.default_device(_cpu) if _cpu is not None else \
+        contextlib.nullcontext()
+
+    with _dev_ctx:
+        return _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol,
+                             model, printer, return_all)
+
+
+def _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol, model,
+                  printer, return_all):
+    import scipy.optimize as spo
     if method in ('auto', 'adam'):
         # fully on-device optimization: one jitted Adam loop (avoids
         # per-iteration host round trips), then a short L-BFGS polish.
@@ -103,7 +119,7 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
                                          None, length=steps)
             return x_fin
 
-        x_adam = np.asarray(run_adam(jnp.asarray(x0)))
+        x_adam = np.asarray(run_adam(jnp.asarray(np.asarray(x0))))
     else:
         x_adam = x0
 
