@@ -229,7 +229,7 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
                                    printer=VerbosityPrinter.create_printer(verbosity))
             opt_results.append(result)
             printer.log("    %s stage: %.1fs (f=%.1f)"
-                        % (builder.name, _time.time() - t0, result.f), 2)
+                        % (builder.name, _time.time() - t0, result.f))
         yield (opt_results, mdl.copy())
 
 

@@ -28,7 +28,29 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
                        maxiter=1000, maxfev=None, tol=1e-10, return_all=False,
                        comm=None, verbosity=0, check_jac=False, n_leak=0):
     """Optimize the gauge degrees of freedom so `model` best matches
-    `target_model` (reference: gaugeopt.py:235)."""
+    `target_model` (reference: gaugeopt.py:235).
+
+    Gauge optimization is tiny (d x d matrices, ~d^2 params): the ENTIRE
+    computation -- including creation of the input arrays, so the jitted
+    Adam scan follows their placement -- runs on the CPU backend.  This
+    avoids shipping a 2000-step scan graph to the remote TPU compiler per
+    gauge-opt stage (minutes each, and the dominant cost of a whole GST run).
+    """
+    import contextlib
+    _cpus = jax.devices('cpu')
+    _ctx = jax.default_device(_cpus[0]) if _cpus else contextlib.nullcontext()
+    with _ctx:
+        return _gaugeopt_to_target_impl(
+            model, target_model, item_weights, cptp_penalty_factor,
+            spam_penalty_factor, gates_metric, spam_metric, gauge_group,
+            method, maxiter, maxfev, tol, return_all, comm, verbosity,
+            check_jac, n_leak)
+
+
+def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_factor,
+                             spam_penalty_factor, gates_metric, spam_metric,
+                             gauge_group, method, maxiter, maxfev, tol,
+                             return_all, comm, verbosity, check_jac, n_leak):
     printer = VerbosityPrinter.create_printer(verbosity)
     if gauge_group is None:
         gauge_group = default_gauge_group_for_model(model)
@@ -85,17 +107,8 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
 
     x0 = gauge_group.initial_params()
 
-    # Gauge optimization is tiny (d x d matrices, ~d^2 params): run it on the
-    # CPU backend.  This avoids shipping a 2000-step scan graph to the remote
-    # TPU compiler (slow, and pointless for this problem size).
-    _cpu = jax.devices('cpu')[0] if jax.devices('cpu') else None
-    import contextlib
-    _dev_ctx = jax.default_device(_cpu) if _cpu is not None else \
-        contextlib.nullcontext()
-
-    with _dev_ctx:
-        return _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol,
-                             model, printer, return_all)
+    return _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol,
+                          model, printer, return_all)
 
 
 def _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol, model,

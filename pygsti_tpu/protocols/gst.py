@@ -455,16 +455,19 @@ def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
         godict = gaugeopt_suite.to_dictionary(mdl)
         go_target = gaugeopt_suite.gaugeopt_target \
             if gaugeopt_suite.gaugeopt_target is not None else target_model
+        import time as _time
         for golbl, goparams in godict.items():
             stages = goparams.get('stages', [goparams])
             cur = mdl
+            _t0 = _time.time()
             for stage in stages:
                 stage = dict(stage)
                 stage.pop('spam_penalty_factor', None)
                 cur = gaugeopt_to_target(cur, go_target, **stage)
             est.models[golbl] = cur
             est.goparameters[golbl] = goparams
-            printer.log("  -- Added gauge-optimized result '%s'" % golbl, 2)
+            printer.log("  -- Added gauge-optimized result '%s' (%.1fs)"
+                        % (golbl, _time.time() - _t0))
     if badfit_options is not None:
         _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer)
 
