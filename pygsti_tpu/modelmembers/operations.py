@@ -154,10 +154,11 @@ class FullUnitaryOp(LinearOperator):
         super().__init__(self.udim ** 2, params)
         from pygsti_tpu.baseobjs.basis import Basis
         b = Basis.cast(basis, self.udim ** 2)
-        self._basis_els = jnp.asarray(b.elements)
+        self._basis_els = np.asarray(b.elements)
         M = b.create_transform_matrix('std')
-        self._std2basis = jnp.asarray(np.linalg.inv(M))
-        self._basis2std = jnp.asarray(M)
+        # numpy constants (eager complex device_put hangs remote TPUs)
+        self._std2basis = np.linalg.inv(M)
+        self._basis2std = np.asarray(M)
 
     def to_dense_jax(self, v):
         h = _real_params_to_hermitian_jax(v, self.udim)
@@ -699,8 +700,8 @@ class EigenvalueParamDenseOp(LinearOperator):
             params.extend([evals[i].real, evals[i].imag])
 
         super().__init__(d, np.asarray(params, float))
-        self._B = jnp.asarray(B.astype(complex))
-        self._Binv = jnp.asarray(np.linalg.inv(B).astype(complex))
+        self._B = B.astype(complex)
+        self._Binv = np.linalg.inv(B).astype(complex)
         self._real_idx = np.asarray(real_idx, np.int32)
         self._pair_idx = pair_idx
         self._fixed_idx = fixed_idx
@@ -740,11 +741,11 @@ class LinearlyParamArbitraryOp(LinearOperator):
             for (i, j) in ij_tuples:
                 masks[p, i, j] = 1.0
         super().__init__(d, np.asarray(parameter_array, float))
-        self._base = jnp.asarray(base)
-        self._masks = jnp.asarray(masks)
-        self._left = jnp.asarray(left_transform if left_transform is not None
+        self._base = np.asarray(base)
+        self._masks = np.asarray(masks)
+        self._left = np.asarray(left_transform if left_transform is not None
                                  else np.eye(d))
-        self._right = jnp.asarray(right_transform if right_transform is not None
+        self._right = np.asarray(right_transform if right_transform is not None
                                   else np.eye(d))
         self._real = real
 
@@ -816,7 +817,7 @@ class FullCPTPOp(LinearOperator):
         for k in range(n):
             e = np.zeros(n); e[k] = 1.0
             A[:, k] = _jam.jamiolkowski_iso_inv(e.reshape(d, d), b, b).reshape(-1)
-        self._jam_inv = jnp.asarray(A)
+        self._jam_inv = np.asarray(A)
 
     @classmethod
     def from_superop_matrix(cls, superop_mx, basis='pp', truncate=False):

@@ -149,8 +149,10 @@ class UnitaryGaugeGroup(GaugeGroup):
         self.basis = Basis.cast(basis, self.dim) if isinstance(basis, str) else basis
         self.udim = self.state_space.udim
         M = self.basis.create_transform_matrix('std')
-        self._std2basis = jnp.asarray(np.linalg.inv(M))
-        self._basis2std = jnp.asarray(M)
+        # numpy constants: eager complex128 device_put hangs the remote
+        # TPU runtime; numpy folds into the traced graph instead
+        self._std2basis = np.linalg.inv(M)
+        self._basis2std = np.asarray(M)
 
     @property
     def num_params(self):

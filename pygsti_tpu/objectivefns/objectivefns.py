@@ -784,8 +784,9 @@ def _make_penalty_fn(model, penalties):
     b = Basis.cast(basis, dim) if isinstance(basis, str) else basis
     M = np.asarray(b.create_transform_matrix('std'))
     Minv = np.linalg.inv(M)
-    M_j, Minv_j = jnp.asarray(M.astype(complex)), jnp.asarray(Minv.astype(complex))
-    els_j = jnp.asarray(np.asarray(b.elements).astype(complex))  # [dim, u, u]
+    # numpy constants: eager complex device_put hangs remote TPU runtimes
+    M_j, Minv_j = M.astype(complex), Minv.astype(complex)
+    els_j = np.asarray(b.elements).astype(complex)  # [dim, u, u]
     compute = model.tensors_fn()
     # penalize only primary operations (not derived layers / instrument rows)
     if hasattr(model, 'operations'):
