@@ -195,20 +195,32 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
     n_iters = len(circuit_lists)
 
     # For nested circuit lists (each a prefix of the final list -- the
-    # standard GST structure), all iterations share ONE layout over the final
-    # list: iteration i evaluates with counts masked to its prefix.  This
-    # lets every iteration reuse the same compiled device graphs.
+    # standard GST structure), iterations share TIERED layouts: consecutive
+    # iteration PAIRS share the larger member's layout, with counts masked to
+    # the active prefix.  Sharing keeps compiled-graph reuse high (one graph
+    # set per tier, persisted in the compilation cache) while early
+    # iterations avoid paying the final list's full evaluation cost.
     lists = [list(cl) for cl in circuit_lists]
     nested = all(lists[i] == lists[-1][:len(lists[i])] for i in range(n_iters - 1))
-    shared_layout = mdl.sim.create_layout(lists[-1], dataset) if nested else None
+    tier_of = {}
+    tier_layouts = {}
+    if nested:
+        for i in range(n_iters):
+            tier_of[i] = min(i + ((n_iters - 1 - i) % 2), n_iters - 1)
+
+    def _tier_layout(t):
+        if t not in tier_layouts:
+            tier_layouts[t] = mdl.sim.create_layout(lists[t], dataset)
+        return tier_layouts[t]
 
     def make_objective(builder, i):
         raw = builder.build_raw()
         from pygsti_tpu.objectivefns.objectivefns import TimeIndependentMDCObjectiveFunction
         if nested:
+            t = tier_of[i]
             return TimeIndependentMDCObjectiveFunction(
-                raw, mdl, dataset, lists[-1], penalties=builder.penalties,
-                name=builder.name, layout=shared_layout,
+                raw, mdl, dataset, lists[t], penalties=builder.penalties,
+                name=builder.name, layout=_tier_layout(t),
                 num_active_circuits=len(lists[i]))
         return TimeIndependentMDCObjectiveFunction(
             raw, mdl, dataset, lists[i], penalties=builder.penalties,
