@@ -589,7 +589,7 @@ class TimeIndependentMDCObjectiveFunction(object):
         # bounded-iterations chunks: each device program stays well under the
         # TPU runtime's single-execution watchdog (a full-GST LM pass can run
         # many minutes, which kills the worker if submitted as one program)
-        chunk = int(os.environ.get('PYGSTI_TPU_LM_CHUNK', '1'))
+        chunk = int(os.environ.get('PYGSTI_TPU_LM_CHUNK', '3'))
         state = init_jit(jnp.asarray(x0), *data)
         while True:
             k_now = int(state.k)
