@@ -181,3 +181,173 @@ def approximate_circuit_outcome_probability(propagator, circuit, bitstring,
     # propagator coefficients: {ElementaryErrorgenLabel: rate}
     return approximate_stabilizer_probability(errorgens, out_s, out_p,
                                               bitstring, order)
+
+
+# -- elementary errorgen algebra (commutators, BCH, Magnus) -------------------
+
+def _all_pauli_labels(n):
+    from pygsti_tpu.errorgenpropagation.errorpropagator import PauliLabel
+    out = []
+    for x in range(2 ** n):
+        for z in range(2 ** n):
+            if x == 0 and z == 0:
+                continue
+            out.append(PauliLabel(x, z, n))
+    return out
+
+
+def elementary_errorgen_basis_labels(n, types=('H', 'S', 'C', 'A')):
+    """All elementary errorgen labels on n qubits (reference:
+    baseobjs/errorgenbasis.py ElementaryErrorgenBasis)."""
+    from pygsti_tpu.errorgenpropagation.errorpropagator import \
+        ElementaryErrorgenLabel
+    paulis = _all_pauli_labels(n)
+    labels = []
+    if 'H' in types:
+        labels += [ElementaryErrorgenLabel('H', p) for p in paulis]
+    if 'S' in types:
+        labels += [ElementaryErrorgenLabel('S', p) for p in paulis]
+    for typ in ('C', 'A'):
+        if typ in types:
+            for i, p in enumerate(paulis):
+                for q in paulis[i + 1:]:
+                    labels.append(ElementaryErrorgenLabel(typ, p, q))
+    return labels
+
+
+def errorgen_label_to_dense(lbl, n):
+    """Dense std-basis superoperator of an elementary errorgen label
+    (unnormalized Hermitian Paulis) (reference:
+    errgenproptools.errorgen_layer_to_matrix:6578)."""
+    from pygsti_tpu.tools import lindbladtools as _lt
+    mats = [p.to_dense() for p in lbl.basis_element_labels]
+    if lbl.errorgen_type in ('H', 'S'):
+        return _lt.create_elementary_errorgen(lbl.errorgen_type, mats[0])
+    return _lt.create_elementary_errorgen(lbl.errorgen_type, mats[0], mats[1])
+
+
+_PROJ_SCALE_CACHE = {}
+
+
+def _projection_scale(typ, n):
+    """Empirical dual<->errorgen pairing constant for each type, so the
+    projection is exact in the unnormalized-Pauli convention regardless of
+    the dual functions' internal normalization."""
+    key = (typ, n)
+    if key not in _PROJ_SCALE_CACHE:
+        from pygsti_tpu.errorgenpropagation.errorpropagator import (
+            PauliLabel, ElementaryErrorgenLabel)
+        X = PauliLabel(1, 0, n)
+        Z = PauliLabel(1 << (n - 1), 1, n) if n > 1 else PauliLabel(0, 1, n)
+        lbl = ElementaryErrorgenLabel(typ, X) if typ in ('H', 'S') else             ElementaryErrorgenLabel(typ, X, Z)
+        dense = errorgen_label_to_dense(lbl, n)
+        _PROJ_SCALE_CACHE[key] = float(np.real(
+            np.vdot(_dual_for(lbl, n), dense)))
+    return _PROJ_SCALE_CACHE[key]
+
+
+def _dual_for(lbl, n):
+    from pygsti_tpu.tools import lindbladtools as _lt
+    d = 2 ** n
+    mats = [p.to_dense() / np.sqrt(d) for p in lbl.basis_element_labels]
+    if lbl.errorgen_type in ('H', 'S'):
+        return _lt.create_elementary_errorgen_dual(lbl.errorgen_type, mats[0])
+    return _lt.create_elementary_errorgen_dual(lbl.errorgen_type, mats[0],
+                                               mats[1])
+
+
+def project_errorgen(dense_std, n, types=('H', 'S', 'C', 'A'), tol=1e-12):
+    """Project a dense std-basis error generator onto elementary errorgen
+    coefficients (unnormalized-Pauli convention) via the dual generators
+    (reference: errgenproptools projections)."""
+    out = {}
+    for lbl in elementary_errorgen_basis_labels(n, types):
+        coeff = np.real(np.vdot(_dual_for(lbl, n), dense_std))             / _projection_scale(lbl.errorgen_type, n)
+        if abs(coeff) > tol:
+            out[lbl] = float(coeff)
+    return out
+
+
+def error_generator_commutator_numerical(lbl1, lbl2, num_qubits,
+                                         types=('H', 'S', 'C', 'A')):
+    """[L1, L2] expanded in elementary errorgen coefficients (reference:
+    errgenproptools.error_generator_commutator_numerical:6748).  Exact; cost
+    grows as 16^n so intended for <= 3 qubits."""
+    L1 = errorgen_label_to_dense(lbl1, num_qubits)
+    L2 = errorgen_label_to_dense(lbl2, num_qubits)
+    return project_errorgen(L1 @ L2 - L2 @ L1, num_qubits, types)
+
+
+def error_generator_composition_numerical(lbl1, lbl2, num_qubits,
+                                          types=('H', 'S', 'C', 'A')):
+    """L1 @ L2 expanded in elementary errorgen coefficients (reference:
+    errgenproptools.error_generator_composition_numerical:6802).  Note the
+    composition generally has a part outside the elementary-errorgen span;
+    only the projection is returned."""
+    L1 = errorgen_label_to_dense(lbl1, num_qubits)
+    L2 = errorgen_label_to_dense(lbl2, num_qubits)
+    return project_errorgen(L1 @ L2, num_qubits, types)
+
+
+def _layer_commutator(layer1, layer2, num_qubits, weight=1.0,
+                      truncation_threshold=1e-14):
+    """weight * [L(layer1), L(layer2)] as an errorgen dict."""
+    out = {}
+    for l1, c1 in layer1.items():
+        for l2, c2 in layer2.items():
+            w = weight * c1 * c2
+            if abs(w) < truncation_threshold:
+                continue
+            for lbl, c in error_generator_commutator_numerical(
+                    l1, l2, num_qubits).items():
+                out[lbl] = out.get(lbl, 0.0) + w * c
+    return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
+
+
+def _layer_sum(layers):
+    out = {}
+    for d in layers:
+        for lbl, c in d.items():
+            out[lbl] = out.get(lbl, 0.0) + c
+    return out
+
+
+def bch_approximation(errgen_layer_1, errgen_layer_2, num_qubits=None,
+                      bch_order=1, truncation_threshold=1e-14):
+    """log(e^L1 e^L2) to the given BCH order, as an errorgen dict
+    (reference: errgenproptools.bch_approximation:100).  Order 2 adds
+    (1/2)[L1, L2] via exact numerical commutators."""
+    if num_qubits is None:
+        num_qubits = next(iter(errgen_layer_1 or errgen_layer_2)
+                          ).basis_element_labels[0].num_qubits
+    out = _layer_sum([errgen_layer_1, errgen_layer_2])
+    if bch_order >= 2:
+        comm = _layer_commutator(errgen_layer_1, errgen_layer_2, num_qubits,
+                                 weight=0.5,
+                                 truncation_threshold=truncation_threshold)
+        out = _layer_sum([out, comm])
+    return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
+
+
+def magnus_expansion(errorgen_layers, num_qubits=None, magnus_order=1,
+                     truncation_threshold=1e-14):
+    """Magnus expansion of a time-ordered product of errorgen layers
+    (reference: errgenproptools.magnus_expansion:468).
+
+    Order 1: sum of layers.  Order 2 adds (1/2) sum_{t2 > t1} [L_t2, L_t1].
+    """
+    layers = list(errorgen_layers)
+    if num_qubits is None:
+        for d in layers:
+            if d:
+                num_qubits = next(iter(d)).basis_element_labels[0].num_qubits
+                break
+    out = _layer_sum(layers)
+    if magnus_order >= 2:
+        for t2 in range(len(layers)):
+            for t1 in range(t2):
+                comm = _layer_commutator(layers[t2], layers[t1], num_qubits,
+                                         weight=0.5,
+                                         truncation_threshold=truncation_threshold)
+                out = _layer_sum([out, comm])
+    return {k: v for k, v in out.items() if abs(v) > truncation_threshold}

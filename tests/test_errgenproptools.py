@@ -114,3 +114,69 @@ class TestEndToEnd:
             prop, c, [1] * n, pspec=pspec)
         assert 0.4 < p00 < 0.6 and 0.4 < p11 < 0.6
         assert abs((p00 + p11) - 1.0) < 0.1  # leading outcomes still dominate
+
+
+class TestErrorgenAlgebra:
+    def test_projection_round_trip(self):
+        from pygsti_tpu.tools.errgenproptools import (
+            project_errorgen, errorgen_label_to_dense,
+            elementary_errorgen_basis_labels)
+        for lbl in elementary_errorgen_basis_labels(1):
+            proj = project_errorgen(errorgen_label_to_dense(lbl, 1), 1)
+            assert abs(proj.get(lbl, 0) - 1.0) < 1e-9
+            assert all(abs(v) < 1e-9 for k, v in proj.items() if k != lbl)
+
+    def test_bch_order2_beats_order1(self):
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenproptools import (
+            bch_approximation, errorgen_label_to_dense)
+        X = PauliLabel(1, 0, 1)
+        Z = PauliLabel(0, 1, 1)
+        lay1 = {ElementaryErrorgenLabel('H', X): 0.05}
+        lay2 = {ElementaryErrorgenLabel('H', Z): 0.03,
+                ElementaryErrorgenLabel('S', X): 0.01}
+        L1 = sum(c * errorgen_label_to_dense(k, 1) for k, c in lay1.items())
+        L2 = sum(c * errorgen_label_to_dense(k, 1) for k, c in lay2.items())
+        exact = spl.logm(spl.expm(L1) @ spl.expm(L2))
+
+        def dense_of(d):
+            return sum(c * errorgen_label_to_dense(k, 1) for k, c in d.items())
+        e1 = np.abs(dense_of(bch_approximation(lay1, lay2, 1, bch_order=1))
+                    - exact).max()
+        e2 = np.abs(dense_of(bch_approximation(lay1, lay2, 1, bch_order=2))
+                    - exact).max()
+        assert e2 < e1 / 10
+
+    def test_magnus_order2(self):
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenproptools import (
+            magnus_expansion, errorgen_label_to_dense)
+        X = PauliLabel(1, 0, 1)
+        Z = PauliLabel(0, 1, 1)
+        lays = [{ElementaryErrorgenLabel('S', X): 0.02},
+                {ElementaryErrorgenLabel('H', Z): 0.03},
+                {ElementaryErrorgenLabel('H', X): 0.05}]
+
+        def dense_of(d):
+            return sum(c * errorgen_label_to_dense(k, 1) for k, c in d.items())
+        exact = spl.logm(spl.expm(dense_of(lays[2]))
+                         @ spl.expm(dense_of(lays[1]))
+                         @ spl.expm(dense_of(lays[0])))
+        e1 = np.abs(dense_of(magnus_expansion(lays, 1, magnus_order=1))
+                    - exact).max()
+        e2 = np.abs(dense_of(magnus_expansion(lays, 1, magnus_order=2))
+                    - exact).max()
+        assert e2 < e1 / 5
+
+    def test_commutator_exactness(self):
+        from pygsti_tpu.tools.errgenproptools import (
+            error_generator_commutator_numerical, errorgen_label_to_dense)
+        X = PauliLabel(1, 0, 1)
+        Z = PauliLabel(0, 1, 1)
+        l1 = ElementaryErrorgenLabel('H', X)
+        l2 = ElementaryErrorgenLabel('S', Z)
+        comm = error_generator_commutator_numerical(l1, l2, 1)
+        L1 = errorgen_label_to_dense(l1, 1)
+        L2 = errorgen_label_to_dense(l2, 1)
+        recon = sum(c * errorgen_label_to_dense(k, 1) for k, c in comm.items())
+        assert np.abs((L1 @ L2 - L2 @ L1) - recon).max() < 1e-10
