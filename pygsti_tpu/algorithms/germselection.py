@@ -230,6 +230,11 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
             return float(np.sum(1.0 / safe)), n_amp
         return float(1.0 / safe[-1]), n_amp
 
+    if algorithm == 'grasp':
+        return _find_germs_grasp(candidates, germs, set_score, n_nongauge,
+                                 threshold, printer,
+                                 rand_state=np.random.RandomState(seed))
+
     cur_score, n_amp = set_score(germs)
     max_iters = len(candidates)
     for _ in range(max_iters):
@@ -253,6 +258,69 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
     assert n_amp >= n_nongauge, \
         "Could not find an amplificationally complete germ set (%d/%d)" % (n_amp, n_nongauge)
     return germs
+
+
+def _find_germs_grasp(candidates, forced, set_score, n_nongauge, threshold,
+                      printer, iterations=5, alpha=0.5, rand_state=None):
+    """GRASP germ search: randomized-greedy construction from a restricted
+    candidate list + local swap search, best of `iterations` restarts
+    (reference: pygsti/algorithms/grasp.py:275 run_grasp_iteration;
+    germselection GRASP mode)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    best_solution = None
+
+    def solution_quality(germs):
+        s, na = set_score(germs)
+        return (na, -len(germs), -s)   # maximize coverage, then small & low
+
+    for it in range(iterations):
+        # --- randomized greedy construction ------------------------------
+        germs = list(forced)
+        cur_score, n_amp = set_score(germs)
+        while not (n_amp >= n_nongauge and cur_score < threshold):
+            scored = []
+            for cand in candidates:
+                if cand in germs:
+                    continue
+                sc, na = set_score(germs + [cand])
+                scored.append((cand, na, sc))
+            if not scored:
+                break
+            # restricted candidate list: within alpha of the best by
+            # (coverage, score) ordering
+            best_na = max(x[1] for x in scored)
+            top = [x for x in scored if x[1] == best_na]
+            top.sort(key=lambda x: x[2])
+            rcl = top[:max(1, int(np.ceil(alpha * len(top))))]
+            pick = rcl[rng.randint(len(rcl))]
+            germs.append(pick[0])
+            n_amp, cur_score = pick[1], pick[2]
+        if not (n_amp >= n_nongauge):
+            continue
+
+        # --- local search: prune germs while coverage holds and the score
+        # does not degrade appreciably -------------------------------------
+        base_s, _ = set_score(germs)
+        improved = True
+        while improved:
+            improved = False
+            for g in list(germs):
+                if g in forced:
+                    continue
+                trial = [x for x in germs if x != g]
+                s, na = set_score(trial)
+                if na >= n_nongauge and s <= max(base_s * 1.1, threshold):
+                    germs = trial
+                    base_s = s
+                    improved = True
+        q = solution_quality(germs)
+        if best_solution is None or q > best_solution[0]:
+            best_solution = (q, list(germs))
+        printer.log("  GRASP iter %d: %d germs (coverage %d/%d)"
+                    % (it, len(germs), q[0], n_nongauge), 2)
+
+    assert best_solution is not None,         "GRASP could not find an amplificationally complete germ set"
+    return best_solution[1]
 
 
 def _cyclic_canonical(combo):

@@ -95,3 +95,22 @@ class TestFiducialPairReduction:
         tdl = two_delta_logl(models[-1], ds, list(lists[-1]))
         k = ds.degrees_of_freedom(list(lists[-1])) - models[-1].num_params
         assert (tdl - k) / np.sqrt(2 * max(k, 1)) < 5
+
+
+class TestGraspGermSearch:
+    def test_grasp_finds_complete_smaller_set(self):
+        """GRASP germ search yields a complete set no larger than greedy's
+        (reference: grasp.py:275 + germselection GRASP mode)."""
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms.germselection import find_germs
+        g_grasp = find_germs(mp.target_model('full'), seed=4,
+                             algorithm='grasp',
+                             candidate_germ_counts={3: 'all upto'},
+                             verbosity=0)
+        g_greedy = find_germs(mp.target_model('full'), seed=4,
+                              algorithm='greedy',
+                              candidate_germ_counts={3: 'all upto'},
+                              verbosity=0)
+        assert len(g_grasp) <= len(g_greedy)
+        assert len(g_grasp) >= 3
