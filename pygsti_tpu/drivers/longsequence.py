@@ -53,3 +53,30 @@ def run_model_test(model_to_test, data_filename_or_set, target_model, prep_fiduc
     data = ProtocolData(design, ds)
     proto = ModelTest(model_to_test, target_model, verbosity=verbosity)
     return proto.run(data)
+
+
+def run_linear_gst(data_filename_or_set, target_model, prep_fiducials,
+                   meas_fiducials, gauge_opt_params=None, advanced_options=None,
+                   comm=None, mem_limit=None, output_pkl=None, verbosity=2):
+    """One-call LGST analysis (reference: drivers/longsequence.py:204
+    run_linear_gst): runs the LinearGateSetTomography protocol on an
+    LGST-only experiment design."""
+    from pygsti_tpu.protocols.gst import (GateSetTomographyDesign,
+                                          LinearGateSetTomography)
+    from pygsti_tpu.protocols.protocol import ProtocolData
+    from pygsti_tpu.circuits.gstcircuits import create_lgst_circuits
+
+    ds = data_filename_or_set
+    if isinstance(ds, str):
+        from pygsti_tpu.io import read_dataset
+        ds = read_dataset(ds)
+    lgst_circuits = create_lgst_circuits(prep_fiducials, meas_fiducials,
+                                         target_model)
+    design = GateSetTomographyDesign(target_model, [lgst_circuits])
+    data = ProtocolData(design, ds)
+    proto = LinearGateSetTomography(
+        target_model,
+        gaugeopt_suite='stdgaugeopt' if gauge_opt_params is None else
+        {'go0': gauge_opt_params},
+        verbosity=verbosity)
+    return proto.run(data)
