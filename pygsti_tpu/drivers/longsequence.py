@@ -61,18 +61,17 @@ def run_linear_gst(data_filename_or_set, target_model, prep_fiducials,
     """One-call LGST analysis (reference: drivers/longsequence.py:204
     run_linear_gst): runs the LinearGateSetTomography protocol on an
     LGST-only experiment design."""
-    from pygsti_tpu.protocols.gst import (GateSetTomographyDesign,
+    from pygsti_tpu.protocols.gst import (StandardGSTDesign,
                                           LinearGateSetTomography)
     from pygsti_tpu.protocols.protocol import ProtocolData
-    from pygsti_tpu.circuits.gstcircuits import create_lgst_circuits
 
     ds = data_filename_or_set
     if isinstance(ds, str):
         from pygsti_tpu.io import read_dataset
         ds = read_dataset(ds)
-    lgst_circuits = create_lgst_circuits(prep_fiducials, meas_fiducials,
-                                         target_model)
-    design = GateSetTomographyDesign(target_model, [lgst_circuits])
+    # an LGST-only design: maxLengths=[1] with no germs beyond the gates
+    design = StandardGSTDesign(target_model, prep_fiducials, meas_fiducials,
+                               [], [1])
     data = ProtocolData(design, ds)
     proto = LinearGateSetTomography(
         target_model,

@@ -177,3 +177,28 @@ class TestNewModelpacks:
         from pygsti_tpu.modelpacks import smq1Q_Xpi2_rpe
         d = smq1Q_Xpi2_rpe.create_rpe_experiment_design(8)
         assert len(d.depths) == 4  # 1,2,4,8
+
+
+class TestRunLinearGST:
+    def test_run_linear_gst_driver(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.circuits.gstcircuits import create_lgst_circuits
+        from pygsti_tpu.drivers.longsequence import run_linear_gst
+        from pygsti_tpu.tools.optools import entanglement_fidelity
+        t = mp.target_model('full')
+        circs = create_lgst_circuits(mp.prep_fiducials(), mp.meas_fiducials(), t)
+        ds = simulate_data(t.copy().depolarize(op_noise=0.02), circs, 5000,
+                           seed=1)
+        res = run_linear_gst(ds, mp.target_model('full TP'),
+                             mp.prep_fiducials(), mp.meas_fiducials(),
+                             verbosity=0)
+        est = res.estimates[list(res.estimates.keys())[0]]
+        mdl = est.models['stdgaugeopt']
+        # LGST + gaugeopt should land near the true (depolarized) gates
+        from pygsti_tpu.baseobjs.label import Label
+        f = entanglement_fidelity(
+            mdl.operations[Label('Gxpi2', 0)].to_dense(),
+            t.operations[Label('Gxpi2', 0)].to_dense())
+        assert f > 0.97
