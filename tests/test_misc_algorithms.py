@@ -58,3 +58,22 @@ class TestContract:
         m2 = contract(m, 'CPTP')
         mx2 = m2.operations[('Gxpi2', 0)].to_dense()
         assert is_cptp(mx2, 'pp', tol=1e-5)
+
+
+class TestQutritModel:
+    def test_qutrit_model_probabilities(self):
+        import numpy as np
+        from pygsti_tpu.models.qutrit import (create_qutrit_model,
+                                              _xx_qutrit)
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.baseobjs.label import Label
+        U = _xx_qutrit(np.pi / 2)
+        assert np.allclose(U @ U.conj().T, np.eye(3), atol=1e-10)
+        m = create_qutrit_model(0.0)
+        c = Circuit([Label('Gx', 'T0'), Label('Gm', 'T0')], ('T0',))
+        p = m.probabilities(c)
+        assert abs(sum(p.values()) - 1) < 1e-9
+        assert abs(p[('1bright',)] - 0.5) < 1e-9
+        m2 = create_qutrit_model(0.05, seed=3)
+        p2 = m2.probabilities(c)
+        assert max(abs(p[k] - p2[k]) for k in p) > 1e-3
