@@ -841,3 +841,71 @@ class FullCPTPOp(LinearOperator):
         """Kraus operators of the current channel (KrausOperatorInterface
         analogue; reference: operations/krausop.py:14)."""
         return _ot.kraus_decomposition(self.to_dense(), self.basis_name)
+
+
+class IdentityPlusErrorgenOp(LinearOperator):
+    """I + L: the first-order expansion of exp(L), CPTP whenever L is a
+    valid Lindbladian (reference: operations/identitypluserrorgenop.py:31)."""
+
+    def __init__(self, errorgen):
+        self.errorgen = errorgen
+        super().__init__(errorgen.dim, np.empty(0))
+
+    @property
+    def num_params(self):
+        return self.errorgen.num_params
+
+    def to_vector(self):
+        return self.errorgen.to_vector()
+
+    def from_vector(self, v, close=False, dirty_value=True):
+        self.errorgen.from_vector(v)
+
+    def to_dense_jax(self, v):
+        return jnp.eye(self._dim, dtype=v.dtype) + self.errorgen.to_dense_jax(v)
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        if hasattr(self.errorgen, 'coefficients'):
+            return self.errorgen.coefficients()
+        return {}
+
+
+class CPTRop(LinearOperator):
+    """A CP, trace-REDUCING map: Kraus operators with sum K^dag K <= I,
+    parameterized by an unnormalized Choi Cholesky factor plus a loss
+    parameter (reference: operations/cptrop.py).  Useful for modeling
+    leakage/loss channels where probability leaves the computational space.
+    """
+
+    def __init__(self, superop_mx, basis='pp', truncate=True):
+        from pygsti_tpu.tools import jamiolkowski as _jam
+        from pygsti_tpu.baseobjs.basis import Basis
+        m = np.asarray(superop_mx, float)
+        d = m.shape[0]
+        b = Basis.cast(basis, d)
+        choi = _jam.jamiolkowski_iso(m, b, b)   # trace <= 1 for trace-reducing
+        evals, U = np.linalg.eigh((choi + choi.conj().T) / 2)
+        assert truncate or evals.min() > -1e-10, "superop must be CP"
+        choi = (U * evals.clip(1e-16, None)) @ U.conj().T
+        L = np.linalg.cholesky(choi + 1e-14 * np.eye(d))
+        super().__init__(d, _lower_tri_to_params(L, d))
+        self.basis_name = basis
+        n = d * d
+        A = np.zeros((n, n), complex)
+        for k in range(n):
+            e = np.zeros(n)
+            e[k] = 1.0
+            A[:, k] = _jam.jamiolkowski_iso_inv(e.reshape(d, d), b, b).reshape(-1)
+        self._jam_inv = np.asarray(A)
+
+    def to_dense_jax(self, v):
+        d = self._dim
+        L = _params_to_lower_tri_jax(v, d)
+        choi = L @ L.conj().T
+        # trace-reducing constraint: clip total trace at 1 (smooth sigmoid-free
+        # formulation: scale down only when trace exceeds 1)
+        tr = jnp.real(jnp.trace(choi))
+        scale = jnp.where(tr > 1.0, 1.0 / tr, 1.0)
+        choi = choi * scale
+        out = (self._jam_inv @ choi.reshape(-1)).reshape(d, d)
+        return jnp.real(out)

@@ -191,3 +191,30 @@ class TestNewParamOps:
         a = AffineShiftOp(m)
         assert np.allclose(a.to_dense(), m)
         assert a.num_params == 3
+
+
+class TestMoreOpTypes:
+    def test_identity_plus_errorgen(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import scipy.linalg as spl
+        from pygsti_tpu.modelmembers.operations import (IdentityPlusErrorgenOp,
+                                                        build_lindblad_errorgen)
+        eg = build_lindblad_errorgen('pp', 'H+s', dim=4,
+                                     initial_coeffs={('H', 'X'): 0.01})
+        op = IdentityPlusErrorgenOp(eg)
+        d = np.asarray(op.to_dense_jax(jnp.asarray(op.to_vector())))
+        L = np.asarray(eg.to_dense_jax(jnp.asarray(eg.to_vector())))
+        assert np.abs(d - (np.eye(4) + L)).max() < 1e-12
+        assert np.abs(d - spl.expm(L)).max() < 1e-3
+
+    def test_cptr_op(self):
+        import numpy as np
+        from pygsti_tpu.modelmembers.operations import CPTRop, StaticStandardOp
+        from pygsti_tpu.tools.jamiolkowski import jamiolkowski_iso
+        lossy = 0.95 * StaticStandardOp('Gxpi2').to_dense()
+        op = CPTRop(lossy, truncate=True)
+        d = op.to_dense()
+        assert np.abs(d - lossy).max() < 1e-5
+        tr = np.real(np.trace(jamiolkowski_iso(d, 'pp')))
+        assert tr <= 1.0 + 1e-9
