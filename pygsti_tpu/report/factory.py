@@ -181,3 +181,53 @@ class Report(object):
 
     def write_pdf(self, path, **kwargs):
         raise NotImplementedError("PDF output not yet implemented; use write_html")
+
+
+def create_report_notebook(results, filename, title="GST Report Notebook",
+                           confidence_level=None, auto_open=False,
+                           connected=False, verbosity=0):
+    """Write a Jupyter notebook that loads `results` and renders the standard
+    report tables/plots via the Workspace API (reference:
+    report/factory.py:1053 create_report_notebook)."""
+    import json as _json
+
+    def code(src):
+        return {"cell_type": "code", "execution_count": None,
+                "metadata": {}, "outputs": [], "source": src}
+
+    def md(src):
+        return {"cell_type": "markdown", "metadata": {}, "source": src}
+
+    cells = [
+        md("# %s\n\nGenerated by pygsti_tpu." % title),
+        code("import jax\n"
+             "jax.config.update('jax_enable_x64', True)\n"
+             "from pygsti_tpu.protocols.gst import ModelEstimateResults\n"
+             "from pygsti_tpu.report.workspace import Workspace\n"
+             "ws = Workspace()"),
+        md("## Load results"),
+        code("results = ModelEstimateResults.from_dir(%r)\n"
+             "est = results.estimates[list(results.estimates.keys())[0]]\n"
+             "target = est.models['target']\n"
+             "final = est.models.get('stdgaugeopt', "
+             "est.models['final iteration estimate'])" % "<results_dir>"),
+        md("## Gate metrics vs. target"),
+        code("ws.GatesVsTargetTable(final, target)"),
+        md("## SPAM metrics"),
+        code("ws.SpamVsTargetTable(final, target)"),
+        md("## Gate matrices"),
+        code("ws.GatesTable(final)"),
+        md("## Choi eigenvalues"),
+        code("ws.ChoiTable(final)"),
+        md("## Per-circuit model violation"),
+        code("struct = results.data.edesign.circuit_lists[-1]\n"
+             "ws.ColorBoxPlot('logl', struct, results.data.dataset, final)"),
+    ]
+    nb = {"cells": cells,
+          "metadata": {"kernelspec": {"display_name": "Python 3",
+                                      "language": "python",
+                                      "name": "python3"}},
+          "nbformat": 4, "nbformat_minor": 5}
+    with open(filename, 'w') as f:
+        _json.dump(nb, f, indent=1)
+    return filename

@@ -147,3 +147,31 @@ class TestDriftReport:
                 os.path.join(d, 'drift.html'))
             txt = open(path).read()
         assert 'YES' in txt and '<svg' in txt and 'Power spectra' in txt
+
+
+class TestWorkspace:
+    def test_workspace_tables_and_plot(self):
+        import jax
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.circuits.gstcircuits import make_lsgst_structs
+        from pygsti_tpu.report.workspace import Workspace
+        ws = Workspace()
+        m = mp.target_model('full').depolarize(op_noise=0.02)
+        t = mp.target_model('full')
+        assert 'Gxpi2' in ws.GatesVsTargetTable(m, t).render()
+        assert '<table' in ws.SpamVsTargetTable(m, t).render()
+        assert '<table' in ws.GatesTable(m).render()
+        assert '<table' in ws.ChoiTable(m).render()
+        structs = make_lsgst_structs(t, mp.prep_fiducials(),
+                                     mp.meas_fiducials(), mp.germs(), [1])
+        ds = simulate_data(m.copy(), list(structs[-1]), 500, seed=2)
+        assert 'boxplot' in ws.ColorBoxPlot('logl', structs[-1], ds, m).render()
+
+    def test_report_notebook(self):
+        import json, tempfile, os
+        from pygsti_tpu.report.factory import create_report_notebook
+        with tempfile.TemporaryDirectory() as d:
+            p = create_report_notebook(None, os.path.join(d, 'r.ipynb'))
+            nb = json.load(open(p))
+            assert nb['nbformat'] == 4 and len(nb['cells']) > 8
