@@ -341,8 +341,6 @@ class GateSetTomography(Protocol):
             verbosity=self.verbosity - 1)
         fit_time = _time.time() - tstart
 
-        import sys as _sys
-        print("    [t] iterative GST done: %.1fs" % fit_time, file=_sys.stderr, flush=True)
         results = ModelEstimateResults(data, self)
         final_circuits = list(circuit_lists[-1])
         final_objfn_value = opt_results[-1][-1].chi2_k_distributed_qty
@@ -354,16 +352,10 @@ class GateSetTomography(Protocol):
             'fit_time': fit_time,
             'raw_objective_values': [[r.f for r in rs] for rs in opt_results],
         }
-        _t1 = _time.time()
         est = Estimate.create_gst_estimate(results, target, seed_model, models, params)
         results.add_estimate(est, estimate_key=self.name)
-        print("    [t] estimate created: %.1fs" % (_time.time() - _t1),
-              file=_sys.stderr, flush=True)
-        _t1 = _time.time()
         _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
                                  self.badfit_options, printer)
-        print("    [t] gaugeopt+badfit: %.1fs" % (_time.time() - _t1),
-              file=_sys.stderr, flush=True)
         return results
 
 
@@ -417,8 +409,6 @@ class StandardGST(Protocol):
         edesign = data.edesign
         target = self.target_model if self.target_model is not None else edesign.target_model
 
-        import sys as _sys
-        print("    [t] iterative GST done: %.1fs" % fit_time, file=_sys.stderr, flush=True)
         results = ModelEstimateResults(data, self)
         for mode in self.modes:
             printer.log("-- Performing '%s' gate set tomography --" % mode)
@@ -462,11 +452,7 @@ def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
     est = results.estimates[estlbl]
     if gaugeopt_suite is not None and not gaugeopt_suite.is_empty():
         mdl = est.models['final iteration estimate']
-        import time as _time2, sys as _sys2
-        _t2 = _time2.time()
         godict = gaugeopt_suite.to_dictionary(mdl)
-        print("    [t] to_dictionary: %.1fs" % (_time2.time() - _t2),
-              file=_sys2.stderr, flush=True)
         go_target = gaugeopt_suite.gaugeopt_target \
             if gaugeopt_suite.gaugeopt_target is not None else target_model
         import time as _time
