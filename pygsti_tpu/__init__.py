@@ -31,4 +31,10 @@ from pygsti_tpu.circuits.circuit import Circuit
 from pygsti_tpu.data.dataset import DataSet
 from pygsti_tpu.data.datasetconstruction import simulate_data
 
+# one-call drivers (reference: pygsti/__init__.py exposes these at top level)
+from pygsti_tpu.drivers.longsequence import (run_long_sequence_gst,
+                                             run_stdpractice_gst,
+                                             run_model_test,
+                                             run_linear_gst)
+
 __version__ = "0.1.0"

@@ -245,3 +245,17 @@ class MapForwardSimulator(SimpleForwardSimulator):
         super().__init__(model, param_blk_size)
         self.max_cache_size = max_cache_size
         self.num_atoms = num_atoms
+
+
+class DistributableForwardSimulator(SimpleForwardSimulator):
+    """Name-parity alias (reference: forwardsims/distforwardsim.py:
+    DistributableForwardSimulator).  Distribution here is a
+    ``jax.sharding.Mesh`` over the circuit-batch axis (set ``sim.mesh``);
+    XLA inserts the collectives the reference implements with MPI atoms and
+    parameter blocks."""
+
+    def __init__(self, model=None, mesh=None, num_atoms=None,
+                 processor_grid=None, param_blk_sizes=None):
+        super().__init__(model)
+        if mesh is not None:
+            self.mesh = mesh

@@ -296,3 +296,19 @@ class ProtocolCheckpoint(NicelySerializable):
     def read(cls, path):
         with open(path) as f:
             return NicelySerializable.from_nice_serialization(decode_value(json.load(f)))
+
+
+def _protocol_run_mpi(self, data, dirname, num_processes=1, slurm=False,
+                      **slurm_kwargs):
+    """Stage this protocol + data for multi-host execution and (when
+    possible) launch the generated runner (reference: protocol.py:202
+    run_mpi / :395 stage_slurm — the TPU analogue uses jax.distributed
+    instead of mpiexec; see tools/launchtools.py)."""
+    from pygsti_tpu.tools.launchtools import stage_protocol_run
+    return stage_protocol_run(self, data, dirname, slurm=slurm,
+                              **slurm_kwargs)
+
+
+Protocol.run_mpi = _protocol_run_mpi
+Protocol.stage_slurm = lambda self, data, dirname, **kw: \
+    _protocol_run_mpi(self, data, dirname, slurm=True, **kw)
