@@ -205,6 +205,10 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
     tier_of = {}
     tier_layouts = {}
     if nested:
+        # paired tiers: consecutive iteration pairs share the larger
+        # member's layout -- the measured sweet spot between per-iteration
+        # evaluation cost (favors many tiers) and per-tier compiled-graph
+        # load/compile overhead (favors few)
         for i in range(n_iters):
             tier_of[i] = min(i + ((n_iters - 1 - i) % 2), n_iters - 1)
 

@@ -588,8 +588,14 @@ class TimeIndependentMDCObjectiveFunction(object):
                               (maxdx ** 2) * len(x0) if maxdx else np.inf])
         # bounded-iterations chunks: each device program stays well under the
         # TPU runtime's single-execution watchdog (a full-GST LM pass can run
-        # many minutes, which kills the worker if submitted as one program)
-        chunk = int(os.environ.get('PYGSTI_TPU_LM_CHUNK', '3'))
+        # many minutes, which kills the worker if submitted as one program).
+        # Small layouts are latency-dominated, so they take bigger chunks.
+        env_chunk = os.environ.get('PYGSTI_TPU_LM_CHUNK')
+        if env_chunk is not None:
+            chunk = int(env_chunk)
+        else:
+            B = self.layout.op_indices.shape[0]
+            chunk = 12 if B < 2500 else (6 if B < 7000 else 3)
         state = init_jit(jnp.asarray(x0), *data)
         while True:
             k_now = int(state.k)
