@@ -165,3 +165,50 @@ def optimize_wildcard_budget_1d(objective, budget, two_dlogl_threshold,
             break
     budget.alpha = hi
     return budget
+
+
+def optimize_wildcard_budget_neldermead(objective, budget,
+                                        two_dlogl_threshold,
+                                        redbox_threshold=None,
+                                        l1_penalty=1e-2, tol=1e-6,
+                                        max_iters=500):
+    """Multi-parameter wildcard optimization: minimize the L1 norm of the
+    per-op budgets subject to the aggregate 2*Delta(logL) dropping below
+    `two_dlogl_threshold` (reference: optimize/wildcardopt.py:40
+    optimize_wildcard_budget_neldermead).
+
+    Implemented as penalized Nelder-Mead over log-budget coordinates:
+    minimize sum_i |w_i| + barrier(2dlogl(w) - threshold).
+    """
+    import scipy.optimize as spo
+    layout = objective.layout
+    circuits = list(objective.circuits)
+    counts, totals = layout.counts_arrays(objective.dataset)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        freqs = np.where(totals > 0, counts / np.maximum(totals, 1), 0.0)
+    probs = np.asarray(objective.probs())
+
+    def two_dlogl_of(budget_vec):
+        budget.from_vector(budget_vec)
+        p_adj = budget.update_probs(probs, freqs, counts, totals,
+                                    layout.element_slices, circuits)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            f_nz = np.where(counts == 0, 1.0, freqs)
+            p_cl = np.clip(p_adj, 1e-10, None)
+            terms = counts * (np.log(f_nz) - np.log(p_cl)) \
+                + totals * (p_cl - np.where(counts == 0, 0.0, freqs))
+            terms = np.where(counts == 0, totals * p_cl, terms)
+            terms = np.clip(terms, 0, None)
+        return 2.0 * float(np.sum(terms))
+
+    def penalized(budget_vec):
+        excess = two_dlogl_of(budget_vec) - two_dlogl_threshold
+        barrier = 0.0 if excess <= 0 else 1e3 * excess
+        return float(np.sum(np.abs(budget_vec))) + barrier
+
+    x0 = np.full(budget.num_params, 1e-3)
+    res = spo.minimize(penalized, x0, method='Nelder-Mead',
+                       options={'maxiter': max_iters, 'xatol': tol,
+                                'fatol': tol})
+    budget.from_vector(np.abs(res.x))
+    return budget

@@ -94,3 +94,32 @@ class TestBadfitIntegration:
         est = results.estimates['GST']
         assert 'unmodeled_error' in est.parameters
         assert 'data_scaling_factors' in est.parameters
+
+
+class TestNelderMeadWildcard:
+    def test_multiparam_wildcard_optimization(self):
+        """Multi-op wildcard budgets shrink a bad fit below threshold
+        (reference: optimize/wildcardopt.py:40)."""
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
+        from pygsti_tpu.objectivefns.wildcardbudget import (
+            PrimitiveOpsWildcardBudget, optimize_wildcard_budget_neldermead)
+
+        t = mp.target_model('full')
+        circs = create_lsgst_circuit_lists(t, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(),
+                                           [1, 2])[-1]
+        noisy = mp.target_model('full').depolarize(op_noise=0.05)
+        ds = simulate_data(noisy, circs, 2000, seed=7)
+        obj = ObjectiveFunctionBuilder('logl').build(t, ds, list(circs))
+        dof = ds.degrees_of_freedom(list(circs))
+        thresh = dof + 3 * np.sqrt(2 * dof)
+        budget = PrimitiveOpsWildcardBudget(list(t.operations.keys())
+                                            + ['SPAM'])
+        optimize_wildcard_budget_neldermead(obj, budget, thresh)
+        total = sum(budget.description().values())
+        assert total > 1e-4            # bad fit needs nonzero wildcard
+        assert total < 0.5             # ...but not an absurd amount
