@@ -195,8 +195,14 @@ class SimpleForwardSimulator(ForwardSimulator):
             rho = t.preps[prep_idx]                        # [B, d]
             if layout.max_depth > 0:
                 def step(carry, idx_col):
-                    Gt = G[idx_col]                        # [B, d, d]
-                    return jnp.einsum('bij,bj->bi', Gt, carry), None
+                    # one-hot contraction instead of gather: TPU gathers of
+                    # [B, d, d] blocks are memory-bound and slow; computing
+                    # all K+1 candidate updates on the MXU and selecting is
+                    # ~4x faster despite the extra FLOPs
+                    y = jnp.einsum('bj,kij->bki', carry, G)
+                    onehot = jax.nn.one_hot(idx_col, G.shape[0],
+                                            dtype=carry.dtype)
+                    return jnp.einsum('bki,bk->bi', y, onehot), None
                 rho, _ = jax.lax.scan(step, rho, op_idx.T)
             E = t.effects[elem_e]                          # [E, d]
             return jnp.sum(E * rho[elem_c], axis=1)        # [E]

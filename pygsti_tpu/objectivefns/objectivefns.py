@@ -934,7 +934,11 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             cols = op_b.T                                 # [D, blk]
 
             def fwd_step(S, idx_col):
-                return jnp.einsum('bij,bj->bi', G[idx_col], S), S
+                # gather-free: compute all K+1 candidate updates on the MXU,
+                # then select with a one-hot contraction
+                y = jnp.einsum('bj,kij->bki', S, G)
+                oh = jax.nn.one_hot(idx_col, K1, dtype=S.dtype)
+                return jnp.einsum('bki,bk->bi', y, oh), S
             S_final, F_prev = jax.lax.scan(fwd_step, rho0, cols)
             # F_prev[l] = state BEFORE layer l, [D, blk, d]
 
@@ -943,7 +947,8 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 idx_col, f_prev = xs
                 onehot = jax.nn.one_hot(idx_col, K1, dtype=G.dtype)
                 A = A + jnp.einsum('bk,bni,bj->bnkij', onehot, Bc, f_prev)
-                Bc = jnp.einsum('bni,bij->bnj', Bc, G[idx_col])
+                yb = jnp.einsum('bni,kij->bnkj', Bc, G)
+                Bc = jnp.einsum('bnkj,bk->bnj', yb, onehot)
                 return (Bc, A), None
 
             A0 = jnp.zeros((op_b.shape[0], n_out, K1, dim, dim), dtype=G.dtype)
