@@ -195,22 +195,26 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
     n_iters = len(circuit_lists)
 
     # For nested circuit lists (each a prefix of the final list -- the
-    # standard GST structure), iterations share TIERED layouts: consecutive
-    # iteration PAIRS share the larger member's layout, with counts masked to
-    # the active prefix.  Sharing keeps compiled-graph reuse high (one graph
-    # set per tier, persisted in the compilation cache) while early
-    # iterations avoid paying the final list's full evaluation cost.
+    # standard GST structure), ALL iterations share ONE layout (the final
+    # list's), with counts masked to the active prefix.  One layout means one
+    # set of compiled device graphs for the entire fit: XLA compilation (and
+    # compiled-executable loading, even from the persistent cache) costs
+    # minutes per distinct shape on the TPU client, while evaluating the
+    # masked full batch costs only a few extra device-seconds per early
+    # iteration.  PYGSTI_TPU_LAYOUT_TIERS=paired restores the round-1
+    # consecutive-pair tiers (cheaper early iterations, 4x the compiles).
+    import os as _os
     lists = [list(cl) for cl in circuit_lists]
     nested = all(lists[i] == lists[-1][:len(lists[i])] for i in range(n_iters - 1))
     tier_of = {}
     tier_layouts = {}
     if nested:
-        # paired tiers: consecutive iteration pairs share the larger
-        # member's layout -- the measured sweet spot between per-iteration
-        # evaluation cost (favors many tiers) and per-tier compiled-graph
-        # load/compile overhead (favors few)
-        for i in range(n_iters):
-            tier_of[i] = min(i + ((n_iters - 1 - i) % 2), n_iters - 1)
+        if _os.environ.get('PYGSTI_TPU_LAYOUT_TIERS', 'single') == 'paired':
+            for i in range(n_iters):
+                tier_of[i] = min(i + ((n_iters - 1 - i) % 2), n_iters - 1)
+        else:
+            for i in range(n_iters):
+                tier_of[i] = n_iters - 1
 
     def _tier_layout(t):
         if t not in tier_layouts:

@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pygsti_tpu.tools.jitutils import jit_fast as _jit_fast
+
 from pygsti_tpu.baseobjs.outcomelabeldict import OutcomeLabelDict
 from pygsti_tpu.circuits.circuit import Circuit
 from pygsti_tpu.layouts.layout import CircuitOutcomeProbabilityLayout
@@ -210,8 +212,8 @@ class SimpleForwardSimulator(ForwardSimulator):
         # jit pays off only for large batches; small/one-off layouts (e.g.
         # single-circuit .probabilities() queries) run eagerly.
         use_jit = layout.num_elements >= 64
-        probs_c = jax.jit(probs) if use_jit else probs
-        dprobs_c = jax.jit(jax.jacfwd(probs)) if use_jit else jax.jacfwd(probs)
+        probs_c = _jit_fast(probs) if use_jit else probs
+        dprobs_c = _jit_fast(jax.jacfwd(probs)) if use_jit else jax.jacfwd(probs)
 
         return {'probs': probs_c, 'dprobs': dprobs_c, 'probs_raw': probs}
 

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pygsti_tpu.tools.jitutils import jit_fast as _jit_fast
+
 DEFAULT_MIN_PROB_CLIP = 1e-4
 DEFAULT_RADIUS = 1e-4
 DEFAULT_MIN_PROB_CLIP_FOR_WEIGHTING = 1e-4
@@ -577,8 +579,8 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_beta=linesearch.get('beta', 0.25),
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0))
-            sim._obj_graph_cache[key] = (jax.jit(init_fn), jax.jit(chunk_fn),
-                                         jax.jit(fin_fn))
+            sim._obj_graph_cache[key] = (_jit_fast(init_fn), _jit_fast(chunk_fn),
+                                         _jit_fast(fin_fn))
         init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)
@@ -912,7 +914,8 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         # f32 halves HBM traffic and runs matmuls at full MXU rate; f64
         # emulation would dominate otherwise).  Override with
         # PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
-        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', 'float32'))
+        _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
+        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
 
         def _block_probs_jac(tf, op_b, prep_b, eff_b):
             """(probs [blk*n_out], Jt [blk*n_out, NT]) for one circuit block.
@@ -1065,11 +1068,11 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                  jax.jacrev(pen_fn)(v)], axis=0)
 
     fns = {
-        'lsvec': jax.jit(lsvec_fn),
-        'fn': jax.jit(fn_fn),
-        'jtj_jtf': jax.jit(jtj_jtf_fn),
-        'dlsvec': jax.jit(dlsvec_fn),
-        'probs': jax.jit(probs_fn),
+        'lsvec': _jit_fast(lsvec_fn),
+        'fn': _jit_fast(fn_fn),
+        'jtj_jtf': _jit_fast(jtj_jtf_fn),
+        'dlsvec': _jit_fast(dlsvec_fn),
+        'probs': _jit_fast(probs_fn),
         'lsvec_raw': lsvec_fn,
         'jtj_jtf_raw': jtj_jtf_fn,
     }

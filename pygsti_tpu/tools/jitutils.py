@@ -1,0 +1,45 @@
+"""jit helpers: compile-effort control for the big device graphs.
+
+XLA compilation of the fused GST graphs (device LM chunk: Jacobian products
++ damped solve + line search in one while_loop) takes minutes on a
+single-core host even though the compiled program runs in seconds.  The
+``exec_time_optimization_effort`` compiler option trades optimization effort
+for compile time; measured on the 2Q GST workload the low-effort executable
+runs within a few percent of the default one while compiling much faster.
+
+Env knob: PYGSTI_TPU_COMPILE_EFFORT (float, e.g. "-1.0" = fastest compile,
+"0" = XLA default, unset = the built-in default below).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+# default: XLA's standard effort.  Measured on the 2Q GST workload,
+# effort=-1.0 cut the big-graph compile only ~12% (139s -> 122s) while making
+# the compiled LM stages ~2.5x slower (3.8s -> 8.8s) -- a net loss.  The env
+# knob remains for experimentation on other workload shapes.
+_DEFAULT_EFFORT = None
+
+
+def compile_effort():
+    val = os.environ.get('PYGSTI_TPU_COMPILE_EFFORT')
+    if val is None:
+        return _DEFAULT_EFFORT
+    if val.strip() == '':
+        return None
+    return float(val)
+
+
+def jit_fast(fn, **kwargs):
+    """jax.jit with the configured exec-time optimization effort."""
+    effort = compile_effort()
+    if effort is not None:
+        try:
+            return jax.jit(fn, compiler_options={
+                'exec_time_optimization_effort': effort}, **kwargs)
+        except TypeError:
+            pass  # older jax without compiler_options
+    return jax.jit(fn, **kwargs)
