@@ -58,6 +58,11 @@ class NicelySerializable(object):
     def from_nice_serialization(cls, state):
         mod = importlib.import_module(state['module'])
         klass = getattr(mod, state['class'])
+        # some classes override the public method directly instead of the
+        # underscore hook; dispatch to whichever the class provides
+        base_fn = NicelySerializable.from_nice_serialization.__func__
+        if getattr(klass.from_nice_serialization, '__func__', None) is not base_fn:
+            return klass.from_nice_serialization(state)
         return klass._from_nice_serialization(state)
 
     def _to_nice_serialization(self):

@@ -331,19 +331,67 @@ class GateSetTomography(Protocol):
         ds = data.dataset
         target = edesign.target_model
 
-        seed_model = self.initial_model.retrieve_model(edesign, None, ds)
         circuit_lists = edesign.circuit_lists
+        n_iters = len(circuit_lists)
+
+        # -- checkpoint restore (reference: gst.py:1437-1468) ------------------
+        if disable_checkpointing:
+            checkpoint = None
+            starting_index = 0
+        else:
+            if checkpoint_path is None:
+                checkpoint_path = 'gst_checkpoints/' + (self.name or 'GateSetTomography')
+            import os as _os
+            _os.makedirs(_os.path.dirname(checkpoint_path) or '.', exist_ok=True)
+            if checkpoint is None:
+                checkpoint = GateSetTomographyCheckpoint(name=self.name)
+            elif not isinstance(checkpoint, GateSetTomographyCheckpoint):
+                raise TypeError("'checkpoint' must be a GateSetTomographyCheckpoint")
+            starting_index = checkpoint.last_completed_iter + 1
+            if starting_index > 0:
+                printer.log("Resuming from checkpoint: %d of %d iterations done"
+                            % (starting_index, n_iters))
+
+        if checkpoint is not None and checkpoint.mdl_list:
+            seed_model = checkpoint.mdl_list[-1].copy()
+            models = [m.copy() for m in checkpoint.mdl_list]
+        else:
+            seed_model = self.initial_model.retrieve_model(edesign, None, ds)
+            models = []
 
         tstart = _time.time()
-        models, opt_results = _alg.run_iterative_gst(
+        opt_results = []
+        gen = _alg.iterative_gst_generator(
             ds, seed_model, circuit_lists, self.optimizer,
             self.objfn_builders.iteration_builders, self.objfn_builders.final_builders,
-            verbosity=self.verbosity - 1)
+            starting_index=starting_index, verbosity=self.verbosity - 1)
+        for i in range(starting_index, n_iters):
+            iter_opt_results, mdl = next(gen)
+            models.append(mdl)
+            opt_results.append(iter_opt_results)
+            if checkpoint is not None:
+                # per-iteration checkpoint write (reference: gst.py:1496-1505)
+                checkpoint.mdl_list = models
+                checkpoint.last_completed_iter = i
+                checkpoint.last_completed_circuit_list = list(circuit_lists[i])
+                if i == n_iters - 1:
+                    checkpoint.final_objfn = \
+                        iter_opt_results[-1].chi2_k_distributed_qty
+                checkpoint.write("%s_iteration_%d.json" % (checkpoint_path, i))
         fit_time = _time.time() - tstart
 
         results = ModelEstimateResults(data, self)
         final_circuits = list(circuit_lists[-1])
-        final_objfn_value = opt_results[-1][-1].chi2_k_distributed_qty
+        if opt_results:
+            final_objfn_value = opt_results[-1][-1].chi2_k_distributed_qty
+        else:  # fully resumed from checkpoint
+            final_objfn_value = checkpoint.final_objfn
+            if final_objfn_value is None:
+                from pygsti_tpu.objectivefns.objectivefns import (
+                    RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+                obj = TimeIndependentMDCObjectiveFunction(
+                    RawPoissonPicDeltaLogLFunction(), models[-1], ds, final_circuits)
+                final_objfn_value = 2 * obj.fn()
         dof = ds.degrees_of_freedom(final_circuits) - models[-1].num_params
         params = {
             'protocol': self,
@@ -355,7 +403,8 @@ class GateSetTomography(Protocol):
         est = Estimate.create_gst_estimate(results, target, seed_model, models, params)
         results.add_estimate(est, estimate_key=self.name)
         _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
-                                 self.badfit_options, printer)
+                                 self.badfit_options, printer,
+                                 optimizer=self.optimizer)
         return results
 
 
@@ -409,6 +458,19 @@ class StandardGST(Protocol):
         edesign = data.edesign
         target = self.target_model if self.target_model is not None else edesign.target_model
 
+        # -- nested per-mode checkpoints (reference: gst.py:3540) --------------
+        if disable_checkpointing:
+            checkpoint = None
+        else:
+            if checkpoint_path is None:
+                checkpoint_path = 'gst_checkpoints/' + (self.name or 'StandardGST')
+            import os as _os
+            _os.makedirs(_os.path.dirname(checkpoint_path) or '.', exist_ok=True)
+            if checkpoint is None:
+                checkpoint = StandardGSTCheckpoint(name=self.name)
+            elif not isinstance(checkpoint, StandardGSTCheckpoint):
+                raise TypeError("'checkpoint' must be a StandardGSTCheckpoint")
+
         results = ModelEstimateResults(data, self)
         for mode in self.modes:
             printer.log("-- Performing '%s' gate set tomography --" % mode)
@@ -422,8 +484,21 @@ class StandardGST(Protocol):
                     GSTInitialModel(target_model=mode_target),
                     self.gaugeopt_suite, self.objfn_builders, self.optimizer,
                     self.badfit_options, verbosity=self.verbosity - 1, name=mode)
-                sub_results = gst.run(data)
+                if checkpoint is None:
+                    sub_results = gst.run(data, disable_checkpointing=True)
+                else:
+                    child = checkpoint.children.get(mode)
+                    if child is None:
+                        child = GateSetTomographyCheckpoint(name=mode)
+                        checkpoint.children[mode] = child
+                    sub_results = gst.run(
+                        data, checkpoint=child,
+                        checkpoint_path="%s_%s" % (checkpoint_path, mode))
                 results.add_estimate(sub_results.estimates[mode], estimate_key=mode)
+            if checkpoint is not None:
+                if mode not in checkpoint.completed_modes:
+                    checkpoint.completed_modes.append(mode)
+                checkpoint.write("%s.json" % checkpoint_path)
         return results
 
 
@@ -446,7 +521,7 @@ def _convert_target(target, parameterization):
 
 
 def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
-                             badfit_options, printer):
+                             badfit_options, printer, optimizer=None):
     """Add gauge-optimized models + badfit handling (reference: gst.py:2066)."""
     from pygsti_tpu.algorithms.gaugeopt import gaugeopt_to_target
     est = results.estimates[estlbl]
@@ -461,21 +536,29 @@ def _add_gaugeopt_and_badfit(results, estlbl, target_model, gaugeopt_suite,
             cur = mdl
             _t0 = _time.time()
             for stage in stages:
-                stage = dict(stage)
-                stage.pop('spam_penalty_factor', None)
-                cur = gaugeopt_to_target(cur, go_target, **stage)
+                cur = gaugeopt_to_target(cur, go_target, **dict(stage))
             est.models[golbl] = cur
             est.goparameters[golbl] = goparams
             printer.log("  -- Added gauge-optimized result '%s' (%.1fs)"
                         % (golbl, _time.time() - _t0))
     if badfit_options is not None:
-        _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer)
+        _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer,
+                              optimizer=optimizer, gaugeopt_suite=gaugeopt_suite)
 
 
-def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer):
+def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer,
+                          optimizer=None, gaugeopt_suite=None):
     """When the fit is bad (Nsigma > threshold), apply badfit actions
-    (reference: gst.py:2178): 'wildcard1d' computes a diamond-distance-scaled
-    wildcard budget; 'robust' computes per-circuit data-scaling factors."""
+    (reference: gst.py:2178 _add_badfit_estimates):
+
+    * 'wildcard'   -- multi-parameter per-op wildcard budget optimized with
+      Nelder-Mead (reference default, gst.py:2684)
+    * 'wildcard1d' -- 1-D diamond-distance-scaled budget (gst.py:2341)
+    * 'robust'/'robust+' -- per-circuit data scaling stored as weights
+      (gst.py:2547 _compute_robust_scaling)
+    * 'Robust'/'Robust+' -- same scaling PLUS re-optimization with the scaled
+      dataset, added as a new estimate (gst.py:2935 _reoptimize_with_weights)
+    """
     import numpy as _np
     est = results.estimates[estlbl]
     nsigma = est.misfit_sigma()
@@ -488,12 +571,13 @@ def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer
     final_circuits = list(results.circuit_lists.get(
         'final', results.data.edesign.all_circuits_needing_data))
 
+    from pygsti_tpu.objectivefns.objectivefns import (
+        RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+
     for action in badfit_options.actions:
-        if action in ('wildcard', 'wildcard1d'):
+        if action == 'wildcard1d':
             from pygsti_tpu.objectivefns.wildcardbudget import (
                 PrimitiveOpsSingleScaleWildcardBudget, optimize_wildcard_budget_1d)
-            from pygsti_tpu.objectivefns.objectivefns import (
-                RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
             from pygsti_tpu.tools import optools as _ot2
             import scipy.stats as _st
             op_labels = list(mdl.operations.keys())
@@ -519,24 +603,121 @@ def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer
             budget = optimize_wildcard_budget_1d(obj, budget, threshold)
             est.parameters['unmodeled_error'] = budget
             printer.log("     wildcard1d: alpha=%.4g  (%s)" % (budget.alpha, budget))
-        elif action in ('robust', 'Robust', 'robust+', 'Robust+'):
-            # per-circuit scaling factors downweighting outliers
-            from pygsti_tpu.objectivefns.objectivefns import (
-                RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+
+        elif action == 'wildcard':
+            # multi-parameter per-op budget (the reference's default wildcard,
+            # gst.py:2684 _compute_wildcard_budget -> wildcardopt NelderMead)
+            from pygsti_tpu.objectivefns.wildcardbudget import (
+                PrimitiveOpsWildcardBudget, optimize_wildcard_budget_neldermead)
+            import scipy.stats as _st
+            op_labels = list(mdl.operations.keys())
+            if badfit_options.wildcard_budget_includes_spam:
+                op_labels = op_labels + ['SPAM']
+            budget = PrimitiveOpsWildcardBudget(op_labels)
             obj = TimeIndependentMDCObjectiveFunction(
                 RawPoissonPicDeltaLogLFunction(), mdl, ds, final_circuits)
-            percirc = obj.percircuit()
-            expected = _np.array([max(len(obj.layout.outcomes[i]) - 1, 1)
-                                  for i in range(len(obj.layout.circuits))], dtype=float)
-            ratio = percirc / _np.maximum(expected, 1e-10) / 2.0
-            scale = _np.where(ratio > 1.0, 1.0 / ratio, 1.0)
-            est.parameters['data_scaling_factors'] = scale
-            printer.log("     robust scaling: %d circuits downweighted"
-                        % int(_np.sum(scale < 1.0)))
+            k = max(ds.degrees_of_freedom(final_circuits) - mdl.num_params, 1)
+            threshold = _st.chi2.ppf(1 - 0.05, k) if k > 0 else 0.0
+            budget = optimize_wildcard_budget_neldermead(obj, budget, threshold)
+            est.parameters['unmodeled_error'] = budget
+            printer.log("     wildcard: %s" % budget)
+
+        elif action in ('robust', 'Robust', 'robust+', 'Robust+'):
+            weights = _compute_robust_scaling(action, mdl, ds, final_circuits)
+            printer.log("     %s scaling: %d circuits reweighted"
+                        % (action, len(weights)))
+            new_models = dict(est.models)
+            new_params = dict(est.parameters)
+            new_params['weights'] = weights
+            if action in ('Robust', 'Robust+'):
+                # re-optimize with the scaled dataset (reference: gst.py:2935)
+                scaled_ds = _scale_dataset(ds, weights, final_circuits)
+                reopt_model = mdl.copy()
+                opt = SimplerLMOptimizer.cast(optimizer)
+                from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
+                builder = ObjectiveFunctionBuilder.create_from('logl')
+                from pygsti_tpu.algorithms.core import run_gst_fit_simple
+                _, objective = run_gst_fit_simple(scaled_ds, reopt_model,
+                                                  final_circuits, opt, builder,
+                                                  verbosity=0)
+                new_models['final iteration estimate'] = reopt_model
+                if gaugeopt_suite is not None and not gaugeopt_suite.is_empty():
+                    from pygsti_tpu.algorithms.gaugeopt import gaugeopt_to_target
+                    godict = gaugeopt_suite.to_dictionary(reopt_model)
+                    for golbl, goparams in godict.items():
+                        cur = reopt_model
+                        for stage in goparams.get('stages', [goparams]):
+                            cur = gaugeopt_to_target(cur, target_model, **dict(stage))
+                        new_models[golbl] = cur
+            new_est = Estimate(results, new_models, new_params)
+            results.add_estimate(new_est, estimate_key="%s.%s" % (estlbl, action))
+        else:
+            raise ValueError("Invalid badfit action: %r" % (action,))
+
+
+def _compute_robust_scaling(scale_typ, model, dataset, circuits):
+    """Per-circuit data-scaling weights (reference: gst.py:2547).
+
+    V1 ('robust'/'Robust'): circuits whose per-circuit 2*deltaLogL exceeds the
+    Bonferroni-corrected chi2 threshold get weight expected/fitqty.
+    V2 ('+'): additionally rescale so the sorted per-circuit values follow the
+    expected chi2 percentile distribution without reordering.
+    """
+    import numpy as _np
+    import scipy.stats as _st
+    from pygsti_tpu.objectivefns.objectivefns import (
+        RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+    obj = TimeIndependentMDCObjectiveFunction(
+        RawPoissonPicDeltaLogLFunction(), model, dataset, circuits)
+    fitqty = 2.0 * obj.percircuit()  # chi2_k-distributed per-circuit values
+    expected = max(len(dataset.outcome_labels) - 1, 1)  # dof per circuit
+    nboxes = len(circuits)
+    pc = 0.05  # hardcoded 1 - confidence level (reference: gst.py:2599)
+    threshold = _np.ceil(_st.chi2.ppf(1 - pc / nboxes, expected))
+
+    weights = {}
+    scaled_fitqty = fitqty.copy()
+    for i, opstr in enumerate(circuits):
+        if fitqty[i] > threshold:
+            weights[opstr] = expected / fitqty[i]
+            scaled_fitqty[i] = expected
+
+    if scale_typ in ('robust+', 'Robust+'):
+        nelements = len(fitqty)
+        percentiles = [_st.chi2.ppf((i + 1) / (nelements + 1), expected)
+                       for i in range(nelements)]
+        for ibin, i in enumerate(_np.argsort(scaled_fitqty)):
+            opstr = circuits[i]
+            fit, exp_val = scaled_fitqty[i], percentiles[ibin]
+            if fit > exp_val:
+                if opstr in weights:
+                    weights[opstr] *= exp_val / fit
+                else:
+                    weights[opstr] = exp_val / fit
+    return weights
+
+
+def _scale_dataset(dataset, circuit_weights, circuits):
+    """Copy of `dataset` with each circuit's counts multiplied by its weight
+    (unweighted circuits unchanged; reference: _reoptimize_with_weights
+    scales via objective weights -- here the counts themselves are scaled)."""
+    from pygsti_tpu.data.dataset import DataSet
+    new_ds = DataSet(outcome_labels=list(dataset.outcome_labels))
+    for c in circuits:
+        row = dataset[c]
+        w = circuit_weights.get(c, 1.0)
+        new_ds.add_count_dict(c, {ol: cnt * w for ol, cnt in row.counts.items()})
+    new_ds.done_adding_data()
+    return new_ds
 
 
 class GateSetTomographyCheckpoint(ProtocolCheckpoint):
-    """Per-iteration GST checkpoint (reference: gst.py:3475)."""
+    """Per-iteration GST checkpoint (reference: gst.py:3475).
+
+    Written as ``{checkpoint_path}_iteration_{i}.json`` after each circuit-list
+    iteration by ``GateSetTomography.run``; pass the object read back from such
+    a file as ``run(..., checkpoint=)`` to warm-restart, skipping completed
+    iterations (reference: gst.py:1437-1505)."""
 
     def __init__(self, mdl_list=None, last_completed_iter=-1, last_completed_circuit_list=None,
                  final_objfn=None, name=None, parent=None):
@@ -546,10 +727,45 @@ class GateSetTomographyCheckpoint(ProtocolCheckpoint):
         self.last_completed_circuit_list = last_completed_circuit_list
         self.final_objfn = final_objfn
 
+    def _to_nice_serialization(self):
+        return {
+            'name': self.name,
+            'mdl_list': [m.to_nice_serialization() for m in self.mdl_list],
+            'last_completed_iter': self.last_completed_iter,
+            'last_completed_circuit_list':
+                [c.str for c in (self.last_completed_circuit_list or [])],
+            'final_objfn': self.final_objfn,
+        }
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        from pygsti_tpu.circuits.circuit import Circuit
+        mdls = [NicelySerializable.from_nice_serialization(s)
+                for s in state.get('mdl_list', [])]
+        cl = [Circuit(s) for s in state.get('last_completed_circuit_list', [])]
+        return cls(mdls, state.get('last_completed_iter', -1), cl or None,
+                   state.get('final_objfn'), state.get('name'))
+
 
 class StandardGSTCheckpoint(ProtocolCheckpoint):
-    """Multi-mode checkpoint (reference: gst.py:3540)."""
+    """Multi-mode checkpoint: one child GateSetTomographyCheckpoint (or
+    completion marker) per StandardGST mode (reference: gst.py:3540)."""
 
-    def __init__(self, children=None, name=None, parent=None):
+    def __init__(self, children=None, completed_modes=None, name=None, parent=None):
         super().__init__(name, parent)
         self.children = children or {}
+        self.completed_modes = list(completed_modes or [])
+
+    def _to_nice_serialization(self):
+        return {
+            'name': self.name,
+            'children': {k: v.to_nice_serialization()
+                         for k, v in self.children.items()},
+            'completed_modes': list(self.completed_modes),
+        }
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        children = {k: NicelySerializable.from_nice_serialization(v)
+                    for k, v in state.get('children', {}).items()}
+        return cls(children, state.get('completed_modes', []), state.get('name'))
