@@ -17,6 +17,93 @@ import numpy as np
 from pygsti_tpu.baseobjs.label import Label
 
 
+def _waterfill(q, f, W):
+    """Likelihood-optimal move of model probs `q` toward frequencies `f`
+    within a TVD budget W: maximize sum_o f_o log(p_o) subject to
+    0.5*sum|p - q| <= W and sum p = sum q
+    (reference: pygsti/objectivefns/wildcardbudget.py:268 update_probs).
+
+    The optimum raises the outcomes with the lowest ratio q_o/f_o to a
+    common ratio alpha (p_o = alpha*f_o) and lowers those with the highest
+    ratio to a common ratio beta, with zero-frequency outcomes supplying
+    mass first (zero likelihood cost).  alpha = (Q_A + W)/F_A and
+    beta = (Q_B - W')/F_B follow from mass conservation + budget saturation.
+    """
+    q = np.asarray(q, dtype=float)
+    f = np.asarray(f, dtype=float)
+    n = len(q)
+    if W <= 1e-15:
+        return q.copy()
+    tvd0 = 0.5 * np.sum(np.abs(q - f))
+    if tvd0 <= W + 1e-15:
+        # budget covers a perfect fit; keep total mass at sum(q) by dumping
+        # any excess on the zero-frequency outcomes (likelihood-free)
+        p = f.copy()
+        extra = np.sum(q) - np.sum(f)
+        if abs(extra) > 1e-15:
+            zmask = (f <= 0)
+            if extra > 0 and np.any(zmask):
+                p[zmask] += extra / np.count_nonzero(zmask)
+            else:
+                p += extra / n
+        return p
+
+    pos = f > 0
+    ratio = np.full(n, np.inf)
+    ratio[pos] = q[pos] / f[pos]
+    ratio[~pos & (q <= 0)] = 1.0     # q=f=0: never moved
+    order = np.argsort(ratio, kind='stable')
+
+    p = q.copy()
+    # -- lower side: zero-frequency outcomes first (no likelihood cost) ----
+    zidx = [i for i in order if not pos[i] and q[i] > 0]
+    QZ = float(np.sum(q[zidx])) if zidx else 0.0
+    if QZ >= W:
+        # only zero-f outcomes are lowered (proportionally), nothing else
+        scale_z = 1.0 - W / QZ
+        for i in zidx:
+            p[i] = q[i] * scale_z
+        lower_done = True
+    else:
+        for i in zidx:
+            p[i] = 0.0
+        lower_done = False
+    W_lower = W - min(QZ, W)         # mass still to remove from positive-f
+
+    pos_sorted = [i for i in order if pos[i]]
+
+    # -- raise side: grow A from the lowest ratios --------------------------
+    ia = 1
+    while True:
+        A = pos_sorted[:ia]
+        FA = float(np.sum(f[A]))
+        QA = float(np.sum(q[A]))
+        alpha = (QA + W) / FA
+        if ia < len(pos_sorted) and alpha > ratio[pos_sorted[ia]]:
+            ia += 1
+            continue
+        break
+    for i in pos_sorted[:ia]:
+        p[i] = alpha * f[i]
+
+    # -- lower side among positive-f: grow B from the highest ratios --------
+    if not lower_done and W_lower > 1e-18:
+        ib = 1
+        while True:
+            B = pos_sorted[len(pos_sorted) - ib:]
+            FB = float(np.sum(f[B]))
+            QB = float(np.sum(q[B]))
+            beta = (QB - W_lower) / FB
+            if ib < len(pos_sorted) - ia and \
+                    beta < ratio[pos_sorted[len(pos_sorted) - ib - 1]]:
+                ib += 1
+                continue
+            break
+        for i in B:
+            p[i] = beta * f[i]
+    return p
+
+
 class PrimitiveOpsWildcardBudget(object):
     """Per-primitive-op wildcard budget, parameterized by |w| values."""
 
@@ -61,25 +148,22 @@ class PrimitiveOpsWildcardBudget(object):
         """Move probs toward freqs within each circuit's TVD budget,
         maximizing sum_o c_o log(p_o) (the likelihood-optimal move).
 
-        For a TVD budget W: raise probabilities of under-predicted outcomes
-        (p < f) in order of likelihood gain per unit mass, taking the mass
-        from over-predicted outcomes in order of least likelihood loss --
-        implemented as the exact 'stretch toward freqs' waterfilling used by
-        the reference (wildcardbudget.update_probs:268): p_adj =
-        clip between p and f with total movement <= W on each side.
+        Implements the reference's ratio-sorted waterfilling
+        (pygsti/objectivefns/wildcardbudget.py:268 update_probs): within the
+        TVD ball of radius W around the model probabilities q, the
+        likelihood-optimal point raises the lowest q/f-ratio outcomes to a
+        common ratio alpha and lowers the highest-ratio outcomes to a common
+        ratio beta (zero-frequency outcomes supply mass first, at zero
+        likelihood cost), with alpha/beta fixed by mass conservation and
+        budget saturation.
         """
         new_probs = np.array(probs, dtype=float)
         for i, c in enumerate(circuits):
             sl = element_slices[i]
-            p = probs[sl.start:sl.stop].astype(float)
+            q = probs[sl.start:sl.stop].astype(float)
             f = freqs[sl.start:sl.stop].astype(float)
             W = self.circuit_budget(c)
-            tvd = 0.5 * np.sum(np.abs(p - f))
-            if tvd <= W or tvd < 1e-15:
-                new_probs[sl.start:sl.stop] = f
-                continue
-            beta = W / tvd
-            new_probs[sl.start:sl.stop] = p + beta * (f - p)
+            new_probs[sl.start:sl.stop] = _waterfill(q, f, W)
         return new_probs
 
     def description(self):

@@ -90,10 +90,44 @@ class TestBadfitIntegration:
             badfit_options=GSTBadFitOptions(threshold=-1,  # force badfit path
                                             actions=('wildcard1d', 'robust')),
             verbosity=0, name='GST')
-        results = proto.run(ProtocolData(design, ds))
+        results = proto.run(ProtocolData(design, ds),
+                            disable_checkpointing=True)
         est = results.estimates['GST']
         assert 'unmodeled_error' in est.parameters
-        assert 'data_scaling_factors' in est.parameters
+        # 'robust' adds a new estimate with per-circuit weights
+        # (reference: gst.py:2178 estimate keys '<base>.<action>')
+        assert 'GST.robust' in results.estimates
+        assert 'weights' in results.estimates['GST.robust'].parameters
+
+    def test_gst_with_multiparam_wildcard_and_Robust_refit(self):
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols.gst import (StandardGSTDesign, GateSetTomography,
+                                              GSTBadFitOptions)
+        target = mp.target_model('full TP')
+        design = StandardGSTDesign(target, mp.prep_fiducials(), mp.meas_fiducials(),
+                                   mp.germs(), [1])
+        # intentionally misspecified: datagen has coherent error
+        datagen = mp.target_model('full TP').rotate((0.05, 0.02, 0.0)) \
+            if hasattr(mp.target_model('full TP'), 'rotate') \
+            else mp.target_model('full TP').depolarize(op_noise=0.08)
+        ds = simulate_data(datagen, design.all_circuits_needing_data, 2000, seed=6)
+        proto = GateSetTomography(
+            badfit_options=GSTBadFitOptions(threshold=-1,
+                                            actions=('wildcard', 'Robust+')),
+            gaugeopt_suite=None, verbosity=0, name='GST')
+        results = proto.run(ProtocolData(design, ds),
+                            disable_checkpointing=True)
+        est = results.estimates['GST']
+        budget = est.parameters['unmodeled_error']
+        # multi-parameter budget: one vector entry per op (+SPAM)
+        assert budget.num_params > 1
+        # Robust+ re-fit produces a new estimate with a re-optimized model
+        assert 'GST.Robust+' in results.estimates
+        refit = results.estimates['GST.Robust+']
+        assert 'weights' in refit.parameters
+        base_v = est.models['final iteration estimate'].to_vector()
+        refit_v = refit.models['final iteration estimate'].to_vector()
+        assert not np.allclose(base_v, refit_v)  # actually re-optimized
 
 
 class TestNelderMeadWildcard:
