@@ -22,6 +22,25 @@ from pygsti_tpu.models.gaugegroup import (GaugeGroup, GaugeGroupElement,
                                           TrivialGaugeGroup)
 
 
+@jax.custom_jvp
+def _tracenorm_herm(A):
+    """Trace norm (sum |eigenvalues|) of a Hermitian matrix.  Custom JVP
+    (d tracenorm = sum_i sign(l_i) u_i^dag dA u_i) avoids NaN gradients from
+    jax's eigh JVP at degenerate eigenvalues."""
+    return jnp.sum(jnp.abs(jnp.linalg.eigvalsh(A)))
+
+
+@_tracenorm_herm.defjvp
+def _tracenorm_herm_jvp(primals, tangents):
+    A, = primals
+    dA, = tangents
+    ev, U = jnp.linalg.eigh(A)
+    val = jnp.sum(jnp.abs(ev))
+    sgn = jnp.sign(ev)
+    inner = jnp.einsum('ji,jk,ki->i', U.conj(), dA, U)
+    return val, jnp.sum(sgn * jnp.real(inner)).astype(val.dtype)
+
+
 def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_factor=0,
                        spam_penalty_factor=0, gates_metric="frobenius",
                        spam_metric="frobenius", gauge_group=None, method='auto',
@@ -87,7 +106,42 @@ def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_fac
     total_weighted_count = (jnp.sum(op_w) * d * d
                             + jnp.sum(prep_w) * d + jnp.sum(effect_w) * d)
 
-    use_fidelity = gates_metric in ("fidelity", "tracedist")
+    if gates_metric not in ("frobenius", "frobeniussquared", "fidelity", "tracedist"):
+        raise ValueError("Invalid gates_metric: %r" % gates_metric)
+    if spam_metric not in ("frobenius", "frobeniussquared", "fidelity", "tracedist"):
+        raise ValueError("Invalid spam_metric: %r" % spam_metric)
+
+    # basis machinery for Choi/density matrices (fidelity, tracedist and the
+    # CPTP/SPAM penalties all need the std-basis representation; reference:
+    # gaugeopt.py:617-717 _objective_fn, :977-1006 _cptp/_spam_penalty)
+    need_std = (gates_metric in ("fidelity", "tracedist")
+                or spam_metric in ("fidelity", "tracedist")
+                or cptp_penalty_factor > 0 or spam_penalty_factor > 0)
+    if need_std:
+        from pygsti_tpu.baseobjs.basis import Basis
+        udim = int(round(np.sqrt(d)))
+        bobj = getattr(model, 'basis', 'pp')
+        bobj = Basis.cast(bobj, d) if isinstance(bobj, str) else bobj
+        M = np.asarray(bobj.create_transform_matrix('std')).astype(complex)
+        Minv = np.linalg.inv(M)
+        els = np.asarray(bobj.elements).astype(complex)  # [d, u, u]
+
+        def _choi_std(G):
+            s_std = (M @ G.astype(M.dtype)) @ Minv
+            return s_std.reshape(udim, udim, udim, udim).transpose(
+                0, 2, 1, 3).reshape(d, d) / udim
+
+        def _vec_to_stdmx(vec):
+            return jnp.tensordot(vec.astype(els.dtype), jnp.asarray(els), axes=1)
+
+        def _tracenorm(H):
+            return _tracenorm_herm((H + H.conj().T) / 2)
+
+        from pygsti_tpu.objectivefns.objectivefns import (
+            _sum_neg_evals, _NEG_EIG_SQRT_SHIFT)
+
+        def _neg_evals_sum(H):
+            return _sum_neg_evals((H + H.conj().T) / 2)
 
     def objective(v):
         S = gauge_group.element_matrix_jax(v)
@@ -95,14 +149,61 @@ def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_fac
         ops_t = jnp.einsum('ij,kjl,lm->kim', Sinv, ops, S)
         preps_t = preps @ Sinv.T          # Sinv @ rho per prep
         effects_t = effects @ S           # E @ S per effect row
-        val = jnp.sum(op_w[:, None, None] * (ops_t - tgt_ops) ** 2)
-        val = val + jnp.sum(prep_w[:, None] * (preps_t - tgt_preps) ** 2)
-        val = val + jnp.sum(effect_w[:, None] * (effects_t - tgt_effects) ** 2)
-        val = val / total_weighted_count
+
+        val = jnp.asarray(0.0)
+        # -- gates term ------------------------------------------------------
+        if "frobenius" in gates_metric:
+            val = val + jnp.sum(op_w[:, None, None] * (ops_t - tgt_ops) ** 2) \
+                / total_weighted_count
+        elif gates_metric == "fidelity":
+            # |1 - entanglement fidelity| per gate (unitary targets:
+            # F_e = tr(T^T G)/d; reference: gaugeopt.py:642-650)
+            for k in range(len(op_keys)):
+                fid = jnp.einsum('ij,ij->', tgt_ops[k], ops_t[k]) / d
+                val = val + op_w[k] * jnp.abs(1.0 - fid)
+        elif gates_metric == "tracedist":
+            # jtracedist = 0.5 * tracenorm(choi(G) - choi(T))
+            for k in range(len(op_keys)):
+                val = val + op_w[k] * 0.5 * _tracenorm(
+                    _choi_std(ops_t[k]) - _choi_std(tgt_ops[k]))
+
+        # -- spam term ---------------------------------------------------------
+        if "frobenius" in spam_metric:
+            val = val + (jnp.sum(prep_w[:, None] * (preps_t - tgt_preps) ** 2)
+                         + jnp.sum(effect_w[:, None] * (effects_t - tgt_effects) ** 2)) \
+                / total_weighted_count
+        elif spam_metric == "fidelity":
+            # state fidelity to (near-pure) targets: F = tr(rho sigma)
+            for k in range(preps.shape[0]):
+                fid = jnp.real(jnp.trace(_vec_to_stdmx(preps_t[k])
+                                         @ _vec_to_stdmx(tgt_preps[k])))
+                val = val + prep_w[k] * jnp.abs(1.0 - fid)
+            for k in range(effects.shape[0]):
+                fid = jnp.real(jnp.trace(_vec_to_stdmx(effects_t[k])
+                                         @ _vec_to_stdmx(tgt_effects[k])))
+                tgt_fid = jnp.real(jnp.trace(_vec_to_stdmx(tgt_effects[k])
+                                             @ _vec_to_stdmx(tgt_effects[k])))
+                val = val + effect_w[k] * jnp.abs(tgt_fid - fid)
+        elif spam_metric == "tracedist":
+            for k in range(preps.shape[0]):
+                val = val + prep_w[k] * 0.5 * _tracenorm(
+                    _vec_to_stdmx(preps_t[k]) - _vec_to_stdmx(tgt_preps[k]))
+            for k in range(effects.shape[0]):
+                val = val + effect_w[k] * 0.5 * _tracenorm(
+                    _vec_to_stdmx(effects_t[k]) - _vec_to_stdmx(tgt_effects[k]))
+
+        # -- positivity penalties (reference: gaugeopt.py:615-623) -------------
+        if cptp_penalty_factor > 0:
+            for k in range(len(op_keys)):
+                val = val + cptp_penalty_factor * jnp.sqrt(
+                    _NEG_EIG_SQRT_SHIFT + _neg_evals_sum(_choi_std(ops_t[k])))
         if spam_penalty_factor > 0:
-            # penalize non-positive transformed preps (approximation of the
-            # reference's spam penalty): keep prep trace-component physical
-            pass
+            for k in range(preps.shape[0]):
+                val = val + spam_penalty_factor * jnp.sqrt(
+                    _NEG_EIG_SQRT_SHIFT + _neg_evals_sum(_vec_to_stdmx(preps_t[k])))
+            for k in range(effects.shape[0]):
+                val = val + spam_penalty_factor * jnp.sqrt(
+                    _NEG_EIG_SQRT_SHIFT + _neg_evals_sum(_vec_to_stdmx(effects_t[k])))
         return val
 
     x0 = gauge_group.initial_params()
