@@ -245,6 +245,53 @@ class ExplicitOpModel(OpModel):
 
         return compute
 
+    def statevec_tensors_fn(self):
+        """Pure function v -> (unitaries [K,u,u] complex, statevecs
+        [n_preps,u] complex, effect_stdmxs [n_eff,u,u] complex) for the
+        complex-amplitude (statevec) simulation path (reference:
+        pygsti/evotypes/statevec/*.cpp state/op/effect reps).
+
+        Raises ValueError with a clear message when a member has no pure-state
+        representation (non-unitary gate, mixed state, ...)."""
+        self._rebuild_paramvec_if_needed()
+        import jax.numpy as jnp
+        from pygsti_tpu.tools.basistools import vec_to_stdmx
+
+        op_items = []
+        for lbl, o in self.operations.items():
+            if not hasattr(o, 'to_unitary_jax'):
+                raise ValueError(
+                    "Operation %s (%s) has no unitary (statevec) representation;"
+                    " the statevec simulator requires unitary gates -- use the"
+                    " density-matrix simulator for noisy models" %
+                    (lbl, type(o).__name__))
+            op_items.append((o.gpindices, o))
+        prep_items = []
+        for lbl, p in self.preps.items():
+            if not hasattr(p, 'to_statevec_jax'):
+                raise ValueError(
+                    "Prep %s (%s) has no pure-state representation" %
+                    (lbl, type(p).__name__))
+            prep_items.append((p.gpindices, p))
+
+        # effects: std-basis Hermitian matrices (probability = psi^dag E psi)
+        basis = self.basis
+        effect_mxs = []
+        for lbl, povm in self.povms.items():
+            dense = povm.to_dense()  # [n_out, dim] superkets
+            for row in dense:
+                effect_mxs.append(vec_to_stdmx(np.asarray(row), basis))
+        effect_mxs = np.stack(effect_mxs) if effect_mxs else \
+            np.zeros((0, 0, 0), complex)
+
+        def compute(v):
+            us = jnp.stack([o.to_unitary_jax(v[sl]) for sl, o in op_items]) \
+                if op_items else jnp.zeros((0, 2, 2), complex)
+            psis = jnp.stack([p.to_statevec_jax(v[sl]) for sl, p in prep_items])
+            return us, psis, jnp.asarray(effect_mxs)
+
+        return compute
+
     def tensors_fn_t(self):
         """Like tensors_fn but time-dependent: returns compute(v, t) where
         members with a ``to_dense_jax_t`` method receive the time."""
@@ -269,6 +316,21 @@ class ExplicitOpModel(OpModel):
             return ModelTensors(ops, preps, effects, None)
 
         return compute
+
+    # -- gauge structure -------------------------------------------------------
+    def compute_nongauge_and_gauge_spaces(self, item_weights=None,
+                                          non_gauge_mix_mx=None):
+        """Orthonormal (nongauge, gauge) parameter-space bases (reference:
+        explicitmodel.py:704 compute_nongauge_projector /
+        explicitcalc.py:657 nongauge_projector)."""
+        from pygsti_tpu.models.nongauge import compute_nongauge_and_gauge_spaces
+        return compute_nongauge_and_gauge_spaces(self, item_weights,
+                                                 non_gauge_mix_mx)
+
+    def compute_nongauge_projector(self, item_weights=None, non_gauge_mix_mx=None):
+        ng, _ = self.compute_nongauge_and_gauge_spaces(item_weights,
+                                                       non_gauge_mix_mx)
+        return ng @ ng.T
 
     # -- convenience ----------------------------------------------------------
     def probabilities(self, circuit, clip_to=None):
