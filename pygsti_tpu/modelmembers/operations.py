@@ -70,6 +70,11 @@ class StaticUnitaryOp(StaticArbitraryOp):
         self.unitary = np.asarray(unitary, dtype=complex)
         super().__init__(_ot.unitary_to_superop(self.unitary, basis))
 
+    def to_unitary_jax(self, v):
+        """Complex unitary action on state vectors (statevec evotype path;
+        reference: evotypes/statevec opreps)."""
+        return jnp.asarray(self.unitary)
+
 
 class StaticStandardOp(StaticUnitaryOp):
     """A fixed superoperator for a named standard gate (reference:
@@ -166,6 +171,11 @@ class FullUnitaryOp(LinearOperator):
         s_std = jnp.kron(u, u.conj())
         out = self._std2basis @ s_std @ self._basis2std
         return jnp.real(out)
+
+    def to_unitary_jax(self, v):
+        """Complex unitary (statevec evotype path)."""
+        h = _real_params_to_hermitian_jax(v, self.udim)
+        return jax.scipy.linalg.expm(-1j * h)
 
 
 def _hermitian_to_real_params(h):

@@ -43,6 +43,14 @@ class StaticState(State):
     def to_dense(self, on_space='minimal'):
         return self._vec.copy()
 
+    def to_statevec_jax(self, v):
+        """Pure state vector when this superket is (close to) a pure density
+        matrix; raises ValueError otherwise (statevec evotype path)."""
+        from pygsti_tpu.tools.optools import dmvec_to_state
+        from pygsti_tpu.tools.basistools import vec_to_stdmx
+        psi = dmvec_to_state(vec_to_stdmx(self._vec, 'pp').reshape(-1))
+        return jnp.asarray(psi)
+
     def transform_inplace(self, s, sinv):
         self._vec = sinv @ self._vec
 
@@ -124,6 +132,15 @@ class ComputationalBasisState(State):
 
     def to_dense(self, on_space='minimal'):
         return self._vec.copy()
+
+    def to_statevec_jax(self, v):
+        """Pure state vector |z> (statevec evotype path; reference:
+        evotypes/statevec/statereps StateRepComputational)."""
+        udim = 2 ** len(self.zvals)
+        idx = int("".join(str(z) for z in self.zvals), 2) if self.zvals else 0
+        psi = np.zeros(udim, dtype=complex)
+        psi[idx] = 1.0
+        return jnp.asarray(psi)
 
 
 class ComposedState(State):

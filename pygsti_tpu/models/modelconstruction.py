@@ -27,7 +27,8 @@ def _embed_unitary_superop(u, target_qubits, all_qubits, basis_name='pp'):
     `target_qubits` within the full qubit set, identity elsewhere."""
     nq_gate = int(round(np.log2(u.shape[0])))
     assert len(target_qubits) == nq_gate
-    small = np.real(_ot.unitary_to_superop(u, Basis.cast(basis_name, 4 ** nq_gate)))
+    bname = basis_name if isinstance(basis_name, str) else basis_name.name
+    small = np.real(_ot.unitary_to_superop(u, Basis.cast(bname, 4 ** nq_gate)))
     n = len(all_qubits)
     if n == nq_gate and tuple(target_qubits) == tuple(all_qubits):
         return small
@@ -53,6 +54,12 @@ def _make_op(ideal_mx, gate_type, basis):
         return _op.FullArbitraryOp(ideal_mx)
     if gate_type in ('full TP', 'TP'):
         return _op.FullTPOp(ideal_mx)
+    if gate_type in ('static unitary', 'static standard'):
+        u = _ot.superop_to_unitary(np.asarray(ideal_mx), basis)
+        return _op.StaticUnitaryOp(u, basis)
+    if gate_type == 'full unitary':
+        u = _ot.superop_to_unitary(np.asarray(ideal_mx), basis)
+        return _op.FullUnitaryOp(u, basis)
     if gate_type in ('CPTP', 'CPTPLND', 'GLND', 'H+S', 'H+s', 'H'):
         param = 'CPTPLND' if gate_type == 'CPTP' else gate_type
         eg = _op.build_lindblad_errorgen(basis, param)
@@ -61,7 +68,8 @@ def _make_op(ideal_mx, gate_type, basis):
 
 
 def _make_prep(ideal_vec, prep_type, basis, nqubits):
-    if prep_type in ('computational', 'static'):
+    if prep_type in ('computational', 'static', 'static unitary',
+                     'static standard', 'full unitary', 'static pure'):
         return _st.ComputationalBasisState([0] * nqubits, basis)
     if prep_type in ('full', 'full arbitrary'):
         return _st.FullState(ideal_vec)
@@ -76,7 +84,8 @@ def _make_prep(ideal_vec, prep_type, basis, nqubits):
 
 
 def _make_povm(ideal_effects, povm_type, basis, nqubits):
-    if povm_type in ('computational', 'static'):
+    if povm_type in ('computational', 'static', 'static unitary',
+                     'static standard', 'full unitary', 'static pure'):
         return _pv.ComputationalBasisPOVM(nqubits, basis)
     if povm_type in ('full', 'full arbitrary'):
         return _pv.UnconstrainedPOVM(ideal_effects)
