@@ -22,6 +22,10 @@ import re
 from pygsti_tpu.baseobjs.label import Label, LabelTupTup
 
 _NAME_RE = re.compile(r'[a-zA-Z_][a-zA-Z0-9_]*')
+# reference grammar (circuitparser): gates 'G[a-z0-9_]+', preps 'rho...',
+# povms 'M[a-z0-9_]*', instruments 'I[a-z0-9_]*' -- an upper-case letter
+# terminates the name so adjacent labels need no separator
+_GATE_NAME_RE = re.compile(r'G[a-z0-9_]+|rho[a-z0-9_]*|M[a-z0-9_]*|I[a-z0-9_]*')
 _INT_RE = re.compile(r'[0-9]+')
 
 
@@ -45,7 +49,13 @@ class _Parser:
         return int(m.group())
 
     def parse_name(self):
-        m = _NAME_RE.match(self.s, self.i)
+        # gate names follow the reference grammar 'G[a-z0-9_]+' (a capital
+        # letter starts a NEW label, so 'GxGx' parses as two Gx gates;
+        # reference: circuits/circuitparser docstring).  Similar prefixes:
+        # rho<...> preps, M<...> povms, I<...> instruments.
+        m = _GATE_NAME_RE.match(self.s, self.i)
+        if not m:
+            m = _NAME_RE.match(self.s, self.i)
         if not m:
             self.error("expected name")
         self.i = m.end()

@@ -33,39 +33,35 @@ def read_circuit_list(filename, read_raw_strings=False, line_labels=None):
 def read_dataset(filename, cache=False, collision_action="aggregate",
                  record_zero_counts=False, ignore_zero_count_lines=True,
                  with_times="auto", circuit_parse_cache=None, verbosity=1):
-    """Read a text-format dataset file."""
-    outcome_labels = None
-    ds = DataSet()
-    with open(filename) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith('##'):
-                m = re.match(r'##\s*Columns\s*=\s*(.*)', line)
-                if m:
-                    cols = [c.strip() for c in m.group(1).split(',')]
-                    outcome_labels = []
-                    for c in cols:
-                        cm = re.match(r'(.*?)\s+count$', c)
-                        outcome_labels.append(cm.group(1).strip() if cm else c)
-                continue
-            if line.startswith('#'):
-                continue
-            parts = line.split()
-            # circuit string is the first token; counts follow
-            cstr = parts[0]
-            counts = [float(x) for x in parts[1:]]
-            assert outcome_labels is not None, "Missing '## Columns =' header"
-            cdict = {}
-            for ol, cnt in zip(outcome_labels, counts):
-                if cnt != 0 or record_zero_counts:
-                    cdict[ol] = int(cnt) if cnt == int(cnt) else cnt
-            ds.add_count_dict(Circuit(cstr), cdict,
-                              record_zero_counts=record_zero_counts)
-    return ds
+    """Read a text-format dataset file (full grammar: fixed/typed columns,
+    outcome:count pairs, time-series blocks -- see io/stdinput.py)."""
+    from pygsti_tpu.io.stdinput import StdInputParser
+    return StdInputParser().parse_datafile(
+        filename, collision_action=collision_action,
+        record_zero_counts=record_zero_counts,
+        ignore_zero_count_lines=ignore_zero_count_lines,
+        with_times=with_times)
+
+
+def read_multidataset(filename, cache=False, collision_action="aggregate",
+                      record_zero_counts=False, verbosity=1):
+    """Read a multi-dataset text file (reference: io/readers.py
+    read_multidataset)."""
+    from pygsti_tpu.io.stdinput import StdInputParser
+    return StdInputParser().parse_multidatafile(
+        filename, collision_action=collision_action,
+        record_zero_counts=record_zero_counts)
+
+
+def read_time_dependent_dataset(filename, record_zero_counts=True):
+    """Read an explicitly timestamped dataset file (reference: io/readers.py
+    read_time_dependent_dataset)."""
+    from pygsti_tpu.io.stdinput import StdInputParser
+    return StdInputParser().parse_tddatafile(
+        filename, record_zero_counts=record_zero_counts)
 
 
 # legacy aliases
 load_dataset = read_dataset
 load_circuit_list = read_circuit_list
+load_multidataset = read_multidataset

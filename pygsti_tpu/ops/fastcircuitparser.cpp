@@ -77,9 +77,27 @@ private:
         return v;
     }
 
+    static bool is_lower_name_char(char c) {
+        return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+    }
+
     std::string parse_name() {
         if (!is_name_start(peek())) throw std::runtime_error("expected name at " + std::to_string(i_));
         Py_ssize_t start = i_;
+        char c0 = peek();
+        /* reference grammar: gate 'G[a-z0-9_]+', povm 'M[a-z0-9_]*',
+         * instrument 'I[a-z0-9_]*', prep 'rho[a-z0-9_]*' -- an upper-case
+         * letter starts a NEW label, so 'GxGx' is two Gx gates */
+        if (c0 == 'G' || c0 == 'M' || c0 == 'I') {
+            ++i_;
+            while (is_lower_name_char(peek())) ++i_;
+            return std::string(s_ + start, i_ - start);
+        }
+        if (c0 == 'r' && i_ + 2 < n_ && s_[i_+1] == 'h' && s_[i_+2] == 'o') {
+            i_ += 3;
+            while (is_lower_name_char(peek())) ++i_;
+            return std::string(s_ + start, i_ - start);
+        }
         while (is_name_char(peek())) ++i_;
         return std::string(s_ + start, i_ - start);
     }
