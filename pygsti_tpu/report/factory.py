@@ -85,6 +85,26 @@ class Report(object):
         results = self.results
         sections.append("<h1>%s</h1>" % _html.escape(self.title))
 
+        # -- input summary (reference: 'Input' report tab) ----------------------
+        sections.append("<h2>Input summary</h2>")
+        try:
+            edesign = results.data.edesign
+            ds = results.data.dataset
+            rows = []
+            if hasattr(edesign, 'circuit_lists'):
+                for i, cl in enumerate(edesign.circuit_lists):
+                    rows.append(["iteration %d" % i, len(list(cl))])
+            n_circ = len(list(ds.keys()))
+            total_counts = sum(ds[c].total for c in ds.keys())
+            rows.append(["dataset circuits", n_circ])
+            rows.append(["total counts", _fmt(float(total_counts))])
+            rows.append(["outcome labels",
+                         _html.escape(str(ds.outcome_labels))])
+            sections.append(_table(["Quantity", "Value"], rows))
+        except Exception as e:
+            sections.append('<p class="meta">(input summary unavailable: %s)</p>'
+                            % _html.escape(str(e)))
+
         for est_key in results.estimates:
             est = results.estimates[est_key]
             sections.append("<h2>Estimate: %s</h2>" % _html.escape(str(est_key)))
@@ -99,6 +119,28 @@ class Report(object):
                      % (cls, _fmt(nsig, 3))]]
             sections.append("<h3>Model violation</h3>")
             sections.append(_table(["Quantity", "Value"], rows))
+
+            # -- fit progression (per-iteration objective values) --------------
+            raw_vals = est.parameters.get('raw_objective_values')
+            if raw_vals:
+                rows = [["iteration %d" % i]
+                        + [_fmt(float(v)) for v in vals]
+                        for i, vals in enumerate(raw_vals)]
+                ncol = max(len(v) for v in raw_vals)
+                sections.append("<h3>Fit progression (objective per stage)</h3>")
+                sections.append(_table(
+                    ["Iteration"] + ["stage %d" % j for j in range(ncol)], rows))
+
+            # -- unmodeled (wildcard) error ------------------------------------
+            budget = est.parameters.get('unmodeled_error')
+            if budget is not None:
+                try:
+                    rows = [[str(lbl), _fmt(float(w))]
+                            for lbl, w in budget.description().items()]
+                    sections.append("<h3>Un-modeled error (wildcard budget)</h3>")
+                    sections.append(_table(["Primitive op", "TVD budget"], rows))
+                except Exception:
+                    pass
 
             # -- per-circuit color box plot ----------------------------------
             try:
@@ -147,8 +189,15 @@ class Report(object):
                 except Exception:
                     crf_view = None
 
-            # -- per-gate metrics --------------------------------------------
-            gm = _rpt.gate_metrics_table(model, target, crf_view=crf_view)
+            # -- per-gate metrics (w/ error bars when CR available) -----------
+            gm = _rpt.gate_metrics_table(
+                model, target,
+                metrics=('entanglement_infidelity', 'avg_gate_infidelity',
+                         'half_diamond_norm', 'jtrace_diff', 'frobenius_diff',
+                         'eigenvalue_entanglement_infidelity',
+                         'nonunitary_entanglement_infidelity',
+                         'generator_infidelity', 'unitarity'),
+                crf_view=crf_view)
             if gm:
                 metrics = list(next(iter(gm.values())).keys())
                 rows = [[str(lbl)] + [row[m] for m in metrics]
@@ -156,14 +205,147 @@ class Report(object):
                 sections.append("<h3>Per-gate metrics vs target</h3>")
                 sections.append(_table(["Gate"] + metrics, rows))
 
-            # -- SPAM metrics ------------------------------------------------
-            sm = _rpt.spam_metrics_table(model, target)
+            # -- model-level metrics -------------------------------------------
+            rows = [["average gateset infidelity",
+                     _fmt(_rpt.average_gateset_infidelity(model, target))],
+                    ["predicted RB number r",
+                     _fmt(_rpt.predicted_rb_number(model, target))]]
+            sections.append("<h3>Model-level metrics</h3>")
+            sections.append(_table(["Quantity", "Value"], rows))
+
+            # -- gauge-invariant: eigenvalues + germ-amplified metrics --------
+            sections.append("<h3>Gate eigenvalues (gauge-invariant)</h3>")
+            rows = []
+            for lbl in model.operations:
+                try:
+                    ev = _rpt.eigenvalues(model.operations[lbl].to_dense())
+                    rel = _rpt.rel_eigenvalues(
+                        model.operations[lbl].to_dense(),
+                        target.operations[lbl].to_dense(), model.basis) \
+                        if lbl in target.operations else []
+                    rows.append([str(lbl),
+                                 ", ".join(_fmt(v, 4) for v in sorted(
+                                     ev, key=lambda z: -abs(z))[:8]),
+                                 ", ".join(_fmt(v, 4) for v in sorted(
+                                     rel, key=lambda z: -abs(z))[:8])])
+                except Exception:
+                    pass
+            sections.append(_table(["Gate", "eigenvalues",
+                                    "relative (T^-1 G) eigenvalues"], rows))
+
+            try:
+                angles = _rpt.angles_btwn_rotn_axes(model)
+                op_lbls = [str(l) for l in model.operations]
+                rows = [[op_lbls[i]] + [_fmt(angles[i, j], 3)
+                                        for j in range(len(op_lbls))]
+                        for i in range(len(op_lbls))]
+                sections.append("<h3>Angles between rotation axes (/&pi;)</h3>")
+                sections.append(_table(["Gate"] + op_lbls, rows))
+            except Exception:
+                pass
+
+            edesign = getattr(results.data, 'edesign', None)
+            germs = list(getattr(edesign, 'germs', []) or [])
+            if germs:
+                ga = _rpt.germ_amplified_metrics_table(model, target, germs)
+                rows = [[g.str,
+                         _fmt(d['eigenvalue_entanglement_infidelity']),
+                         _fmt(d['eigenvalue_diamondnorm'])]
+                        for g, d in ga.items()]
+                sections.append("<h3>Germ-amplified metrics (gauge-invariant)"
+                                "</h3>")
+                sections.append(_table(
+                    ["Germ", "eigenvalue ent. infidelity",
+                     "eigenvalue 1/2 diamond dist"], rows))
+
+            # -- error-generator projections -----------------------------------
+            try:
+                eg = _rpt.errorgen_projections_table(model, target)
+                if eg:
+                    rows = []
+                    for lbl, d in eg.items():
+                        H = d['hamiltonian projections']
+                        S = d['stochastic projections']
+                        A = d['affine projections']
+                        rows.append([str(lbl), _fmt(float(np.linalg.norm(H))),
+                                     _fmt(float(np.sum(S))),
+                                     _fmt(float(np.linalg.norm(A))),
+                                     ", ".join(_fmt(v, 3) for v in H[:6]),
+                                     ", ".join(_fmt(v, 3) for v in S[:6])])
+                    sections.append("<h3>Error-generator projections "
+                                    "(logGTi)</h3>")
+                    sections.append(_table(
+                        ["Gate", "|H|", "&Sigma;S", "|A|",
+                         "H projections", "S projections"], rows))
+            except Exception as e:
+                sections.append('<p class="meta">(errorgen projections '
+                                'unavailable: %s)</p>' % _html.escape(str(e)))
+
+            # -- gate decompositions -------------------------------------------
+            try:
+                gd = _rpt.gate_decomposition_table(model, target)
+                rows = []
+                for lbl, d in gd.items():
+                    dec = d['decomposition']
+                    rows.append([str(lbl),
+                                 _fmt(dec.get('pi rotations', np.nan), 4),
+                                 _fmt(d['choi_trace'], 4),
+                                 _fmt(d['upper_bound_fidelity'], 6),
+                                 _fmt(d['maximum_fidelity'], 6),
+                                 _fmt(d['maximum_trace_dist'], 4),
+                                 ", ".join(_fmt(v, 3)
+                                           for v in d['choi_eigenvalues'][-4:])])
+                sections.append("<h3>Gate decompositions &amp; Choi spectra</h3>")
+                sections.append(_table(
+                    ["Gate", "rotation (/&pi;)", "Choi trace",
+                     "upper-bound fidelity", "max fidelity w/unitary",
+                     "max trace dist", "top Choi eigenvalues"], rows))
+            except Exception as e:
+                sections.append('<p class="meta">(decompositions unavailable: '
+                                '%s)</p>' % _html.escape(str(e)))
+
+            # -- SPAM metrics (w/ error bars) -----------------------------------
+            sm = _rpt.spam_metrics_table(model, target, crf_view=crf_view)
             if sm:
-                rows = [["%s %s" % (kind, lbl)] +
-                        [_fmt(v) for v in d.values()]
-                        for (kind, lbl), d in sm.items()]
+                first = next(iter(sm.values()))
+                cols = list(first.keys())
+                rows = []
+                for (kind, lbl), d in sm.items():
+                    rows.append(["%s %s" % (kind, lbl)]
+                                + [d.get(c, '') for c in cols])
                 sections.append("<h3>SPAM metrics vs target</h3>")
-                sections.append(_table(["Item", "metrics..."], rows))
+                sections.append(_table(["Item"] + cols, rows))
+
+            # -- SPAM probabilities table --------------------------------------
+            try:
+                dots = _rpt.spam_dotprods(list(model.preps.values()),
+                                          list(model.povms.values()))
+                eff_lbls = [e for povm in model.povms.values() for e in povm]
+                rows = [[str(eff_lbls[j])] + [_fmt(dots[j, i], 5)
+                                              for i in range(dots.shape[1])]
+                        for j in range(dots.shape[0])]
+                sections.append("<h3>SPAM probabilities &lt;E|&rho;&gt;</h3>")
+                sections.append(_table(
+                    ["Effect"] + [str(p) for p in model.preps], rows))
+            except Exception:
+                pass
+
+            # -- instruments ----------------------------------------------------
+            if getattr(model, 'instruments', None):
+                rows = []
+                for ilbl in model.instruments:
+                    try:
+                        rows.append([str(ilbl),
+                                     _fmt(_rpt.instrument_infidelity(
+                                         model, target, ilbl)),
+                                     _fmt(_rpt.instrument_half_diamond_norm(
+                                         model, target, ilbl))])
+                    except Exception:
+                        pass
+                if rows:
+                    sections.append("<h3>Instrument metrics vs target</h3>")
+                    sections.append(_table(
+                        ["Instrument", "infidelity", "1/2 diamond dist"], rows))
 
             # -- gate matrices ------------------------------------------------
             sections.append("<h3>Estimated gate matrices (%s basis)</h3>"
@@ -172,6 +354,29 @@ class Report(object):
                 sections.append("<h4>%s</h4>" % _html.escape(str(lbl)))
                 sections.append(_matrix_html(model.operations[lbl].to_dense()))
 
+            # -- SPAM vectors ----------------------------------------------------
+            sections.append("<h3>SPAM vectors</h3>")
+            for lbl in model.preps:
+                sections.append("<h4>prep %s</h4>" % _html.escape(str(lbl)))
+                sections.append(_matrix_html(
+                    model.preps[lbl].to_dense().reshape(1, -1)))
+            for lbl in model.povms:
+                sections.append("<h4>povm %s</h4>" % _html.escape(str(lbl)))
+                sections.append(_matrix_html(model.povms[lbl].to_dense()))
+
+        # -- meta ------------------------------------------------------------
+        sections.append("<h2>Metadata</h2>")
+        rows = []
+        for est_key in results.estimates:
+            p = results.estimates[est_key].parameters
+            if 'fit_time' in p:
+                rows.append(["%s fit wall-clock (s)" % est_key,
+                             _fmt(p['fit_time'], 4)])
+        import pygsti_tpu
+        rows.append(["pygsti_tpu version",
+                     getattr(pygsti_tpu, '__version__', 'dev')])
+        sections.append(_table(["Quantity", "Value"], rows))
+
         doc = ("<!DOCTYPE html><html><head><meta charset='utf-8'><title>%s</title>"
                "<style>%s</style></head><body>%s</body></html>"
                % (_html.escape(self.title), _CSS, "\n".join(sections)))
@@ -179,8 +384,117 @@ class Report(object):
             f.write(doc)
         return path
 
-    def write_pdf(self, path, **kwargs):
-        raise NotImplementedError("PDF output not yet implemented; use write_html")
+    def write_pdf(self, path, verbosity=1, **kwargs):
+        """Write a PDF report.  Uses pdflatex when available (reference:
+        report/report.py write_pdf renders LaTeX); otherwise falls back to a
+        built-in minimal PDF generator (text-only summary pages), so a valid
+        PDF is always produced."""
+        import shutil
+        import subprocess
+        import tempfile
+        import os
+        lines = self._text_summary_lines()
+        latex = shutil.which('pdflatex')
+        if latex:
+            tex = "\\documentclass{article}\\usepackage[margin=1in]{geometry}" \
+                  "\\begin{document}\\begin{verbatim}\n" \
+                  + "\n".join(lines) + "\n\\end{verbatim}\\end{document}\n"
+            with tempfile.TemporaryDirectory() as td:
+                texfile = os.path.join(td, 'report.tex')
+                with open(texfile, 'w') as f:
+                    f.write(tex)
+                res = subprocess.run([latex, '-interaction=nonstopmode',
+                                      'report.tex'], cwd=td,
+                                     capture_output=True, timeout=300)
+                pdf = os.path.join(td, 'report.pdf')
+                if res.returncode == 0 and os.path.exists(pdf):
+                    shutil.copy(pdf, path)
+                    return path
+        _write_minimal_pdf(path, self.title, lines)
+        return path
+
+    def _text_summary_lines(self):
+        """Plain-text report summary (feeds the PDF writers)."""
+        results = self.results
+        lines = [self.title, "=" * len(self.title), ""]
+        for est_key in results.estimates:
+            est = results.estimates[est_key]
+            lines.append("Estimate: %s" % est_key)
+            mv = _rpt.model_violation_table(results, est_key)
+            lines.append("  2*DeltaLogL = %s   k = %s   Nsigma = %s"
+                         % (mv.get('final_2dlogl'), mv.get('final_dof'),
+                            mv.get('n_sigma')))
+            target = est.models.get('target')
+            display_key = 'final iteration estimate'
+            for k in est.models:
+                if k not in ('target', 'seed', 'final iteration estimate') \
+                        and not k.startswith('iteration'):
+                    display_key = k
+            model = est.models.get(display_key)
+            if model is None or target is None:
+                lines.append("")
+                continue
+            lines.append("  displayed model: %s" % display_key)
+            gm = _rpt.gate_metrics_table(model, target)
+            for lbl, row in gm.items():
+                metr = "  ".join("%s=%.3g" % (m, v) for m, v in row.items()
+                                 if isinstance(v, (int, float)))
+                lines.append("  %-16s %s" % (lbl, metr))
+            lines.append("")
+        return lines
+
+
+def _write_minimal_pdf(path, title, lines, font_size=9, leading=11):
+    """Built-in text-only PDF writer (PDF 1.4, Courier): produces a valid
+    multi-page PDF without any external LaTeX dependency."""
+    pages = []
+    per_page = int(720 / leading)
+    for i in range(0, max(len(lines), 1), per_page):
+        pages.append(lines[i:i + per_page])
+
+    def esc(s):
+        return s.replace('\\', r'\\').replace('(', r'\(').replace(')', r'\)')
+
+    objects = []  # (obj_num, bytes)
+    n_pages = len(pages)
+    # 1 = catalog, 2 = pages tree, 3 = font; pages start at 4
+    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    objects.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    kids = " ".join("%d 0 R" % n for n in page_obj_nums)
+    objects.append((2, ("<< /Type /Pages /Kids [%s] /Count %d >>"
+                        % (kids, n_pages)).encode()))
+    objects.append((3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"))
+    for i, page_lines in enumerate(pages):
+        content = ["BT /F1 %d Tf 36 756 Td %d TL" % (font_size, leading)]
+        for ln in page_lines:
+            content.append("(%s) Tj T*" % esc(ln))
+        content.append("ET")
+        stream = "\n".join(content).encode('latin-1', 'replace')
+        objects.append((page_obj_nums[i],
+                        ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                         "/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                         % (page_obj_nums[i] + 1)).encode()))
+        objects.append((page_obj_nums[i] + 1,
+                        b"<< /Length " + str(len(stream)).encode() + b" >>\n"
+                        b"stream\n" + stream + b"\nendstream"))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in sorted(objects):
+        offsets[num] = len(out)
+        out += ("%d 0 obj\n" % num).encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    max_obj = max(offsets) + 1
+    out += ("xref\n0 %d\n" % max_obj).encode()
+    out += b"0000000000 65535 f \n"
+    for n in range(1, max_obj):
+        out += (("%010d 00000 n \n" % offsets[n]).encode()
+                if n in offsets else b"0000000000 65535 f \n")
+    out += ("trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_obj, xref_pos)).encode()
+    with open(path, 'wb') as f:
+        f.write(bytes(out))
+    return path
 
 
 def create_report_notebook(results, filename, title="GST Report Notebook",
