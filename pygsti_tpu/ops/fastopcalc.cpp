@@ -20,6 +20,20 @@ struct Buf {
     Buf(PyObject* obj, const char* expected_fmt) {
         if (PyObject_GetBuffer(obj, &view, PyBUF_CONTIG_RO | PyBUF_FORMAT) != 0)
             return;
+        /* validate dtype so a wrong-typed array raises instead of being
+         * silently reinterpreted */
+        Py_ssize_t want = 8;                      /* "q" int64 / "d" double */
+        if (expected_fmt[0] == 'Z') want = 16;    /* "Zd" complex128 */
+        if (view.itemsize != want ||
+            (view.format && expected_fmt[0] != view.format[0] &&
+             !(expected_fmt[0] == 'q' && (view.format[0] == 'l' || view.format[0] == 'q')))) {
+            PyErr_Format(PyExc_ValueError,
+                         "buffer has format '%s' (itemsize %zd), expected '%s'",
+                         view.format ? view.format : "?", view.itemsize,
+                         expected_fmt);
+            PyBuffer_Release(&view);
+            return;
+        }
         ok = true;
     }
     ~Buf() { if (ok) PyBuffer_Release(&view); }
@@ -43,6 +57,10 @@ PyObject* eval_impl(const int64_t* vt, Py_ssize_t vlen, const T* ct,
                 return nullptr;
             }
             int64_t n_vars = vt[i++];
+            if (n_vars < 0 || i + n_vars > vlen) {
+                PyErr_SetString(PyExc_ValueError, "malformed polynomial tape");
+                return nullptr;
+            }
             T a = ct[c++];
             for (int64_t k = 0; k < n_vars; ++k) {
                 int64_t vi = vt[i++];
@@ -120,6 +138,10 @@ PyObject* abs_sum_bulk_eval_complex(PyObject*, PyObject* args) {
                 return nullptr;
             }
             int64_t n_vars = vt[i++];
+            if (n_vars < 0 || i + n_vars > vlen) {
+                PyErr_SetString(PyExc_ValueError, "malformed polynomial tape");
+                return nullptr;
+            }
             std::complex<double> a = ct[c++];
             for (int64_t k = 0; k < n_vars; ++k) {
                 int64_t vi = vt[i++];
