@@ -179,7 +179,8 @@ def run_gst_fit(mdc_store, optimizer, objective_function_builder, verbosity=0):
 
 def iterative_gst_generator(dataset, start_model, circuit_lists,
                             optimizer, iteration_objfn_builders, final_objfn_builders,
-                            resource_alloc=None, starting_index=0, verbosity=0):
+                            resource_alloc=None, starting_index=0, verbosity=0,
+                            profiler=None):
     """Generator yielding per-iteration GST results (reference: core.py:831).
 
     Yields (opt_results_list, model) for each circuit list (iteration), using
@@ -235,6 +236,9 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
             name=builder.name)
 
     import time as _time
+    from pygsti_tpu.baseobjs.profiler import DummyProfiler
+    profiler = profiler if profiler is not None else \
+        getattr(resource_alloc, 'profiler', None) or DummyProfiler()
     for i in range(starting_index, n_iters):
         printer.log("--- Iterative GST: Iter %d of %d  (%d circuits) ---"
                     % (i + 1, n_iters, len(lists[i])))
@@ -244,10 +248,15 @@ def iterative_gst_generator(dataset, start_model, circuit_lists,
             builders = builders + list(final_objfn_builders)
         for builder in builders:
             t0 = _time.time()
-            objective = make_objective(builder, i)
-            result = optimizer.run(objective,
-                                   printer=VerbosityPrinter.create_printer(verbosity))
+            with profiler.timing('iteration %d: %s objective build'
+                                 % (i, builder.name)):
+                objective = make_objective(builder, i)
+            with profiler.timing('iteration %d: %s optimize'
+                                 % (i, builder.name)):
+                result = optimizer.run(
+                    objective, printer=VerbosityPrinter.create_printer(verbosity))
             opt_results.append(result)
+            profiler.add_count('LM stages')
             printer.log("    %s stage: %.1fs (f=%.1f)"
                         % (builder.name, _time.time() - t0, result.f))
         yield (opt_results, mdl.copy())

@@ -391,13 +391,18 @@ class ExplicitOpModel(OpModel):
                 new_mx = D @ op.to_dense()
                 m.operations[lbl] = type(op)(new_mx) if not isinstance(op, _op.StaticArbitraryOp) \
                     else _op.StaticArbitraryOp(new_mx)
-        if spam_noise is not None:
+        if max_spam_noise is not None:
+            spam_noises = rng.uniform(0, max_spam_noise, len(m.preps))
+            for (lbl, p), noise in zip(list(m.preps.items()), spam_noises):
+                D = np.diag([1.0] + [1.0 - noise] * (d - 1))
+                m.preps[lbl] = type(p)(D @ p.to_dense())
+        elif spam_noise is not None:
+            # uniform spam_noise depolarizes ONLY the preps -- POVMs are left
+            # alone, matching the reference exactly (explicitmodel.py:1139
+            # "Just depolarize the preps - leave POVMs alone")
             D = np.diag([1.0] + [1.0 - spam_noise] * (d - 1))
             for lbl, p in list(m.preps.items()):
                 m.preps[lbl] = type(p)(D @ p.to_dense())
-            for lbl, povm in list(m.povms.items()):
-                new_effects = [(ol, ev @ D) for ol, ev in povm.items()]
-                m.povms[lbl] = type(povm)(collections.OrderedDict(new_effects))
         m._mark_for_rebuild()
         return m
 

@@ -359,12 +359,18 @@ class GateSetTomography(Protocol):
             seed_model = self.initial_model.retrieve_model(edesign, None, ds)
             models = []
 
+        # per-phase time accounting (reference: gst.py:1391-1394,
+        # core.py:1008-1035 thread a Profiler through the fit)
+        from pygsti_tpu.baseobjs.profiler import Profiler
+        profiler = Profiler()
+
         tstart = _time.time()
         opt_results = []
         gen = _alg.iterative_gst_generator(
             ds, seed_model, circuit_lists, self.optimizer,
             self.objfn_builders.iteration_builders, self.objfn_builders.final_builders,
-            starting_index=starting_index, verbosity=self.verbosity - 1)
+            starting_index=starting_index, verbosity=self.verbosity - 1,
+            profiler=profiler)
         for i in range(starting_index, n_iters):
             iter_opt_results, mdl = next(gen)
             models.append(mdl)
@@ -402,9 +408,12 @@ class GateSetTomography(Protocol):
         }
         est = Estimate.create_gst_estimate(results, target, seed_model, models, params)
         results.add_estimate(est, estimate_key=self.name)
-        _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
-                                 self.badfit_options, printer,
-                                 optimizer=self.optimizer)
+        with profiler.timing('gauge optimization + badfit'):
+            _add_gaugeopt_and_badfit(results, self.name, target, self.gaugeopt_suite,
+                                     self.badfit_options, printer,
+                                     optimizer=self.optimizer)
+        est.parameters['profiler'] = dict(profiler.timers)
+        printer.log("Phase times:\n" + profiler.format_times(), 3)
         return results
 
 
