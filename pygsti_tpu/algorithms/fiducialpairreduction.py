@@ -108,6 +108,120 @@ def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
     return out
 
 
+def find_sufficient_fiducial_pairs_per_germ_greedy(
+        target_model, prep_fiducials, meas_fiducials, germs,
+        prepovm_tuples="first", inv_trace_tol=10.0, initial_seed_mode='greedy',
+        evd_tol=1e-10, sensitivity_threshold=1e-10, check_complete_fid_set=True,
+        seed=None, verbosity=0, mem_limit=None):
+    """Score-based greedy per-germ FPR (reference:
+    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_greedy:511):
+    instead of stopping at full rank, keep adding pairs until the
+    sum-of-inverse-eigenvalues of the pair-sensitivity Gram matrix is within
+    `inv_trace_tol` times that of the full pair set (conditioning, not just
+    rank)."""
+    printer = VerbosityPrinter.create_printer(verbosity)
+    model = target_model.rotate(max_rotate=1e-2, seed=seed) \
+        if target_model.state_space.num_qubits == 1 else \
+        target_model.depolarize(max_op_noise=1e-2, seed=seed)
+    proj = _nongauge_projector(model)
+
+    out = {}
+    for germ in germs:
+        M, pair_index, n_amp = _germ_pair_sensitivities(
+            model, germ, prep_fiducials, meas_fiducials, proj)
+        if n_amp == 0:
+            out[germ] = [(0, 0)]
+            continue
+
+        def inv_trace(rows):
+            if not rows:
+                return np.inf
+            s = np.linalg.svd(np.stack(rows), compute_uv=False)
+            ev = np.zeros(n_amp)
+            ev[:min(len(s), n_amp)] = (s ** 2)[:n_amp]
+            return float(np.sum(1.0 / np.clip(ev, 1e-30, None)))
+
+        pair_rows = {}
+        for r, pi in zip(M, pair_index):
+            pair_rows.setdefault(pi, []).append(r)
+        full_score = inv_trace([r for rows in pair_rows.values()
+                                for r in rows])
+        target_score = full_score * inv_trace_tol
+
+        chosen_pairs, chosen_rows = [], []
+        remaining = list(pair_rows.keys())
+        while remaining:
+            best = None
+            for pi in remaining:
+                s = inv_trace(chosen_rows + pair_rows[pi])
+                if best is None or s < best[1]:
+                    best = (pi, s)
+            chosen_pairs.append(best[0])
+            chosen_rows.extend(pair_rows[best[0]])
+            remaining.remove(best[0])
+            if best[1] <= target_score:
+                break
+        out[germ] = chosen_pairs
+        printer.log("  germ %s: %d/%d pairs (inv-trace %.3g <= %.3g)"
+                    % (germ.str, len(chosen_pairs), len(pair_rows),
+                       inv_trace(chosen_rows), target_score), 2)
+    return out
+
+
+def find_sufficient_fiducial_pairs_per_germ_power(
+        target_model, prep_fiducials, meas_fiducials, germs, max_lengths,
+        prepovm_tuples="first", search_mode="greedy", constrain_to_tp=True,
+        trunc_scheme="whole germ powers", n_random=100, min_iterations=None,
+        base_loweig_tol=1e-1, seed=None, verbosity=0, mem_limit=None):
+    """Per-(germ, L) fiducial pair reduction (reference:
+    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_power:668):
+    sensitivities are computed for the germ RAISED TO ITS POWER at each
+    max-length L (the operator that actually appears in the experiment),
+    and pairs chosen per (germ, L).  Returns {(germ, L): [(iPrep,iMeas),..]}."""
+    from pygsti_tpu.circuits.circuit import Circuit
+    printer = VerbosityPrinter.create_printer(verbosity)
+    model = target_model.rotate(max_rotate=1e-2, seed=seed) \
+        if target_model.state_space.num_qubits == 1 else \
+        target_model.depolarize(max_op_noise=1e-2, seed=seed)
+    proj = _nongauge_projector(model)
+
+    out = {}
+    for germ in germs:
+        glen = max(len(germ.layertup), 1)
+        for L in max_lengths:
+            power = max(L // glen, 1) if trunc_scheme == "whole germ powers" \
+                else max(L, 1)
+            germ_power = Circuit(germ.layertup * power, germ.line_labels)
+            M, pair_index, n_amp = _germ_pair_sensitivities(
+                model, germ_power, prep_fiducials, meas_fiducials, proj)
+            if n_amp == 0:
+                out[(germ, L)] = [(0, 0)]
+                continue
+            pair_rows = {}
+            for r, pi in zip(M, pair_index):
+                pair_rows.setdefault(pi, []).append(r)
+            chosen_pairs, chosen_rows = [], []
+            remaining = list(pair_rows.keys())
+            cur_rank = 0
+            while cur_rank < n_amp and remaining:
+                best = None
+                for pi in remaining:
+                    trial = chosen_rows + pair_rows[pi]
+                    s = np.linalg.svd(np.stack(trial), compute_uv=False)
+                    rank = int(np.sum(s > 1e-8 * max(s[0], 1e-30)))
+                    smin = s[min(rank, n_amp) - 1] if rank > 0 else 0.0
+                    if best is None or (rank, smin) > (best[1], best[2]):
+                        best = (pi, rank, smin)
+                chosen_pairs.append(best[0])
+                chosen_rows.extend(pair_rows[best[0]])
+                remaining.remove(best[0])
+                cur_rank = best[1]
+            out[(germ, L)] = chosen_pairs
+            printer.log("  germ %s L=%d: %d/%d pairs"
+                        % (germ.str, L, len(chosen_pairs), len(pair_rows)), 2)
+    return out
+
+
 def find_sufficient_fiducial_pairs(target_model, prep_fiducials, meas_fiducials,
                                    germs, test_lengths=(256, 2048), prepovm_tuples="first",
                                    tol=0.75, search_mode="sequential", n_random=100,

@@ -131,6 +131,116 @@ def find_fiducials(target_model, omit_identity=True, eq_thresh=1e-6,
                     break
         return chosen
 
-    prep = greedy('prep') if prep_fids else None
-    meas = greedy('meas') if meas_fids else None
+    algorithm_kwargs = dict(algorithm_kwargs or {})
+
+    def run(prep_or_meas):
+        if algorithm == 'greedy':
+            return greedy(prep_or_meas)
+        if algorithm == 'slack':
+            return _integer_slack(model, candidates, prep_or_meas,
+                                  force_empty, printer, **algorithm_kwargs)
+        if algorithm == 'grasp':
+            return _grasp(model, candidates, prep_or_meas, force_empty,
+                          printer, greedy, **algorithm_kwargs)
+        raise ValueError("Invalid algorithm: %r" % algorithm)
+
+    prep = run('prep') if prep_fids else None
+    meas = run('meas') if meas_fids else None
     return prep, meas
+
+
+def _integer_slack(model, candidates, prep_or_meas, force_empty, printer,
+                   fixed_slack=None, slack_frac=None, initial_weights=None,
+                   max_iters=10000, **_ignored):
+    """Integer-weight slack optimization (reference:
+    fiducialselection.optimize_integer_fiducials_slack:29): start from the
+    full candidate pool and remove fiducials while the composite score stays
+    within the allowed slack and the set remains informationally complete."""
+    from pygsti_tpu.circuits.circuit import Circuit
+    if fixed_slack is None and slack_frac is None:
+        slack_frac = 0.1
+    lls = model.state_space.qubit_labels
+    chosen = list(dict.fromkeys(
+        ([Circuit((), lls)] if force_empty else []) + list(candidates)))
+    d2 = model.dim
+    cur_score, n_spanned, _ = compute_composite_fiducial_score(
+        model, chosen, prep_or_meas)
+    assert n_spanned >= d2, "Candidate pool is not informationally complete"
+    for _ in range(max_iters):
+        slack = fixed_slack if fixed_slack is not None \
+            else abs(cur_score) * slack_frac
+        best = None
+        for f in chosen:
+            if force_empty and f.depth == 0:
+                continue
+            trial = [x for x in chosen if x != f]
+            s, ns, _ = compute_composite_fiducial_score(
+                model, trial, prep_or_meas)
+            if ns >= d2 and s <= cur_score + slack:
+                if best is None or s < best[1]:
+                    best = (f, s)
+        if best is None:
+            break
+        chosen.remove(best[0])
+        cur_score = best[1]
+        printer.log("  slack: removed %s -> %d fiducials (score %.3g)"
+                    % (best[0].str, len(chosen), cur_score), 2)
+    return chosen
+
+
+def _grasp(model, candidates, prep_or_meas, force_empty, printer,
+           greedy_fn, iterations=5, alpha=0.5, seed=None, **_ignored):
+    """GRASP fiducial search: randomized-greedy construction + pruning local
+    search, best of `iterations` restarts (reference:
+    fiducialselection GRASP mode via algorithms/grasp.py)."""
+    from pygsti_tpu.circuits.circuit import Circuit
+    rng = np.random.RandomState(seed)
+    d2 = model.dim
+    lls = model.state_space.qubit_labels
+    best_solution = None
+    for it in range(iterations):
+        chosen = [Circuit((), lls)] if force_empty else []
+        n_spanned = 0
+        while n_spanned < d2:
+            scored = []
+            for cand in candidates:
+                if cand in chosen:
+                    continue
+                s, ns, _ = compute_composite_fiducial_score(
+                    model, chosen + [cand], prep_or_meas)
+                scored.append((cand, ns, s))
+            if not scored:
+                break
+            best_ns = max(x[1] for x in scored)
+            top = sorted([x for x in scored if x[1] == best_ns],
+                         key=lambda x: x[2])
+            rcl = top[:max(1, int(np.ceil(alpha * len(top))))]
+            pick = rcl[rng.randint(len(rcl))]
+            chosen.append(pick[0])
+            n_spanned = pick[1]
+        if n_spanned < d2:
+            continue
+        # prune
+        base_s, _, _ = compute_composite_fiducial_score(model, chosen,
+                                                        prep_or_meas)
+        improved = True
+        while improved:
+            improved = False
+            for f in list(chosen):
+                if force_empty and f.depth == 0:
+                    continue
+                trial = [x for x in chosen if x != f]
+                s, ns, _ = compute_composite_fiducial_score(
+                    model, trial, prep_or_meas)
+                if ns >= d2 and s <= base_s * 1.1:
+                    chosen = trial
+                    base_s = s
+                    improved = True
+        s, ns, _ = compute_composite_fiducial_score(model, chosen, prep_or_meas)
+        q = (-len(chosen), -s)
+        if best_solution is None or q > best_solution[0]:
+            best_solution = (q, chosen)
+        printer.log("  GRASP iter %d: %d fiducials (score %.3g)"
+                    % (it, len(chosen), s), 2)
+    assert best_solution is not None, "GRASP found no complete fiducial set"
+    return best_solution[1]

@@ -163,7 +163,9 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
                num_gs_copies=1, seed=None, candidate_germ_counts=None,
                candidate_seed=None, force="singletons", algorithm='greedy',
                score_func='all', threshold=1e6, verbosity=1, mem_limit=None,
-               assume_real=True, float_type=np.float64):
+               assume_real=True, float_type=np.float64, mode='allJac',
+               l1_penalty=1e-2, op_penalty=0.0, fixed_slack=None,
+               slack_frac=None):
     """Find an amplificationally-complete germ set by greedy selection from
     power-limited candidate circuits (reference: germselection.find_germs:59)."""
     printer = VerbosityPrinter.create_printer(verbosity)
@@ -204,7 +206,11 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
                     candidates.append(Circuit(combo, lls))
 
     proj = _nongauge_projector(model)
-    n_nongauge = max_amplified_directions(model, op_labels, non_gauge_projector=proj)
+    # completeness target: the directions amplifiable by THIS candidate pool
+    # (candidate pools limited to short germs cannot reach the full
+    # saturation count; the pool's own span is the achievable target)
+    _, n_nongauge, _ = compute_composite_germ_set_score(
+        model, candidates, score_func, non_gauge_projector=proj)
     printer.log("Germ selection: %d candidates, %d amplifiable directions to cover"
                 % (len(candidates), n_nongauge))
 
@@ -214,26 +220,55 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
         germs = [Circuit((l,), lls) for l in op_labels]
 
     # greedy: add the candidate that most improves the score
-    twirled = {}
+    twirled = {}       # full Gram accumulation ('allJac' mode)
+    compact = {}       # rank-truncated factors ('compactEVD' mode,
+                       # reference germselection.py compactEVD memory mode)
+
+    def _gate_count(germ_list):
+        return sum(len(g.layertup) for g in germ_list)
 
     def set_score(germ_list):
-        Jc = np.zeros((model.num_params, model.num_params))
-        for g in germ_list:
-            if g not in twirled:
-                T = twirled_deriv(model, g) @ proj
-                twirled[g] = np.real(T.conj().T @ T)
-            Jc += twirled[g]
-        evals = np.linalg.eigvalsh(Jc)[::-1][:n_nongauge]
+        if mode == 'compactEVD':
+            # score from stacked compact factors: eigvals(sum_g T_g^T T_g)
+            # == squared singular values of the stacked factor matrix
+            factors = []
+            for g in germ_list:
+                if g not in compact:
+                    T = twirled_deriv(model, g) @ proj
+                    U, s, Vh = np.linalg.svd(np.real(T), full_matrices=False)
+                    keep = s > 1e-10 * max(s[0], 1e-30)
+                    compact[g] = (s[keep, None] * Vh[keep])  # [rank, P]
+                factors.append(compact[g])
+            F = np.concatenate(factors, axis=0) if factors \
+                else np.zeros((0, model.num_params))
+            sv = np.linalg.svd(F, compute_uv=False)
+            evals = np.zeros(n_nongauge)
+            evals[:min(len(sv), n_nongauge)] = (sv ** 2)[:n_nongauge]
+        else:
+            Jc = np.zeros((model.num_params, model.num_params))
+            for g in germ_list:
+                if g not in twirled:
+                    T = twirled_deriv(model, g) @ proj
+                    twirled[g] = np.real(T.conj().T @ T)
+                Jc += twirled[g]
+            evals = np.linalg.eigvalsh(Jc)[::-1][:n_nongauge]
         safe = np.clip(evals, 1e-30, None)
-        n_amp = int(np.sum(evals > 1e-10 * max(evals[0], 1e-30)))
-        if score_func == 'all':
-            return float(np.sum(1.0 / safe)), n_amp
-        return float(1.0 / safe[-1]), n_amp
+        n_amp = int(np.sum(evals > 1e-10 * max(np.max(evals), 1e-30)))
+        base = float(np.sum(1.0 / safe)) if score_func == 'all' \
+            else float(1.0 / safe[-1])
+        # germ-count and gate-count penalties (reference: germselection
+        # l1_penalty / op_penalty scoring knobs)
+        base += l1_penalty * len(germ_list) + op_penalty * _gate_count(germ_list)
+        return base, n_amp
 
     if algorithm == 'grasp':
         return _find_germs_grasp(candidates, germs, set_score, n_nongauge,
                                  threshold, printer,
                                  rand_state=np.random.RandomState(seed))
+    if algorithm == 'slack':
+        return _find_germs_integer_slack(
+            candidates, germs, set_score, n_nongauge, threshold, printer,
+            fixed_slack=fixed_slack, slack_frac=slack_frac)
 
     cur_score, n_amp = set_score(germs)
     max_iters = len(candidates)
@@ -321,6 +356,42 @@ def _find_germs_grasp(candidates, forced, set_score, n_nongauge, threshold,
 
     assert best_solution is not None,         "GRASP could not find an amplificationally complete germ set"
     return best_solution[1]
+
+
+def _find_germs_integer_slack(candidates, forced, set_score, n_nongauge,
+                              threshold, printer, fixed_slack=None,
+                              slack_frac=None, max_iters=10000):
+    """Integer-weight slack optimization (reference:
+    germselection.optimize_integer_germs_slack, germselection.py:59 'slack'
+    mode): start from the FULL candidate set (known complete) and repeatedly
+    remove the element whose removal keeps the score within the current
+    score + slack, where slack = fixed_slack or slack_frac * score."""
+    if fixed_slack is None and slack_frac is None:
+        slack_frac = 0.1
+    germs = list(dict.fromkeys(list(forced) + list(candidates)))
+    cur_score, n_amp = set_score(germs)
+    assert n_amp >= n_nongauge, \
+        "Candidate germ pool is not amplificationally complete (%d/%d)" \
+        % (n_amp, n_nongauge)
+    for _ in range(max_iters):
+        slack = fixed_slack if fixed_slack is not None \
+            else abs(cur_score) * slack_frac
+        best = None
+        for g in germs:
+            if g in forced:
+                continue
+            trial = [x for x in germs if x != g]
+            s, na = set_score(trial)
+            if na >= n_nongauge and s <= cur_score + slack:
+                if best is None or s < best[1]:
+                    best = (g, s, na)
+        if best is None:
+            break
+        germs.remove(best[0])
+        cur_score = best[1]
+        printer.log("  slack: removed %s -> %d germs (score %.3g)"
+                    % (best[0].str, len(germs), cur_score), 2)
+    return germs
 
 
 def _cyclic_canonical(combo):

@@ -114,3 +114,90 @@ class TestGraspGermSearch:
                               verbosity=0)
         assert len(g_grasp) <= len(g_greedy)
         assert len(g_grasp) >= 3
+
+
+class TestSelectionVariants:
+    """New algorithm modes: slack / GRASP searches, compactEVD scoring,
+    gate penalties, FPR greedy and per-germ-power variants
+    (reference: fiducialselection.py:29, fiducialpairreduction.py:511,668,
+    germselection.py:59)."""
+
+    def _model(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        return mp.target_model('full TP')
+
+    def test_find_fiducials_slack(self):
+        model = self._model()
+        prep, meas = find_fiducials(model, candidate_fid_counts=3,
+                                    algorithm='slack',
+                                    algorithm_kwargs={'slack_frac': 0.2},
+                                    verbosity=0)
+        from pygsti_tpu.algorithms.fiducialselection import test_fiducial_list
+        assert test_fiducial_list(model, prep, 'prep')
+        assert test_fiducial_list(model, meas, 'meas')
+
+    def test_find_fiducials_grasp(self):
+        model = self._model()
+        prep, meas = find_fiducials(model, candidate_fid_counts=2,
+                                    algorithm='grasp',
+                                    algorithm_kwargs={'iterations': 2,
+                                                      'seed': 4},
+                                    verbosity=0)
+        from pygsti_tpu.algorithms.fiducialselection import test_fiducial_list
+        assert test_fiducial_list(model, prep, 'prep')
+        assert test_fiducial_list(model, meas, 'meas')
+
+    def test_find_germs_slack_and_compactevd(self):
+        from pygsti_tpu.algorithms.germselection import (
+            find_germs, compute_composite_germ_set_score)
+        model = self._model()
+        germs = find_germs(model, randomize=True, randomization_strength=0.01,
+                           seed=2, candidate_germ_counts={2: 'all upto'},
+                           algorithm='slack', fixed_slack=0.5,
+                           mode='compactEVD', verbosity=0)
+        # selected set must amplify the same directions as the full
+        # length-<=2 candidate pool it was drawn from
+        rmodel = model.rotate(max_rotate=0.01, seed=2)
+        import itertools
+        from pygsti_tpu.circuits.circuit import Circuit
+        ops = list(model.operations.keys())
+        pool = [Circuit(c, model.state_space.qubit_labels)
+                for L in (1, 2) for c in itertools.product(ops, repeat=L)]
+        _, n_pool, _ = compute_composite_germ_set_score(rmodel, pool)
+        _, n_sel, _ = compute_composite_germ_set_score(rmodel, germs)
+        assert n_sel >= n_pool
+        assert len(germs) < len(pool)  # slack actually removed germs
+
+    def test_germ_gate_penalty_prefers_short_germs(self):
+        from pygsti_tpu.algorithms.germselection import find_germs
+        model = self._model()
+        short = find_germs(model, randomize=True, randomization_strength=0.01,
+                           seed=2, candidate_germ_counts={2: 'all upto'},
+                           op_penalty=1.0, verbosity=0)
+        assert all(len(g.layertup) <= 2 for g in short)
+
+    def test_fpr_per_germ_greedy(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms.fiducialpairreduction import (
+            find_sufficient_fiducial_pairs_per_germ_greedy)
+        model = self._model()
+        germs = mp.germs()[:3]
+        pairs = find_sufficient_fiducial_pairs_per_germ_greedy(
+            model, mp.prep_fiducials(), mp.meas_fiducials(), germs,
+            inv_trace_tol=10.0, seed=7, verbosity=0)
+        n_full = len(mp.prep_fiducials()) * len(mp.meas_fiducials())
+        for germ, plist in pairs.items():
+            assert 0 < len(plist) <= n_full
+
+    def test_fpr_per_germ_power(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms.fiducialpairreduction import (
+            find_sufficient_fiducial_pairs_per_germ_power)
+        model = self._model()
+        germs = mp.germs()[:2]
+        pairs = find_sufficient_fiducial_pairs_per_germ_power(
+            model, mp.prep_fiducials(), mp.meas_fiducials(), germs,
+            max_lengths=[1, 2], seed=7, verbosity=0)
+        assert set(pairs.keys()) == {(g, L) for g in germs for L in (1, 2)}
+        for plist in pairs.values():
+            assert len(plist) >= 1
