@@ -38,6 +38,15 @@ from pygsti_tpu.baseobjs.polynomial import Polynomial, compact_polynomial_list
 from pygsti_tpu.baseobjs import opcalc as _opcalc
 
 
+def _accum(d, key, state, mag):
+    """Accumulate (state, magnitude) into a monomial-key dict."""
+    if key in d:
+        s0, m0 = d[key]
+        d[key] = (s0 + state, m0 + mag)
+    else:
+        d[key] = (state, mag)
+
+
 class _LayerTerms(object):
     """base matrix G0 plus [(param_index, L_j), ...] linear generators."""
 
@@ -106,15 +115,35 @@ def _decompose_errormap(op, gp_offset):
 
 
 class TermForwardSimulator(object):
-    """Polynomial-probability simulator (Taylor path expansion to
-    ``max_order``) (reference: forwardsims/termforwardsim.py:40)."""
+    """Polynomial-probability simulator: Taylor path expansion to ANY
+    ``max_order`` (reference: forwardsims/termforwardsim.py:40-161), with a
+    'pruned' mode that keeps only paths above a magnitude threshold and
+    adapts the threshold until the achieved-vs-maximum sum-of-path-magnitudes
+    (SOPM) gap criterion is met (reference: termforwardsim.py:416-941
+    pruned-path machinery + find_minimal_paths / SOPM gap control).
 
-    def __init__(self, model=None, max_order=2, mode='taylor-order'):
-        assert mode in ('taylor-order', 'direct'), \
-            "Only 'taylor-order'/'direct' modes are supported"
+    Modes:
+      'taylor-order' -- exact expansion to max_order (all paths kept)
+      'pruned'       -- paths with magnitude below ``min_term_mag`` are
+                        dropped; bulk evaluation adapts the threshold until
+                        1 - achieved/max SOPM <= ``allowed_perr``
+      'direct'       -- alias of 'taylor-order' with polynomials evaluated
+                        immediately (no cache reuse across param vectors)
+    """
+
+    def __init__(self, model=None, max_order=2, mode='taylor-order',
+                 min_term_mag=1e-10, allowed_perr=1e-4, max_paths_per_outcome=None,
+                 perr_heuristic='none', max_term_stages=5):
+        assert mode in ('taylor-order', 'direct', 'pruned'), \
+            "mode must be 'taylor-order', 'direct' or 'pruned'"
         self.model = model
         self.max_order = max_order
         self.mode = mode
+        self.min_term_mag = min_term_mag
+        self.allowed_perr = allowed_perr
+        self.max_paths_per_outcome = max_paths_per_outcome
+        self.perr_heuristic = perr_heuristic
+        self.max_term_stages = max_term_stages
         self._poly_cache = {}
 
     # -- model decomposition -------------------------------------------------
@@ -170,9 +199,86 @@ class TermForwardSimulator(object):
 
     # -- polynomial construction ---------------------------------------------
 
+    def _build_layers(self, circuit):
+        """(rho, E, outcomes, ordered sub-layer list) for a circuit."""
+        model = self.model
+        prep_lbl = model._default_prep_label()
+        povm_lbl = model._default_povm_label()
+        rho, prep_layers, E, outcomes, povm_layers = \
+            self._spam_terms(prep_lbl, povm_lbl)
+        layers = list(prep_layers)
+        for lbl in circuit.layertup:
+            layers.extend(self._layer_terms(Label(lbl)))
+        layers.extend(povm_layers)
+        return rho, E, outcomes, layers
+
+    def prob_polynomials_general(self, circuit, max_order=None,
+                                 min_term_mag=0.0):
+        """Arbitrary-order Taylor expansion with optional path pruning.
+
+        Returns (polys, outcomes, achieved_sopm, max_sopm).  Paths are
+        accumulated layer-by-layer as {monomial-key: (state, magnitude)}
+        with the within-layer recursion A_m = (1/m) sum_j theta_j L_j A_{m-1}
+        (== (sum_j theta_j L_j)^m / m!), replacing the reference's rank-one
+        C path enumeration (termforwardsim_calc_*.pyx k-best-path loops).
+        Path magnitude = prod |theta_j| * ||L_j||_2 / (multiplicity factors);
+        max_sopm = prod_l exp(sum_j |theta_j| ||L_j||_2) (base channels
+        assumed norm <= 1, i.e. near-CPTP)."""
+        max_order = max_order if max_order is not None else self.max_order
+        rho, E, outcomes, layers = self._build_layers(circuit)
+        nE = E.shape[0]
+        mags = np.abs(np.asarray(self.model.to_vector()))
+
+        max_sopm = 1.0
+        opnorms = []
+        for lt in layers:
+            norms = [np.linalg.norm(g, 2) for g in lt.gens]
+            opnorms.append(norms)
+            tot = sum(mags[p] * nrm for p, nrm in zip(lt.pidx, norms))
+            max_sopm *= float(np.exp(tot))
+
+        carry = {(): (rho.astype(float), 1.0)}
+        for l, lt in enumerate(layers):
+            new_carry = {}
+            for key, (s, mag) in carry.items():
+                s0 = lt.base @ s
+                _accum(new_carry, key, s0, mag)
+                room = max_order - len(key)
+                prev = {key: (s0, mag)}
+                for m in range(1, room + 1):
+                    nxt = {}
+                    for k2, (s2, mg2) in prev.items():
+                        for j, p in enumerate(lt.pidx):
+                            newkey = tuple(sorted(k2 + (p,)))
+                            contrib = (lt.gens[j] @ s2) / m
+                            mg = mg2 * mags[p] * opnorms[l][j] / m
+                            _accum(nxt, newkey, contrib, mg)
+                    if min_term_mag > 0:
+                        nxt = {k: v for k, v in nxt.items()
+                               if v[1] >= min_term_mag}
+                    for k2, (s2, mg2) in nxt.items():
+                        _accum(new_carry, k2, s2, mg2)
+                    prev = nxt
+                    if not prev:
+                        break
+            carry = new_carry
+
+        achieved_sopm = float(sum(mag for _, mag in carry.values()))
+        polys = [Polynomial() for _ in range(nE)]
+        for key, (s, _mag) in carry.items():
+            vals = E @ s
+            for e in range(nE):
+                polys[e][key] = polys[e].get(key, 0) + float(vals[e])
+        return polys, outcomes, achieved_sopm, min(max_sopm, np.inf)
+
     def prob_polynomials(self, circuit):
         """List of Polynomial (one per outcome) for `circuit`, in the model's
         parameter variables, Taylor-expanded around zero error rates."""
+        if self.mode == 'pruned':
+            return self._pruned_polynomials(circuit)
+        if self.max_order > 2:
+            polys, outcomes, _, _ = self.prob_polynomials_general(circuit)
+            return polys, outcomes
         key = (circuit, self.max_order)
         if key in self._poly_cache:
             return self._poly_cache[key]
@@ -252,6 +358,38 @@ class TermForwardSimulator(object):
         out = (polys, outcomes)
         self._poly_cache[key] = out
         return out
+
+    def _pruned_polynomials(self, circuit):
+        """Pruned-path polynomials with SOPM gap control (reference:
+        termforwardsim.py:416-941): lower min_term_mag by 10x per stage until
+        the relative SOPM gap 1 - achieved/max is <= allowed_perr, up to
+        max_term_stages refinements."""
+        mags_hash = hash(np.abs(np.asarray(
+            self.model.to_vector())).round(12).tobytes())
+        key = (circuit, self.max_order, 'pruned', mags_hash)
+        if key in self._poly_cache:
+            return self._poly_cache[key]
+        mag = self.min_term_mag
+        polys = outcomes = None
+        for stage in range(self.max_term_stages):
+            polys, outcomes, achieved, max_sopm = \
+                self.prob_polynomials_general(circuit, min_term_mag=mag)
+            gap = 1.0 - achieved / max_sopm if max_sopm > 0 else 0.0
+            if gap <= self.allowed_perr:
+                break
+            mag /= 10.0
+        out = (polys, outcomes)
+        self._poly_cache[key] = out
+        return out
+
+    def sopm_gap(self, circuit):
+        """(achieved_sopm, max_sopm) for the current parameters -- the
+        pruned-path quality diagnostic (reference: bulk_sopm / 'meanscaled'
+        achieved-vs-max gap machinery)."""
+        _, _, achieved, max_sopm = self.prob_polynomials_general(
+            circuit, min_term_mag=self.min_term_mag
+            if self.mode == 'pruned' else 0.0)
+        return achieved, max_sopm
 
     # -- evaluation ----------------------------------------------------------
 

@@ -141,3 +141,63 @@ class TestTermForwardSimulator:
         sim = TermForwardSimulator(m, max_order=1)
         with pytest.raises((ValueError, KeyError)):
             sim.probs(Circuit([('Gxpi2', 0)], (0,)))
+
+
+class TestGeneralOrderAndPruning:
+    """Arbitrary taylor order + pruned-path SOPM machinery
+    (reference: termforwardsim.py:40-161, 416-941)."""
+
+    def test_general_order2_matches_fast_path(self, noisy_hs_model):
+        m = noisy_hs_model
+        sim = TermForwardSimulator(m, max_order=2)
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 0), ('Gxpi2', 0)], (0,))
+        polys_fast, outs = sim.prob_polynomials(c)
+        polys_gen, outs2, ach, mx = sim.prob_polynomials_general(c)
+        v = np.asarray(m.to_vector())
+        for pf, pg in zip(polys_fast, polys_gen):
+            assert abs(pf.evaluate(v) - pg.evaluate(v)) < 1e-12
+        assert 0 < ach <= mx * (1 + 1e-9)
+
+    def test_higher_order_improves_accuracy(self):
+        """Order-4 expansion beats order-2 at moderate noise."""
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 0)] * 2, (0,))
+        m = mp.target_model('H+s')
+        rng = np.random.RandomState(5)
+        m.from_vector(m.to_vector() + rng.randn(m.num_params) * 0.03)
+        pd = m.probabilities(c)
+        errs = {}
+        for order in (2, 4):
+            sim = TermForwardSimulator(m, max_order=order)
+            pt = sim.probs(c)
+            errs[order] = max(abs(pt[o] - pd[o]) for o in pd)
+        assert errs[4] < errs[2] * 0.2
+
+    def test_pruned_mode_matches_exact(self, noisy_hs_model):
+        m = noisy_hs_model
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 0), ('Gxpi2', 0)], (0,))
+        exact = TermForwardSimulator(m, max_order=2).probs(c)
+        pruned = TermForwardSimulator(m, max_order=2, mode='pruned',
+                                      min_term_mag=1e-6,
+                                      allowed_perr=1e-3).probs(c)
+        assert max(abs(pruned[o] - exact[o]) for o in exact) < 1e-3
+
+    def test_pruning_drops_paths_and_gap_tracks(self, noisy_hs_model):
+        m = noisy_hs_model
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 0)] * 3, (0,))
+        sim = TermForwardSimulator(m, max_order=3, mode='pruned')
+        # aggressive threshold drops paths -> fewer monomials
+        polys_all, _, ach_all, mx = sim.prob_polynomials_general(
+            c, min_term_mag=0.0)
+        polys_cut, _, ach_cut, mx2 = sim.prob_polynomials_general(
+            c, min_term_mag=1e-5)
+        n_all = sum(len(p) for p in polys_all)
+        n_cut = sum(len(p) for p in polys_cut)
+        assert n_cut < n_all
+        assert ach_cut <= ach_all + 1e-12
+        assert abs(mx - mx2) < 1e-12
+
+    def test_clear_error_for_unsupported_model(self):
+        m = mp.target_model('full TP')
+        sim = TermForwardSimulator(m, max_order=2)
+        with pytest.raises(ValueError, match="[Tt]erm simulator"):
+            sim.probs(Circuit([('Gxpi2', 0)], (0,)))
