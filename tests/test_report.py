@@ -55,16 +55,45 @@ class TestGSTProtocol:
     def test_report_generation(self, gst_data, tmp_path):
         data, _ = gst_data
         proto = GateSetTomography(verbosity=0, name='GateSetTomography')
-        results = proto.run(data)
+        results = proto.run(data, disable_checkpointing=True)
         from pygsti_tpu.report import construct_standard_report
-        report = construct_standard_report(results, "Test Report")
+        report = construct_standard_report(results, "Test Report",
+                                           confidence_level=95)
         path = str(tmp_path / "report.html")
         report.write_html(path)
         assert os.path.exists(path)
         content = open(path).read()
         assert "Model violation" in content
         assert "Gxpi2" in content
-        assert len(content) > 1500
+        # full standard-report section set (reference factory.py:1226)
+        for section in ("Input summary", "Fit progression",
+                        "Per-gate metrics", "Model-level metrics",
+                        "Gate eigenvalues", "Angles between rotation axes",
+                        "Germ-amplified metrics",
+                        "Error-generator projections",
+                        "Gate decompositions", "SPAM metrics",
+                        "SPAM probabilities", "Estimated gate matrices",
+                        "SPAM vectors", "Metadata"):
+            assert section in content, "missing report section %r" % section
+        # >= 60 populated quantities: count table data cells
+        import re as _re
+        n_cells = len(_re.findall(r'<td[ >]', content))
+        assert n_cells >= 60, "only %d populated table cells" % n_cells
+        # error bars present (confidence level given)
+        assert "&plusmn;" in content
+
+    def test_report_pdf(self, gst_data, tmp_path):
+        data, _ = gst_data
+        proto = GateSetTomography(verbosity=0, name='GateSetTomography')
+        results = proto.run(data, disable_checkpointing=True)
+        from pygsti_tpu.report import construct_standard_report
+        report = construct_standard_report(results, "PDF Report")
+        path = str(tmp_path / "report.pdf")
+        report.write_pdf(path)
+        raw = open(path, 'rb').read()
+        assert raw.startswith(b'%PDF-')
+        assert b'%%EOF' in raw
+        assert len(raw) > 500
 
     def test_serialization_roundtrip(self, gst_data, tmp_path):
         data, _ = gst_data
