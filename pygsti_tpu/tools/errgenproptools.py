@@ -312,20 +312,61 @@ def _layer_sum(layers):
     return out
 
 
+def _layer_scale(layer, w):
+    return {k: w * v for k, v in layer.items()}
+
+
 def bch_approximation(errgen_layer_1, errgen_layer_2, num_qubits=None,
                       bch_order=1, truncation_threshold=1e-14):
-    """log(e^L1 e^L2) to the given BCH order, as an errorgen dict
-    (reference: errgenproptools.bch_approximation:100).  Order 2 adds
-    (1/2)[L1, L2] via exact numerical commutators."""
+    """log(e^X e^Y) to the given BCH order (1..5), as an errorgen dict
+    (reference: errgenproptools.bch_approximation:100, orders 1-5).
+
+    order 2: (1/2)[X,Y]
+    order 3: (1/12)([X,[X,Y]] - [Y,[X,Y]])
+    order 4: -(1/24)[Y,[X,[X,Y]]]
+    order 5: -(1/720)([X,F]-[Y,E]) + (1/360)([Y,F]-[X,E]) + (1/120)([Y,G]-[X,D])
+             with B=[X,[X,Y]], C=[Y,[X,Y]], D=[Y,B], E=[Y,C], F=[X,B], G=[X,C]
+             (reference: errgenproptools.py:280 fifth-order grouping)
+    All commutators are exact numerical elementary-errorgen commutators.
+    """
     if num_qubits is None:
         num_qubits = next(iter(errgen_layer_1 or errgen_layer_2)
                           ).basis_element_labels[0].num_qubits
-    out = _layer_sum([errgen_layer_1, errgen_layer_2])
+    X, Y = errgen_layer_1, errgen_layer_2
+    tt = truncation_threshold
+
+    def comm(a, b, w=1.0):
+        return _layer_commutator(a, b, num_qubits, weight=w,
+                                 truncation_threshold=tt)
+
+    out = _layer_sum([X, Y])
     if bch_order >= 2:
-        comm = _layer_commutator(errgen_layer_1, errgen_layer_2, num_qubits,
-                                 weight=0.5,
-                                 truncation_threshold=truncation_threshold)
-        out = _layer_sum([out, comm])
+        XY = comm(X, Y)                       # [X,Y]
+        out = _layer_sum([out, _layer_scale(XY, 0.5)])
+    if bch_order >= 3:
+        B = comm(X, XY)                       # [X,[X,Y]]
+        C = comm(Y, XY)                       # [Y,[X,Y]]
+        out = _layer_sum([out, _layer_scale(B, 1.0 / 12),
+                          _layer_scale(C, -1.0 / 12)])
+    if bch_order >= 4:
+        D = comm(Y, B)                        # [Y,[X,[X,Y]]]
+        out = _layer_sum([out, _layer_scale(D, -1.0 / 24)])
+    if bch_order >= 5:
+        E = comm(Y, C)
+        F = comm(X, B)
+        G = comm(X, C)
+        out = _layer_sum([
+            out,
+            _layer_scale(comm(X, F), -1.0 / 720),
+            _layer_scale(comm(Y, E), 1.0 / 720),
+            _layer_scale(comm(Y, F), 1.0 / 360),
+            _layer_scale(comm(X, E), -1.0 / 360),
+            _layer_scale(comm(Y, G), 1.0 / 120),
+            _layer_scale(comm(X, D), -1.0 / 120),
+        ])
+    if bch_order > 5:
+        raise NotImplementedError("BCH orders > 5 are not implemented "
+                                  "(reference supports 1-5)")
     return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
 
 
@@ -335,6 +376,8 @@ def magnus_expansion(errorgen_layers, num_qubits=None, magnus_order=1,
     (reference: errgenproptools.magnus_expansion:468).
 
     Order 1: sum of layers.  Order 2 adds (1/2) sum_{t2 > t1} [L_t2, L_t1].
+    Order 3 combines layers by an iterated order-3 BCH right-fold (exact to
+    O(L^4); reference: errgenproptools.py:468 magnus_order=3).
     """
     layers = list(errorgen_layers)
     if num_qubits is None:
@@ -342,6 +385,17 @@ def magnus_expansion(errorgen_layers, num_qubits=None, magnus_order=1,
             if d:
                 num_qubits = next(iter(d)).basis_element_labels[0].num_qubits
                 break
+    if magnus_order >= 3:
+        if not layers:
+            return {}
+        # log(e^{A_n} ... e^{A_1}): fold from the right so each step computes
+        # log(e^{A_t} e^{accumulated}) -- layer t is applied AFTER 1..t-1
+        out = dict(layers[0])
+        for t in range(1, len(layers)):
+            out = bch_approximation(layers[t], out, num_qubits,
+                                    bch_order=min(magnus_order, 5),
+                                    truncation_threshold=truncation_threshold)
+        return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
     out = _layer_sum(layers)
     if magnus_order >= 2:
         for t2 in range(len(layers)):

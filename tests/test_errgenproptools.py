@@ -180,3 +180,58 @@ class TestErrorgenAlgebra:
         L2 = errorgen_label_to_dense(l2, 1)
         recon = sum(c * errorgen_label_to_dense(k, 1) for k, c in comm.items())
         assert np.abs((L1 @ L2 - L2 @ L1) - recon).max() < 1e-10
+
+
+class TestHigherOrderBCH:
+    """BCH orders 3-5 and Magnus order 3 converge monotonically to the
+    exact matrix logarithm (reference: errgenproptools.py:100 orders 1-5,
+    :468 magnus orders 1-3)."""
+
+    def _setup(self):
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenproptools import (
+            errorgen_label_to_dense, elementary_errorgen_basis_labels)
+        labels = elementary_errorgen_basis_labels(1, types=('H', 'S'))
+        rng = np.random.RandomState(0)
+
+        def rand_layer(scale):
+            return {lbl: rng.randn() * scale for lbl in labels
+                    if rng.rand() < 0.6}
+
+        def dense(layer):
+            M = np.zeros((4, 4), complex)
+            for lbl, c in layer.items():
+                M += c * errorgen_label_to_dense(lbl, 1)
+            return M
+        return rand_layer, dense, spl
+
+    def test_bch_orders_converge(self):
+        from pygsti_tpu.tools.errgenproptools import bch_approximation
+        rand_layer, dense, spl = self._setup()
+        X, Y = rand_layer(0.08), rand_layer(0.08)
+        exact = spl.logm(spl.expm(dense(X)) @ spl.expm(dense(Y)))
+        prev = None
+        for order in (1, 2, 3, 4, 5):
+            err = np.linalg.norm(
+                dense(bch_approximation(X, Y, 1, bch_order=order)) - exact)
+            if prev is not None:
+                assert err < prev * 0.8, (order, err, prev)
+            prev = err
+        assert prev < 1e-4
+
+    def test_magnus_order3_converges(self):
+        from pygsti_tpu.tools.errgenproptools import magnus_expansion
+        rand_layer, dense, spl = self._setup()
+        layers = [rand_layer(0.05) for _ in range(4)]
+        P = np.eye(4)
+        for L in layers:
+            P = spl.expm(dense(L)) @ P
+        exact = spl.logm(P)
+        prev = None
+        for order in (1, 2, 3):
+            err = np.linalg.norm(
+                dense(magnus_expansion(layers, 1, magnus_order=order)) - exact)
+            if prev is not None:
+                assert err < prev * 0.8
+            prev = err
+        assert prev < 1e-3
