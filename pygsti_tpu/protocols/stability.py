@@ -30,53 +30,17 @@ class StabilityAnalysis(Protocol):
     def run(self, data, memlimit=None, comm=None):
         ds = data.dataset
         analyzer = StabilityAnalyzer(ds, self.transform, self.significance)
-
-        per_circuit = collections.OrderedDict()
-        unstable = []
-        # count total tests for a global Bonferroni correction
-        test_counts = 0
-        circuit_streams = {}
-        for c in ds.keys():
-            row = ds[c]
-            series = row.outcome_series
-            if series is None:
-                continue
-            outcomes = sorted(set(series))
-            streams = {}
-            for o in outcomes[:-1]:  # last outcome is determined by the others
-                bits = np.array([1 if s == o else 0 for s in series])
-                streams[o] = bits
-                test_counts += len(bits) - 1
-            circuit_streams[c] = streams
-
-        if test_counts == 0:
-            analyzer._analyzed = True
-            return StabilityAnalysisResults(data, self, analyzer, [], {})
+        analyzer.compute_spectra()
+        analyzer.run_instability_detection()
 
         trajectories = {}
-        for c, streams in circuit_streams.items():
-            circuit_drifting = False
-            modes_by_outcome = {}
-            for o, bits in streams.items():
-                spectrum = _sig.dct_power_spectrum(bits)
-                T = len(spectrum)
-                thresh = _sig.power_significance_threshold(self.significance, test_counts)
-                sig_modes = [k for k in range(1, T) if spectrum[k] > thresh]
-                modes_by_outcome[o] = sig_modes
-                analyzer.spectra[(c, o)] = spectrum
-                if sig_modes:
-                    circuit_drifting = True
-                    if self.estimate_trajectories:
-                        trajectories[(c, o)] = \
-                            StabilityAnalyzer.estimate_probability_trajectory(
-                                bits, sig_modes)
-            per_circuit[c] = modes_by_outcome
-            if circuit_drifting:
-                unstable.append(c)
-                analyzer.drift_frequencies[c] = modes_by_outcome
-        analyzer.instability_detected = len(unstable) > 0
-        analyzer._analyzed = True
-        return StabilityAnalysisResults(data, self, analyzer, unstable, trajectories)
+        if self.estimate_trajectories:
+            for c in analyzer.unstable_circuits:
+                for o, traj in analyzer.probability_trajectories(c).items():
+                    trajectories[(c, o)] = traj
+        return StabilityAnalysisResults(data, self, analyzer,
+                                        list(analyzer.unstable_circuits),
+                                        trajectories)
 
 
 class StabilityAnalysisResults(ProtocolResults):

@@ -202,3 +202,58 @@ class TestRunLinearGST:
             mdl.operations[Label('Gxpi2', 0)].to_dense(),
             t.operations[Label('Gxpi2', 0)].to_dense())
         assert f > 0.97
+
+
+class TestStabilityAnalyzerMultiLevel:
+    """Multi-level drift tests: per-outcome, per-circuit, global spectra +
+    Hz frequencies + trajectories (reference: stabilityanalyzer.py)."""
+
+    def _drifting_dataset(self, n_circuits=4, T=400, f_drift=5, amp=0.12):
+        rng = np.random.RandomState(7)
+        ds = DataSet()
+        t = np.arange(T)
+        for i in range(n_circuits):
+            # coherent drift shared by all circuits
+            p = 0.5 + amp * np.cos(2 * np.pi * f_drift * t / T)
+            bits = rng.binomial(1, p)
+            ds.add_raw_series_data(Circuit([('Gxpi2', 0)] * (i + 1), (0,)),
+                                   ['1' if b else '0' for b in bits],
+                                   (0.1 * t).tolist())
+        return ds
+
+    def test_global_test_catches_weak_coherent_drift(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        ds = self._drifting_dataset()
+        an = StabilityAnalyzer(ds)
+        an.compute_spectra()
+        assert an.global_spectrum is not None
+        results = an.run_instability_detection()
+        # global (circuit-averaged) test flags the shared drift mode
+        assert () in results or len(results) > 0
+        assert an.instability_detected
+
+    def test_drift_frequencies_in_hz(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        ds = self._drifting_dataset(n_circuits=1, T=400, f_drift=20, amp=0.3)
+        an = StabilityAnalyzer(ds)
+        an.compute_spectra()
+        an.run_instability_detection()
+        c = list(ds.keys())[0]
+        freqs = an.drift_frequencies_hz(c)
+        assert freqs, "drift frequency not detected"
+        # timestep 0.1s, T=400 -> drift at 20/(2*0.1*400) * 2 = mode 40
+        # in Hz: f = 20 cycles / (400*0.1 s) = 0.5 Hz
+        assert any(abs(f - 0.5) < 0.05 for f in freqs), freqs
+
+    def test_probability_trajectories_accessor(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        ds = self._drifting_dataset(n_circuits=1)
+        an = StabilityAnalyzer(ds)
+        an.compute_spectra()
+        an.run_instability_detection()
+        c = list(ds.keys())[0]
+        trajs = an.probability_trajectories(c)
+        assert trajs
+        for o, traj in trajs.items():
+            assert traj.min() >= 0 and traj.max() <= 1
+            assert traj.std() > 0.01  # tracks the drift
