@@ -79,3 +79,64 @@ class TestIdleTomography:
         rates = res.intrinsic_rates[0]
         for P in ('X', 'Y', 'Z'):
             assert 0.005 < rates['decay_%s' % P] < 0.05
+
+
+class TestIdleTomographyDeep:
+    """Design-matrix rate extraction: S/A weight-1 rates and weight-2
+    correlated stochastic rates (reference: idtcore.py:294,1040)."""
+
+    def test_stochastic_rate_recovered(self):
+        from pygsti_tpu.extras.idletomography import (IdleTomographyDesign,
+                                                      IdleTomography)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        from pygsti_tpu.tools.lindbladtools import create_elementary_errorgen
+        from pygsti_tpu.tools.basistools import change_basis
+        import scipy.linalg as spl
+
+        s_rate = 0.01
+        sigmaZmx = np.array([[1, 0], [0, -1]], complex)
+        L_pp = np.real(change_basis(
+            create_elementary_errorgen('S', sigmaZmx), 'std', 'pp'))
+        model = mp.target_model('static')
+        model.operations[Label(())] = StaticArbitraryOp(
+            np.real(spl.expm(s_rate * L_pp)))
+        design = IdleTomographyDesign((0,), max_lengths=(0, 1, 2, 4, 8))
+        ds = simulate_data(model, design.all_circuits_needing_data, 100000,
+                           seed=9)
+        res = IdleTomography().run(ProtocolData(design, ds))
+        rates = res.intrinsic_rates[0]
+        assert np.isclose(rates[('S', 'Z')], s_rate, rtol=0.25), rates
+        assert abs(rates[('S', 'X')]) < s_rate / 2
+        assert abs(rates[('H', 'Z')]) < s_rate / 2
+
+    def test_weight2_correlated_stochastic_rate(self):
+        from pygsti_tpu.extras.idletomography import (IdleTomographyDesign,
+                                                      IdleTomography)
+        from pygsti_tpu.extras.idletomography.idtcore import _kron_pauli
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq2Q_XYI as mp2
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        from pygsti_tpu.tools.lindbladtools import create_elementary_errorgen
+        from pygsti_tpu.tools.basistools import change_basis
+        import scipy.linalg as spl
+
+        s_rate = 0.01
+        L_pp = np.real(change_basis(
+            create_elementary_errorgen('S', _kron_pauli(('Z', 'Z'))),
+            'std', 'pp'))
+        model = mp2.target_model('static')
+        model.operations[Label(())] = StaticArbitraryOp(
+            np.real(spl.expm(s_rate * L_pp)))
+        design = IdleTomographyDesign((0, 1), max_lengths=(0, 1, 2, 4),
+                                      maxweight=2)
+        ds = simulate_data(model, design.all_circuits_needing_data, 100000,
+                           seed=10)
+        res = IdleTomography().run(ProtocolData(design, ds))
+        pr = res.pair_rates[(0, 1)]
+        assert np.isclose(pr[('S', ('Z', 'Z'))], s_rate, rtol=0.3), pr
+        others = [abs(v) for k, v in pr.items() if k != ('S', ('Z', 'Z'))]
+        assert max(others) < s_rate / 2
