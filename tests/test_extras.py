@@ -140,3 +140,49 @@ class TestIdleTomographyDeep:
         assert np.isclose(pr[('S', ('Z', 'Z'))], s_rate, rtol=0.3), pr
         others = [abs(v) for k, v in pr.items() if k != ('S', ('Z', 'Z'))]
         assert max(others) < s_rate / 2
+
+
+class TestCrosstalkDeep:
+    """Dataset pipeline + experiment generation + crosstalk graph
+    (reference: crosstalk/core.py:66,186,675)."""
+
+    def test_experiment_generation(self):
+        from pygsti_tpu.extras.crosstalk.core import crosstalk_detection_experiment
+        circuits, settings = crosstalk_detection_experiment(
+            [0, 1], lengths=[2, 4], circuits_per_length=5, seed=3)
+        assert len(circuits) == 10 and len(settings) == 10
+        assert all(len(s) == 2 for s in settings)
+
+    def test_dataset_pipeline_detects_crosstalk(self):
+        """A model where qubit 1's outcome depends on qubit 0's gates."""
+        import itertools
+        from pygsti_tpu.extras.crosstalk.core import (
+            do_crosstalk_detection_on_dataset, form_ct_data_tuples)
+        from pygsti_tpu.data.dataset import DataSet
+        from pygsti_tpu.circuits.circuit import Circuit
+        from pygsti_tpu.baseobjs.label import Label
+        rng = np.random.RandomState(4)
+        ds = DataSet()
+        # settings: region 0 applies Gxpi2 or Gypi2; region 1 always Gxpi2.
+        # CROSSTALK: qubit 1's flip probability depends on region 0's gate.
+        for g0 in ('Gxpi2', 'Gypi2'):
+            for rep in range(2):
+                c = Circuit([Label(g0, 0), Label('Gxpi2', 1)], (0, 1))
+                if g0 == 'Gxpi2':
+                    p1 = 0.2  # qubit1 '1' probability depends on qubit0 gate
+                else:
+                    p1 = 0.8
+                counts = {}
+                for b0, b1 in itertools.product('01', '01'):
+                    p = (0.5) * (p1 if b1 == '1' else 1 - p1)
+                    counts[b0 + b1] = int(round(4000 * p))
+                ds.add_count_dict(c, counts)
+        # need distinct settings for region 0; circuits already differ there
+        res = do_crosstalk_detection_on_dataset(ds, [(0,), (1,)],
+                                                significance=0.05)
+        assert res.crosstalk_detected
+        assert (1, 0) in res.crosstalk_pairs  # q1 outcomes depend on q0 setting
+        M = res.crosstalk_matrix()
+        assert M.shape == (2, 2)
+        assert M[1, 0] > M[0, 1]
+        assert res.effect_sizes[(1, 0)] > 0.1
