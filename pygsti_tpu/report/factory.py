@@ -105,8 +105,10 @@ class Report(object):
             sections.append('<p class="meta">(input summary unavailable: %s)</p>'
                             % _html.escape(str(e)))
 
+        est_chunk_start = {}
         for est_key in results.estimates:
             est = results.estimates[est_key]
+            est_chunk_start[est_key] = len(sections)
             sections.append("<h2>Estimate: %s</h2>" % _html.escape(str(est_key)))
 
             # -- model violation ---------------------------------------------
@@ -363,6 +365,20 @@ class Report(object):
             for lbl in model.povms:
                 sections.append("<h4>povm %s</h4>" % _html.escape(str(lbl)))
                 sections.append(_matrix_html(model.povms[lbl].to_dense()))
+
+        # -- switchboard: multiple estimates toggle interactively --------------
+        # (reference: workspace.py:725 Switchboard + factory.py:225
+        # _create_master_switchboard)
+        if len(results.estimates) > 1:
+            from pygsti_tpu.report.workspace import Workspace
+            ws = Workspace()
+            est_keys = list(results.estimates.keys())
+            sb = ws.Switchboard(['Estimate'], [est_keys])
+            bounds = [est_chunk_start[k] for k in est_keys] + [len(sections)]
+            first_start = bounds[0]
+            for i, k in enumerate(est_keys):
+                sb.add(str(k), "\n".join(sections[bounds[i]:bounds[i + 1]]))
+            sections = sections[:first_start] + [sb.render()]
 
         # -- meta ------------------------------------------------------------
         sections.append("<h2>Metadata</h2>")

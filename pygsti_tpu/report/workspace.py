@@ -49,11 +49,83 @@ def _table_html(headers, rows):
             '<tr>%s</tr>%s</table>' % (h, body))
 
 
+class Switchboard(object):
+    """Interactive selector switching between variants of report content
+    (reference: workspace.py:725 Switchboard): renders an HTML <select> per
+    switch; content blocks registered per switch-position combination are
+    shown/hidden client-side.
+
+    Usage::
+
+        sb = Switchboard(ws, ['Estimate'], [['full TP', 'CPTPLND']])
+        sb.add('full TP', some_table.render())
+        sb.add('CPTPLND', other_table.render())
+        html = sb.render()
+    """
+
+    _counter = [0]
+
+    def __init__(self, ws, switch_names, switch_positions):
+        self.ws = ws
+        self.switch_names = list(switch_names)
+        self.switch_positions = [list(p) for p in switch_positions]
+        self._blocks = {}    # position-key (tuple or scalar) -> [html, ...]
+        Switchboard._counter[0] += 1
+        self._sid = 'swb%d' % Switchboard._counter[0]
+
+    def add(self, position, html):
+        """Register an HTML block shown when the switches are at `position`
+        (a scalar for one switch, else a tuple)."""
+        key = position if isinstance(position, tuple) else (position,)
+        self._blocks.setdefault(key, []).append(html)
+
+    def render(self, typ='html'):
+        assert typ == 'html'
+        sid = self._sid
+        selects = []
+        for i, (name, positions) in enumerate(
+                zip(self.switch_names, self.switch_positions)):
+            opts = ''.join('<option value="%s">%s</option>'
+                           % (_html.escape(str(p)), _html.escape(str(p)))
+                           for p in positions)
+            selects.append(
+                '<label style="margin-right:1em">%s: '
+                '<select id="%s_s%d" onchange="%s_update()">%s</select>'
+                '</label>' % (_html.escape(name), sid, i, sid, opts))
+        blocks = []
+        for key, htmls in self._blocks.items():
+            key_attr = _html.escape('|'.join(str(k) for k in key))
+            blocks.append('<div class="%s_blk" data-key="%s" '
+                          'style="display:none">%s</div>'
+                          % (sid, key_attr, ''.join(htmls)))
+        script = (
+            '<script>function %(s)s_update(){'
+            'var key=[];var i=0;'
+            'while(true){var el=document.getElementById("%(s)s_s"+i);'
+            'if(!el)break;key.push(el.value);i++;}'
+            'var want=key.join("|");'
+            'var blks=document.getElementsByClassName("%(s)s_blk");'
+            'for(var j=0;j<blks.length;j++){'
+            'blks[j].style.display='
+            '(blks[j].getAttribute("data-key")==want)?"block":"none";}}'
+            'document.addEventListener("DOMContentLoaded",%(s)s_update);'
+            '%(s)s_update();</script>' % {'s': sid})
+        return ('<div class="switchboard">%s%s%s</div>'
+                % (''.join(selects), ''.join(blocks), script))
+
+    def _repr_html_(self):
+        return self.render()
+
+
 class Workspace(object):
     """Factory of report tables and plots (reference: workspace.py:177)."""
 
     def __init__(self, cachefile=None):
         self.smartCache = SmartCache()
+
+    def Switchboard(self, switch_names, switch_positions):
+        """Create an interactive Switchboard (reference: workspace.py:725)."""
+        return Switchboard(self, switch_names, switch_positions)
 
     # -- tables ---------------------------------------------------------------
 

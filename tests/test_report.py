@@ -204,3 +204,39 @@ class TestWorkspace:
             p = create_report_notebook(None, os.path.join(d, 'r.ipynb'))
             nb = json.load(open(p))
             assert nb['nbformat'] == 4 and len(nb['cells']) > 8
+
+
+class TestSwitchboard:
+    def test_multi_estimate_report_has_switchboard(self, tmp_path):
+        """Reports over multiple estimates render an interactive
+        Switchboard (reference: workspace.py:725)."""
+        import jax
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols.gst import StandardGSTDesign, StandardGST
+        target = mp.target_model('full TP')
+        design = StandardGSTDesign(target, mp.prep_fiducials(),
+                                   mp.meas_fiducials(), mp.germs(), [1])
+        ds = simulate_data(target.depolarize(op_noise=0.02),
+                           design.all_circuits_needing_data, 500, seed=8)
+        res = StandardGST(modes=('full TP', 'Target'), gaugeopt_suite=None,
+                          verbosity=0).run(ProtocolData(design, ds),
+                                           disable_checkpointing=True)
+        from pygsti_tpu.report import construct_standard_report
+        path = str(tmp_path / 'multi.html')
+        construct_standard_report(res, 'Multi').write_html(path)
+        content = open(path).read()
+        assert 'switchboard' in content
+        assert '<select' in content
+        assert 'full TP' in content and 'Target' in content
+
+    def test_switchboard_direct_api(self):
+        from pygsti_tpu.report.workspace import Workspace
+        ws = Workspace()
+        sb = ws.Switchboard(['Mode'], [['A', 'B']])
+        sb.add('A', '<p>content-A</p>')
+        sb.add('B', '<p>content-B</p>')
+        html = sb.render()
+        assert 'content-A' in html and 'content-B' in html
+        assert html.count('<option') == 2
