@@ -27,7 +27,12 @@ def main():
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Write EVERY executable to the persistent cache.  The default
+    # min-compile-time gate (1s) can skip the big LM graphs when the TPU
+    # client defers the heavy compile to first execution (locally measured
+    # compile time then under-counts), and those graphs are exactly the ones
+    # worth caching: one cold compile of the fused LM chunk costs minutes.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
