@@ -99,73 +99,99 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
             nu0 = jnp.where(st.k == 0, 2.0, st.nu)
 
             # ---- inner damping loop -------------------------------------
-            # carry: (mu, nu, done, accepted, new_x, new_f, new_norm_f, code,
-            #         inner_k).  Bounded at max_inner attempts per body call:
-            # an unbounded ladder of lsvec evaluations inside one device
-            # program can exceed the TPU runtime's execution watchdog (which
-            # kills the worker).  On hitting the bound the (mu, nu) ladder
-            # state carries into the next outer iteration, which recomputes
-            # the same JTJ at the unchanged x and continues the ladder.
+            # One residual (lsvec) evaluation per inner iteration: the solve /
+            # full-step trial / backtracking line search are folded into a
+            # two-phase state machine so the big probs graph is inlined into
+            # the compiled program exactly ONCE (three separate inlined
+            # instances made the cold XLA compile of this executable take
+            # minutes).  Bounded at max_evals lsvec evaluations per body call:
+            # an unbounded ladder inside one device program can exceed the TPU
+            # runtime's execution watchdog (which kills the worker).  On
+            # hitting the bound the (mu, nu) ladder state carries into the
+            # next outer iteration, which recomputes the same JTJ at the
+            # unchanged x and continues the ladder.
+            max_evals = 3 * max_inner
+            zero_t = jnp.asarray(0.0, st.x.dtype)
+            one_t = jnp.asarray(1.0, st.x.dtype)
+
+            def pack(mu, nu, done, accepted, new_x, new_f, nnf, code, k,
+                     phase, dx, solve_ok, clip, norm_dx, t_cur, best_t,
+                     best_norm, ls_stop):
+                return (mu, nu, done, accepted, new_x, new_f, nnf, code, k,
+                        phase, dx, solve_ok, clip, norm_dx, t_cur, best_t,
+                        best_norm, ls_stop)
+
             def inner_cond(c):
-                mu, nu, done, accepted, nx, nf, nnf, code, inner_k = c
-                return jnp.logical_not(done) & (inner_k < max_inner)
+                done, k = c[2], c[8]
+                return jnp.logical_not(done) & (k < max_evals)
 
             def inner_body(c):
-                mu, nu, done, accepted, nx_prev, nf_prev, nnf_prev, code, inner_k = c
-                dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
-                solve_ok = jnp.all(jnp.isfinite(dx))
-                norm_dx = jnp.dot(dx, dx)
-                clip = norm_dx > max_norm_dx
-                scale = jnp.where(
-                    clip, jnp.sqrt(max_norm_dx / jnp.maximum(norm_dx, 1e-300)),
-                    1.0)
-                dx = dx * scale
-                norm_dx = jnp.dot(dx, dx)
+                (mu, nu, done, accepted, bx, bf, bnf, code, k,
+                 phase, dx_prev, sok_prev, clip_prev, ndx_prev, t_cur,
+                 best_t, best_norm, ls_stop) = c
+
+                # phase 0: new damped solve (full step, t=1); phase 1: reuse
+                # the carried dx and try the next backtracked t.
+                def new_solve(_):
+                    dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
+                    solve_ok = jnp.all(jnp.isfinite(dx))
+                    norm_dx = jnp.dot(dx, dx)
+                    clip = norm_dx > max_norm_dx
+                    scale = jnp.where(
+                        clip,
+                        jnp.sqrt(max_norm_dx / jnp.maximum(norm_dx, 1e-300)),
+                        1.0)
+                    dx = dx * scale
+                    return dx, solve_ok, clip, jnp.dot(dx, dx), one_t
+
+                def keep_dx(_):
+                    return dx_prev, sok_prev, clip_prev, ndx_prev, t_cur
+
+                dx, solve_ok, clip, norm_dx, t = jax.lax.cond(
+                    phase == 0, new_solve, keep_dx, None)
+
+                # THE single inlined residual evaluation
+                trial_x = st.x + t * dx
+                trial_f = lsvec_fn(trial_x, *data)
+                trial_norm = jnp.dot(trial_f, trial_f)
 
                 xtol_conv = norm_dx < (rel_xtol ** 2) * norm_x
-
-                new_x = st.x + dx
-                new_f = lsvec_fn(new_x, *data)
-                norm_new_f = jnp.dot(new_f, new_f)
-
-                # guarded backtracking line search
+                # guarded backtracking line search trigger (full step only)
                 do_ls = clip | (norm_dx > (ls_kappa ** 2) * norm_x) \
-                    | jnp.logical_not(jnp.isfinite(norm_new_f))
+                    | jnp.logical_not(jnp.isfinite(trial_norm))
+                start_ls = (phase == 0) & do_ls
 
-                def linesearch(_):
-                    def ls_body(i, carry):
-                        best_t, best_norm, t, stop = carry
-                        trial_f = lsvec_fn(st.x + t * dx, *data)
-                        tn = jnp.dot(trial_f, trial_f)
-                        better = jnp.isfinite(tn) & (tn < best_norm) & ~stop
-                        best_t = jnp.where(better, t, best_t)
-                        best_norm = jnp.where(better, tn, best_norm)
-                        stop = stop | ~better
-                        return (best_t, best_norm, t * ls_beta, stop)
-                    init_norm = jnp.where(jnp.isfinite(norm_new_f), norm_new_f, jnp.inf)
-                    best_t, _, _, _ = jax.lax.fori_loop(
-                        0, ls_max_evals, ls_body,
-                        (jnp.asarray(1.0, st.x.dtype), init_norm,
-                         jnp.asarray(ls_beta, st.x.dtype), jnp.asarray(False)))
-                    return best_t
+                # -- line-search bookkeeping (phase 1, incl. the entering eval)
+                better = jnp.isfinite(trial_norm) & (trial_norm < best_norm) \
+                    & ~ls_stop
+                nbest_t = jnp.where(better, t, best_t)
+                nbest_norm = jnp.where(better, trial_norm, best_norm)
+                nbest_f = jnp.where(better, trial_f, bf)
+                nls_stop = ls_stop | ~better
+                # trials run at t = beta^1 .. beta^ls_max_evals; stop early at
+                # the first non-improving trial (matching the reference's
+                # guarded backtracking, simplerlm.py:500-546)
+                ls_done = nls_stop | (t <= (ls_beta ** ls_max_evals) * 1.0001)
 
-                best_t = jax.lax.cond(do_ls, linesearch, lambda _: jnp.asarray(1.0, st.x.dtype),
-                                      None)
-                shrunk = best_t < 1.0
-                dx2 = dx * best_t
+                # does this iteration CONCLUDE an attempt?
+                conclude = jnp.where(phase == 0, ~do_ls, ls_done)
+
+                # concluded-attempt quantities
+                att_t = jnp.where(phase == 0, one_t, nbest_t)
+                att_f = jnp.where(phase == 0, trial_f, nbest_f)
+                att_norm = jnp.where(phase == 0, trial_norm, nbest_norm)
+                shrunk = att_t < 1.0
+                dx2 = dx * att_t
                 new_x = st.x + dx2
-                new_f = jax.lax.cond(shrunk, lambda _: lsvec_fn(new_x, *data),
-                                     lambda _: new_f, None)
-                norm_new_f = jnp.dot(new_f, new_f)
                 norm_dx2 = jnp.dot(dx2, dx2)
 
                 dL = jnp.dot(dx2, mu * dx2 + minus_JTf)
-                dF = norm_f - norm_new_f
+                dF = norm_f - att_norm
 
                 ftol_conv = (dL / norm_f < rel_ftol) & (dF >= 0) \
                     & (dF / norm_f < rel_ftol) & (dF / jnp.maximum(dL, 1e-300) < 2.0)
 
-                accept = solve_ok & jnp.isfinite(norm_new_f) & (dL > 0) & (dF > 0) \
+                accept = solve_ok & jnp.isfinite(att_norm) & (dL > 0) & (dF > 0) \
                     & ~xtol_conv & ~ftol_conv
 
                 # damping update on accept
@@ -180,23 +206,48 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                 nu_rej = 2 * nu
                 overflow = nu > half_max_nu
 
-                code_new = jnp.where(xtol_conv, 3,
+                code_att = jnp.where(xtol_conv, 3,
                             jnp.where(ftol_conv, 4,
                              jnp.where(accept, 0,
                               jnp.where(overflow, 6,
-                               jnp.where(~jnp.isfinite(norm_new_f) & ~solve_ok, 8, 0)))))
-                # continue the inner loop only on reject without overflow
-                done_new = accept | xtol_conv | ftol_conv | overflow
-                mu_new = jnp.where(accept, mu_acc, jnp.where(done_new, mu, mu_rej))
-                nu_new = jnp.where(accept, nu_acc, jnp.where(done_new, nu, nu_rej))
-                return (mu_new, nu_new, done_new, accept, new_x, new_f, norm_new_f,
-                        code_new, inner_k + 1)
+                               jnp.where(~jnp.isfinite(att_norm) & ~solve_ok, 8, 0)))))
+                done_att = accept | xtol_conv | ftol_conv | overflow
+                mu_att = jnp.where(accept, mu_acc, jnp.where(done_att, mu, mu_rej))
+                nu_att = jnp.where(accept, nu_acc, jnp.where(done_att, nu, nu_rej))
 
-            mu_f, nu_f, _, accepted, new_x, new_f, norm_new_f, inner_code, _ik = \
-                jax.lax.while_loop(inner_cond, inner_body,
-                                   (mu0, nu0, jnp.asarray(False), jnp.asarray(False),
-                                    st.x, f, norm_f, jnp.asarray(0),
-                                    jnp.asarray(0)))
+                # -- merge: start linesearch / continue linesearch / conclude
+                init_norm = jnp.where(jnp.isfinite(trial_norm), trial_norm,
+                                      jnp.asarray(jnp.inf, st.x.dtype))
+                phase_n = jnp.where(conclude, 0, jnp.where(start_ls, 1, phase))
+                t_next = jnp.where(start_ls, jnp.asarray(ls_beta, st.x.dtype),
+                                   t * ls_beta)
+                best_t_n = jnp.where(start_ls, one_t, nbest_t)
+                best_norm_n = jnp.where(start_ls, init_norm, nbest_norm)
+                best_f_n = jnp.where(start_ls, trial_f, nbest_f)
+                ls_stop_n = jnp.where(start_ls, False, nls_stop)
+
+                mu_n = jnp.where(conclude, mu_att, mu)
+                nu_n = jnp.where(conclude, nu_att, nu)
+                done_n = jnp.where(conclude, done_att, False)
+                acc_n = jnp.where(conclude, accept, False)
+                code_n = jnp.where(conclude, code_att, 0)
+                out_x = jnp.where(conclude & accept, new_x, bx)
+                out_f = jnp.where(conclude & accept, att_f, best_f_n)
+                out_nf = jnp.where(conclude & accept, att_norm, bnf)
+
+                return pack(mu_n, nu_n, done_n, acc_n, out_x, out_f, out_nf,
+                            code_n, k + 1, phase_n, dx, solve_ok, clip,
+                            norm_dx, t_next, best_t_n, best_norm_n, ls_stop_n)
+
+            init_c = pack(mu0, nu0, jnp.asarray(False), jnp.asarray(False),
+                          st.x, f, norm_f, jnp.asarray(0), jnp.asarray(0),
+                          jnp.asarray(0), jnp.zeros_like(st.x),
+                          jnp.asarray(True), jnp.asarray(False), zero_t,
+                          one_t, one_t,
+                          jnp.asarray(jnp.inf, st.x.dtype), jnp.asarray(False))
+            final_c = jax.lax.while_loop(inner_cond, inner_body, init_c)
+            (mu_f, nu_f, _, accepted, new_x, new_f, norm_new_f, inner_code,
+             _ik) = final_c[:9]
 
             x1 = jnp.where(accepted, new_x, st.x)
             f1 = jnp.where(accepted, new_f, f)
