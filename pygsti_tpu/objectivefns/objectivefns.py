@@ -157,7 +157,12 @@ class RawPoissonPicDeltaLogLFunction(RawObjectiveFunction):
         c0 = total_counts - counts / self.min_p
         c1 = 0.5 * counts / (self.min_p ** 2)
         terms = freq_term - counts * jnp.log(pos_probs) + total_counts * pos_probs
-        terms = jnp.maximum(terms, 0)
+        # clamp roundoff-negative values to 0.  NOT jnp.maximum(terms, 0):
+        # at the per-element minimum terms == 0 exactly and maximum()'s
+        # tie-break sends AD through the constant branch, zeroing the
+        # curvature (breaks AD Hessians); where(terms < 0, ...) keeps the
+        # live branch at the tie.
+        terms = jnp.where(terms < 0, jnp.zeros_like(terms), terms)
         # quadratic extrapolation of logl below min_p
         terms = jnp.where(probs < self.min_p,
                           terms + c0 * (probs - self.min_p) + c1 * (probs - self.min_p) ** 2,
@@ -231,7 +236,8 @@ class RawDeltaLogLFunction(RawObjectiveFunction):
                           terms + c0 * (probs - self.min_p) + c1 * (probs - self.min_p) ** 2,
                           terms)
         terms = jnp.where(counts == 0, jnp.zeros_like(probs), terms)
-        return jnp.maximum(terms, 0)
+        # AD-safe clamp (see RawPoissonPicDeltaLogLFunction.terms)
+        return jnp.where(terms < 0, jnp.zeros_like(terms), terms)
 
     def dterms(self, probs, counts, total_counts, freqs):
         pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
@@ -651,7 +657,7 @@ def _sw_logl_terms(p, c, t, f, minp, radius):
     c0 = t - c / minp
     c1 = 0.5 * c / (minp ** 2)
     terms = freq_term - c * jnp.log(pos) + t * pos
-    terms = jnp.maximum(terms, 0)
+    terms = jnp.where(terms < 0, jnp.zeros_like(terms), terms)  # AD-safe clamp
     terms = jnp.where(p < minp, terms + c0 * (p - minp) + c1 * (p - minp) ** 2, terms)
     zf = t * jnp.where(p >= radius, p,
                        (-1.0 / (3 * radius ** 2)) * p ** 3 + p ** 2 / radius

@@ -85,17 +85,32 @@ class ConfidenceRegionFactory(object):
         totals = jnp.asarray(obj.total_counts)
         freqs = jnp.asarray(obj.freqs)
 
-        def total_fn(vv):
-            p = probs_fn(vv)
-            return 2 * jnp.sum(raw.terms(p, counts, totals, freqs))
+        def grad_fn(vv):
+            # Gradient of DeltaLogL (NOT 2*DeltaLogL): the stored Hessian
+            # convention is d2(DeltaLogL) = -d2(logL), matching the
+            # reference's crf.compute_hessian (which stores
+            # tools.logl_hessian, :330) so that intervals
+            # sqrt(C1 * |diag(invH)|) have the correct likelihood-ratio
+            # scale.
+            #
+            # Built from the EXPLICIT dterms formula via a vjp rather than
+            # as jax.grad of sum(raw.terms): the terms formula clamps
+            # roundoff-negative values to zero, and for elements sitting
+            # exactly at their minimum (p == f) the clamp's branch select
+            # zeroes the AD curvature -- the explicit-dterms route has no
+            # clamp, so jacfwd(grad_fn) is the exact Hessian everywhere.
+            p, pullback = jax.vjp(probs_fn, vv)
+            dt = raw.dterms(p, counts, totals, freqs)
+            return pullback(dt)[0]
 
-        return raw, probs_fn, counts, totals, freqs, total_fn
+        return raw, probs_fn, counts, totals, freqs, grad_fn
 
     def compute_hessian(self, comm=None, mem_limit=None, approximate=False):
-        """Hessian of 2*DeltaLogL at the estimate (reference:
-        crf.compute_hessian:330).  `approximate=True` uses the Gauss-Newton
-        form (drops the d2p term)."""
-        raw, probs_fn, counts, totals, freqs, total_fn = self._objective_pieces()
+        """Hessian of DeltaLogL (== -Hessian of logL) at the estimate
+        (reference: crf.compute_hessian:330 stores tools.logl_hessian; ours
+        carries the opposite sign, which the |.|-based inversion ignores).
+        `approximate=True` uses the Gauss-Newton form (drops the d2p term)."""
+        raw, probs_fn, counts, totals, freqs, grad_fn = self._objective_pieces()
         model = self.model
         v = jnp.asarray(model.to_vector())
         if approximate:
@@ -103,11 +118,11 @@ class ConfidenceRegionFactory(object):
                 p = probs_fn(v)
                 h = raw.hterms(p, counts, totals, freqs)
                 J = jax.jacfwd(probs_fn)(v)
-                return 2 * (J.T * h[None, :]) @ J
+                return (J.T * h[None, :]) @ J
             H = np.asarray(jax.jit(gn_hessian)(v))
         else:
-            H = np.asarray(jax.jit(jax.jacfwd(jax.grad(total_fn)))(v))
-        self.jacobian = np.asarray(jax.jit(jax.grad(total_fn))(v))
+            H = np.asarray(jax.jit(jax.jacfwd(grad_fn))(v))
+        self.jacobian = np.asarray(jax.jit(grad_fn)(v))
         self.hessian = H
         return H
 
@@ -122,9 +137,8 @@ class ConfidenceRegionFactory(object):
     def _hvp_solve(self, g, tol=1e-8, maxiter=500):
         """Solve H x = g with CG on Hessian-vector products, restricted to
         the non-gauge subspace (H is singular along gauge directions)."""
-        *_, total_fn = self._objective_pieces()
+        *_, grad_fn = self._objective_pieces()
         v0 = jnp.asarray(self.model.to_vector())
-        grad_fn = jax.grad(total_fn)
         hvp = jax.jit(lambda x: jax.jvp(grad_fn, (v0,), (x,))[1])
         ng, gauge = compute_nongauge_and_gauge_spaces(self.model)
         Pg = ng @ ng.T  # projector onto non-gauge space
