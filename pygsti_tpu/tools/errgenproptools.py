@@ -153,19 +153,17 @@ def alpha(errorgen, state_s, state_p, bitstring, amps=None):
 
 def approximate_stabilizer_probability(errorgen_dict, state_s, state_p,
                                        bitstring, order=1):
-    """p_ideal(bitstring) + first-order corrections sum_j rate_j alpha_j
-    (reference: approximate_stabilizer_probability machinery built on
-    errgenproptools.alpha)."""
+    """p_ideal(bitstring) + Taylor corrections of exp(L) through `order`
+    (reference: errgenproptools.approximate_stabilizer_probability:8597;
+    order 1 uses the amplitude-based alpha sensitivities, higher orders add
+    dense (1/k!)<b|L^k rho|b> terms via stabilizer_probability_correction)."""
     bits = np.asarray(list(bitstring), np.int64)
     p_ideal = _sym.stabilizer_outcome_probability(state_s, state_p,
                                                   list(bits))
     if order == 0 or not errorgen_dict:
         return float(p_ideal)
-    amps = StabilizerAmplitudes(state_s, state_p)
-    corr = 0.0
-    for lbl, rate in errorgen_dict.items():
-        corr += rate * alpha(lbl, state_s, state_p, bits, amps)
-    return float(p_ideal + corr)
+    return float(p_ideal + stabilizer_probability_correction(
+        errorgen_dict, state_s, state_p, bits, order))
 
 
 def approximate_circuit_outcome_probability(propagator, circuit, bitstring,
@@ -405,3 +403,104 @@ def magnus_expansion(errorgen_layers, num_qubits=None, magnus_order=1,
                                          truncation_threshold=truncation_threshold)
                 out = _layer_sum([out, comm])
     return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
+
+
+def zassenhaus_formula(errorgen_groups, num_qubits=None, zassenhaus_order=1,
+                       truncation_threshold=1e-14):
+    """Disentangle exp(X1+...+Xn) into exp(X1)...exp(Xn)exp(W2)... to the
+    given order (reference: errgenproptools.zassenhaus_formula:725, orders
+    1-2).  Returns a list of errorgen dicts, one per exponentiated factor.
+
+    Order 1 returns `errorgen_groups` as-is; order 2 appends the Lie
+    polynomial W2 = (1/2) sum_{i<j} [X_j, X_i] (identical to the
+    second-order Magnus term).
+    """
+    groups = list(errorgen_groups)
+    if zassenhaus_order == 1:
+        return groups
+    if zassenhaus_order > 2:
+        raise NotImplementedError(
+            "The Zassenhaus formula is only implemented up to second order "
+            "(matching the reference)")
+    if num_qubits is None:
+        for d in groups:
+            if d:
+                num_qubits = next(iter(d)).basis_element_labels[0].num_qubits
+                break
+    w2 = {}
+    for j in range(len(groups)):
+        for i in range(j):
+            comm = _layer_commutator(groups[j], groups[i], num_qubits,
+                                     weight=0.5,
+                                     truncation_threshold=truncation_threshold)
+            w2 = _layer_sum([w2, comm])
+    w2 = {k: v for k, v in w2.items() if abs(v) > truncation_threshold}
+    return groups + [w2]
+
+
+def iterative_error_generator_composition(errorgen_labels, rates,
+                                          num_qubits=None,
+                                          truncation_threshold=1e-14):
+    """Compose a sequence of elementary error generators L1 @ L2 @ ... @ Lk
+    and expand the result in elementary errorgen coefficients (reference:
+    errgenproptools.iterative_error_generator_composition:6683 /
+    iterative_error_generator_composition_numerical:7144).
+
+    The dense product is formed first and projected once at the end (the
+    reference's numerical route), so no out-of-span parts are lost at
+    intermediate steps.  Returns a list of (label, rate) tuples.  Cost is
+    16^n -- intended for <= 3 qubits.
+    """
+    labels = list(errorgen_labels)
+    rates = list(rates)
+    assert len(labels) == len(rates) and labels
+    if num_qubits is None:
+        num_qubits = labels[0].basis_element_labels[0].num_qubits
+    if len(labels) == 1:
+        return [(labels[0], rates[0])]
+    M = errorgen_label_to_dense(labels[0], num_qubits)
+    w = rates[0]
+    for lbl, r in zip(labels[1:], rates[1:]):
+        M = M @ errorgen_label_to_dense(lbl, num_qubits)
+        w = w * r
+    proj = project_errorgen(w * M, num_qubits, tol=truncation_threshold)
+    return [(lbl, rate) for lbl, rate in proj.items()]
+
+
+def stabilizer_probability_correction(errorgen_dict, state_s, state_p,
+                                      bitstring, order=1):
+    """kth-order Taylor corrections to p(bitstring) for exp(L) acting on a
+    stabilizer state, L = sum_j rate_j L_j (reference:
+    errgenproptools.stabilizer_probability_correction:8374).
+
+    Order 1 uses the fast amplitude-based alpha sensitivities; orders >= 2
+    add (1/k!) <b| L^k(rho) |b> computed with the dense superoperator
+    (16^n cost -- <= 3 qubits)."""
+    bits = np.asarray(list(bitstring), np.int64)
+    n = len(state_p) // 2
+    amps = StabilizerAmplitudes(state_s, state_p)
+    corr = 0.0
+    for lbl, rate in errorgen_dict.items():
+        corr += rate * alpha(lbl, state_s, state_p, bits, amps)
+    if order >= 2:
+        d = 2 ** n
+        # dense |psi> from the amplitude cache, rho = |psi><psi|
+        psi = np.array([amps.amplitude(np.array(
+            [(k >> (n - 1 - q)) & 1 for q in range(n)], np.int64))
+            for k in range(d)], complex)
+        rho = np.outer(psi, np.conj(psi))
+        L = np.zeros((d * d, d * d), complex)
+        for lbl, rate in errorgen_dict.items():
+            L = L + rate * errorgen_label_to_dense(lbl, n)
+        b_idx = 0
+        for q in range(n):
+            b_idx = (b_idx << 1) | int(bits[q])
+        vec = rho.reshape(-1)
+        fact = 1.0
+        for k in range(2, order + 1):
+            fact *= k
+            vec2 = vec
+            for _ in range(k):
+                vec2 = L @ vec2
+            corr += np.real(vec2.reshape(d, d)[b_idx, b_idx]) / fact
+    return float(corr)

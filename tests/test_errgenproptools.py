@@ -235,3 +235,82 @@ class TestHigherOrderBCH:
                 assert err < prev * 0.8
             prev = err
         assert prev < 1e-3
+
+
+class TestZassenhausAndComposition:
+    def test_zassenhaus_order2(self):
+        """exp(X+Y) ~= exp(X)exp(Y)exp(W2): order 2 beats order 1."""
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenproptools import (
+            zassenhaus_formula, errorgen_label_to_dense)
+        X = PauliLabel(1, 0, 1)
+        Z = PauliLabel(0, 1, 1)
+        g1 = {ElementaryErrorgenLabel('H', X): 0.05}
+        g2 = {ElementaryErrorgenLabel('H', Z): 0.04,
+              ElementaryErrorgenLabel('S', X): 0.02}
+
+        def dense_of(d):
+            return sum(c * errorgen_label_to_dense(k, 1) for k, c in d.items()) \
+                if d else np.zeros((4, 4))
+
+        exact = spl.expm(dense_of(g1) + dense_of(g2))
+
+        def product_of(groups):
+            M = np.eye(4)
+            for g in groups:
+                M = M @ spl.expm(dense_of(g))
+            return M
+
+        e1 = np.abs(product_of(zassenhaus_formula([g1, g2],
+                                                  zassenhaus_order=1)) - exact).max()
+        z2 = zassenhaus_formula([g1, g2], zassenhaus_order=2)
+        assert len(z2) == 3
+        e2 = np.abs(product_of(z2) - exact).max()
+        assert e2 < e1 / 5
+
+    def test_iterative_composition_matches_dense(self):
+        from pygsti_tpu.tools.errgenproptools import (
+            iterative_error_generator_composition, errorgen_label_to_dense,
+            project_errorgen)
+        X = PauliLabel(1, 0, 1)
+        Z = PauliLabel(0, 1, 1)
+        labels = [ElementaryErrorgenLabel('H', X),
+                  ElementaryErrorgenLabel('S', Z),
+                  ElementaryErrorgenLabel('H', Z)]
+        rates = [0.5, 2.0, -1.5]
+        out = iterative_error_generator_composition(labels, rates)
+        dense = np.eye(4)
+        for l, r in zip(labels, rates):
+            dense = dense @ (r * errorgen_label_to_dense(l, 1))
+        expected = project_errorgen(dense, 1)
+        got = {l: r for l, r in out}
+        for k in set(expected) | set(got):
+            assert abs(expected.get(k, 0) - got.get(k, 0)) < 1e-9
+
+    def test_second_order_probability_correction(self):
+        """order-2 Taylor beats order-1 for moderate error rates."""
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenproptools import (
+            approximate_stabilizer_probability, errorgen_label_to_dense)
+        rng = np.random.RandomState(5)
+        n = 2
+        s_c, p_c = sym.random_clifford(n, rng)
+        S, P = sym.apply_clifford_to_stabilizer_state(
+            s_c, p_c, *sym.prep_stabilizer_state(n))
+        amps = StabilizerAmplitudes(S, P)
+        psi = np.array([amps.amplitude([b0, b1])
+                        for b0 in (0, 1) for b1 in (0, 1)])
+        rho = np.outer(psi, psi.conj())
+        X1 = _pstr_to_label('XI', n)
+        Z2 = _pstr_to_label('IZ', n)
+        errs = {ElementaryErrorgenLabel('S', X1): 0.05,
+                ElementaryErrorgenLabel('H', Z2): 0.08}
+        L = sum(r * errorgen_label_to_dense(l, n) for l, r in errs.items())
+        rho_out = (spl.expm(L) @ rho.reshape(-1)).reshape(4, 4)
+        for b_idx, bits in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            p_exact = np.real(rho_out[b_idx, b_idx])
+            p1 = approximate_stabilizer_probability(errs, S, P, bits, order=1)
+            p2 = approximate_stabilizer_probability(errs, S, P, bits, order=2)
+            p3 = approximate_stabilizer_probability(errs, S, P, bits, order=3)
+            assert abs(p2 - p_exact) <= abs(p1 - p_exact) + 1e-12
+            assert abs(p3 - p_exact) < 1e-4
