@@ -354,6 +354,39 @@ class ExplicitOpModel(OpModel):
         assert len(keys) == 1, "Model has %d povms; circuit must specify one" % len(keys)
         return keys[0]
 
+    # -- FOGI (first-order gauge-invariant) analysis ---------------------------
+    # (reference: models/model.py:2516 setup_fogi, :2681-:2776 fogi_* API)
+    def setup_fogi(self, initial_gauge_basis=None, typs=('H', 'S'),
+                   include_spam=True, target_model=None, **_kwargs):
+        """Create and store a FOGIStore built from this model's (or
+        `target_model`'s) operations as the ideal targets.  After this, the
+        fogi_errorgen_* methods report gauge-invariant error rates."""
+        from pygsti_tpu.tools.fogitools import make_fogi_store_for_model
+        self.fogi_store = make_fogi_store_for_model(
+            target_model if target_model is not None else self,
+            typs=typs, include_spam=include_spam)
+        return self.fogi_store
+
+    def _require_fogi(self):
+        store = getattr(self, 'fogi_store', None)
+        assert store is not None, "Call setup_fogi(...) first"
+        return store
+
+    def fogi_errorgen_component_labels(self, include_fogv=False, typ='normal'):
+        return self._require_fogi().fogi_quantity_labels()
+
+    def fogi_errorgen_components_array(self, include_fogv=False,
+                                       normalized_elem_gens=True):
+        return self._require_fogi().fogi_errorgen_rates(self)
+
+    def fogi_errorgen_vector(self, normalized_elem_gens=False):
+        return self._require_fogi().errorgen_vector(self)
+
+    def fogi_contribution(self, op_label, error_type='H',
+                          intrinsic_or_relational='intrinsic', **_kwargs):
+        return self._require_fogi().fogi_contribution(
+            self, op_label, error_type, intrinsic_or_relational)
+
     # -- gauge ----------------------------------------------------------------
     def transform_inplace(self, s):
         """Apply gauge transformation with element `s` (has .transform_matrix

@@ -157,3 +157,76 @@ class FOGIStore(object):
     def fogi_errorgen_rates(self, model):
         """The gauge-invariant error rates of a model."""
         return self.fogi_directions @ self.errorgen_vector(model)
+
+    # -- naming / classification (reference: fogitools op_elem_vec_names and
+    #    the intrinsic/relational split in models/fogistore.py) --------------
+    def _row_label_str(self, row_index):
+        blk, (typ, plbl) = self.errorgen_space_labels[row_index]
+        return "%s(%s)_%s" % (typ, plbl, blk)
+
+    def fogi_quantity_label(self, k, max_terms=4, tol=0.05):
+        """Human-readable name for FOGI quantity k: its dominant components,
+        e.g. '0.71 H(X)_Gxpi2 - 0.71 H(X)_Gypi2'."""
+        q = self.fogi_directions[k]
+        order = np.argsort(-np.abs(q))
+        parts = []
+        for i in order[:max_terms]:
+            if abs(q[i]) < tol:
+                break
+            parts.append("%+.2f %s" % (q[i], self._row_label_str(i)))
+        return " ".join(parts) if parts else "(null)"
+
+    def fogi_quantity_labels(self, max_terms=4):
+        return [self.fogi_quantity_label(k, max_terms)
+                for k in range(self.num_fogi_quantities)]
+
+    def _block_of_row(self, row_index):
+        return self.errorgen_space_labels[row_index][0]
+
+    def fogi_quantity_is_intrinsic(self, k, threshold=0.95):
+        """True when >= `threshold` of the direction's squared weight lies in
+        a single op/SPAM block (an 'intrinsic' error rate of that op);
+        otherwise the quantity is 'relational' between ops (reference:
+        fogistore's intrinsic/relational classification)."""
+        q = self.fogi_directions[k]
+        by_block = collections.defaultdict(float)
+        for i, w in enumerate(q):
+            by_block[self._block_of_row(i)] += float(w * w)
+        total = sum(by_block.values())
+        return max(by_block.values()) >= threshold * max(total, 1e-300)
+
+    def fogi_contribution(self, model, op_label, error_type='H',
+                          intrinsic_or_relational='intrinsic'):
+        """Sum of |FOGI rates| of the given kind that involve `op_label`
+        with the given elementary-errorgen type (reference:
+        model.fogi_contribution, models/model.py:2776)."""
+        rates = self.fogi_errorgen_rates(model)
+        want_intrinsic = (intrinsic_or_relational == 'intrinsic')
+        total = 0.0
+        for k in range(self.num_fogi_quantities):
+            if self.fogi_quantity_is_intrinsic(k) != want_intrinsic:
+                continue
+            q = self.fogi_directions[k]
+            involves = any(
+                abs(q[i]) > 1e-6
+                and self.errorgen_space_labels[i][0] == op_label
+                and self.errorgen_space_labels[i][1][0] == error_type
+                for i in range(len(q)))
+            if involves:
+                total += abs(float(rates[k]))
+        return total
+
+
+def make_fogi_store_for_model(model, typs=('H', 'S'), include_spam=True):
+    """Build a FOGIStore from an ExplicitOpModel's own operations as the
+    targets (the usual reference usage: `model.setup_fogi()` on a target
+    model; reference models/model.py:2516)."""
+    target_ops = {lbl: np.asarray(op.to_dense())
+                  for lbl, op in model.operations.items()}
+    rho0 = effects = None
+    if include_spam:
+        rho0 = np.asarray(model.preps[model._default_prep_label()].to_dense())
+        effects = np.asarray(model.povms[model._default_povm_label()].to_dense())
+    basis = Basis.cast('pp', model.dim)
+    return FOGIStore(target_ops, basis, typs=typs, include_spam=include_spam,
+                     rho0_vec=rho0, effect_stack=effects)

@@ -62,3 +62,30 @@ class TestFOGI:
         raw_change = np.max(np.abs(store.errorgen_vector(gauged)
                                    - store.errorgen_vector(noisy)))
         assert raw_change > eps / 10
+
+
+class TestFOGIModelAPI:
+    def test_model_fogi_api(self):
+        """setup_fogi + components/labels/contribution on a noisy model."""
+        target = mp.target_model('static')
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.02)
+        noisy.setup_fogi(target_model=target)
+        labels = noisy.fogi_errorgen_component_labels()
+        comps = noisy.fogi_errorgen_components_array()
+        assert len(labels) == len(comps) == noisy.fogi_store.num_fogi_quantities
+        assert all(isinstance(s, str) and s for s in labels)
+        # depolarization is gauge-invariant noise: some components nonzero
+        assert np.max(np.abs(comps)) > 1e-4
+        # contribution query runs and is nonnegative
+        c = noisy.fogi_contribution(('Gxpi2', 0), 'S', 'intrinsic')
+        assert c >= 0
+
+    def test_intrinsic_relational_partition(self, store):
+        kinds = [store.fogi_quantity_is_intrinsic(k)
+                 for k in range(store.num_fogi_quantities)]
+        # both kinds exist for the XYI gate set
+        assert any(kinds) and not all(kinds)
+
+    def test_labels_nonempty(self, store):
+        for s in store.fogi_quantity_labels():
+            assert s and s != "(null)"
