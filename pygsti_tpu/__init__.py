@@ -25,6 +25,9 @@ from pygsti_tpu import optimize
 from pygsti_tpu import algorithms
 from pygsti_tpu import data
 from pygsti_tpu import protocols
+from pygsti_tpu import drivers
+from pygsti_tpu import io
+from pygsti_tpu import report
 
 from pygsti_tpu.baseobjs.label import Label
 from pygsti_tpu.circuits.circuit import Circuit

@@ -383,3 +383,146 @@ def create_crosstalk_free_model(processor_spec, custom_gates=None,
                 udim = 2
             mdl.factories['gates'][lbl.name] = UnitaryOpFactory(fn, udim, basis)
     return mdl
+
+
+def create_cloud_crosstalk_model(processor_spec, custom_gates=None,
+                                 depolarization_strengths=None,
+                                 stochastic_error_probs=None,
+                                 lindblad_error_coeffs=None,
+                                 evotype=None, simulator='auto',
+                                 independent_gates=False, errcomp_type='gates',
+                                 implicit_idle_mode='none', basis='pp',
+                                 verbosity=0):
+    """Create a cloud-crosstalk implicit model: per-gate noise may act on
+    qubits OTHER than the gate's targets, specified with stencil labels
+    (reference: modelconstruction.create_cloud_crosstalk_model:1772).
+
+    ``lindblad_error_coeffs`` maps gate names to ``{(typ, spec): rate}``
+    where ``typ`` is 'H' or 'S' and ``spec`` is ``'PAULIS:q1,q2,...'``:
+    each ``q`` is either ``@k`` (the gate's k-th target qubit) or an
+    absolute qubit label, e.g. ``('H', 'X:@0')``, ``('S', 'XX:@0,@1')``,
+    ``('S', 'X:2')`` (always qubit 2, wherever the gate acts).  A bare
+    ``'PAULIS'`` spec (no colon) applies to the gate's target qubits.
+    ``depolarization_strengths`` / ``stochastic_error_probs`` act on the
+    gate's target qubits (as in the crosstalk-free constructor).
+    """
+    from pygsti_tpu.models.cloudnoisemodel import CloudNoiseModel
+    from pygsti_tpu.baseobjs.label import Label
+
+    pspec = processor_spec
+    depolarization_strengths = depolarization_strengths or {}
+    stochastic_error_probs = stochastic_error_probs or {}
+    lindblad_error_coeffs = lindblad_error_coeffs or {}
+    custom_gates = custom_gates or {}
+    nq = pspec.num_qubits
+    qlbls = tuple(pspec.qubit_labels)
+
+    def _resolve_spec(spec, targets):
+        """'PAULIS[:q1,q2]' -> list of (pauli_char, absolute_qubit)."""
+        if ':' in spec:
+            paulis, qs = spec.split(':')
+            qubits = []
+            for q in qs.split(','):
+                q = q.strip()
+                if q.startswith('@'):
+                    qubits.append(targets[int(q[1:])])
+                else:
+                    qubits.append(type(qlbls[0])(q) if not isinstance(
+                        qlbls[0], str) else q)
+        else:
+            paulis, qubits = spec, list(targets)
+        assert len(paulis) == len(qubits), \
+            "Pauli string %r does not match qubit list %r" % (paulis, qubits)
+        return list(zip(paulis, qubits))
+
+    gate_members = collections.OrderedDict()
+    cloud_members_blk = collections.OrderedDict()
+    cloud_map = {}
+
+    for name in pspec.gate_names:
+        if name in ('{idle}', '(idle)'):
+            continue
+        u = pspec.gate_unitaries[name]
+        udim = u.shape[0]
+        d2 = udim * udim
+        ideal = _op.StaticArbitraryOp(
+            np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2))))
+        member = custom_gates.get(name, ideal)
+        # target-local depol/stochastic noise composes onto the gate itself
+        d = depolarization_strengths.get(name)
+        s = stochastic_error_probs.get(name)
+        local_noise = _noise_op_for_gate(udim, basis, d, s, None)
+        if local_noise is not None:
+            member = _op.ComposedOp([member, local_noise])
+        gate_members[Label(name)] = member
+
+        lcoeffs = lindblad_error_coeffs.get(name)
+        if not lcoeffs:
+            continue
+        for targets in pspec.resolved_availability(name):
+            targets = tuple(targets)
+            # resolve all specs; the union of touched qubits is the cloud
+            resolved = {}
+            cloud_set = set()
+            for key, rate in lcoeffs.items():
+                typ, spec = key[0], key[1]
+                assert typ in ('H', 'S'), \
+                    "cloud-crosstalk noise supports 'H' and 'S' terms " \
+                    "(reference C/A stencils not implemented)"
+                pq = _resolve_spec(spec, targets)
+                resolved[key] = (typ, pq, rate)
+                cloud_set.update(q for _, q in pq)
+            cloud = tuple(sorted(cloud_set, key=lambda x: qlbls.index(x)))
+            m = len(cloud)
+            init = {}
+            for typ, pq, rate in resolved.values():
+                chars = ['I'] * m
+                for p, q in pq:
+                    chars[cloud.index(q)] = p
+                init[(typ, ''.join(chars))] = \
+                    init.get((typ, ''.join(chars)), 0.0) + rate
+            has_s = any(k[0] == 'S' for k in init)
+            param = 'H+s' if has_s else 'H'
+            eg = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** m),
+                                             param, initial_coeffs=init)
+            key = (name, targets)
+            cloud_members_blk[key] = _op.ExpErrorgenOp(eg)
+            cloud_map[(Label(name), targets)] = (key, cloud)
+
+    # global idle / SPAM noise on all qubits
+    idle_member = None
+    for idle_name in ('{idle}', '(idle)'):
+        lc = lindblad_error_coeffs.get(idle_name)
+        if lc:
+            init = {}
+            for key, rate in lc.items():
+                typ, spec = key[0], key[1]
+                pq = _resolve_spec(spec, qlbls)
+                chars = ['I'] * nq
+                for p, q in pq:
+                    chars[qlbls.index(q)] = p
+                init[(typ, ''.join(chars))] = rate
+            has_s = any(k[0] == 'S' for k in init)
+            eg = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** nq),
+                                             'H+s' if has_s else 'H',
+                                             initial_coeffs=init)
+            idle_member = _op.ExpErrorgenOp(eg)
+
+    prep_member = _st.ComputationalBasisState([0] * nq, basis)
+    pn = _noise_op_for_gate(2 ** nq, basis,
+                            depolarization_strengths.get('rho0'),
+                            stochastic_error_probs.get('rho0'),
+                            lindblad_error_coeffs.get('rho0'))
+    if pn is not None:
+        prep_member = _st.ComposedState(prep_member, pn)
+    povm_member = _pv.ComputationalBasisPOVM(nq, basis)
+    mn = _noise_op_for_gate(2 ** nq, basis,
+                            depolarization_strengths.get('Mdefault'),
+                            stochastic_error_probs.get('Mdefault'),
+                            lindblad_error_coeffs.get('Mdefault'))
+    if mn is not None:
+        povm_member = _pv.ComposedPOVM(mn, povm_member, basis)
+
+    return CloudNoiseModel(pspec, gate_members, prep_member, povm_member,
+                           cloud_map, cloud_members_blk, basis=basis,
+                           simulator=simulator, idle_member=idle_member)

@@ -7,9 +7,21 @@ from pygsti_tpu.tools import internalgates
 from pygsti_tpu.tools import lindbladtools
 from pygsti_tpu.tools import jamiolkowski
 
+from pygsti_tpu.tools import likelihoodfns
+from pygsti_tpu.tools import chi2fns
+
 from pygsti_tpu.tools.basistools import change_basis, stdmx_to_vec, vec_to_stdmx
 from pygsti_tpu.tools.optools import (
     unitary_to_superop, unitary_to_pauligate, unitary_to_std_process_mx,
     fidelity, entanglement_fidelity, average_gate_fidelity, frobeniusdist,
     jtracedist, process_fidelity, state_to_dmvec, dmvec_to_state,
+    diamonddist, tracedist, tracenorm, unitarity, decompose_gate_matrix,
+    kraus_decomposition, error_generator, operation_from_error_generator,
+    superop_to_unitary, entanglement_infidelity, average_gate_infidelity,
+    eigenvalue_entanglement_infidelity, is_cptp,
 )
+from pygsti_tpu.tools.likelihoodfns import (
+    logl, logl_max, two_delta_logl, logl_jacobian, logl_hessian,
+    logl_approximate_hessian,
+)
+from pygsti_tpu.tools.chi2fns import chi2, chi2_per_circuit, chi2_jacobian

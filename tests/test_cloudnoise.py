@@ -64,3 +64,56 @@ class TestCloudNoise:
         ls, jtj, jtf = obj.jtj_jtf(m.to_vector())
         assert np.all(np.isfinite(jtj))
         assert jtj.shape == (m.num_params, m.num_params)
+
+
+class TestCreateCloudCrosstalkModel:
+    def test_stencil_noise_on_spectator_qubit(self):
+        """('H','Z:1') noise on Gxpi2:0 acts on qubit 1 (true crosstalk)."""
+        import numpy as np
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import (
+            create_cloud_crosstalk_model)
+        from pygsti_tpu.circuits import Circuit
+
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2'],
+                                   geometry='line')
+        rate = 0.08
+        mdl = create_cloud_crosstalk_model(
+            pspec, lindblad_error_coeffs={'Gxpi2': {('H', 'X:1'): rate}})
+        # Gxpi2 on qubit 0 with H(X) crosstalk on qubit 1: qubit 1 leaves
+        # |0> even though the gate doesn't act on it
+        c = Circuit([('Gxpi2', 0)], line_labels=(0, 1))
+        p = mdl.probabilities(c)
+        p1_excited = sum(v for k, v in p.items() if k[0][1] == '1')
+        assert p1_excited > 1e-3, \
+            "crosstalk noise should excite the spectator qubit"
+        # analytic: H coefficients are in the normalized-Pauli (pp basis,
+        # X/sqrt(2)) convention -> rotation angle sqrt(2)*rate about X,
+        # p(1) = sin^2(rate/sqrt(2))
+        assert abs(p1_excited - np.sin(rate / np.sqrt(2)) ** 2) < 1e-6
+        # and a plain Gypi2 on qubit 1 (no noise configured) stays ideal
+        c3 = Circuit([('Gypi2', 1)], line_labels=(0, 1))
+        p3 = mdl.probabilities(c3)
+        assert abs(sum(v for k, v in p3.items() if k[0][1] == '1') - 0.5) < 1e-9
+        assert abs(sum(p.values()) - 1.0) < 1e-9
+
+    def test_target_stencil_refs(self):
+        """@0 stencil follows the gate's target qubit."""
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.models.modelconstruction import (
+            create_cloud_crosstalk_model)
+        from pygsti_tpu.circuits import Circuit
+
+        pspec = QubitProcessorSpec(2, ['Gxpi2'], geometry='line')
+        mdl = create_cloud_crosstalk_model(
+            pspec, lindblad_error_coeffs={'Gxpi2': {('S', 'X:@0'): 0.05}})
+        for q in (0, 1):
+            c = Circuit([('Gxpi2', q)], line_labels=(0, 1))
+            p = mdl.probabilities(c)
+            assert abs(sum(p.values()) - 1.0) < 1e-9
+            # stochastic X noise on the rotated qubit changes nothing for
+            # an X rotation (X commutes) -- but the model must build and
+            # the off-qubit stays in |0>
+            other = 1 - q
+            marg = sum(v for k, v in p.items() if k[0][other] == '1')
+            assert marg < 1e-9
