@@ -25,3 +25,8 @@ from pygsti_tpu.tools.likelihoodfns import (
     logl_approximate_hessian,
 )
 from pygsti_tpu.tools.chi2fns import chi2, chi2_per_circuit, chi2_jacobian
+from pygsti_tpu.tools import rbtools
+from pygsti_tpu.tools import rbtheory
+from pygsti_tpu.tools.rbtools import p_to_r, r_to_p
+from pygsti_tpu.tools.rbtheory import (predicted_rb_number,
+                                       predicted_rb_decay_parameter)

@@ -218,3 +218,33 @@ class TestMoreOpTypes:
         assert np.abs(d - lossy).max() < 1e-5
         tr = np.real(np.trace(jamiolkowski_iso(d, 'pp')))
         assert tr <= 1.0 + 1e-9
+
+
+class TestRBTheory:
+    def test_predicted_rb_number_depolarizing(self):
+        """For uniform depolarization the L-matrix p equals the depolarizing
+        parameter, and r matches the analytic AGI/EI values."""
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools.rbtheory import (predicted_rb_decay_parameter,
+                                               predicted_rb_number,
+                                               errormaps,
+                                               gate_dependence_of_errormaps)
+        target = mp.target_model('static')
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.02)
+        p = predicted_rb_decay_parameter(noisy, target)
+        assert abs(p - 0.98) < 1e-9
+        r_ei = predicted_rb_number(noisy, target, rtype='EI')
+        assert abs(r_ei - 0.02 * 3 / 4) < 1e-9
+        r_agi = predicted_rb_number(noisy, target, rtype='AGI')
+        assert abs(r_agi - 0.02 * 1 / 2) < 1e-9
+        # uniform depolarization -> gate-independent error maps
+        maps = errormaps(noisy, target)
+        assert np.allclose(maps[('Gxpi2', 0)], maps['Gavg'], atol=1e-12)
+        assert gate_dependence_of_errormaps(noisy, target, norm='fro') < 1e-9
+
+    def test_p_r_roundtrip(self):
+        from pygsti_tpu.tools.rbtools import p_to_r, r_to_p
+        for d in (2, 4):
+            for rtype in ('EI', 'AGI'):
+                assert abs(r_to_p(p_to_r(0.97, d, rtype), d, rtype) - 0.97) < 1e-12
