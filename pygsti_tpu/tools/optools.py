@@ -282,3 +282,124 @@ def operation_from_error_generator(error_gen, target_op, typ='logGTi'):
     elif typ == 'logTiG':
         return spl.expm(np.asarray(error_gen)) @ np.asarray(target_op)
     raise ValueError("Unknown error generator type %r" % typ)
+
+
+def rotation_gate_mx(r, mx_basis='pp'):
+    """Superoperator for exp(-i sum_k (r_k/2) P_k) where P_k ranges over the
+    non-identity STANDARD (unnormalized) Pauli products, so r=[pi/2, 0, 0]
+    gives Gxpi2 (reference: optools.rotation_gate_mx:2410)."""
+    import itertools
+    n_params = len(r)
+    d2 = n_params + 1
+    nq = int(round(np.log2(d2) / 2))
+    assert 4 ** nq == d2, "r must have length 4^n - 1"
+    sigma = [np.eye(2), np.array([[0, 1], [1, 0]], complex),
+             np.array([[0, -1j], [1j, 0]]), np.diag([1, -1.0])]
+    paulis = []
+    for combo in itertools.product(range(4), repeat=nq):
+        m = np.array([[1.0]], complex)
+        for i in combo:
+            m = np.kron(m, sigma[i])
+        paulis.append(m)
+    gen = sum(float(rk) * 0.5 * paulis[k + 1] for k, rk in enumerate(r))
+    u = spl.expm(-1j * gen)
+    return unitary_to_superop(u, mx_basis)
+
+
+def fidelity_upper_bound(operation_mx):
+    """Upper bound on process fidelity to ANY unitary: the largest-magnitude
+    eigenvalue of the Choi matrix divided by d (reference:
+    optools.fidelity_upper_bound)."""
+    from pygsti_tpu.tools.jamiolkowski import jamiolkowski_iso
+    choi = jamiolkowski_iso(np.asarray(operation_mx))
+    evals = np.linalg.eigvalsh((choi + choi.conj().T) / 2)
+    return float(np.max(evals))
+
+
+def unitary_to_process_mx(u):
+    """Alias of unitary_to_std_process_mx (reference keeps both names)."""
+    return unitary_to_std_process_mx(u)
+
+
+def std_process_mx_to_unitary(superop):
+    """Unitary from a std-basis process matrix (assumes the superop IS a
+    unitary channel; reference: optools.std_process_mx_to_unitary)."""
+    return superop_to_unitary(superop, 'std')
+
+
+def process_mx_to_unitary(superop, mx_basis='pp'):
+    """Alias of superop_to_unitary."""
+    return superop_to_unitary(superop, mx_basis)
+
+
+def project_model(model, target_model, projectiontypes=('H', 'S', 'H+S', 'LND'),
+                  gen_type='logG-logT', logG_weight=None):
+    """Project each gate's error generator onto Hamiltonian / stochastic /
+    full-Lindblad subspaces and rebuild models (reference:
+    optools.project_model:2456).  Returns (models, n_params) lists ordered
+    by `projectiontypes` ('H', 'S', 'H+S', 'LND', 'LNDF' supported)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools import lindbladtools as _lt
+    from pygsti_tpu.tools.basistools import change_basis
+    from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+
+    d2 = model.dim
+    basis = Basis.cast('pp', d2)
+    els = basis.elements
+    n = els.shape[0] - 1
+
+    ham_gens = np.stack([
+        np.real(change_basis(_lt.create_elementary_errorgen('H', els[i]),
+                             'std', basis)) for i in range(1, n + 1)])
+    pair_gens = np.empty((n, n, d2, d2), complex)
+    for a in range(n):
+        for b in range(n):
+            pair_gens[a, b] = change_basis(
+                _lt.create_lindbladian_term_errorgen('O', els[a + 1], els[b + 1]),
+                'std', basis)
+
+    # least-squares projector onto span{ham_gens, pair_gens}
+    A = np.concatenate([ham_gens.reshape(n, -1),
+                        pair_gens.reshape(n * n, -1)], axis=0).T  # [d4, K]
+    A_pinv = np.linalg.pinv(A, rcond=1e-12)
+
+    out_models = {p: model.copy() for p in projectiontypes}
+    n_params = {p: 0 for p in projectiontypes}
+
+    for gl in model.operations.keys():
+        G = np.asarray(model.operations[gl].to_dense())
+        T = np.asarray(target_model.operations[gl].to_dense())
+        errgen = error_generator(G, T, basis, gen_type)
+        coeffs = A_pinv @ errgen.reshape(-1)
+        h = np.real(coeffs[:n])
+        M = coeffs[n:].reshape(n, n)
+        M = (M + M.conj().T) / 2  # hermitize
+
+        ham_eg = np.tensordot(h, ham_gens, (0, 0))
+        sto_eg = np.real(np.tensordot(np.real(np.diag(M)),
+                                      np.stack([pair_gens[i, i].real
+                                                for i in range(n)]), (0, 0)))
+        lnd_eg = ham_eg + np.real(np.tensordot(M, pair_gens, ((0, 1), (0, 1))))
+        evals, U = np.linalg.eigh(M)
+        Mcp = (U * evals.clip(0, None)[None, :]) @ U.conj().T
+        lnd_cp_eg = ham_eg + np.real(np.tensordot(Mcp, pair_gens,
+                                                  ((0, 1), (0, 1))))
+
+        pieces = {'H': (ham_eg, n), 'S': (sto_eg, n),
+                  'H+S': (ham_eg + sto_eg, 2 * n),
+                  'LND': (lnd_cp_eg, n + n * n), 'LNDF': (lnd_eg, n + n * n)}
+        for p in projectiontypes:
+            eg, npar = pieces[p]
+            typ = 'logGTi' if gen_type in ('logGTi',) else 'logTiG' \
+                if gen_type == 'logTiG' else 'logGTi'
+            if gen_type == 'logG-logT':
+                newG = spl.expm(spl.logm(T).real + eg)
+            else:
+                newG = operation_from_error_generator(eg, T, gen_type)
+            out_models[p].operations[gl] = FullArbitraryOp(np.real(newG))
+            n_params[p] += npar
+
+    for p in projectiontypes:
+        out_models[p]._mark_for_rebuild()
+    return ([out_models[p] for p in projectiontypes],
+            [n_params[p] for p in projectiontypes])

@@ -248,3 +248,49 @@ class TestRBTheory:
         for d in (2, 4):
             for rtype in ('EI', 'AGI'):
                 assert abs(r_to_p(p_to_r(0.97, d, rtype), d, rtype) - 0.97) < 1e-12
+
+
+class TestOptoolsExtras:
+    def test_rotation_gate_mx(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools.optools import rotation_gate_mx
+        tgt = mp.target_model('static')
+        assert np.allclose(rotation_gate_mx([np.pi / 2, 0, 0]),
+                           tgt.operations[('Gxpi2', 0)].to_dense(), atol=1e-10)
+        assert np.allclose(rotation_gate_mx([0, np.pi / 2, 0]),
+                           tgt.operations[('Gypi2', 0)].to_dense(), atol=1e-10)
+
+    def test_project_model(self):
+        """H-projection keeps coherent error, drops depolarization; S keeps
+        depolarization; LND is CP."""
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools.optools import project_model, is_cptp
+        target = mp.target_model('static')
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.03)
+        noisy.operations[('Gxpi2', 0)] = type(noisy.operations[('Gxpi2', 0)])(
+            np.asarray(noisy.operations[('Gxpi2', 0)].to_dense()))
+        models, nps = project_model(noisy, target, ('H', 'S', 'LND'))
+        mH, mS, mLND = models
+        gH = np.asarray(mH.operations[('Gxpi2', 0)].to_dense())
+        gS = np.asarray(mS.operations[('Gxpi2', 0)].to_dense())
+        # H projection of pure depolarization ~ the ideal (unitary) gate
+        assert np.allclose(gH, target.operations[('Gxpi2', 0)].to_dense(),
+                           atol=1e-6)
+        # S projection keeps the depolarizing contraction
+        assert abs(np.linalg.svd(gS[1:, 1:])[1][0] - 0.97) < 1e-6
+        # LND model is CPTP
+        assert is_cptp(np.asarray(mLND.operations[('Gxpi2', 0)].to_dense()))
+        assert nps == [9, 9, 36]  # 3 gates x (3, 3, 12) params
+
+    def test_fidelity_upper_bound(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools.optools import fidelity_upper_bound
+        tgt = mp.target_model('static')
+        g = np.asarray(tgt.operations[('Gxpi2', 0)].to_dense())
+        assert abs(fidelity_upper_bound(g) - 1.0) < 1e-9
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.1)
+        gn = np.asarray(noisy.operations[('Gxpi2', 0)].to_dense())
+        assert fidelity_upper_bound(gn) < 1.0
