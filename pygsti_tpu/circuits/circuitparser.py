@@ -27,6 +27,9 @@ _NAME_RE = re.compile(r'[a-zA-Z_][a-zA-Z0-9_]*')
 # terminates the name so adjacent labels need no separator
 _GATE_NAME_RE = re.compile(r'G[a-z0-9_]+|rho[a-z0-9_]*|M[a-z0-9_]*|I[a-z0-9_]*')
 _INT_RE = re.compile(r'[0-9]+')
+# state-space labels: an upper-case letter TERMINATES the label (it starts
+# the next gate name), so 'Gxpi2:Q0Gxpi2:Q0' parses as two gates on Q0
+_SSLBL_RE = re.compile(r'[a-zA-Z_][a-z0-9_]*')
 
 
 class _Parser:
@@ -66,7 +69,7 @@ class _Parser:
         if m:
             self.i = m.end()
             return int(m.group())
-        m = _NAME_RE.match(self.s, self.i)
+        m = _SSLBL_RE.match(self.s, self.i)
         if m:
             self.i = m.end()
             return m.group()
@@ -106,6 +109,13 @@ class _Parser:
     def parse_item(self):
         """Returns a list of layer labels."""
         c = self.peek()
+        if c == '{':
+            # '{}' = the empty circuit (no layers); appears bare or inside
+            # parens, e.g. '({})@(0)' (reference: circuitparser grammar)
+            if self.s[self.i:self.i + 2] != '{}':
+                self.error("expected '{}'")
+            self.i += 2
+            return []
         if c == '(':
             self.i += 1
             layers = self.parse_seq(stop=')')

@@ -120,3 +120,67 @@ class TestCircuitStructure:
         # truncation keeps structure consistent
         st2 = st.truncate(xs_to_keep=[1, 2])
         assert st2.xs == [1, 2] and len(st2) < len(st)
+
+
+class TestReferenceCircuitCorpus:
+    """Golden-corpus behavioral test: parse the reference's ~23k-circuit
+    fingerprint corpus and check circuit semantics (depth, length,
+    line labels, string round-trip, concatenation) against the committed
+    fingerprints (reference: test/performance/circuit_corpus.py,
+    circuit_corpus_baseline.jsonl.gz)."""
+
+    CORPUS = "/root/reference/test/performance/circuit_corpus_baseline.jsonl.gz"
+
+    def _iter_sample(self, stride=20):
+        import ast
+        import gzip
+        import json
+        import os
+        if not os.path.exists(self.CORPUS):
+            pytest.skip("reference corpus not available")
+        with gzip.open(self.CORPUS, "rt") as f:
+            for i, line in enumerate(f):
+                if i % stride:
+                    continue
+                d = json.loads(line)
+                fp = d["fp"]
+                if isinstance(fp, str):
+                    fp = ast.literal_eval(fp)
+                    fp = {k: ast.literal_eval(v) if isinstance(v, str)
+                          and v[:1] in "'\"(" else v for k, v in fp.items()}
+                yield d["src"], fp
+
+    def test_corpus_semantics(self):
+        import ast
+        from pygsti_tpu.circuits import Circuit
+        n_checked = 0
+        for src, fp in self._iter_sample():
+            s = fp["str"]
+            if isinstance(s, str) and s.startswith("'"):
+                s = ast.literal_eval(s)
+            c = Circuit(s)
+            assert c.depth == int(fp["depth"]), \
+                "depth mismatch for %r: %d != %s" % (s, c.depth, fp["depth"])
+            assert len(c) == int(fp["len"]), \
+                "len mismatch for %r" % s
+            lls = fp["line_labels"]
+            if isinstance(lls, str):
+                lls = ast.literal_eval(lls)
+            assert tuple(c.line_labels) == tuple(lls), \
+                "line_labels mismatch for %r: %s != %s" % (
+                    s, c.line_labels, lls)
+            # round-trip through OUR string form
+            c2 = Circuit(c.str)
+            assert c2 == c and c2.depth == c.depth, \
+                "string round-trip failed for %r -> %r" % (s, c.str)
+            # concatenation semantics vs the reference's concat string
+            if "concat_str" in fp:
+                cs = fp["concat_str"]
+                if isinstance(cs, str) and cs.startswith("'"):
+                    cs = ast.literal_eval(cs)
+                cc_ref = Circuit(cs)
+                cc = c + c
+                assert cc == cc_ref and cc.depth == 2 * c.depth, \
+                    "concat mismatch for %r" % s
+            n_checked += 1
+        assert n_checked > 1000, "corpus sample too small (%d)" % n_checked
