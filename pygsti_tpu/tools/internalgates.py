@@ -146,3 +146,82 @@ def unitary_from_gatename(name, args=None):
         raise KeyError("Unknown standard gate name: %r" % name)
     return u
 
+
+
+def standard_gatenames_openqasm_conversions(version='u3'):
+    """Map pyGSTi standard gate names to OpenQASM gate names (+ parameter
+    formatters for the parameterized ones) (reference:
+    internalgates.standard_gatenames_openqasm_conversions).
+
+    Returns (names, param_fns): names maps each standard name to a list of
+    QASM gate strings; param_fns maps parameterized names to functions
+    emitting the QASM parameter clause."""
+    import numpy as np
+    if version == 'u3':
+        def u3(theta, phi, lam):
+            return ['u3(%.12g, %.12g, %.12g)' % (theta, phi, lam)]
+        names = {
+            'Gi': u3(0, 0, 0), 'Gxpi2': u3(np.pi / 2, -np.pi / 2, np.pi / 2),
+            'Gxmpi2': u3(np.pi / 2, np.pi / 2, -np.pi / 2),
+            'Gxpi': ['x'], 'Gypi2': u3(np.pi / 2, 0, 0),
+            'Gympi2': u3(np.pi / 2, -np.pi, np.pi), 'Gypi': ['y'],
+            'Gzpi2': ['s'], 'Gzmpi2': ['sdg'], 'Gzpi': ['z'],
+            'Gh': ['h'], 'Gp': ['s'], 'Gpdag': ['sdg'],
+            'Gt': ['t'], 'Gtdag': ['tdg'],
+            'Gcnot': ['cx'], 'Gcphase': ['cz'], 'Gswap': ['swap'],
+        }
+        param_fns = {
+            'Gzr': lambda args: 'rz(%.12g)' % float(args[0]),
+            'Gczr': lambda args: 'crz(%.12g)' % float(args[0]),
+        }
+        return names, param_fns
+    raise ValueError("Unknown version %r" % version)
+
+
+def standard_gatenames_chp_conversions():
+    """Map (Clifford) standard gate names to CHP program operations
+    (reference: internalgates.standard_gatenames_chp_conversions).
+    Values are lists of (op, qubit-index-tuple-pattern) CHP lines where
+    'h q' / 'p q' / 'c q1 q2' / 'm q' are the CHP primitives."""
+    # CHP has h (hadamard), p (phase=S), c (CNOT), m (measure)
+    return {
+        'Gi': [],
+        'Gh': [('h', (0,))],
+        'Gp': [('p', (0,))],
+        'Gzpi2': [('p', (0,))],
+        'Gzmpi2': [('p', (0,)), ('p', (0,)), ('p', (0,))],
+        'Gzpi': [('p', (0,)), ('p', (0,))],
+        'Gxpi': [('h', (0,)), ('p', (0,)), ('p', (0,)), ('h', (0,))],
+        'Gxpi2': [('h', (0,)), ('p', (0,)), ('h', (0,))],
+        'Gcnot': [('c', (0, 1))],
+        'Gcphase': [('h', (1,)), ('c', (0, 1)), ('h', (1,))],
+        'Gswap': [('c', (0, 1)), ('c', (1, 0)), ('c', (0, 1))],
+    }
+
+
+def standard_gatenames_cirq_conversions():
+    """Map standard gate names to cirq gate objects (requires cirq;
+    reference: internalgates.standard_gatenames_cirq_conversions)."""
+    try:
+        import cirq
+    except ImportError as e:
+        raise ImportError("cirq is required for cirq conversions") from e
+    return {
+        'Gi': None, 'Gxpi': cirq.X, 'Gypi': cirq.Y, 'Gzpi': cirq.Z,
+        'Gxpi2': cirq.X ** 0.5, 'Gypi2': cirq.Y ** 0.5, 'Gzpi2': cirq.S,
+        'Gxmpi2': cirq.X ** -0.5, 'Gympi2': cirq.Y ** -0.5,
+        'Gzmpi2': cirq.S ** -1, 'Gh': cirq.H, 'Gp': cirq.S,
+        'Gpdag': cirq.S ** -1, 'Gt': cirq.T, 'Gtdag': cirq.T ** -1,
+        'Gcnot': cirq.CNOT, 'Gcphase': cirq.CZ, 'Gswap': cirq.SWAP,
+    }
+
+
+def standard_gatenames_qiskit_conversions():
+    """Map standard gate names to qiskit gate-name strings (reference:
+    internalgates.standard_gatenames_qiskit_conversions)."""
+    return {
+        'Gi': 'id', 'Gxpi': 'x', 'Gypi': 'y', 'Gzpi': 'z',
+        'Gxpi2': 'sx', 'Gzpi2': 's', 'Gzmpi2': 'sdg', 'Gh': 'h',
+        'Gp': 's', 'Gpdag': 'sdg', 'Gt': 't', 'Gtdag': 'tdg',
+        'Gcnot': 'cx', 'Gcphase': 'cz', 'Gswap': 'swap', 'Gzr': 'rz',
+    }

@@ -116,3 +116,85 @@ def elementary_errorgens_matrix(typ, basis_elements, mx_basis='pp'):
                 eg = create_elementary_errorgen(typ, els[i], els[j])
                 out.append(change_basis(eg, 'std', mx_basis))
     return np.stack(out) if out else np.zeros((0, els.shape[1] ** 2, els.shape[1] ** 2))
+
+
+def create_elementary_errorgen_pauli(typ, p, q=None, sparse=False):
+    """Alias of create_elementary_errorgen for dense Pauli inputs
+    (reference: lindbladtools.create_elementary_errorgen_pauli -- there a
+    faster Pauli-specialized path; here the dense route is already fast)."""
+    return create_elementary_errorgen(typ, p, q)
+
+
+def create_elementary_errorgen_dual_pauli(typ, p, q=None, sparse=False):
+    """Alias of create_elementary_errorgen_dual for Pauli inputs."""
+    return create_elementary_errorgen_dual(typ, p, q)
+
+
+def random_CPTP_error_generator_rates(num_qubits, errorgen_types=('H', 'S', 'C', 'A'),
+                                      max_weights=None, H_params=(0., .01),
+                                      SCA_params=(0., .01), error_metric=None,
+                                      error_metric_value=None, seed=None):
+    """Sample random error-generator rates whose exponential is CPTP
+    (reference: lindbladtools.random_CPTP_error_generator_rates:767).
+
+    H rates are normal(H_params); the S/C/A rates come from a randomly
+    sampled positive-semidefinite Pauli-pair matrix M = A A^dag (scaled by
+    SCA_params[1]), whose diagonal gives S rates and off-diagonals give
+    C (real part) and A (imaginary part) rates -- PSD M guarantees the
+    Lindbladian is completely positive.  `max_weights` restricts the Pauli
+    weight per type; `error_metric='total_generator_error'` rescales so
+    sum(S) + sum(H^2) equals `error_metric_value`.  Returns
+    {ElementaryErrorgenLabel: rate}.
+    """
+    import numpy as _np
+    from pygsti_tpu.tools.errgenproptools import (
+        elementary_errorgen_basis_labels, _all_pauli_labels)
+    from pygsti_tpu.errorgenpropagation.errorpropagator import (
+        ElementaryErrorgenLabel)
+    rng = _np.random.default_rng(seed)
+    max_weights = max_weights or {}
+    paulis = _all_pauli_labels(num_qubits)
+
+    def wt(pl):
+        x, z = pl.x_bits, pl.z_bits
+        return bin(x | z).count('1')
+
+    out = {}
+    if 'H' in errorgen_types:
+        wH = max_weights.get('H')
+        for pl in paulis:
+            if wH is not None and wt(pl) > wH:
+                continue
+            out[ElementaryErrorgenLabel('H', pl)] = float(
+                rng.normal(H_params[0], H_params[1]))
+    sca = [t for t in errorgen_types if t in ('S', 'C', 'A')]
+    if sca:
+        wS = max_weights.get('S')
+        allowed = [pl for pl in paulis if wS is None or wt(pl) <= wS]
+        K = len(allowed)
+        A = rng.normal(0, 1, (K, K)) + 1j * rng.normal(0, 1, (K, K))
+        M = (A @ A.conj().T) * (SCA_params[1] ** 2 / (2 * K))
+        if 'C' not in errorgen_types and 'A' not in errorgen_types:
+            M = _np.diag(_np.diag(M))  # diagonal-only stays PSD
+        for i, pi in enumerate(allowed):
+            if 'S' in errorgen_types:
+                out[ElementaryErrorgenLabel('S', pi)] = float(_np.real(M[i, i]))
+            for j in range(i + 1, K):
+                pj = allowed[j]
+                if 'C' in errorgen_types:
+                    out[ElementaryErrorgenLabel('C', pi, pj)] = \
+                        float(_np.real(M[i, j]))
+                if 'A' in errorgen_types:
+                    out[ElementaryErrorgenLabel('A', pi, pj)] = \
+                        float(_np.imag(M[i, j]))
+    if error_metric is not None:
+        assert error_metric in ('total_generator_error', 'generator_infidelity')
+        s_total = sum(v for k, v in out.items() if k.errorgen_type == 'S')
+        h_total = sum(v ** 2 for k, v in out.items() if k.errorgen_type == 'H')
+        cur = s_total + h_total
+        if cur > 0:
+            t = error_metric_value / cur
+            for k in out:
+                out[k] = out[k] * (t if k.errorgen_type != 'H'
+                                   else _np.sqrt(t))
+    return out

@@ -294,3 +294,47 @@ class TestOptoolsExtras:
         noisy = mp.target_model('full TP').depolarize(op_noise=0.1)
         gn = np.asarray(noisy.operations[('Gxpi2', 0)].to_dense())
         assert fidelity_upper_bound(gn) < 1.0
+
+
+class TestLindbladRandomRates:
+    def test_random_cptp_rates_are_cp(self):
+        import numpy as np
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.lindbladtools import random_CPTP_error_generator_rates
+        from pygsti_tpu.tools.errgenproptools import errorgen_label_to_dense
+        from pygsti_tpu.tools.optools import is_cptp
+        from pygsti_tpu.tools.basistools import change_basis
+        for seed in (0, 1):
+            rates = random_CPTP_error_generator_rates(
+                1, seed=seed, error_metric='total_generator_error',
+                error_metric_value=0.02)
+            L = sum(r * errorgen_label_to_dense(l, 1) for l, r in rates.items())
+            E = spl.expm(L)
+            assert is_cptp(np.real(change_basis(E, 'std', 'pp')))
+            s = sum(v for k, v in rates.items() if k.errorgen_type == 'S')
+            h = sum(v ** 2 for k, v in rates.items() if k.errorgen_type == 'H')
+            assert abs(s + h - 0.02) < 1e-12
+
+    def test_max_weights(self):
+        from pygsti_tpu.tools.lindbladtools import random_CPTP_error_generator_rates
+        rates = random_CPTP_error_generator_rates(
+            2, errorgen_types=('H', 'S'), max_weights={'H': 1, 'S': 1}, seed=3)
+        for lbl in rates:
+            pl = lbl.basis_element_labels[0]
+            assert bin(pl.x_bits | pl.z_bits).count('1') <= 1
+
+
+class TestInternalGateConversions:
+    def test_qasm_and_chp_tables(self):
+        from pygsti_tpu.tools.internalgates import (
+            standard_gatenames_openqasm_conversions,
+            standard_gatenames_chp_conversions,
+            standard_gatenames_qiskit_conversions)
+        names, param_fns = standard_gatenames_openqasm_conversions()
+        assert names['Gxpi'] == ['x'] and names['Gcnot'] == ['cx']
+        assert param_fns['Gzr']((0.5,)).startswith('rz(')
+        chp = standard_gatenames_chp_conversions()
+        assert chp['Gcnot'] == [('c', (0, 1))]
+        assert len(chp['Gxpi2']) == 3
+        qk = standard_gatenames_qiskit_conversions()
+        assert qk['Gxpi2'] == 'sx'
