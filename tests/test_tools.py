@@ -338,3 +338,26 @@ class TestInternalGateConversions:
         assert len(chp['Gxpi2']) == 3
         qk = standard_gatenames_qiskit_conversions()
         assert qk['Gxpi2'] == 'sx'
+
+
+class TestMatrixMod2Extras:
+    def test_albert_factorization(self):
+        import numpy as np
+        from pygsti_tpu.tools.matrixmod2 import (
+            albert_factor, dot_mod2, random_symmetric_invertable_matrix)
+        rng = np.random.RandomState(7)
+        for n in (2, 3, 5):
+            for _ in range(3):
+                M = random_symmetric_invertable_matrix(n, rand_state=rng)
+                L = albert_factor(M, rand_state=rng)
+                assert np.array_equal(dot_mod2(L, L.T), M % 2), \
+                    "L L^T != M for\n%s" % M
+
+    def test_axb(self):
+        import numpy as np
+        from pygsti_tpu.tools.matrixmod2 import Axb_mod2, dot_mod2
+        A = np.array([[1, 1, 0], [0, 1, 1], [1, 0, 1]]) % 2
+        A[2, 2] = 0  # make invertible: det([[1,1,0],[0,1,1],[1,0,0]])=1
+        b = np.array([1, 0, 1])
+        x = Axb_mod2(A, b)
+        assert np.array_equal(dot_mod2(A, x).ravel(), b)
