@@ -4,3 +4,7 @@ from pygsti_tpu.extras.drift.signal import (dct_power_spectrum, lsp_power_spectr
                                             power_significance_threshold,
                                             dct_basis_function)
 from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+from pygsti_tpu.extras.drift import probtrajectory
+from pygsti_tpu.extras.drift.probtrajectory import (
+    ProbTrajectory, ConstantProbTrajectory, CosineProbTrajectory,
+    negloglikelihood, maxlikelihood, amplitude_compression)

@@ -88,3 +88,26 @@ def sums_of_negative_choi_eigenvalues(model):
         evals = np.linalg.eigvalsh((choi + choi.conj().T) / 2)
         out.append(-float(np.sum(evals[evals < 0])))
     return out
+
+
+def sum_of_negative_choi_eigenvalues_gate(gate_mx, mx_basis='pp'):
+    """Sum of negative Choi eigenvalues of a single gate matrix (reference:
+    jamiolkowski.sum_of_negative_choi_eigenvalues_gate)."""
+    import numpy as np
+    J = fast_jamiolkowski_iso_std(gate_mx, mx_basis)
+    evals = np.linalg.eigvals(J)
+    return float(sum(-ev.real for ev in evals if ev.real < 0))
+
+
+def magnitudes_of_negative_choi_eigenvalues(model, dimensions=None):
+    """List of |negative Choi eigenvalues| over all model operations
+    (reference: jamiolkowski.magnitudes_of_negative_choi_eigenvalues)."""
+    import numpy as np
+    out = []
+    for lbl in model.operations.keys():
+        J = fast_jamiolkowski_iso_std(
+            np.asarray(model.operations[lbl].to_dense()), model.basis
+            if hasattr(model, 'basis') else 'pp')
+        evals = np.linalg.eigvals(J)
+        out.extend([-ev.real for ev in evals if ev.real < 0])
+    return out

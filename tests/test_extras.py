@@ -186,3 +186,37 @@ class TestCrosstalkDeep:
         assert M.shape == (2, 2)
         assert M[1, 0] > M[0, 1]
         assert res.effect_sizes[(1, 0)] > 0.1
+
+
+class TestProbTrajectory:
+    def test_cosine_trajectory_mle_recovers_drift(self):
+        """MLE on synthetic drifting data recovers the amplitude."""
+        import numpy as np
+        from pygsti_tpu.extras.drift.probtrajectory import (
+            CosineProbTrajectory, maxlikelihood, negloglikelihood,
+            amplitude_compression)
+        rng = np.random.RandomState(0)
+        T = 512
+        times = np.arange(T, dtype=float)
+        # truth: p0(t) = 0.5 + 0.2*sqrt(2)*cos mode 3
+        truth = CosineProbTrajectory(['0', '1'], [0, 3], {'0': [0.5, 0.2]},
+                                     starttime=0, timestep=1.0, numtimes=T)
+        p0 = truth.probabilities(times)['0']
+        clicks0 = rng.binomial(1, p0)
+        clickstreams = {'0': clicks0, '1': 1 - clicks0}
+        seed = CosineProbTrajectory(['0', '1'], [0, 3], {'0': [0.5, 0.0]},
+                                    starttime=0, timestep=1.0, numtimes=T)
+        fit = maxlikelihood(seed, clickstreams, times)
+        a0, a3 = fit.parameters['0']
+        assert abs(a0 - 0.5) < 0.05
+        assert abs(a3 - 0.2) < 0.07, "amplitude not recovered: %g" % a3
+        # the fit improves the likelihood over the constant seed
+        assert negloglikelihood(fit, clickstreams, times) < \
+            negloglikelihood(seed, clickstreams, times)
+        # compression keeps probabilities physical
+        big = CosineProbTrajectory(['0', '1'], [0, 3], {'0': [0.5, 0.6]},
+                                   starttime=0, timestep=1.0, numtimes=T)
+        comp, was = amplitude_compression(big, times)
+        assert was
+        ps = comp.probabilities(times, trim=False)
+        assert np.min(ps['0']) >= -1e-9 and np.max(ps['0']) <= 1 + 1e-9
