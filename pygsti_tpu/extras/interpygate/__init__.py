@@ -4,3 +4,5 @@ sampled (physics-simulation) process matrices
 
 from pygsti_tpu.extras.interpygate.core import (InterpolatedDenseOp,
                                                 InterpolatedOpFactory)
+from pygsti_tpu.extras.interpygate.process_tomography import (
+    run_process_tomography, multi_kron)

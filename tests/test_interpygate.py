@@ -59,3 +59,36 @@ class TestInterpolatedOp:
         result = SimplerLMOptimizer().run(obj, printer=0)
         fit_theta = model.to_vector()[0]
         assert np.isclose(fit_theta, true_theta, atol=0.01), fit_theta
+
+
+class TestProcessTomography:
+    def test_recovers_unitary_channel(self):
+        import numpy as np
+        from pygsti_tpu.extras.interpygate.process_tomography import (
+            run_process_tomography)
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        theta = 0.37
+        U = np.array([[np.cos(theta / 2), -1j * np.sin(theta / 2)],
+                      [-1j * np.sin(theta / 2), np.cos(theta / 2)]])
+
+        def channel(psi):
+            out = U @ psi
+            return np.outer(out, out.conj())
+
+        P = run_process_tomography(channel, n_qubits=1, basis='pp')
+        assert np.allclose(P, unitary_to_superop(U, 'pp'), atol=1e-10)
+
+    def test_two_qubit_depolarizing(self):
+        import numpy as np
+        from pygsti_tpu.extras.interpygate.process_tomography import (
+            run_process_tomography)
+        lam = 0.1
+
+        def channel(psi):
+            rho = np.outer(psi, psi.conj())
+            d = rho.shape[0]
+            return (1 - lam) * rho + lam * np.eye(d) / d
+
+        P = run_process_tomography(channel, n_qubits=2, basis='pp')
+        expect = np.diag([1.0] + [1 - lam] * 15)
+        assert np.allclose(P, expect, atol=1e-10)
