@@ -4,3 +4,4 @@
 from pygsti_tpu.extras.idletomography.idtcore import (IdleTomographyDesign,
                                                       IdleTomography,
                                                       IdleTomographyResults)
+from pygsti_tpu.extras.idletomography.pauliobjs import (NQOutcome, NQPauliState, NQPauliOp)

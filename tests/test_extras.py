@@ -220,3 +220,44 @@ class TestProbTrajectory:
         assert was
         ps = comp.probabilities(times, trim=False)
         assert np.min(ps['0']) >= -1e-9 and np.max(ps['0']) <= 1 + 1e-9
+
+
+class TestIdleTomographyPauliObjs:
+    def test_pauli_algebra(self):
+        import numpy as np
+        from pygsti_tpu.extras.idletomography.pauliobjs import (
+            NQOutcome, NQPauliState, NQPauliOp)
+        X = NQPauliOp.weight_1_pauli(2, 0, 'X')
+        Y = NQPauliOp.weight_1_pauli(2, 0, 'Y')
+        Z = NQPauliOp.weight_1_pauli(2, 0, 'Z')
+        assert not X.commuteswith(Y)
+        assert X.commuteswith(NQPauliOp('IX'))
+        # i[X,Y]/2 = -Z  (since [X,Y]=2iZ => i[X,Y]/2 = i*iZ = -Z)
+        c = X.icommutator_over_2(Y)
+        assert c.rep == 'ZI' and c.sign == -1, str(c)
+        assert Z.icommutator_over_2(NQPauliOp('IX')) is None
+        # dense cross-check of the commutator identity on qubit 0
+        sx = np.array([[0, 1], [1, 0]], complex)
+        sy = np.array([[0, -1j], [1j, 0]])
+        sz = np.diag([1, -1.0]).astype(complex)
+        icomm = 1j * (sx @ sy - sy @ sx) / 2
+        assert np.allclose(icomm, c.sign * sz)
+        # dot / statedot
+        assert X.dot(NQPauliOp('XI')) == 1
+        assert X.dot(NQPauliOp('XI', -1)) == -1
+        assert X.dot('YI') == 0
+        st = NQPauliState('XZ', (1, -1))
+        assert NQPauliOp('XI').statedot(st) == 1
+        assert NQPauliOp('IZ').statedot(st) == -1
+        assert NQPauliOp('ZI').statedot(st) == 0
+        # outcomes
+        o = NQOutcome.weight_1_string(3, 1)
+        assert str(o) == '010' and str(o.flip(0, 1)) == '100'
+
+    def test_state_to_circuit(self):
+        from pygsti_tpu.extras.idletomography.pauliobjs import NQPauliState
+        basis = {'+X': ('Gypi2',), '-X': ('Gympi2',), '+Y': ('Gxmpi2',),
+                 '-Y': ('Gxpi2',), '+Z': (), '-Z': ('Gxpi',)}
+        c = NQPauliState('XZ', (1, -1)).to_circuit(basis)
+        names = [str(l) for l in c.layertup]
+        assert any('Gypi2' in n for n in names) and any('Gxpi' in n for n in names)
