@@ -181,3 +181,65 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
                               nest, include_lgst, germ_length_limits,
                               op_label_aliases, dscheck, action_if_missing,
                               verbosity)
+
+
+def create_lsgst_circuits(op_label_src, prep_fiducials, meas_fiducials, germs,
+                          max_lengths, fid_pairs=None,
+                          trunc_scheme="whole germ powers", keep_fraction=1,
+                          keep_seed=None, include_lgst=True):
+    """The final (longest) LSGST circuit list: all circuits needed for the
+    full experiment (reference: gstcircuits.create_lsgst_circuits:681)."""
+    # (keep_fraction/keep_seed random pair-reduction is accepted for API
+    # parity but only keep_fraction == 1 is supported)
+    assert keep_fraction == 1, "random fiducial-pair keep_fraction not supported"
+    lists = create_lsgst_circuit_lists(
+        op_label_src, prep_fiducials, meas_fiducials, germs, max_lengths,
+        fid_pairs=fid_pairs, trunc_scheme=trunc_scheme,
+        include_lgst=include_lgst)
+    return list(lists[-1])
+
+
+def create_elgst_lists(op_label_src, germs, max_lengths,
+                       trunc_scheme="whole germ powers", nest=True,
+                       include_lgst=True):
+    """Nested circuit lists for eLGST (no fiducials: bare germ powers;
+    reference: gstcircuits.create_elgst_lists:765)."""
+    from pygsti_tpu.circuits.circuit import Circuit
+    from pygsti_tpu.circuits.circuitlist import CircuitList
+    if hasattr(op_label_src, 'operations'):
+        op_labels = list(op_label_src.operations.keys())
+    else:
+        op_labels = list(op_label_src)
+    single_ops = [Circuit((lbl,)) for lbl in op_labels] if include_lgst else []
+    lists = []
+    current = list(single_ops)
+    for L in max_lengths:
+        if L == 0:
+            new = list(single_ops)
+        else:
+            if trunc_scheme == "whole germ powers":
+                new = [repeat_with_max_length(g, L) for g in germs]
+            elif trunc_scheme == "truncated germ powers":
+                new = [repeat_and_truncate(g, L) for g in germs]
+            elif trunc_scheme == "length as exponent":
+                new = [g * L for g in germs]
+            else:
+                raise ValueError("Invalid trunc_scheme: %r" % trunc_scheme)
+        if nest:
+            seen = set(c.layertup for c in current)
+            current = current + [c for c in new if c.layertup not in seen]
+            lists.append(CircuitList(list(current)))
+        else:
+            lists.append(CircuitList(list(dict.fromkeys(single_ops + new))))
+    return lists
+
+
+def create_elgst_experiment_list(op_label_src, germs, max_lengths,
+                                 trunc_scheme="whole germ powers",
+                                 include_lgst=True):
+    """All circuits needed for an eLGST experiment (reference:
+    gstcircuits.create_elgst_experiment_list)."""
+    lists = create_elgst_lists(op_label_src, germs, max_lengths,
+                               trunc_scheme, nest=True,
+                               include_lgst=include_lgst)
+    return list(lists[-1])
