@@ -137,3 +137,58 @@ class TestGSTFit:
             rc = ref_pygsti.circuits.Circuit(c.str)
             for o in ('0', '1'):
                 assert abs(my_p[c][(o,)] - ref_p[rc][(o,)]) < 1e-4
+
+
+class TestEndToEndReferenceParity:
+    """Full iterative GST in both frameworks on identical data converges to
+    the same estimate (SURVEY §4(c): estimates within gauge tolerance)."""
+
+    def test_estimates_match_reference(self, ref_pygsti, gst_setup):
+        import numpy as np
+        target, datagen, lists, ds = gst_setup
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols.gst import (GateSetTomographyDesign,
+                                              GateSetTomography, GSTInitialModel)
+
+        design = GateSetTomographyDesign(mp.target_model('full TP'),
+                                         [list(l) for l in lists])
+        gst = GateSetTomography(GSTInitialModel(model=mp.target_model('full TP')),
+                                gaugeopt_suite='stdgaugeopt', verbosity=0,
+                                name='GST')
+        my_results = gst.run(ProtocolData(design, ds),
+                             disable_checkpointing=True)
+        my_est = my_results.estimates['GST']
+        my_final = my_est.models['stdgaugeopt']
+
+        # reference fit on the same counts
+        rds = ref_pygsti.data.DataSet(outcome_labels=['0', '1'])
+        for c in ds.keys():
+            rds.add_count_dict(ref_pygsti.circuits.Circuit(c.str),
+                               {k[0]: v for k, v in ds[c].counts.items()})
+        rds.done_adding_data()
+        from pygsti.modelpacks import smq1Q_XYI as rmp
+        ref_results = ref_pygsti.drivers.run_long_sequence_gst(
+            rds, rmp.target_model('full TP'), rmp.prep_fiducials(),
+            rmp.meas_fiducials(), rmp.germs(), [1, 2, 4], verbosity=0)
+        ref_est = ref_results.estimates[list(ref_results.estimates)[0]]
+        gokey = [k for k in ref_est.models
+                 if 'gaugeopt' in k.lower() or k == 'go0']
+        ref_final = ref_est.models[gokey[0] if gokey else 'final iteration estimate']
+
+        # objective parity at each framework's own optimum
+        my_2dl = two_delta_logl(my_est.models['final iteration estimate'], ds,
+                                list(lists[-1]))
+        rcirc = [ref_pygsti.circuits.Circuit(c.str) for c in lists[-1]]
+        ref_2dl = ref_pygsti.tools.two_delta_logl(
+            ref_est.models['final iteration estimate'], rds, rcirc)
+        assert abs(my_2dl - ref_2dl) < 0.1 + 1e-4 * abs(ref_2dl), \
+            "final 2DeltaLogL differ: %g vs %g" % (my_2dl, ref_2dl)
+
+        # gauge-optimized gate matrices agree
+        for lbl in (('Gxpi2', 0), ('Gypi2', 0)):
+            mine = np.asarray(my_final.operations[lbl].to_dense())
+            theirs = np.asarray(ref_final.operations[
+                ref_pygsti.baseobjs.Label(lbl)].to_dense())
+            assert np.max(np.abs(mine - theirs)) < 5e-4, \
+                "gauge-opted %s differs by %g" % (lbl,
+                                                  np.max(np.abs(mine - theirs)))
