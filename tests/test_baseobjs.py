@@ -105,3 +105,36 @@ class TestBasisParity:
         mine = BuiltinBasis(name, dim)
         ref_els = np.array([e for e in ref_basis.elements])
         assert np.allclose(ref_els, mine.elements), "basis %s dim %d mismatch" % (name, dim)
+
+
+class TestErrorgenLabelsAndBasis:
+    def test_label_conversions(self):
+        from pygsti_tpu.baseobjs.errorgenlabel import (
+            LocalElementaryErrorgenLabel, GlobalElementaryErrorgenLabel)
+        loc = LocalElementaryErrorgenLabel('S', ('IXI',))
+        assert loc.support_indices() == (1,)
+        glob = GlobalElementaryErrorgenLabel.cast(loc, (0, 1, 2))
+        assert glob.sslbls == (1,) and glob.basis_element_labels == ('X',)
+        back = LocalElementaryErrorgenLabel.cast(glob, (0, 1, 2))
+        assert back == loc
+        ca = LocalElementaryErrorgenLabel('C', ('XI', 'IZ'))
+        g2 = GlobalElementaryErrorgenLabel.cast(ca, ('Q0', 'Q1'))
+        assert g2.sslbls == ('Q0', 'Q1')
+
+    def test_complete_basis(self):
+        import numpy as np
+        from pygsti_tpu.baseobjs.errorgenbasis import (
+            CompleteElementaryErrorgenBasis)
+        b = CompleteElementaryErrorgenBasis(num_qubits=1)
+        # 1Q: 3 H + 3 S + 3 C + 3 A = 12
+        assert len(b) == 12
+        b2 = CompleteElementaryErrorgenBasis(
+            num_qubits=2, elementary_errorgen_types=('H', 'S'),
+            max_ham_weight=1, max_other_weight=1)
+        assert len(b2) == 12  # 6 weight-1 paulis x (H, S)
+        mats = b.elemgen_matrices('pp')
+        assert len(mats) == 12 and mats[0].shape == (4, 4)
+        # H(Z) generator acts nontrivially
+        assert np.linalg.norm(mats[2]) > 0
+        sub = b2.create_subbasis([0])
+        assert all(0 in l.support_indices() for l in sub.labels)
