@@ -881,20 +881,18 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         n_preps = len(model.prep_keys)
         n_eff = sum(model.povms[k].num_outcomes for k in model.povm_keys)
         NT = n_ops * dim * dim + n_preps * dim + n_eff * dim
-        # Block size: the backward scan carries a per-op gradient accumulator
-        # A [blk, n_out, n_ops+1, d, d].  Sized so A fits on-chip (~8 MB of
-        # VMEM), XLA keeps the carry out of HBM and the backward scan runs
-        # ~3.5x faster than with the HBM-resident 256MB-block carry it
-        # replaced (measured on the 2Q maxL=64 workload: 99ms -> 27ms).
-        _default_j_env = os.environ.get('PYGSTI_TPU_J_DTYPE')
-        _j_itemsize = 4 if (_default_j_env or (
-            'float32' if jax.default_backend() == 'tpu' else 'float64'
-        )) == 'float32' else 8
-        a_row_bytes = max(n_out, 1) * (n_ops + 1) * dim * dim * _j_itemsize
-        _carry_budget = int(os.environ.get('PYGSTI_TPU_JAC_CARRY_BYTES',
-                                           str(8 * 1024 * 1024)))
-        blk = _carry_budget // max(a_row_bytes, 1)
-        blk = max(64, (blk // 64) * 64)
+        # Jacobian block size.  Smaller (VMEM-sized) blocks make the
+        # backward scan's per-op gradient accumulator ~3.5x faster in
+        # isolation, but on TPU the many-block f32 Gram pipeline measurably
+        # degrades LM convergence (bf16-dominant default matmul precision;
+        # final Nsigma 500 -> 820 on the 2Q bench), so the default stays at
+        # the large proven block size.  Override with
+        # PYGSTI_TPU_JAC_CARRY_BYTES (bytes of jacobian block, old formula)
+        # for experimentation.
+        itemsize = 8
+        _blk_budget = int(os.environ.get('PYGSTI_TPU_JAC_CARRY_BYTES',
+                                         str(256 * 1024 * 1024)))
+        blk = max(64, int(_blk_budget // (max(n_out, 1) * NT * itemsize)))
         blk = min(blk, B)  # never pad the batch beyond one block
         nb = -(-B // blk)
         Bp = nb * blk
@@ -1007,21 +1005,17 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 ls = raw.lsvec(p64, cb, tb, fb, flag, regs)
                 dls = raw.dlsvec(p64, cb, tb, fb, flag, regs)
                 Jw = dls.astype(j_dtype)[:, None] * Jt
-                return (M + Jw.T @ Jw,
+                # per-block Gram matmul runs at the Jacobian dtype (MXU rate)
+                # but the ACCUMULATION across blocks is f64: with many small
+                # VMEM-sized blocks, f32 accumulation of ~1e8-scale partial
+                # Grams loses enough precision to visibly degrade LM
+                # convergence (measured Nsigma 500 -> 1039 on the 2Q bench)
+                return (M + (Jw.T @ Jw).astype(v.dtype),
                         q + (Jw.T @ ls.astype(j_dtype)).astype(v.dtype)), ls
-            init = (jnp.zeros((NT, NT), dtype=j_dtype), jnp.zeros(NT, dtype=v.dtype))
+            init = (jnp.zeros((NT, NT), dtype=v.dtype), jnp.zeros(NT, dtype=v.dtype))
             (M, q), ls_blocks = jax.lax.scan(body, init,
                                              idx_blocks + (cnt_b, tot_b, frq_b))
-            # params->tensors chain in the Jacobian dtype: the NT x P / P x P
-            # matmuls in emulated f64 cost more than the entire backward scan
-            # on TPU; JTJ only steers LM steps (convergence checks use f64
-            # residuals) so the f32 Gram convention already covers this.
-            # PYGSTI_TPU_F64_SANDWICH=1 restores the f64 chain.
-            if os.environ.get('PYGSTI_TPU_F64_SANDWICH', '0') == '1':
-                jtj = Tv.T @ (M.astype(v.dtype) @ Tv)
-            else:
-                Tvj = Tv.astype(j_dtype)
-                jtj = (Tvj.T @ (M @ Tvj)).astype(v.dtype)
+            jtj = Tv.T @ (M @ Tv)
             jtf = Tv.T @ q
             ls = ls_blocks.reshape(-1)[:n_real_elements]
             if regularize_factor > 0:
