@@ -56,3 +56,55 @@ class TestLeakage:
         tdl = two_delta_logl(m3, ds, circs)
         k = ds.degrees_of_freedom(circs)
         assert tdl < k + 5 * np.sqrt(2 * max(k, 1))
+
+
+class TestSubspaceMetricsAndLAGO:
+    def test_subspace_metrics_ideal_vs_leaky(self):
+        import numpy as np
+        from pygsti_tpu.leakage.models import to_3level_unitary
+        from pygsti_tpu.leakage.metrics import (
+            subspace_entanglement_fidelity, subspace_jtracedist,
+            subspace_superop_fro_dist, subspace_restriction)
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        theta = np.pi / 2
+        u2 = np.array([[np.cos(theta / 2), -1j * np.sin(theta / 2)],
+                       [-1j * np.sin(theta / 2), np.cos(theta / 2)]])
+        u3 = to_3level_unitary(u2)
+        S = unitary_to_superop(u3, 'gm')
+        # identical ops: perfect subspace fidelity
+        f = subspace_entanglement_fidelity(S, S, 'gm')
+        assert abs(f - 1.0) < 1e-9
+        assert subspace_jtracedist(S, S, 'gm') < 1e-9
+        # the subspace restriction of the embedded 2-level unitary equals
+        # the 2-level superoperator
+        S2 = unitary_to_superop(u2, 'pp')
+        R = subspace_restriction(S, 'gm')
+        assert np.allclose(R, S2, atol=1e-9), np.max(np.abs(R - S2))
+        # leaky op: rotate |1> toward |2>
+        eps = 0.1
+        leak = np.eye(3, dtype=complex)
+        leak[1, 1] = leak[2, 2] = np.cos(eps)
+        leak[1, 2] = -np.sin(eps)
+        leak[2, 1] = np.sin(eps)
+        S_leaky = unitary_to_superop(leak @ u3, 'gm')
+        assert subspace_entanglement_fidelity(S_leaky, S, 'gm') < 1.0 - 1e-4
+        assert subspace_superop_fro_dist(S_leaky, S, 'gm') > 1e-2
+
+    def test_direct_sum_gauge_group(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pygsti_tpu.leakage.gaugeopt import DirectSumUnitaryGaugeGroup
+        from pygsti_tpu.leakage.models import create_3level_model
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        mdl3 = create_3level_model(mp.target_model('full TP'))
+        g = DirectSumUnitaryGaugeGroup(mdl3.state_space, 'gm')
+        assert g.num_params == 5  # u(2) + u(1)
+        v = np.random.RandomState(0).randn(5) * 0.1
+        S = np.asarray(g.element_matrix_jax(jnp.asarray(v)))
+        assert S.shape == (9, 9)
+        # gauge transform must preserve the computational block structure:
+        # acting on a computational-subspace state stays computational
+        from pygsti_tpu.leakage.metrics import subspace_restriction
+        R = subspace_restriction(S, 'gm')
+        # restricted gauge element is itself a unitary superop (orthogonal)
+        assert np.allclose(R @ R.T, np.eye(4), atol=1e-8)
