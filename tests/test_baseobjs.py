@@ -138,3 +138,24 @@ class TestErrorgenLabelsAndBasis:
         assert np.linalg.norm(mats[2]) > 0
         sub = b2.create_subbasis([0])
         assert all(0 in l.support_indices() for l in sub.labels)
+
+
+class TestErrorgenSpace:
+    def test_intersection_union(self):
+        import numpy as np
+        from pygsti_tpu.baseobjs.errorgenbasis import CompleteElementaryErrorgenBasis
+        from pygsti_tpu.baseobjs.errorgenspace import ErrorgenSpace
+        b = CompleteElementaryErrorgenBasis(num_qubits=1,
+                                            elementary_errorgen_types=('H', 'S'))
+        n = len(b)
+        e = np.eye(n)
+        A = ErrorgenSpace(e[:, :3], b)    # span(e0,e1,e2)
+        B = ErrorgenSpace(e[:, 2:5], b)   # span(e2,e3,e4)
+        inter = A.intersection(B)
+        assert inter.vectors.shape[1] == 1
+        v = inter.vectors[:, 0] / np.linalg.norm(inter.vectors[:, 0])
+        assert abs(abs(v[2]) - 1.0) < 1e-9
+        uni = A.union(B)
+        assert uni.vectors.shape[1] == 5
+        A.normalize()
+        assert np.allclose(np.linalg.norm(A.vectors, axis=0), 1.0)
