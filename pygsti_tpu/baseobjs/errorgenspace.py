@@ -33,9 +33,9 @@ class ErrorgenSpace(object):
         """The span of the union of the two spaces."""
         assert self.elemgen_basis.labels == other_space.elemgen_basis.labels
         stacked = np.concatenate([self.vectors, other_space.vectors], axis=1)
-        q, r = np.linalg.qr(stacked)
-        rank = int(np.sum(np.abs(np.diag(r)) > 1e-10))
-        return ErrorgenSpace(q[:, :rank], self.elemgen_basis)
+        u, s, _ = np.linalg.svd(stacked, full_matrices=False)
+        rank = int(np.sum(s > 1e-10 * max(s[0] if len(s) else 1.0, 1e-30)))
+        return ErrorgenSpace(u[:, :rank], self.elemgen_basis)
 
     def normalize(self, norm_order=2):
         """Normalize the spanning vectors in place."""
