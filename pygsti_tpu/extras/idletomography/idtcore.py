@@ -353,3 +353,19 @@ class IdleTomography(Protocol):
                     and isinstance(k[1], tuple))
         return IdleTomographyResults(data, self, intrinsic, observed_slopes,
                                      pair_rates)
+
+
+def do_idle_tomography(nqubits, dataset, max_lengths, pauli_basis_dicts=None,
+                       maxweight=2, idle_string=None, include_hamiltonian=True,
+                       include_stochastic=True, include_affine=True,
+                       advanced_options=None, verbosity=0):
+    """One-call idle tomography analysis (reference:
+    idtcore.do_idle_tomography:1040): build the design for `nqubits` /
+    `max_lengths`, match it against `dataset`, and return the results
+    object with extracted H/S/A error rates."""
+    qubit_labels = list(range(nqubits)) if isinstance(nqubits, int) else list(nqubits)
+    design = IdleTomographyDesign(qubit_labels, max_lengths,
+                                  maxweight=maxweight)
+    from pygsti_tpu.protocols.protocol import ProtocolData
+    data = ProtocolData(design, dataset)
+    return IdleTomography().run(data)

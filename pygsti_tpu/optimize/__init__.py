@@ -5,3 +5,4 @@ from pygsti_tpu.optimize.simplerlm import (
     SimplerLMOptimizer, CustomLMOptimizer, OptimizerResult, simplish_leastsq,
 )
 from pygsti_tpu.optimize.device_lm import make_device_lm
+from pygsti_tpu.optimize import wildcardopt
