@@ -12,6 +12,19 @@ Reference layer map: see SURVEY.md; top-level API mirrors pyGSTi's
 (pygsti/__init__.py in the reference) where it makes sense.
 """
 
+import os as _os
+
+import jax as _jax
+
+# GST is a precision instrument: on TPU, jax's DEFAULT f32 matmul precision
+# uses bf16 passes, which measurably limits LM convergence (the 2Q benchmark
+# stalls at Nsigma ~220 instead of reaching the statistical optimum ~2).
+# Full-precision f32 matmuls cost nothing measurable on the hot paths here
+# (small-dimension PTM algebra; the f64 paths are unaffected), so default to
+# 'highest'.  Override with PYGSTI_TPU_MATMUL_PRECISION=default|high|highest.
+_jax.config.update('jax_default_matmul_precision',
+                   _os.environ.get('PYGSTI_TPU_MATMUL_PRECISION', 'highest'))
+
 from pygsti_tpu import baseobjs
 from pygsti_tpu import tools
 from pygsti_tpu import circuits
