@@ -96,4 +96,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # The tunneled-TPU backend occasionally wedges mid-run
+        # (FAILED_PRECONDITION on array readback); a fresh process gets a
+        # fresh client.  Re-exec once, then give up.
+        import traceback
+        if os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        traceback.print_exc()
+        print("bench: transient backend failure; re-executing once",
+              file=sys.stderr)
+        env = dict(os.environ, BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
