@@ -894,6 +894,16 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                                          str(256 * 1024 * 1024)))
         blk = max(64, int(_blk_budget // (max(n_out, 1) * NT * itemsize)))
         blk = min(blk, B)  # never pad the batch beyond one block
+        # Pallas backward-accumulation kernel (ops/pallas_kernels.py):
+        # 37x faster than the einsum scan standalone, but the current
+        # Mosaic toolchain fails to legalize the kernel when it is embedded
+        # inside the fused device-LM while_loop program ("failed to
+        # legalize operation 'func.return'"), so it is OPT-IN:
+        # PYGSTI_TPU_PALLAS_BWD=1 (works with the host LM loop,
+        # PYGSTI_TPU_HOST_LM=1, where the jtj graph compiles standalone).
+        _use_pallas_bwd = os.environ.get('PYGSTI_TPU_PALLAS_BWD') == '1'
+        if _use_pallas_bwd:
+            blk = max(128, (blk // 128) * 128)  # kernel tiles are 128 lanes
         nb = -(-B // blk)
         Bp = nb * blk
         D = layout.op_indices.shape[1]
@@ -961,18 +971,28 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             S_final, F_prev = jax.lax.scan(fwd_step, rho0, cols)
             # F_prev[l] = state BEFORE layer l, [D, blk, d]
 
-            def bwd_step(carry, xs):
-                Bc, A = carry
-                idx_col, f_prev = xs
-                onehot = jax.nn.one_hot(idx_col, K1, dtype=G.dtype)
-                A = A + jnp.einsum('bk,bni,bj->bnkij', onehot, Bc, f_prev)
-                yb = jnp.einsum('bni,kij->bnkj', Bc, G)
-                Bc = jnp.einsum('bnkj,bk->bnj', yb, onehot)
-                return (Bc, A), None
+            if _use_pallas_bwd:
+                # Pallas kernel: the A accumulator stays in VMEM for the
+                # whole depth loop instead of round-tripping HBM every
+                # layer (measured 37x faster than the einsum scan on the
+                # 2Q maxL=64 workload; ops/pallas_kernels.py)
+                from pygsti_tpu.ops.pallas_kernels import bwd_jacobian_accumulate
+                A, B_final = bwd_jacobian_accumulate(
+                    op_b, G, E, jnp.transpose(F_prev, (1, 0, 2)), tile=128)
+            else:
+                def bwd_step(carry, xs):
+                    Bc, A = carry
+                    idx_col, f_prev = xs
+                    onehot = jax.nn.one_hot(idx_col, K1, dtype=G.dtype)
+                    A = A + jnp.einsum('bk,bni,bj->bnkij', onehot, Bc, f_prev)
+                    yb = jnp.einsum('bni,kij->bnkj', Bc, G)
+                    Bc = jnp.einsum('bnkj,bk->bnj', yb, onehot)
+                    return (Bc, A), None
 
-            A0 = jnp.zeros((op_b.shape[0], n_out, K1, dim, dim), dtype=G.dtype)
-            (B_final, A), _ = jax.lax.scan(
-                bwd_step, (E, A0), (cols[::-1], F_prev[::-1]))
+                A0 = jnp.zeros((op_b.shape[0], n_out, K1, dim, dim),
+                               dtype=G.dtype)
+                (B_final, A), _ = jax.lax.scan(
+                    bwd_step, (E, A0), (cols[::-1], F_prev[::-1]))
 
             p = jnp.einsum('bni,bi->bn', E, S_final)
             nblk = op_b.shape[0]

@@ -8,9 +8,11 @@ XLA this accumulator lives in HBM and is re-read/re-written every layer
 the circuit batch so the accumulator lives in VMEM for the whole depth
 loop and is written to HBM exactly once.
 
-Enable in the objective pipeline with PYGSTI_TPU_PALLAS_BWD=1 (off by
-default: measure on your workload first -- see ops/README note in the
-docstring of `bwd_jacobian_accumulate`).
+TPU-native layout: the circuit batch is the LANE (last, 128-wide)
+dimension everywhere inside the kernel -- depth/outcome/row indices are
+leading dimensions, so the per-layer dynamic slice and all masked
+accumulations are lane-aligned (Mosaic rejects unaligned lane-dimension
+dynamic slices).
 """
 
 from __future__ import annotations
@@ -24,42 +26,53 @@ import jax.numpy as jnp
 
 
 def _kernel(cols_ref, g_ref, e_ref, f_ref, a_ref, bfin_ref):
-    """One circuit tile: run the depth loop with the accumulator in VMEM.
+    """One circuit tile, batch-last layout.
 
-    cols_ref: [TB, D] int32 op indices (identity-padded)
-    g_ref:    [K1, d, d] op stack (+identity)
-    e_ref:    [TB, NOUT, d] effect rows
-    f_ref:    [TB, D, d] state BEFORE each layer (forward-pass stash)
-    a_ref:    [TB, K1, NOUT*d*d] per-op gradient accumulator (output)
-    bfin_ref: [TB, NOUT, d] back-propagated effects (output)
+    cols_ref: [D, 1, TB] int32 op indices (identity-padded)
+    g_ref:    [K1, d, d] op stack (+identity), g_ref[k][j][i] = G[k][i][j]
+              (TRANSPOSED within each op so column slices give G rows)
+    e_ref:    [NOUT, d, TB] effect rows
+    f_ref:    [D, d, TB] state BEFORE each layer (forward-pass stash)
+    a_ref:    [K1, NOUT*d*d, TB] per-op gradient accumulator (output);
+              row n*d*d + i*d + j holds A[b, n, k, i, j]
+    bfin_ref: [NOUT, d, TB] back-propagated effects (output)
     """
-    TB, D = cols_ref.shape
+    from jax.experimental import pallas as pl
+
+    D = cols_ref.shape[0]
     K1, d, _ = g_ref.shape
-    NOUT = e_ref.shape[1]
+    NOUT = e_ref.shape[0]
 
     a_ref[:] = jnp.zeros_like(a_ref)
-    g_flat = g_ref[:].reshape(K1, d * d)
 
     def body(t, bc):
-        l = D - 1 - t
-        idx = cols_ref[:, l]                        # [TB]
-        f = f_ref[:, l, :]                          # [TB, d]
-        # contrib[b, n, i, j] = Bc[b, n, i] * f[b, j]
-        contrib = (bc[:, :, :, None] * f[:, None, None, :]).reshape(
-            TB, NOUT * d * d)
-        onehot = (idx[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (1, K1), 1)).astype(bc.dtype)  # [TB, K1]
+        # bc: [NOUT, d, TB].  cols/F arrive depth-REVERSED, so the loop
+        # counter indexes them directly (index arithmetic on the counter
+        # trips Mosaic's int32/int64 verification under jax_enable_x64)
+        idx = cols_ref[pl.ds(t, 1)][0]               # [1, TB]
+        f = f_ref[pl.ds(t, 1)][0]                    # [d, TB]
+        # contrib rows (n*d*d + i*d + j) = Bc[n,i,:] * f[j,:]
+        pieces = []
+        for n in range(NOUT):
+            for i in range(d):
+                pieces.append(bc[n, i:i + 1, :] * f)     # [d, TB]
+        contrib = jnp.concatenate(pieces, axis=0)        # [NOUT*d*d, TB]
+        masks = [(idx == k).astype(bc.dtype) for k in range(K1)]  # [1, TB]
         for k in range(K1):
-            a_ref[:, k, :] += onehot[:, k:k + 1] * contrib
-        # per-row selected op and Bc propagation:
-        #   Ghat[b] = G[idx[b]]  via a [TB,K1]x[K1,d*d] matmul (MXU)
-        ghat = jnp.dot(onehot, g_flat,
-                       preferred_element_type=bc.dtype).reshape(TB, d, d)
-        # Bc[b,n,j] = sum_i Bc[b,n,i] * Ghat[b,i,j]  (VPU reduce)
-        bc = jnp.sum(bc[:, :, :, None] * ghat[:, None, :, :], axis=2)
-        return bc
+            a_ref[k, :, :] += masks[k] * contrib
+        # Bc[n,j,:] = sum_i Bc[n,i,:] * G[idx, i, j]:
+        #   ghat_i[:, j, :] = sum_k mask_k * G[k, i, j]  (g_ref holds G^T
+        #   per op so g_ref[k, :, i] is the row G[k, i, :])
+        bc_new = jnp.zeros_like(bc)
+        for i in range(d):
+            ghat_i = masks[0][None] * g_ref[0:1, :, i:i + 1]
+            for k in range(1, K1):
+                ghat_i = ghat_i + masks[k][None] * g_ref[k:k + 1, :, i:i + 1]
+            # ghat_i: [1, d(j), TB]; bc[:, i:i+1, :]: [NOUT, 1, TB]
+            bc_new = bc_new + bc[:, i:i + 1, :] * ghat_i
+        return bc_new
 
-    bc_final = jax.lax.fori_loop(0, D, body, e_ref[:])
+    bc_final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(D), body, e_ref[:])
     bfin_ref[:] = bc_final
 
 
@@ -69,7 +82,7 @@ def bwd_jacobian_accumulate(cols, G, E, F, tile=256):
 
     cols [B, D] int32; G [K1, d, d]; E [B, NOUT, d]; F [B, D, d] (state
     before layer l, batch-major).  Returns (A [B, NOUT, K1, d, d],
-    B_final [B, NOUT, d]) identical (up to f32 summation order) to the
+    B_final [B, NOUT, d]) matching (up to f32 summation order) the
     lax.scan einsum formulation in objectivefns._block_probs_jac.
 
     The batch must be padded to a multiple of `tile` by the caller
@@ -83,35 +96,42 @@ def bwd_jacobian_accumulate(cols, G, E, F, tile=256):
     NOUT = E.shape[1]
     assert B % tile == 0, "pad the batch to a multiple of the tile size"
     nb = B // tile
+    X = NOUT * d * d
+
+    cols_t = jnp.transpose(cols, (1, 0))[::-1, None, :]  # [D, 1, B] reversed
+    e_t = jnp.transpose(E, (1, 2, 0))                    # [NOUT, d, B]
+    f_t = jnp.transpose(F, (1, 2, 0))[::-1]              # [D, d, B] reversed
+    g_t = jnp.transpose(G, (0, 2, 1))                    # G^T per op
 
     grid_spec = pl.GridSpec(
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((tile, D), lambda i: (i, 0),
+            pl.BlockSpec((D, 1, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K1, d, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, NOUT, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((NOUT, d, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((D, d, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, K1, NOUT * d * d), lambda i: (i, 0, 0),
+            pl.BlockSpec((K1, X, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, NOUT, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((NOUT, d, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
-    A_flat, B_final = pl.pallas_call(
+    A_t, Bf_t = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, K1, NOUT * d * d), G.dtype),
-            jax.ShapeDtypeStruct((B, NOUT, d), G.dtype),
+            jax.ShapeDtypeStruct((K1, X, B), G.dtype),
+            jax.ShapeDtypeStruct((NOUT, d, B), G.dtype),
         ],
-    )(cols, G, E, F)
-    A = A_flat.reshape(B, K1, NOUT, d, d).transpose(0, 2, 1, 3, 4)
+    )(cols_t, g_t, e_t, f_t)
+    A = jnp.transpose(A_t.reshape(K1, NOUT, d, d, B), (4, 1, 0, 2, 3))
+    B_final = jnp.transpose(Bf_t, (2, 0, 1))
     return A, B_final
 
 
