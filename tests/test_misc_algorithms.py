@@ -77,3 +77,28 @@ class TestQutritModel:
         m2 = create_qutrit_model(0.05, seed=3)
         p2 = m2.probabilities(c)
         assert max(abs(p[k] - p2[k]) for k in p) > 1e-3
+
+
+class TestGramMatrix:
+    def test_gram_rank_full_for_complete_data(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.algorithms.grammatrix import (
+            max_gram_rank_and_eigenvalues, max_gram_basis)
+        target = mp.target_model('full TP')
+        lists = create_lsgst_circuit_lists(
+            target, mp.prep_fiducials(), mp.meas_fiducials(), mp.germs(), [1])
+        ds = simulate_data(target.depolarize(op_noise=0.02), list(lists[-1]),
+                           4000, seed=11)
+        fixed = (list(mp.prep_fiducials()), list(mp.meas_fiducials()))
+        rank, svals, tsvals = max_gram_rank_and_eigenvalues(
+            ds, target, fixed_lists=fixed)
+        # informationally complete 1Q fiducials: >= 4 significant singular
+        # values in the data (shot noise keeps the trailing ones nonzero),
+        # exactly 4 in the noiseless target Gram
+        assert rank >= 4
+        assert len(svals) == len(fixed[0]) and len(tsvals) == len(fixed[0])
+        assert tsvals[3] > 1e-3 and tsvals[4] < 1e-10
+        assert svals[3] > 10 * svals[4]
