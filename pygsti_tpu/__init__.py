@@ -41,6 +41,21 @@ from pygsti_tpu import protocols
 from pygsti_tpu import drivers
 from pygsti_tpu import io
 from pygsti_tpu import report
+from pygsti_tpu import serialization
+from pygsti_tpu import leakage
+
+# reference-style short aliases (pygsti/__init__.py)
+from pygsti_tpu import algorithms as alg
+from pygsti_tpu import modelmembers as mm
+from pygsti_tpu import report as rpt
+
+# headline algorithm entry points at the top level (reference exposes
+# algorithms.core/gaugeopt/contract/grammatrix via star-imports)
+from pygsti_tpu.algorithms.core import run_lgst, run_iterative_gst
+from pygsti_tpu.algorithms.gaugeopt import gaugeopt_to_target
+from pygsti_tpu.algorithms.contract import contract
+from pygsti_tpu.algorithms.grammatrix import (max_gram_basis,
+                                              max_gram_rank_and_eigenvalues)
 
 from pygsti_tpu.baseobjs.label import Label
 from pygsti_tpu.circuits.circuit import Circuit
