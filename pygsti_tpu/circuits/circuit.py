@@ -241,3 +241,213 @@ class Circuit(object):
 
     def __repr__(self):
         return "Circuit(%s)" % self.str
+
+
+# -- manipulation / analysis methods (immutable: each returns a new Circuit;
+#    reference: pygsti/circuits/circuit.py editing API) ------------------------
+
+def _simple_components(layer):
+    """The simple labels within one layer label."""
+    if layer.is_simple:
+        return (layer,)
+    return tuple(layer.components)
+
+
+def _circuit_methods():
+    """(Installed below -- keeps the class block above compact.)"""
+
+
+def _num_gates(self):
+    """Total number of (simple) gate labels, idles excluded (reference:
+    Circuit.num_gates)."""
+    n = 0
+    for layer in self._layers:
+        n += sum(1 for c in _simple_components(layer) if len(c) > 0)
+    return n
+
+
+def _num_nq_gates(self, nq):
+    """Number of gates acting on exactly nq qubits (reference:
+    Circuit.num_nq_gates)."""
+    n = 0
+    for layer in self._layers:
+        for c in _simple_components(layer):
+            if c.sslbls is not None and len(c.sslbls) == nq:
+                n += 1
+    return n
+
+
+def _num_multiq_gates(self):
+    """Number of gates on 2+ qubits (reference: Circuit.num_multiq_gates)."""
+    n = 0
+    for layer in self._layers:
+        for c in _simple_components(layer):
+            if c.sslbls is not None and len(c.sslbls) >= 2:
+                n += 1
+    return n
+
+
+def _append_circuit(self, other):
+    """self followed by other (reference: Circuit.append_circuit)."""
+    return self + other
+
+
+def _prefix_circuit(self, other):
+    """other followed by self (reference: Circuit.prefix_circuit)."""
+    return other + self
+
+
+def _insert_layer(self, layer_lbl, j):
+    """A copy with `layer_lbl` inserted at layer index j (reference:
+    Circuit.insert_layer)."""
+    lay = _to_layer_label(layer_lbl)
+    return Circuit(self._layers[:j] + (lay,) + self._layers[j:],
+                   self._line_labels)
+
+
+def _delete_layers(self, layers_to_delete):
+    """A copy with the given layer indices removed (reference:
+    Circuit.delete_layers)."""
+    if isinstance(layers_to_delete, int):
+        layers_to_delete = (layers_to_delete,)
+    drop = set(layers_to_delete)
+    return Circuit(tuple(l for i, l in enumerate(self._layers)
+                         if i not in drop), self._line_labels)
+
+
+def _delete_idle_layers(self):
+    """A copy without empty (global-idle) layers (reference:
+    Circuit.delete_idle_layers_inplace)."""
+    return Circuit(tuple(l for l in self._layers if len(l) > 0),
+                   self._line_labels)
+
+
+def _replace_gatename(self, old_gatename, new_gatename):
+    """A copy with every gate named `old_gatename` renamed (state-space
+    labels preserved; reference: Circuit.replace_gatename)."""
+    def repl(lbl):
+        comps = _simple_components(lbl)
+        new = tuple(Label(new_gatename, c.sslbls) if c.name == old_gatename
+                    else c for c in comps)
+        if len(new) == 1:
+            return new[0]
+        return LabelTupTup.init(new)
+    return Circuit(tuple(repl(l) for l in self._layers), self._line_labels)
+
+
+def _replace_layer(self, old_layer, new_layer):
+    """A copy with every layer equal to old_layer replaced (reference:
+    Circuit.replace_layer)."""
+    old = _to_layer_label(old_layer)
+    new = _to_layer_label(new_layer)
+    return Circuit(tuple(new if l == old else l for l in self._layers),
+                   self._line_labels)
+
+
+def _layer(self, j):
+    """The j-th layer label (reference: Circuit.layer)."""
+    return self._layers[j]
+
+
+def _layer_label(self, j):
+    return self._layers[j]
+
+
+def _idling_lines(self):
+    """Line labels that no gate acts on (reference: Circuit.idling_lines)."""
+    used = set()
+    for l in self._layers:
+        for c in _simple_components(l):
+            if c.sslbls:
+                used.update(c.sslbls)
+    return tuple(ll for ll in self._line_labels if ll not in used)
+
+
+def _delete_idling_lines(self):
+    """A copy without idling lines (reference:
+    Circuit.delete_idling_lines)."""
+    idle = set(self.idling_lines())
+    keep = tuple(ll for ll in self._line_labels if ll not in idle)
+    return Circuit(self._layers, keep if keep else None)
+
+
+def _reorder_lines(self, order):
+    """A copy with line labels in the given order (reference:
+    Circuit.reorder_lines).  The gates themselves are untouched (labels
+    are absolute)."""
+    assert set(order) == set(self._line_labels)
+    return Circuit(self._layers, tuple(order))
+
+
+def _parallelize(self):
+    """Compress into as few layers as possible, moving gates earlier when
+    their qubits are free (reference: Circuit.parallelize)."""
+    new_layers = []   # list of lists of simple labels
+    busy = []         # per new layer: set of occupied lines
+    for l in self._layers:
+        for c in _simple_components(l):
+            if len(c) == 0:
+                continue
+            qubits = set(c.sslbls or self._line_labels)
+            # find the latest layer whose successors are all free
+            pos = len(new_layers)
+            while pos > 0 and not (busy[pos - 1] & qubits):
+                pos -= 1
+            if pos == len(new_layers):
+                new_layers.append([c])
+                busy.append(set(qubits))
+            else:
+                new_layers[pos].append(c)
+                busy[pos].update(qubits)
+    final = tuple(lay[0] if len(lay) == 1 else LabelTupTup.init(tuple(lay))
+                  for lay in new_layers)
+    return Circuit(final, self._line_labels)
+
+
+def _convert_to_openqasm(self, num_qubits=None, standard_gates_version='u3'):
+    """OpenQASM 2.0 program text for this circuit (reference:
+    Circuit.convert_to_openqasm)."""
+    from pygsti_tpu.tools.internalgates import (
+        standard_gatenames_openqasm_conversions)
+    names, param_fns = standard_gatenames_openqasm_conversions(
+        standard_gates_version)
+    lls = [ll for ll in self._line_labels if ll != '*']
+    if num_qubits is None:
+        num_qubits = len(lls) if lls else 1
+    qindex = {ll: i for i, ll in enumerate(lls)}
+    lines = ['OPENQASM 2.0;', 'include "qelib1.inc";',
+             'qreg q[%d];' % num_qubits, 'creg cr[%d];' % num_qubits]
+    for layer in self._layers:
+        for c in _simple_components(layer):
+            if len(c) == 0:
+                continue
+            qs = ', '.join('q[%d]' % qindex.get(s, s) for s in (c.sslbls or ()))
+            if c.name in param_fns and getattr(c, 'args', None):
+                lines.append('%s %s;' % (param_fns[c.name](c.args), qs))
+            elif c.name in names:
+                for g in names[c.name]:
+                    lines.append('%s %s;' % (g, qs))
+            else:
+                raise ValueError("No OpenQASM conversion for gate %r" % c.name)
+    lines.append('measure q -> cr;')
+    return '\n'.join(lines)
+
+
+for _nm, _fn in [('num_gates', property(_num_gates)),
+                 ('num_multiq_gates', property(_num_multiq_gates)),
+                 ('num_nq_gates', _num_nq_gates),
+                 ('append_circuit', _append_circuit),
+                 ('prefix_circuit', _prefix_circuit),
+                 ('insert_layer', _insert_layer),
+                 ('delete_layers', _delete_layers),
+                 ('delete_idle_layers', _delete_idle_layers),
+                 ('replace_gatename', _replace_gatename),
+                 ('replace_layer', _replace_layer),
+                 ('layer', _layer),
+                 ('layer_label', _layer_label),
+                 ('idling_lines', _idling_lines),
+                 ('delete_idling_lines', _delete_idling_lines),
+                 ('reorder_lines', _reorder_lines),
+                 ('parallelize', _parallelize),
+                 ('convert_to_openqasm', _convert_to_openqasm)]:
+    setattr(Circuit, _nm, _fn)

@@ -184,3 +184,45 @@ class TestReferenceCircuitCorpus:
                     "concat mismatch for %r" % s
             n_checked += 1
         assert n_checked > 1000, "corpus sample too small (%d)" % n_checked
+
+
+class TestCircuitManipulation:
+    def test_editing_methods(self):
+        from pygsti_tpu.circuits import Circuit
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 1), ('Gcnot', 0, 1)],
+                    line_labels=(0, 1))
+        assert c.num_gates == 3
+        assert c.num_multiq_gates == 1
+        assert c.num_nq_gates(1) == 2
+        c2 = c.insert_layer(('Gzpi2', 0), 1)
+        assert c2.depth == 4 and c2.layer(1).name == 'Gzpi2'
+        assert c2.delete_layers(1) == c
+        r = c.replace_gatename('Gxpi2', 'Gzpi2')
+        assert r.layer(0).name == 'Gzpi2' and r.layer(0).sslbls == (0,)
+        assert c.append_circuit(c).depth == 6
+        assert c.prefix_circuit(c) == c + c
+
+    def test_idling_and_parallelize(self):
+        from pygsti_tpu.circuits import Circuit
+        c = Circuit([('Gxpi2', 0), ('Gypi2', 1)], line_labels=(0, 1, 2))
+        assert c.idling_lines() == (2,)
+        assert c.delete_idling_lines().line_labels == (0, 1)
+        # parallelize: the two 1Q gates on different qubits share a layer
+        p = c.parallelize()
+        assert p.depth == 1 and len(p.layer(0).components) == 2
+        # gates on the same qubit stay ordered
+        c3 = Circuit([('Gxpi2', 0), ('Gypi2', 0)], line_labels=(0,))
+        assert c3.parallelize().depth == 2
+        # idle layers removable
+        c4 = Circuit("Gxpi2:0[]Gypi2:0@(0)")
+        assert c4.depth == 3 and c4.delete_idle_layers().depth == 2
+
+    def test_openqasm_conversion(self):
+        from pygsti_tpu.circuits import Circuit
+        c = Circuit([('Gxpi', 0), ('Gcnot', 0, 1), ('Gh', 1)],
+                    line_labels=(0, 1))
+        qasm = c.convert_to_openqasm()
+        assert 'OPENQASM 2.0' in qasm
+        assert 'x q[0];' in qasm and 'cx q[0], q[1];' in qasm \
+            and 'h q[1];' in qasm
+        assert 'measure' in qasm
