@@ -16,9 +16,10 @@ import numpy as np
 def encode_obj(obj, binary=False):
     """Encode an object into JSON-compatible primitives (reference:
     jsoncodec.encode_obj)."""
-    from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
+    from pygsti_tpu.baseobjs.nicelyserializable import (NicelySerializable,
+                                                        encode_value)
     if isinstance(obj, NicelySerializable):
-        return {'__nice__': obj._to_nice_serialization()}
+        return {'__nice__': encode_value(obj.to_nice_serialization())}
     if isinstance(obj, np.ndarray):
         if np.iscomplexobj(obj):
             return {'__ndarray_c__': [obj.real.tolist(), obj.imag.tolist()],
@@ -44,8 +45,10 @@ def decode_obj(obj, binary=False):
     """Inverse of encode_obj (reference: jsoncodec.decode_obj)."""
     if isinstance(obj, dict):
         if '__nice__' in obj:
-            from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
-            return NicelySerializable.from_nice_serialization(obj['__nice__'])
+            from pygsti_tpu.baseobjs.nicelyserializable import (
+                NicelySerializable, decode_value)
+            return NicelySerializable.from_nice_serialization(
+                decode_value(obj['__nice__']))
         if '__ndarray__' in obj:
             return np.array(obj['__ndarray__'], dtype=np.dtype(obj['dtype']))
         if '__ndarray_c__' in obj:

@@ -82,3 +82,27 @@ class TestIBMQExperiment:
         except ImportError:
             with _pytest.raises(ImportError):
                 exp.transpile()
+
+
+class TestJsonCodec:
+    def test_roundtrip_primitives(self):
+        import numpy as np
+        from pygsti_tpu.serialization import dumps, loads
+        obj = {'arr': np.arange(6, dtype=np.float64).reshape(2, 3),
+               'c': 1 + 2j, 't': (1, 'x', 2.5),
+               'carr': np.array([1 + 1j, 2 - 3j]),
+               'nested': {'k': [1, (2, 3)]}}
+        out = loads(dumps(obj))
+        assert np.array_equal(out['arr'], obj['arr'])
+        assert out['arr'].dtype == np.float64
+        assert out['c'] == 1 + 2j and out['t'] == (1, 'x', 2.5)
+        assert np.allclose(out['carr'], obj['carr'])
+        assert out['nested']['k'][1] == (2, 3)
+
+    def test_roundtrip_nicely_serializable(self):
+        from pygsti_tpu.serialization import dumps, loads
+        from pygsti_tpu.protocols.gst import GSTBadFitOptions
+        opts = GSTBadFitOptions(threshold=3.5, actions=('wildcard',))
+        out = loads(dumps(opts))
+        assert isinstance(out, GSTBadFitOptions)
+        assert out.threshold == 3.5 and tuple(out.actions) == ('wildcard',)
