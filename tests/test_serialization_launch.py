@@ -101,8 +101,9 @@ class TestJsonCodec:
 
     def test_roundtrip_nicely_serializable(self):
         from pygsti_tpu.serialization import dumps, loads
-        from pygsti_tpu.protocols.gst import GSTBadFitOptions
-        opts = GSTBadFitOptions(threshold=3.5, actions=('wildcard',))
-        out = loads(dumps(opts))
-        assert isinstance(out, GSTBadFitOptions)
-        assert out.threshold == 3.5 and tuple(out.actions) == ('wildcard',)
+        from pygsti_tpu.protocols.gst import GateSetTomographyCheckpoint
+        ckpt = GateSetTomographyCheckpoint(name='test-ckpt')
+        ckpt.last_completed_iter = 3
+        out = loads(dumps(ckpt))
+        assert isinstance(out, GateSetTomographyCheckpoint)
+        assert out.name == 'test-ckpt' and out.last_completed_iter == 3
