@@ -55,3 +55,87 @@ def simulate_data(model_or_dataset, circuit_list, num_samples, sample_error='mul
             raise ValueError("Invalid sample_error %r" % sample_error)
         ds.add_count_dict(c, counts, record_zero_counts=record_zero_counts)
     return ds
+
+
+def aggregate_dataset_outcomes(dataset, label_merge_dict,
+                               record_zero_counts=True):
+    """Merge outcomes of a DataSet, e.g. aggregate a 2-qubit 4-outcome set
+    into marginal 2-outcome data (reference:
+    datasetconstruction.aggregate_dataset_outcomes:283).
+
+    `label_merge_dict` maps each NEW outcome label to the list of OLD
+    outcome labels (strings or tuples) it absorbs."""
+    from pygsti_tpu.data.dataset import DataSet
+    norm = {}
+    for new, olds in label_merge_dict.items():
+        new_t = (new,) if not isinstance(new, tuple) else new
+        norm[new_t] = [(o,) if not isinstance(o, tuple) else o for o in olds]
+    out = DataSet(outcome_labels=[k[0] for k in norm])
+    for c in dataset.keys():
+        row = dataset[c]
+        counts = {}
+        for new_t, olds in norm.items():
+            tot = sum(row.counts.get(o, 0) for o in olds)
+            if tot > 0 or record_zero_counts:
+                counts[new_t[0]] = tot
+        out.add_count_dict(c, counts)
+    out.done_adding_data()
+    return out
+
+
+def _marginalize_outcome(outcome, keep_indices):
+    return (''.join(outcome[0][i] for i in keep_indices),)
+
+
+def filter_dataset(dataset, sectors_to_keep, sindices_to_keep=None,
+                   new_sectors=None, idle=((),), record_zero_counts=True,
+                   filtercircuits=True):
+    """Restrict a DataSet to a subset of qubits/sectors: marginalize the
+    outcome strings over the dropped sectors and keep only circuits whose
+    gates act within `sectors_to_keep` (reference:
+    datasetconstruction.filter_dataset:431)."""
+    from pygsti_tpu.data.dataset import DataSet
+    from pygsti_tpu.circuits.circuit import Circuit
+    sectors = list(sectors_to_keep)
+    out = None
+    for c in dataset.keys():
+        lls = list(c.line_labels)
+        if sindices_to_keep is not None:
+            keep_idx = list(sindices_to_keep)
+        else:
+            keep_idx = [lls.index(s) for s in sectors if s in lls]
+        if filtercircuits:
+            ok = True
+            for layer in c.layertup:
+                comps = (layer,) if layer.is_simple else tuple(layer.components)
+                for comp in comps:
+                    if comp.sslbls is None:
+                        continue
+                    if not set(comp.sslbls) <= set(sectors):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if not ok:
+                continue
+        # rebuild the circuit on the kept lines (relabel when requested)
+        if new_sectors is not None:
+            mapping = {s: new_sectors[i] for i, s in enumerate(sectors)}
+            new_c = c.map_state_space_labels(
+                lambda x: mapping.get(x, x))
+            new_c = Circuit(new_c.layertup,
+                            tuple(mapping[s] for s in sectors if s in lls))
+        else:
+            new_c = Circuit(c.layertup,
+                            tuple(s for s in sectors if s in lls))
+        row = dataset[c]
+        counts = {}
+        for outcome, cnt in row.counts.items():
+            m = _marginalize_outcome(outcome, keep_idx)
+            counts[m] = counts.get(m, 0) + cnt
+        if out is None:
+            out = DataSet(outcome_labels=sorted({o[0] for o in counts}))
+        out.add_count_dict(new_c, {k[0]: v for k, v in counts.items()})
+    if out is not None:
+        out.done_adding_data()
+    return out

@@ -44,3 +44,43 @@ class TestHypothesisTest:
         assert rej['a'] is True            # budget 0.0375
         # b initially 0.0125; after a rejected b gets full 0.05 -> rejected
         assert rej['b'] is True
+
+
+class TestDatasetAggregation:
+    def test_aggregate_outcomes(self):
+        import jax
+        from pygsti_tpu.modelpacks import smq2Q_XYICNOT as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.data.datasetconstruction import (
+            aggregate_dataset_outcomes, filter_dataset)
+        from pygsti_tpu.circuits import Circuit
+        mdl = mp.target_model('full TP').depolarize(op_noise=0.02)
+        circs = [Circuit([('Gxpi2', 0)], line_labels=(0, 1)),
+                 Circuit([('Gypi2', 1)], line_labels=(0, 1)),
+                 Circuit([('Gxpi2', 0), ('Gcnot', 0, 1)], line_labels=(0, 1))]
+        ds = simulate_data(mdl, circs, 2000, seed=5)
+        agg = aggregate_dataset_outcomes(
+            ds, {'0': ['00', '01'], '1': ['10', '11']})
+        row = agg[circs[0]]
+        orig = ds[circs[0]]
+        assert row.counts[('0',)] == orig.counts.get(('00',), 0) + \
+            orig.counts.get(('01',), 0)
+        assert row.total == orig.total
+
+    def test_filter_dataset(self):
+        from pygsti_tpu.modelpacks import smq2Q_XYICNOT as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.data.datasetconstruction import filter_dataset
+        from pygsti_tpu.circuits import Circuit
+        mdl = mp.target_model('full TP').depolarize(op_noise=0.02)
+        c_keep = Circuit([('Gxpi2', 0)], line_labels=(0, 1))
+        c_drop = Circuit([('Gcnot', 0, 1)], line_labels=(0, 1))
+        ds = simulate_data(mdl, [c_keep, c_drop], 2000, seed=6)
+        f = filter_dataset(ds, [0])
+        keys = list(f.keys())
+        assert len(keys) == 1  # the CNOT circuit is filtered out
+        row = f[keys[0]]
+        orig = ds[c_keep]
+        # marginal over qubit 1
+        assert row.counts[('0',)] == orig.counts.get(('00',), 0) + \
+            orig.counts.get(('01',), 0)
