@@ -403,3 +403,38 @@ def project_model(model, target_model, projectiontypes=('H', 'S', 'H+S', 'LND'),
         out_models[p]._mark_for_rebuild()
     return ([out_models[p] for p in projectiontypes],
             [n_params[p] for p in projectiontypes])
+
+
+def spam_error_generator(spamvec, target_spamvec, mx_basis='pp', typ="logGTi"):
+    """Error generator for a SPAM vector: L with spamvec = exp(L) target
+    (assuming the error map acts diagonally-ish; reference:
+    optools.spam_error_generator:1648 uses the same 'spam error along the
+    target direction' construction)."""
+    assert typ == "logGTi", "Only logGTi spam error generators are supported"
+    v = np.asarray(spamvec).ravel()
+    t = np.asarray(target_spamvec).ravel()
+    d2 = len(v)
+    # error map E with v = E t: choose E = I + (v-t) t^T / |t|^2 and take log
+    E = np.eye(d2) + np.outer(v - t, t) / float(np.dot(t, t))
+    return spl.logm(E).real
+
+
+def gateset_infidelity(model, target_model, itype='EI', weights=None,
+                       mx_basis=None, is_tp=None, is_unitary=None):
+    """Weighted average over gates of the entanglement ('EI') or average-gate
+    ('AGI') infidelity to the target (reference:
+    optools.gateset_infidelity:886)."""
+    assert itype in ('EI', 'AGI')
+    if mx_basis is None:
+        mx_basis = getattr(model, 'basis', 'pp')
+    total = 0.0
+    wtotal = 0.0
+    for lbl in target_model.operations.keys():
+        w = 1.0 if weights is None else float(weights.get(lbl, 1.0))
+        a = np.asarray(model.operations[lbl].to_dense())
+        b = np.asarray(target_model.operations[lbl].to_dense())
+        inf = entanglement_infidelity(a, b, mx_basis) if itype == 'EI' \
+            else average_gate_infidelity(a, b, mx_basis)
+        total += w * float(np.real(inf))
+        wtotal += w
+    return total / max(wtotal, 1e-300)

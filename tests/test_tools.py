@@ -361,3 +361,15 @@ class TestMatrixMod2Extras:
         b = np.array([1, 0, 1])
         x = Axb_mod2(A, b)
         assert np.array_equal(dot_mod2(A, x).ravel(), b)
+
+
+class TestGatesetInfidelity:
+    def test_depolarizing_values(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools.optools import gateset_infidelity
+        t = mp.target_model('static')
+        n = mp.target_model('full TP').depolarize(op_noise=0.02)
+        assert abs(gateset_infidelity(n, t, 'EI') - 0.015) < 1e-9
+        assert abs(gateset_infidelity(n, t, 'AGI') - 0.01) < 1e-9
+        w = {('Gxpi2', 0): 2.0}
+        assert abs(gateset_infidelity(n, t, 'EI', weights=w) - 0.015) < 1e-9
