@@ -139,3 +139,30 @@ def filter_dataset(dataset, sectors_to_keep, sindices_to_keep=None,
     if out is not None:
         out.done_adding_data()
     return out
+
+
+def trim_to_constant_numtimesteps(ds):
+    """Trim a time-series DataSet so every circuit has the same number of
+    timesteps (the minimum over circuits; reference:
+    datasetconstruction.trim_to_constant_numtimesteps:520)."""
+    from pygsti_tpu.data.dataset import DataSet
+    n_times = []
+    for c in ds.keys():
+        row = ds[c]
+        assert row.time is not None, \
+            "trim_to_constant_numtimesteps requires time-series data"
+        n_times.append(len(set(row.time)))
+    min_times = min(n_times) if n_times else 0
+    out = DataSet(outcome_labels=list(getattr(ds, '_outcome_labels', [])))
+    for c in ds.keys():
+        row = ds[c]
+        unique_ts = sorted(set(row.time))[:min_times]
+        keep = set(unique_ts)
+        ols, ts = [], []
+        for ol, t in zip(row.outcome_series, row.time):
+            if t in keep:
+                ols.append(ol)
+                ts.append(t)
+        out.add_raw_series_data(c, ols, ts)
+    out.done_adding_data()
+    return out

@@ -85,3 +85,20 @@ def _probs_at(model, circuit, t):
         rho = G[op_keys.index(l)] @ rho
     E = np.asarray(ten.effects)
     return float(E[0] @ rho)
+
+
+class TestTrimTimesteps:
+    def test_trim(self):
+        from pygsti_tpu.data.dataset import DataSet
+        from pygsti_tpu.data.datasetconstruction import (
+            trim_to_constant_numtimesteps)
+        from pygsti_tpu.circuits import Circuit
+        ds = DataSet(outcome_labels=['0', '1'])
+        c1 = Circuit([('Gxpi2', 0)], line_labels=(0,))
+        c2 = Circuit([('Gypi2', 0)], line_labels=(0,))
+        ds.add_raw_series_data(c1, ['0', '1', '0', '1'], [0.0, 1.0, 2.0, 3.0])
+        ds.add_raw_series_data(c2, ['1', '0'], [0.0, 1.0])
+        ds.done_adding_data()
+        t = trim_to_constant_numtimesteps(ds)
+        assert len(set(t[c1].time)) == 2 and len(set(t[c2].time)) == 2
+        assert t[c1].counts[('0',)] == 1 and t[c1].counts[('1',)] == 1
