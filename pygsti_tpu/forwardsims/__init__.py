@@ -5,3 +5,4 @@ from pygsti_tpu.forwardsims.forwardsim import (
     MapForwardSimulator, create_forward_simulator,
 )
 from pygsti_tpu.forwardsims.statevecsim import StateVectorForwardSimulator
+from pygsti_tpu.forwardsims.torchfwdsim import TorchForwardSimulator

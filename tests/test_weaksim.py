@@ -42,3 +42,25 @@ class TestWeakSim:
         ops = [l.split()[0] for l in txt.splitlines()
                if l and not l.startswith('#')]
         assert set(ops) <= {'h', 'p', 'c', 'm'}
+
+
+class TestTorchForwardSimulator:
+    def test_matches_jax_sim(self):
+        import numpy as np
+        import pytest
+        torch = pytest.importorskip('torch')
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.forwardsims.torchfwdsim import TorchForwardSimulator
+        from pygsti_tpu.circuits import Circuit
+        model = mp.target_model('full TP').depolarize(op_noise=0.03)
+        circuits = [Circuit([('Gxpi2', 0)], line_labels=(0,)),
+                    Circuit([('Gxpi2', 0), ('Gypi2', 0)], line_labels=(0,)),
+                    Circuit([('Gypi2', 0)] * 3, line_labels=(0,))]
+        layout = model.sim.create_layout(circuits)
+        p_jax = model.sim.bulk_fill_probs(None, layout)
+        J_jax = model.sim.bulk_fill_dprobs(None, layout)
+        tsim = TorchForwardSimulator(model)
+        p_t = tsim.bulk_fill_probs(None, layout)
+        J_t = tsim.bulk_fill_dprobs(None, layout)
+        assert np.allclose(p_t, p_jax, atol=1e-10)
+        assert np.allclose(J_t, J_jax, atol=1e-8)
