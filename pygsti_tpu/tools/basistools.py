@@ -94,3 +94,65 @@ def gmvec_to_stdmx(v):
 
 def stdvec_to_stdmx(v):
     return vec_to_stdmx(v, 'std')
+
+
+def basis_element_labels(basis, dim):
+    """Labels of the elements of `basis` (reference:
+    basistools.basis_element_labels)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    return tuple(Basis.cast(basis, dim).labels)
+
+
+def create_basis_for_matrix(mx, basis):
+    """A Basis object of `basis`'s type sized for the given matrix
+    (reference: basistools.create_basis_for_matrix)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    d2 = np.asarray(mx).shape[0]
+    return Basis.cast(basis, d2) if isinstance(basis, str) else basis
+
+
+def state_to_stdmx(state_vec):
+    """Pure state -> density matrix (std basis; reference:
+    basistools.state_to_stdmx)."""
+    v = np.asarray(state_vec).reshape(-1, 1)
+    return v @ v.conj().T
+
+
+def state_to_pauli_density_vec(state_vec):
+    """Pure state -> pp-basis density vector (reference:
+    basistools.state_to_pauli_density_vec)."""
+    return stdmx_to_vec(state_to_stdmx(state_vec), 'pp')
+
+
+def resize_std_mx(mx, resize, std_basis_1, std_basis_2):
+    """Embed or contract a std-basis matrix between direct-sum structures
+    (reference: basistools.resize_std_mx).  Only the simple
+    equal-dimension case and zero-padded expand/contract are supported."""
+    mx = np.asarray(mx)
+    d1, d2 = std_basis_1.dim, std_basis_2.dim
+    if d1 == d2:
+        return mx.copy()
+    if resize == 'expand':
+        assert d2 > d1
+        out = np.zeros((d2, d2), dtype=mx.dtype)
+        out[:d1, :d1] = mx
+        return out
+    if resize == 'contract':
+        assert d2 < d1
+        return mx[:d2, :d2].copy()
+    raise ValueError("resize must be 'expand' or 'contract'")
+
+
+def flexible_change_basis(mx, start_basis, end_basis):
+    """change_basis that tolerates differing dimensions by zero-padded
+    embedding (reference: basistools.flexible_change_basis)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    mx = np.asarray(mx)
+    d = mx.shape[0]
+    sb = Basis.cast(start_basis, d) if isinstance(start_basis, str) else start_basis
+    eb = Basis.cast(end_basis, d) if isinstance(end_basis, str) else end_basis
+    if sb.dim == eb.dim:
+        return change_basis(mx, sb, eb)
+    mx2 = resize_std_mx(change_basis(mx, sb, 'std'),
+                        'expand' if eb.dim > sb.dim else 'contract', sb, eb)
+    return change_basis(mx2, 'std', eb)

@@ -373,3 +373,18 @@ class TestGatesetInfidelity:
         assert abs(gateset_infidelity(n, t, 'AGI') - 0.01) < 1e-9
         w = {('Gxpi2', 0): 2.0}
         assert abs(gateset_infidelity(n, t, 'EI', weights=w) - 0.015) < 1e-9
+
+
+class TestBasistoolsExtras:
+    def test_state_helpers(self):
+        import numpy as np
+        from pygsti_tpu.tools.basistools import (
+            basis_element_labels, state_to_stdmx, state_to_pauli_density_vec,
+            flexible_change_basis)
+        assert basis_element_labels('pp', 4) == ('I', 'X', 'Y', 'Z')
+        rho = state_to_stdmx([1, 0])
+        assert np.allclose(rho, [[1, 0], [0, 0]])
+        v = state_to_pauli_density_vec([1, 0])
+        assert np.allclose(v, [1 / np.sqrt(2), 0, 0, 1 / np.sqrt(2)])
+        m = np.diag([1.0, 0.5, 0.5, 0.2])
+        assert np.allclose(flexible_change_basis(m, 'pp', 'pp'), m)
