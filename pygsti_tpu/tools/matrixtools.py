@@ -121,3 +121,162 @@ def project_onto_kite(m, kite):
         out[off:off + blk, off:off + blk] = m[off:off + blk, off:off + blk]
         off += blk
     return out
+
+
+def gram_matrix(m, adjoint=False):
+    """M^dag M (or M M^dag when adjoint) (reference:
+    matrixtools.gram_matrix)."""
+    m = np.asarray(m)
+    return m @ m.conj().T if adjoint else m.conj().T @ m
+
+
+def is_projector(m, tol=1e-9):
+    """Is m a projector (m @ m == m)? (reference: matrixtools.is_projector)."""
+    m = np.asarray(m)
+    return bool(np.linalg.norm(m @ m - m) < tol)
+
+
+def normalize_columns(m, return_norms=False, ord=None):
+    """Column-normalized copy (reference: matrixtools.normalize_columns)."""
+    m = np.array(m, dtype=float if not np.iscomplexobj(m) else complex)
+    norms = np.linalg.norm(m, axis=0, ord=ord)
+    safe = np.where(norms > 1e-300, norms, 1.0)
+    out = m / safe[None, :]
+    return (out, norms) if return_norms else out
+
+
+def column_norms(m, ord=None):
+    return np.linalg.norm(np.asarray(m), axis=0, ord=ord)
+
+
+def columns_are_orthogonal(m, tol=1e-7):
+    m = np.asarray(m)
+    g = np.abs(m.conj().T @ m)
+    np.fill_diagonal(g, 0)
+    return bool(np.all(g < tol))
+
+
+def columns_are_orthonormal(m, tol=1e-7):
+    m = np.asarray(m)
+    g = m.conj().T @ m
+    return bool(np.allclose(g, np.eye(m.shape[1]), atol=tol))
+
+
+def independent_columns(m, initial_independent_cols=None, tol=1e-7):
+    """Indices of a maximal linearly independent column subset (reference:
+    matrixtools.independent_columns)."""
+    m = np.asarray(m)
+    keep = []
+    basis = [] if initial_independent_cols is None \
+        else [np.asarray(c, dtype=complex) for c in
+              np.asarray(initial_independent_cols).T]
+    for j in range(m.shape[1]):
+        v = m[:, j].astype(complex)
+        for b in basis:
+            v = v - (b.conj() @ v) / (b.conj() @ b) * b
+        if np.linalg.norm(v) > tol * max(np.linalg.norm(m[:, j]), 1e-300):
+            keep.append(j)
+            basis.append(v)
+    return keep
+
+
+def matrix_sign(m):
+    """Matrix sign function via Schur/eigendecomposition (reference:
+    matrixtools.matrix_sign)."""
+    import scipy.linalg as spl
+    m = np.asarray(m, dtype=complex)
+    evals, V = np.linalg.eig(m)
+    return np.real_if_close(V @ np.diag(np.sign(np.real(evals))) @
+                            np.linalg.inv(V))
+
+
+def eigenvalues(m):
+    return np.linalg.eigvals(np.asarray(m))
+
+
+def eigendecomposition(m):
+    """(V, evals, V^-1) (reference: matrixtools.eigendecomposition returns
+    (U, evals, invU))."""
+    evals, V = np.linalg.eig(np.asarray(m))
+    return V, evals, np.linalg.inv(V)
+
+
+def vec(matrix_in):
+    """Column-stacked vectorization (reference: matrixtools.vec)."""
+    return np.asarray(matrix_in).flatten(order='F')[:, None]
+
+
+def unvec(vector_in):
+    d = int(round(np.sqrt(np.asarray(vector_in).size)))
+    return np.asarray(vector_in).reshape(d, d, order='F')
+
+
+def norm1(m):
+    """Trace (Schatten-1) norm."""
+    return float(np.sum(np.linalg.svd(np.asarray(m), compute_uv=False)))
+
+
+def norm1to1(operator, num_samples=8, mx_basis="gm", return_list=False):
+    """1-to-1 norm of a superoperator, estimated by sampling random
+    Hermitian inputs (reference: matrixtools.norm1to1)."""
+    from pygsti_tpu.tools.basistools import change_basis, vec_to_stdmx, stdmx_to_vec
+    rng = np.random.RandomState(0)
+    op = np.asarray(operator)
+    d2 = op.shape[0]
+    d = int(round(np.sqrt(d2)))
+    vals = []
+    for _ in range(num_samples):
+        h = random_hermitian(d, rand_state=rng)
+        h = h / norm1(h)
+        rho_out = vec_to_stdmx(op @ stdmx_to_vec(h, mx_basis), mx_basis)
+        vals.append(norm1(rho_out))
+    return vals if return_list else float(max(vals))
+
+
+def to_unitary(scaled_unitary):
+    """(scale, unitary) with scaled_unitary = scale * unitary (reference:
+    matrixtools.to_unitary)."""
+    m = np.asarray(scaled_unitary, dtype=complex)
+    scale = np.sqrt(np.abs(np.trace(m.conj().T @ m)) / m.shape[0])
+    u = m / scale
+    return scale, u
+
+
+def sorted_eig(m):
+    """Eigenvalues/vectors sorted by (real, imag) (reference:
+    matrixtools.sorted_eig)."""
+    evals, V = np.linalg.eig(np.asarray(m))
+    order = np.lexsort((evals.imag, evals.real))
+    return evals[order], V[:, order]
+
+
+def intersection_space(space1, space2, tol=1e-7, use_nice_nullspace=False):
+    """Intersection of two column spaces (reference:
+    matrixtools.intersection_space)."""
+    VW = np.concatenate([np.asarray(space1), -np.asarray(space2)], axis=1)
+    ns = nullspace(VW, tol)
+    return np.asarray(space1) @ ns[:np.asarray(space1).shape[1], :]
+
+
+def union_space(space1, space2, tol=1e-7):
+    """Span of the union of two column spaces (reference:
+    matrixtools.union_space)."""
+    stacked = np.concatenate([np.asarray(space1), np.asarray(space2)], axis=1)
+    u, s, _ = np.linalg.svd(stacked, full_matrices=False)
+    rank = int(np.sum(s > tol * max(s[0] if len(s) else 1.0, 1e-30)))
+    return u[:, :rank]
+
+
+def zvals_to_dense(zvals, superket=True):
+    """Computational-basis state |z0 z1 ...> as a dense (super)ket
+    (reference: matrixtools.zvals_to_dense)."""
+    n = len(zvals)
+    idx = 0
+    for z in zvals:
+        idx = (idx << 1) | int(z)
+    psi = np.zeros(2 ** n, dtype=complex)
+    psi[idx] = 1.0
+    if not superket:
+        return psi
+    from pygsti_tpu.tools.basistools import stdmx_to_vec
+    return np.real(stdmx_to_vec(np.outer(psi, psi.conj()), 'pp'))

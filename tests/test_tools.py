@@ -388,3 +388,25 @@ class TestBasistoolsExtras:
         assert np.allclose(v, [1 / np.sqrt(2), 0, 0, 1 / np.sqrt(2)])
         m = np.diag([1.0, 0.5, 0.5, 0.2])
         assert np.allclose(flexible_change_basis(m, 'pp', 'pp'), m)
+
+
+class TestMatrixtoolsExtras:
+    def test_various(self):
+        import numpy as np
+        from pygsti_tpu.tools import matrixtools as mt
+        assert np.allclose(mt.matrix_sign(np.diag([2.0, -3.0])),
+                           np.diag([1, -1]))
+        assert mt.independent_columns(
+            np.array([[1, 0, 1.], [0, 1, 1.]])) == [0, 1]
+        s, u = mt.to_unitary(1.5 * np.eye(2))
+        assert abs(s - 1.5) < 1e-12 and np.allclose(u, np.eye(2))
+        m = np.arange(4.).reshape(2, 2)
+        assert np.allclose(mt.unvec(mt.vec(m)), m)
+        e = np.eye(4)
+        assert mt.union_space(e[:, :2], e[:, 1:3]).shape[1] == 3
+        assert mt.intersection_space(e[:, :2], e[:, 1:3]).shape[1] == 1
+        assert mt.columns_are_orthonormal(np.eye(3))
+        assert not mt.columns_are_orthogonal(np.array([[1., 1.], [0., 1.]]))
+        # 1->1 norm of the identity channel is 1
+        assert abs(mt.norm1to1(np.eye(4)) - 1.0) < 1e-9
+        assert mt.is_projector(np.diag([1.0, 0.0]))
