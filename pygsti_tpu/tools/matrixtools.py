@@ -220,13 +220,12 @@ def norm1to1(operator, num_samples=8, mx_basis="gm", return_list=False):
     """1-to-1 norm of a superoperator, estimated by sampling random
     Hermitian inputs (reference: matrixtools.norm1to1)."""
     from pygsti_tpu.tools.basistools import change_basis, vec_to_stdmx, stdmx_to_vec
-    rng = np.random.RandomState(0)
     op = np.asarray(operator)
     d2 = op.shape[0]
     d = int(round(np.sqrt(d2)))
     vals = []
-    for _ in range(num_samples):
-        h = random_hermitian(d, rand_state=rng)
+    for k in range(num_samples):
+        h = random_hermitian(d, seed=k)
         h = h / norm1(h)
         rho_out = vec_to_stdmx(op @ stdmx_to_vec(h, mx_basis), mx_basis)
         vals.append(norm1(rho_out))
