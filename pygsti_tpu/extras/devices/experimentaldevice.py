@@ -38,6 +38,24 @@ def _grid(rows, cols):
     return edges
 
 
+def _guadalupe16():
+    # 16-qubit heavy-hex (falcon r4P: guadalupe)
+    pairs = [(0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7),
+             (7, 10), (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15),
+             (13, 14)]
+    return [('Q%d' % a, 'Q%d' % b) for a, b in pairs]
+
+
+def _falcon27():
+    # 27-qubit heavy-hex (falcon r4: montreal/toronto/mumbai/cairo class)
+    pairs = [(0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7),
+             (7, 10), (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15),
+             (13, 14), (14, 16), (15, 18), (16, 19), (17, 18), (18, 21),
+             (19, 20), (19, 22), (21, 23), (22, 25), (23, 24), (24, 25),
+             (25, 26)]
+    return [('Q%d' % a, 'Q%d' % b) for a, b in pairs]
+
+
 # named public device topologies (connectivity only)
 DEVICE_EDGELISTS = {
     'ibmq_athens': _line(5), 'ibmq_bogota': _line(5),
@@ -46,6 +64,11 @@ DEVICE_EDGELISTS = {
     'ibmq_essex': _t5(), 'ibmq_london': _t5(), 'ibmq_burlington': _t5(),
     'ibmq_lagos': _h7(), 'ibmq_casablanca': _h7(), 'ibmq_jakarta': _h7(),
     'ibmq_perth': _h7(), 'ibmq_nairobi': _h7(),
+    'ibmq_guadalupe': _guadalupe16(),
+    'ibmq_montreal': _falcon27(), 'ibmq_toronto': _falcon27(),
+    'ibmq_mumbai': _falcon27(), 'ibmq_cairo': _falcon27(),
+    'ibmq_hanoi': _falcon27(), 'ibmq_auckland': _falcon27(),
+    'ibmq_algiers': _falcon27(), 'ibmq_kolkata': _falcon27(),
 }
 
 
