@@ -6,3 +6,4 @@ from pygsti_tpu.optimize.simplerlm import (
 )
 from pygsti_tpu.optimize.device_lm import make_device_lm
 from pygsti_tpu.optimize import wildcardopt
+from pygsti_tpu.optimize.optimize import minimize, check_jac

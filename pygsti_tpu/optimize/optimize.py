@@ -1,0 +1,81 @@
+"""General-purpose minimization wrappers (reference:
+pygsti/optimize/optimize.py).
+
+`minimize` dispatches over scipy methods plus the reference's extras
+(basinhopping, 'supersimplex' = restarted Nelder-Mead, 'swarm'/'evolve'
+via scipy differential evolution).  Used by gauge optimization and
+wildcard fitting when an LM shape doesn't apply.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.optimize as spo
+
+
+class OptimizerResult(object):
+    def __init__(self, x, fun, success=True, message=""):
+        self.x = x
+        self.fun = fun
+        self.success = success
+        self.message = message
+
+
+def minimize(fn, x0, method='cg', callback=None, tol=1e-10, maxiter=1000000,
+             maxfev=None, stopval=None, jac=None, verbosity=0, **addl_kwargs):
+    """Minimize `fn` starting from x0 (reference: optimize.minimize:~40).
+
+    method: any scipy.optimize.minimize method (case-insensitive), or
+    'basinhopping', 'supersimplex' (restarted Nelder-Mead), or 'evolve'
+    (differential evolution)."""
+    m = method.lower()
+    x0 = np.asarray(x0, dtype=float)
+    if m == 'basinhopping':
+        res = spo.basinhopping(
+            fn, x0, niter=addl_kwargs.get('niter', 100),
+            minimizer_kwargs={'method': 'L-BFGS-B', 'jac': jac})
+        return OptimizerResult(res.x, float(res.fun), True,
+                               str(getattr(res, 'message', '')))
+    if m == 'supersimplex':
+        x = x0
+        best_f = float(fn(x0))
+        for _ in range(addl_kwargs.get('num_restarts', 3)):
+            res = spo.minimize(fn, x, method='Nelder-Mead',
+                               options={'maxiter': maxiter, 'xatol': tol,
+                                        'fatol': tol})
+            x = res.x
+            if stopval is not None and res.fun < stopval:
+                break
+            if abs(best_f - res.fun) < tol:
+                best_f = float(res.fun)
+                break
+            best_f = float(res.fun)
+        return OptimizerResult(x, best_f, True, "supersimplex finished")
+    if m in ('evolve', 'evolutionary'):
+        bounds = addl_kwargs.get('bounds') or \
+            [(xi - 1.0, xi + 1.0) for xi in x0]
+        res = spo.differential_evolution(fn, bounds, tol=tol,
+                                         maxiter=min(maxiter, 1000), seed=0)
+        return OptimizerResult(res.x, float(res.fun), res.success, res.message)
+    res = spo.minimize(fn, x0, method=method, jac=jac, tol=tol,
+                       callback=callback,
+                       options={'maxiter': maxiter})
+    return OptimizerResult(res.x, float(res.fun), bool(res.success),
+                           str(res.message))
+
+
+def check_jac(f, x0, jac_to_check, eps=1e-7, tol=1e-5, err_type='rel'):
+    """Finite-difference check of a jacobian function (reference:
+    optimize.check_jac).  Returns (err_sum, norm, max_err)."""
+    f0 = np.asarray(f(x0))
+    J = np.asarray(jac_to_check)
+    fd = np.zeros_like(J)
+    for i in range(len(x0)):
+        xp = np.array(x0, dtype=float)
+        xp[i] += eps
+        fd[:, i] = (np.asarray(f(xp)) - f0) / eps
+    diff = np.abs(J - fd)
+    if err_type == 'rel':
+        denom = np.maximum(np.abs(fd), 1e-10)
+        diff = diff / denom
+    return float(diff.sum()), float(np.linalg.norm(fd)), float(diff.max())
