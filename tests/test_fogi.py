@@ -89,3 +89,19 @@ class TestFOGIModelAPI:
     def test_labels_nonempty(self, store):
         for s in store.fogi_quantity_labels():
             assert s and s != "(null)"
+
+
+class TestFOGIDiagram:
+    def test_render(self, tmp_path):
+        from pygsti_tpu.report.fogidiagram import FOGIDiagram
+        target = mp.target_model('static')
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.02)
+        noisy.setup_fogi(target_model=target)
+        diag = FOGIDiagram(noisy)
+        rows = diag.rates_table()
+        assert rows and abs(rows[0][1]) >= abs(rows[-1][1])
+        html = diag.render_html()
+        assert 'FOGI error rates' in html and 'intrinsic' in html
+        p = tmp_path / "fogi.html"
+        diag.write_html(str(p))
+        assert p.exists()
