@@ -240,3 +240,16 @@ class TestSwitchboard:
         html = sb.render()
         assert 'content-A' in html and 'content-B' in html
         assert html.count('<option') == 2
+
+
+class TestVBPlot:
+    def test_volumetric_plot_html(self):
+        import numpy as np
+        from pygsti_tpu.report.vbplot import (volumetric_plot_html,
+                                              volumetric_boundary_data)
+        data = {(d, w): (0.9 if d * w <= 8 else 0.1)
+                for d in (2, 4, 8) for w in (1, 2, 4)}
+        html = volumetric_plot_html(data, title='VB test')
+        assert 'VB test' in html and html.count('<td') > 9
+        b = volumetric_boundary_data(data, threshold=0.5)
+        assert b[2] == 4 and b[8] == 1
