@@ -6,3 +6,4 @@ from pygsti_tpu.models.modelconstruction import (
     create_explicit_model, create_explicit_model_from_expressions,
     create_operation, create_spam_vector,
 )
+from pygsti_tpu.models import modelnoise

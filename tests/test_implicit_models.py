@@ -128,3 +128,32 @@ class TestOpFactories:
         cf = ComposedOpFactory([f, StaticArbitraryOp(np.eye(4))])
         cop = cf.create_op((0.5,))
         assert np.allclose(cop.to_dense(), op.to_dense(), atol=1e-12)
+
+
+class TestModelNoiseObjects:
+    def test_noise_spec_objects_build_models(self):
+        from pygsti_tpu.models.modelnoise import (
+            DepolarizationNoise, StochasticNoise, LindbladNoise,
+            OpModelPerOpNoise, ComposedOpModelNoise)
+        from pygsti_tpu.models.modelconstruction import (
+            create_crosstalk_free_model)
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.circuits import Circuit
+        spec = OpModelPerOpNoise({
+            'Gxpi2': DepolarizationNoise(0.02),
+            'Gypi2': LindbladNoise({('H', 'Z'): 0.01}),
+        })
+        d, s, l = spec.to_construction_dicts()
+        assert d == {'Gxpi2': 0.02} and ('H', 'Z') in l['Gypi2']
+        pspec = QubitProcessorSpec(1, ['Gxpi2', 'Gypi2'])
+        mdl = create_crosstalk_free_model(pspec, depolarization_strengths=d,
+                                          stochastic_error_probs=s,
+                                          lindblad_error_coeffs=l)
+        p = mdl.probabilities(Circuit([('Gxpi2', 0)], line_labels=(0,)))
+        assert abs(sum(p.values()) - 1.0) < 1e-9
+        assert abs(p[('1',)] - 0.5) < 0.02  # depolarized pi/2 rotation
+        comp = ComposedOpModelNoise([spec,
+                                     OpModelPerOpNoise({'Gypi2':
+                                                        DepolarizationNoise(0.01)})])
+        d2, _, l2 = comp.to_construction_dicts()
+        assert d2['Gypi2'] == 0.01 and ('H', 'Z') in l2['Gypi2']
