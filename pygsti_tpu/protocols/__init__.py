@@ -34,3 +34,6 @@ from pygsti_tpu.protocols.confidenceregionfactory import (
 from pygsti_tpu.protocols.freeformsim import (DataSimulator,
                                               FreeformDataSimulator,
                                               ModelFreeformSimulator)
+from pygsti_tpu.protocols.protocol import (MultiPassProtocol, MultiPassResults,
+                                           ProtocolPostProcessor, TreeRunner,
+                                           SimpleRunner)

@@ -312,3 +312,98 @@ def _protocol_run_mpi(self, data, dirname, num_processes=1, slurm=False,
 Protocol.run_mpi = _protocol_run_mpi
 Protocol.stage_slurm = lambda self, data, dirname, **kw: \
     _protocol_run_mpi(self, data, dirname, slurm=True, **kw)
+
+
+class MultiPassResults(ProtocolResults):
+    """Results from each pass plus the sub-protocol results (reference:
+    protocol.py:2951)."""
+
+    def __init__(self, data, protocol_instance, passes=None):
+        super().__init__(data, protocol_instance)
+        self.passes = collections.OrderedDict(passes or {})
+
+    def to_nice_serialization(self):
+        state = super().to_nice_serialization()
+        state['pass_names'] = list(self.passes.keys())
+        return state
+
+
+class MultiPassProtocol(Protocol):
+    """Run a sub-protocol on each pass of a multi-pass dataset (reference:
+    protocol.py:573)."""
+
+    def __init__(self, protocol, name=None):
+        super().__init__(name or ('MultiPass' + protocol.name))
+        self.protocol = protocol
+
+    def run(self, data, memlimit=None, comm=None):
+        from pygsti_tpu.data.multidataset import MultiDataSet
+        ds = data.dataset
+        passes = collections.OrderedDict()
+        if isinstance(ds, MultiDataSet):
+            for pass_name in ds.keys():
+                sub = ProtocolData(data.edesign, ds[pass_name])
+                passes[pass_name] = self.protocol.run(sub, memlimit, comm)
+        else:
+            passes[None] = self.protocol.run(data, memlimit, comm)
+        return MultiPassResults(data, self, passes)
+
+
+class ProtocolPostProcessor(object):
+    """A 'protocol' that operates on RESULTS rather than data (reference:
+    protocol.py:3469)."""
+
+    def __init__(self, name=None):
+        self.name = name or type(self).__name__
+
+    def run(self, results, memlimit=None, comm=None):
+        raise NotImplementedError()
+
+
+class TreeRunner(object):
+    """Run specified protocols on specified tree nodes (reference:
+    protocol.py:682).  `protocol_dict` maps tree paths (tuples of keys)
+    to Protocol objects."""
+
+    def __init__(self, protocol_dict):
+        self.protocols = dict(protocol_dict)
+
+    def run(self, data, memlimit=None, comm=None):
+        results = {}
+        children = {}
+        for path, proto in self.protocols.items():
+            node = data
+            for k in path:
+                node = node[k]
+            results.setdefault(path, {})[proto.name] = \
+                proto.run(node, memlimit, comm)
+        root_results = results.get((), {})
+        for path, res in results.items():
+            if path:
+                children[path] = res
+        return ProtocolResultsDir(data, root_results, children)
+
+
+class SimpleRunner(object):
+    """Run one protocol on every node that has data (reference:
+    protocol.py:743)."""
+
+    def __init__(self, protocol, protocol_can_handle_multipass_data=False,
+                 edesign_type='all'):
+        self.protocol = protocol
+        self.edesign_type = edesign_type
+
+    def run(self, data, memlimit=None, comm=None):
+        results = {}
+        if data.dataset is not None and (
+                self.edesign_type == 'all'
+                or isinstance(data.edesign, self.edesign_type)):
+            try:
+                results[self.protocol.name] = self.protocol.run(
+                    data, memlimit, comm)
+            except Exception:
+                pass  # nodes the protocol can't handle are skipped
+        children = {k: SimpleRunner(self.protocol,
+                                    edesign_type=self.edesign_type).run(sub)
+                    for k, sub in data.items()}
+        return ProtocolResultsDir(data, results, children)

@@ -257,3 +257,29 @@ class TestStabilityAnalyzerMultiLevel:
         for o, traj in trajs.items():
             assert traj.min() >= 0 and traj.max() <= 1
             assert traj.std() > 0.01  # tracks the drift
+
+
+class TestMultiPassAndRunners:
+    def test_multipass_protocol(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.data.multidataset import MultiDataSet
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols import (MultiPassProtocol, ModelTest,
+                                          CircuitListsDesign)
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        target = mp.target_model('full TP')
+        lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(), [1])
+        circuits = list(lists[-1])
+        mds = MultiDataSet()
+        for i, name in enumerate(('pass0', 'pass1')):
+            mds.add_dataset(name, simulate_data(
+                target.depolarize(op_noise=0.02), circuits, 500, seed=i))
+        design = CircuitListsDesign([circuits])
+        data = ProtocolData(design, mds)
+        proto = MultiPassProtocol(ModelTest(target, name='MT'))
+        res = proto.run(data)
+        assert set(res.passes.keys()) == {'pass0', 'pass1'}
+        for r in res.passes.values():
+            assert hasattr(r, 'data')
