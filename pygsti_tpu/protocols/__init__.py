@@ -37,3 +37,4 @@ from pygsti_tpu.protocols.freeformsim import (DataSimulator,
 from pygsti_tpu.protocols.protocol import (MultiPassProtocol, MultiPassResults,
                                            ProtocolPostProcessor, TreeRunner,
                                            SimpleRunner)
+from pygsti_tpu.protocols.protocol import SlurmSettings, DataCountsSimulator

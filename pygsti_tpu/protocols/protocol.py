@@ -407,3 +407,39 @@ class SimpleRunner(object):
                                     edesign_type=self.edesign_type).run(sub)
                     for k, sub in data.items()}
         return ProtocolResultsDir(data, results, children)
+
+
+class SlurmSettings(object):
+    """SLURM job settings for staged runs (reference: protocol.py:35
+    SlurmSettings; consumed by tools/launchtools.build_slurm_script)."""
+
+    def __init__(self, num_nodes=1, num_procs_per_node=1, time_limit=None,
+                 partition=None, account=None, extra_sbatch_lines=()):
+        self.num_nodes = num_nodes
+        self.num_procs_per_node = num_procs_per_node
+        self.time_limit = time_limit
+        self.partition = partition
+        self.account = account
+        self.extra_sbatch_lines = tuple(extra_sbatch_lines)
+
+
+class DataCountsSimulator(object):
+    """Simulate outcome-count data from a model for an edesign (reference:
+    protocol.py:3608 DataCountsSimulator)."""
+
+    def __init__(self, model, num_samples=1000, sample_error='multinomial',
+                 seed=None, alias_dict=None, collision_action='aggregate',
+                 record_zero_counts=True, times=None):
+        self.model = model
+        self.num_samples = num_samples
+        self.sample_error = sample_error
+        self.seed = seed
+        self.times = times
+
+    def run(self, edesign, memlimit=None, comm=None):
+        from pygsti_tpu.data.datasetconstruction import simulate_data
+        ds = simulate_data(self.model,
+                           list(edesign.all_circuits_needing_data),
+                           self.num_samples, sample_error=self.sample_error,
+                           seed=self.seed)
+        return ProtocolData(edesign, ds)
