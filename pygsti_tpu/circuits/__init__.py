@@ -10,3 +10,7 @@ from pygsti_tpu.circuits.gstcircuits import (
 from pygsti_tpu.circuits.circuitstructure import (
     CircuitPlaquette, FiducialPairPlaquette, GermFiducialPairPlaquette,
     PlaquetteGridCircuitStructure)
+from pygsti_tpu.circuits import circuitconstruction
+from pygsti_tpu.circuits.circuitconstruction import (
+    to_circuits, list_all_circuits, iter_all_circuits,
+    list_all_circuits_without_powers_and_cycles, translate_circuits)

@@ -226,3 +226,25 @@ class TestCircuitManipulation:
         assert 'x q[0];' in qasm and 'cx q[0], q[1];' in qasm \
             and 'h q[1];' in qasm
         assert 'measure' in qasm
+
+
+class TestCircuitConstruction:
+    def test_enumeration(self):
+        from pygsti_tpu.circuits.circuitconstruction import (
+            list_all_circuits, list_all_circuits_without_powers_and_cycles,
+            translate_circuit, list_partial_circuits,
+            repeat_count_with_max_length)
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.circuits import Circuit
+        ops = [Label('Gx'), Label('Gy')]
+        all2 = list_all_circuits(ops, 1, 2)
+        assert len(all2) == 2 + 4
+        germs = list_all_circuits_without_powers_and_cycles(ops, 2)
+        # length-1: Gx, Gy; length-2: GxGy only (GyGx is a rotation,
+        # GxGx/GyGy are powers)
+        assert len(germs) == 3
+        c = Circuit([Label('Ga')])
+        t = translate_circuit(c, {Label('Ga'): (Label('Gx'), Label('Gy'))})
+        assert t.depth == 2
+        assert len(list_partial_circuits(all2[2])) == 3
+        assert repeat_count_with_max_length(all2[2], 7) == 3
