@@ -6,3 +6,4 @@ from pygsti_tpu.report.fogidiagram import FOGIDiagram
 from pygsti_tpu.report import vbplot
 from pygsti_tpu.report.modelfunction import ModelFunction, modelfn_factory
 from pygsti_tpu.report import colormaps
+from pygsti_tpu.report.reportableqty import ReportableQty
