@@ -31,3 +31,4 @@ from pygsti_tpu.tools.rbtools import p_to_r, r_to_p
 from pygsti_tpu.tools.rbtheory import (predicted_rb_number,
                                        predicted_rb_decay_parameter)
 from pygsti_tpu.tools import slicetools
+from pygsti_tpu.tools import listtools
