@@ -32,3 +32,4 @@ from pygsti_tpu.tools.rbtheory import (predicted_rb_number,
                                        predicted_rb_decay_parameter)
 from pygsti_tpu.tools import slicetools
 from pygsti_tpu.tools import listtools
+from pygsti_tpu.tools.typeddict import TypedDict
