@@ -7,3 +7,4 @@ from pygsti_tpu.io.writers import (write_dataset, write_circuit_list,
                                    write_multidataset, write_empty_dataset)
 from pygsti_tpu.io.stdinput import StdInputParser
 from pygsti_tpu.io import metadir
+from pygsti_tpu.io import mongodb
