@@ -33,3 +33,5 @@ from pygsti_tpu.tools.rbtheory import (predicted_rb_number,
 from pygsti_tpu.tools import slicetools
 from pygsti_tpu.tools import listtools
 from pygsti_tpu.tools.typeddict import TypedDict
+from pygsti_tpu.tools import hypothesis
+from pygsti_tpu.tools import group
