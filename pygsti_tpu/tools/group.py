@@ -56,9 +56,7 @@ class MatrixGroup(object):
 def construct_1q_clifford_group():
     """The 24-element single-qubit Clifford group as pp-superoperators
     (reference: group.construct_1q_clifford_group:35)."""
-    from pygsti_tpu.tools.symplectic import (compute_symplectic_matrix_dim,)
     from pygsti_tpu.tools.optools import unitary_to_superop
-    import itertools
     s = np.array([[1, 0], [0, 1j]], dtype=complex)
     h = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
     # generate the group by closure over {H, S}
