@@ -57,26 +57,25 @@ def construct_1q_clifford_group():
     """The 24-element single-qubit Clifford group as pp-superoperators
     (reference: group.construct_1q_clifford_group:35)."""
     from pygsti_tpu.tools.optools import unitary_to_superop
-    s = np.array([[1, 0], [0, 1j]], dtype=complex)
-    h = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
-    # generate the group by closure over {H, S}
-    def key(u):
-        # phase-invariant key
-        idx = np.unravel_index(np.argmax(np.abs(u)), u.shape)
-        u0 = u / (u[idx] / abs(u[idx]))
-        return tuple(np.round(u0, 8).ravel())
-    elems = {key(np.eye(2, dtype=complex)): np.eye(2, dtype=complex)}
-    frontier = [np.eye(2, dtype=complex)]
+    s_u = np.array([[1, 0], [0, 1j]], dtype=complex)
+    h_u = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    gens = [np.real(unitary_to_superop(h_u, 'pp')),
+            np.real(unitary_to_superop(s_u, 'pp'))]
+    # closure in superoperator space (phase-free, so exactly 24 elements)
+    def key(m):
+        return tuple(np.round(m, 8).ravel())
+    elems = {key(np.eye(4)): np.eye(4)}
+    frontier = [np.eye(4)]
     while frontier:
         new = []
-        for u in frontier:
-            for g in (h, s):
-                v = g @ u
+        for m in frontier:
+            for g in gens:
+                v = g @ m
                 k = key(v)
                 if k not in elems:
                     elems[k] = v
                     new.append(v)
         frontier = new
-    assert len(elems) == 24, "1Q Clifford group should have 24 elements, got %d" % len(elems)
-    mxs = [np.real(unitary_to_superop(u, 'pp')) for u in elems.values()]
-    return MatrixGroup(mxs, labels=list(range(24)))
+    assert len(elems) == 24, \
+        "1Q Clifford group should have 24 elements, got %d" % len(elems)
+    return MatrixGroup(list(elems.values()), labels=list(range(24)))

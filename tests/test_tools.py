@@ -410,3 +410,25 @@ class TestMatrixtoolsExtras:
         # 1->1 norm of the identity channel is 1
         assert abs(mt.norm1to1(np.eye(4)) - 1.0) < 1e-9
         assert mt.is_projector(np.diag([1.0, 0.0]))
+
+
+class TestGroupAndHypothesis:
+    def test_clifford_group(self):
+        import numpy as np
+        from pygsti_tpu.tools.group import construct_1q_clifford_group
+        g = construct_1q_clifford_group()
+        assert len(g) == 24
+        eye_idx = g.matrix_index(np.eye(4))
+        for i in range(24):
+            assert g.product([i, g.inverse_index(i)]) == eye_idx
+
+    def test_corrections(self):
+        import numpy as np
+        from pygsti_tpu.tools.hypothesis import (
+            bonferroni_correction, sidak_correction,
+            generalized_bonferroni_correction)
+        assert abs(bonferroni_correction(0.05, 10) - 0.005) < 1e-12
+        assert sidak_correction(0.05, 10) > bonferroni_correction(0.05, 10)
+        out = generalized_bonferroni_correction(0.05, [0.6, 0.4],
+                                                numtests=[2, 4])
+        assert abs(out[0] - 0.015) < 1e-12 and abs(out[1] - 0.005) < 1e-12
