@@ -102,3 +102,18 @@ class TestGramMatrix:
         assert len(svals) == len(fixed[0]) and len(tsvals) == len(fixed[0])
         assert tsvals[3] > 1e-3 and tsvals[4] < 1e-10
         assert svals[3] > 10 * svals[4]
+
+
+class TestMirroring:
+    def test_create_mirror_circuit(self):
+        from pygsti_tpu.processors import QubitProcessorSpec
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.algorithms.mirroring import create_mirror_circuit
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        c = Circuit([('Gxpi2', 0), ('Gcnot', 0, 1), ('Gypi2', 1)],
+                    line_labels=(0, 1))
+        for seed in (0, 1, 2):
+            mc, outcome = create_mirror_circuit(c, pspec, seed=seed)
+            assert set(outcome) <= {'0', '1'} and len(outcome) == 2
+            assert mc.depth >= 2 * c.depth
