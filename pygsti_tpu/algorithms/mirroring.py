@@ -53,7 +53,7 @@ def create_mirror_circuit(circ, pspec, circ_type='clifford+zxzxz',
         xz = (rng.randint(2), rng.randint(2))
         nm = pauli_names.get(xz)
         if nm is not None:
-            s1, p1 = srep_dict[{'Gxpi': 'X', 'Gzpi': 'Z', 'Gypi': 'Y'}[nm]]
+            s1, p1 = srep_dict[nm]
             mirror_layers.extend(compile_1q_clifford(s1, p1, rules.native_1q, q))
     # inverse of the circuit, layers reversed
     for layer in reversed(layers):
