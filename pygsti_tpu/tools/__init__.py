@@ -35,3 +35,4 @@ from pygsti_tpu.tools import listtools
 from pygsti_tpu.tools.typeddict import TypedDict
 from pygsti_tpu.tools import hypothesis
 from pygsti_tpu.tools import group
+from pygsti_tpu.tools.gatetools import single_qubit_gate, two_qubit_gate
