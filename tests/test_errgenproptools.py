@@ -314,3 +314,34 @@ class TestZassenhausAndComposition:
             p3 = approximate_stabilizer_probability(errs, S, P, bits, order=3)
             assert abs(p2 - p_exact) <= abs(p1 - p_exact) + 1e-12
             assert abs(p3 - p_exact) < 1e-4
+
+
+class TestErrgenPolytools:
+    def test_probability_polynomial_matches_exact(self):
+        import numpy as np
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.errgenpolytools import (
+            stabilizer_probability_polynomial)
+        from pygsti_tpu.tools.errgenproptools import errorgen_label_to_dense
+        rng = np.random.RandomState(3)
+        n = 2
+        s_c, p_c = sym.random_clifford(n, rng)
+        S, P = sym.apply_clifford_to_stabilizer_state(
+            s_c, p_c, *sym.prep_stabilizer_state(n))
+        labels = [ElementaryErrorgenLabel('S', _pstr_to_label('XI', n)),
+                  ElementaryErrorgenLabel('H', _pstr_to_label('IZ', n)),
+                  ElementaryErrorgenLabel('H', _pstr_to_label('XX', n))]
+        poly = stabilizer_probability_polynomial(labels, S, P, (0, 1),
+                                                 order=2)
+        # exact via dense expm at a few rate settings
+        from pygsti_tpu.tools.errgenproptools import StabilizerAmplitudes
+        amps = StabilizerAmplitudes(S, P)
+        psi = np.array([amps.amplitude([b0, b1])
+                        for b0 in (0, 1) for b1 in (0, 1)])
+        rho = np.outer(psi, psi.conj())
+        for rates in ([0.01, 0.02, -0.015], [0.03, 0.0, 0.01]):
+            L = sum(r * errorgen_label_to_dense(l, n)
+                    for r, l in zip(rates, labels))
+            p_exact = np.real((spl.expm(L) @ rho.reshape(-1)).reshape(4, 4)[1, 1])
+            p_poly = poly.evaluate(rates)
+            assert abs(p_poly - p_exact) < 5e-5, (p_poly, p_exact)
