@@ -248,3 +248,29 @@ class TestCircuitConstruction:
         assert t.depth == 2
         assert len(list_partial_circuits(all2[2])) == 3
         assert repeat_count_with_max_length(all2[2], 7) == 3
+
+
+class TestSubcircuitSelection:
+    def test_sampling(self):
+        import numpy as np
+        from pygsti_tpu.circuits import Circuit
+        from pygsti_tpu.circuits.subcircuit_selection import (
+            sample_subcircuits, restrict_circuit)
+        layers = []
+        rng = np.random.RandomState(0)
+        for _ in range(8):
+            q = rng.randint(4)
+            layers.append(('Gxpi2', q))
+        full = Circuit(layers, line_labels=(0, 1, 2, 3))
+        sub = restrict_circuit(full, (0, 1), (2, 6))
+        assert sub.depth == 4 and sub.line_labels == (0, 1)
+        out = sample_subcircuits(full, widths=(2,), depths=(3,),
+                                 num_samples_per_shape=2, seed=1)
+        assert len(out[(2, 3)]) == 2
+        for c in out[(2, 3)]:
+            assert c.depth == 3 and c.num_lines == 2
+        edges = [(0, 1), (1, 2), (2, 3)]
+        out2 = sample_subcircuits(full, widths=(3,), depths=(2,),
+                                  graph_edges=edges, seed=2)
+        for c in out2[(3, 2)]:
+            assert c.num_lines == 3
