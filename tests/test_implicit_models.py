@@ -157,3 +157,20 @@ class TestModelNoiseObjects:
                                                         DepolarizationNoise(0.01)})])
         d2, _, l2 = comp.to_construction_dicts()
         assert d2['Gypi2'] == 0.01 and ('H', 'Z') in l2['Gypi2']
+
+
+class TestStencilLabels:
+    def test_resolution(self):
+        from pygsti_tpu.models.stencillabel import (StencilLabelTuple,
+                                                    StencilLabelRadiusCombos)
+        from pygsti_tpu.baseobjs.qubitgraph import QubitGraph
+        g = QubitGraph.common_graph(4, 'line')
+        t = StencilLabelTuple(('@0', '@1'))
+        assert t.compute_absolute_sslbls(g, (2, 3)) == [(2, 3)]
+        t2 = StencilLabelTuple(('@0+left',))
+        res = t2.compute_absolute_sslbls(g, (1,))
+        assert res and res[0][0] in (0, 2)
+        rc = StencilLabelRadiusCombos(('@0',), radius=1, num_to_choose=2)
+        combos = rc.compute_absolute_sslbls(g, (1,))
+        region = {q for c in combos for q in c}
+        assert region <= {0, 1, 2} and all(len(c) == 2 for c in combos)
