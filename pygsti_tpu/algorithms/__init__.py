@@ -21,3 +21,4 @@ from pygsti_tpu.algorithms.fiducialpairreduction import (
 from pygsti_tpu.algorithms.contract import contract
 from pygsti_tpu.algorithms.robust_phase_estimation import RobustPhaseEstimation
 from pygsti_tpu.algorithms import scoring
+from pygsti_tpu.algorithms import grasp

@@ -117,3 +117,64 @@ class TestMirroring:
             mc, outcome = create_mirror_circuit(c, pspec, seed=seed)
             assert set(outcome) <= {'0', '1'} and len(outcome) == 2
             assert mc.depth >= 2 * c.depth
+
+
+class TestGrasp:
+    """Generic GRASP over a set-cover-ish problem: pick a subset of integers
+    whose sum of coverage reaches a threshold with minimal cardinality."""
+
+    def _setup(self):
+        elements = list(range(10))
+        value = {i: (i % 4) + 1 for i in elements}
+
+        def score(sub):
+            # minimize (cardinality, -coverage)
+            cov = sum(value[e] for e in sub)
+            return (len(sub), -cov)
+
+        def rcl(scores):
+            best = min(scores)
+            return [i for i, s in enumerate(scores) if s == best]
+
+        return elements, value, score, rcl
+
+    def test_neighboring_weight_vectors(self):
+        from pygsti_tpu.algorithms.grasp import neighboring_weight_vectors
+        w = np.array([1, 0, 1, 0])
+        nbrs = neighboring_weight_vectors(w)
+        # 2 in-elements x 2 out-slots = 4 neighbors, each still weight 2
+        assert len(nbrs) == 4
+        for nb in nbrs:
+            assert nb.sum() == 2 and not np.array_equal(nb, w)
+        forced = neighboring_weight_vectors(w, forced_weights=[1, 0, 0, 0])
+        assert len(forced) == 2
+        for nb in forced:
+            assert nb[0] == 1
+
+    def test_run_grasp(self):
+        from pygsti_tpu.algorithms.grasp import run_grasp
+        elements, value, score, rcl = self._setup()
+
+        def feasible(sub):
+            return sum(value[e] for e in sub) >= 10
+
+        best = run_grasp(elements, score, rcl, score, 
+                         lambda w: __import__(
+                             'pygsti_tpu.algorithms.grasp',
+                             fromlist=['x']).neighboring_weight_vectors(w),
+                         score, iterations=4, feasible_fn=feasible, seed=7)
+        assert feasible(best)
+        # max per-element value is 4, so at least 3 elements are needed; a
+        # good search finds a 3-element solution
+        assert len(best) == 3
+
+    def test_threshold_feasibility(self):
+        from pygsti_tpu.algorithms.grasp import run_grasp_iteration, \
+            neighboring_weight_vectors
+        elements, value, score, rcl = self._setup()
+        # feasible iff cardinality < 6 and coverage better than -12
+        init, local = run_grasp_iteration(
+            elements, score, rcl, score, neighboring_weight_vectors,
+            feasible_threshold=(6, -12), rng=__import__('random').Random(3))
+        assert score(local) <= score(init)
+        assert score(local) < (6, -12)
