@@ -14,3 +14,6 @@ from pygsti_tpu.circuits import circuitconstruction
 from pygsti_tpu.circuits.circuitconstruction import (
     to_circuits, list_all_circuits, iter_all_circuits,
     list_all_circuits_without_powers_and_cycles, translate_circuits)
+from pygsti_tpu.circuits import cloudcircuitconstruction
+from pygsti_tpu.circuits.cloudcircuitconstruction import (
+    create_cloudnoise_circuits, create_kcoverage_template)

@@ -5,3 +5,4 @@ from pygsti_tpu.extras.idletomography.idtcore import (IdleTomographyDesign,
                                                       IdleTomography,
                                                       IdleTomographyResults)
 from pygsti_tpu.extras.idletomography.pauliobjs import (NQOutcome, NQPauliState, NQPauliOp)
+from pygsti_tpu.extras.idletomography import idttools

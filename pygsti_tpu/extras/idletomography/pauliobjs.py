@@ -167,9 +167,11 @@ class NQPauliOp(object):
         return hash((self.rep, self.sign))
 
     def subpauli(self, indices):
-        """The sub-operator on the given qubit indices (reference:
-        NQPauliOp.subpauli)."""
-        return NQPauliOp(''.join(self.rep[i] for i in indices), self.sign)
+        """A same-length operator keeping this op's letters at `indices` and
+        'I' elsewhere (reference: pauliobjs.NQPauliOp.subpauli:270)."""
+        keep = set(indices)
+        return NQPauliOp(''.join(ch if i in keep else 'I'
+                                 for i, ch in enumerate(self.rep)), self.sign)
 
     def dot(self, other):
         """Hilbert-Schmidt inner product <P, Q>/2^n: +-1 when equal up to

@@ -117,3 +117,76 @@ class TestCreateCloudCrosstalkModel:
             other = 1 - q
             marg = sum(v for k, v in p.items() if k[0][other] == '1')
             assert marg < 1e-9
+
+
+class TestKCoverageTemplate:
+    def test_templates(self):
+        from pygsti_tpu.circuits.cloudcircuitconstruction import (
+            create_kcoverage_template, check_kcoverage_template)
+        for n, k in [(3, 1), (4, 2), (6, 2), (5, 3), (6, 3), (4, 4)]:
+            rows = create_kcoverage_template(n, k)
+            check_kcoverage_template(rows, n, k)  # raises on violation
+            assert all(len(r) == n and set(r) <= set(range(k)) for r in rows)
+
+    def test_violation_detected(self):
+        from pygsti_tpu.circuits.cloudcircuitconstruction import (
+            check_kcoverage_template)
+        with pytest.raises(AssertionError):
+            check_kcoverage_template([[0, 1]], 2, 2)  # (1, 0) never appears
+        # missing the (1, 0) permutation at positions (0, 1):
+        with pytest.raises(AssertionError):
+            check_kcoverage_template([[0, 1, 0], [0, 0, 1], [1, 1, 0]], 3, 2)
+
+
+class TestCloudnoiseCircuits:
+    def test_create_cloudnoise_circuits(self):
+        from pygsti_tpu.circuits.cloudcircuitconstruction import (
+            create_cloudnoise_circuits)
+        from pygsti_tpu.circuits.circuitstructure import (
+            PlaquetteGridCircuitStructure)
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        fids = [(), ('Gxpi2',), ('Gypi2',), ('Gxpi2', 'Gxpi2')]
+        struct = create_cloudnoise_circuits(
+            pspec, [1, 2, 4], fids, max_idle_weight=1, maxhops=0,
+            extra_gate_weight=0, max_candidates=48, seed=3)
+        assert isinstance(struct, PlaquetteGridCircuitStructure)
+        assert struct.xs == [1, 2, 4]
+        germ_strs = [g.str for g in struct.ys]
+        assert any('Gcnot' in g for g in germ_strs)
+        assert germ_strs[0] == '[]@(0,1)'  # global-idle germ first
+        assert len(struct) > 20
+        for c in struct:
+            assert c.line_labels == (0, 1)
+        # plaquette (L=4, idle germ) repeats the idle layer 4 times
+        idle_germ = struct.ys[0]
+        plaq = struct.plaquette(4, idle_germ)
+        assert plaq.power == 4 and plaq.base.depth == 4
+
+    def test_idle_only_design_amplifies_idle_errors(self):
+        """The idle-only design's probability Jacobian grows linearly with
+        germ power in every direction the construction marked amplified."""
+        from pygsti_tpu.circuits.cloudcircuitconstruction import (
+            create_cloudnoise_circuits)
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        fids = [(), ('Gxpi2',), ('Gypi2',), ('Gxpi2', 'Gxpi2')]
+        struct = create_cloudnoise_circuits(
+            pspec, [1], fids, max_idle_weight=1, idle_only=True,
+            max_candidates=64, seed=0)
+        m = create_cloud_crosstalk_model_from_hops_and_weights(
+            pspec, maxhops=0, max_idle_weight=1, gate_type='H+s')
+        idle_germ = struct.ys[0]
+        plaq = struct.plaquette(1, idle_germ)
+
+        def design_jac(power):
+            circs = [prep + idle_germ.repeat(power) + meas
+                     for (prep, meas) in plaq.fidpairs.values()]
+            layout = m.sim.create_layout(circs)
+            return np.asarray(m.sim.bulk_fill_dprobs(None, layout))
+
+        A = design_jac(2) - design_jac(1)
+        # weight-1 idle H+s on 2 qubits has 12 params; the X/Y axes (8 of
+        # them) are first-order amplifiable with these fiducials
+        rank = np.linalg.matrix_rank(A, tol=1e-9)
+        assert rank >= 8, "idle design amplifies only rank %d" % rank

@@ -261,3 +261,50 @@ class TestIdleTomographyPauliObjs:
         c = NQPauliState('XZ', (1, -1)).to_circuit(basis)
         names = [str(l) for l in c.layertup]
         assert any('Gypi2' in n for n in names) and any('Gxpi' in n for n in names)
+
+
+class TestIdtTools:
+    def test_alloutcomes_allerrors_allobservables(self):
+        from pygsti_tpu.extras.idletomography import idttools
+        from pygsti_tpu.extras.idletomography.pauliobjs import NQPauliState
+        prep = NQPauliState('XY', (1, 1))
+        meas = NQPauliState('XY', (1, -1))
+        outs = idttools.alloutcomes(prep, meas, 1)
+        # expected outcome is '01' (sign mismatch on qubit 1); errors flip bits
+        assert [str(o) for o in outs] == ['11', '00']
+        outs2 = idttools.alloutcomes(prep, meas, 2)
+        assert len(outs2) == 3 and str(outs2[-1]) == '10'
+
+        errs1 = idttools.allerrors(3, 1)
+        assert len(errs1) == 9  # 3 qubits x {X,Y,Z}
+        errs2 = idttools.allerrors(3, 2)
+        assert len(errs2) == 9 + 3 * 9  # + C(3,2) pairs x 9 pauli combos
+
+        obs = idttools.allobservables(NQPauliState('XZ'), 2)
+        assert len(obs) == 3  # 2 weight-1 + 1 weight-2
+        assert str(obs[0]).endswith('XI') and str(obs[2]).endswith('XZ')
+
+    def test_tile_pauli_fidpairs(self):
+        from pygsti_tpu.extras.idletomography import idttools
+        from pygsti_tpu.extras.idletomography.pauliobjs import NQPauliState
+        base = [(NQPauliState('XY', (1, 1)), NQPauliState('XY', (1, -1))),
+                (NQPauliState('ZZ', (1, 1)), NQPauliState('ZZ', (1, 1)))]
+        tiled = idttools.tile_pauli_fidpairs(base, 4, 2)
+        assert all(len(p) == 4 and len(m) == 4 for p, m in tiled)
+        # every pair of qubit positions must see every base pair in some
+        # tiled pair (the k-coverage guarantee)
+        for i, j in [(0, 1), (0, 3), (2, 3)]:
+            for bp, bm in base:
+                found = any(
+                    (p.rep[i], p.signs[i], p.rep[j], p.signs[j]) ==
+                    (bp.rep[0], bp.signs[0], bp.rep[1], bp.signs[1]) and
+                    (m.rep[i], m.signs[i], m.rep[j], m.signs[j]) ==
+                    (bm.rep[0], bm.signs[0], bm.rep[1], bm.signs[1])
+                    for p, m in tiled)
+                assert found, "base pair not tiled onto qubits (%d,%d)" % (i, j)
+
+    def test_nontrivial_paulis(self):
+        from pygsti_tpu.extras.idletomography import idttools
+        assert len(idttools.nontrivial_paulis(1)) == 3
+        assert len(idttools.nontrivial_paulis(2)) == 9
+        assert ('X', 'Z') in idttools.nontrivial_paulis(2)
