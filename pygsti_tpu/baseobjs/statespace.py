@@ -150,6 +150,10 @@ class ExplicitStateSpace(QuditSpace):
         if isinstance(labels, (int, str)):
             labels = (labels,)
         labels = tuple(labels)
+        if len(labels) == 1 and isinstance(labels[0], (tuple, list)):
+            # reference's nested form for a single tensor-product block,
+            # e.g. [('Q0', 'Q1')] (reference: statespace.py ExplicitStateSpace)
+            labels = tuple(labels[0])
         if udims is None:
             udims = []
             for lbl in labels:

@@ -1,0 +1,15 @@
+"""Legacy model pack: I*X(pi/2), I*Y(pi/2), X(pi/2)*I, Y(pi/2)*I, and CPHASE gates
+(reference: pygsti/modelpacks/legacy/std2Q_XYCPHASE.py)."""
+
+import sys as _sys
+
+from pygsti_tpu.modelpacks.legacy import _legacy
+from pygsti_tpu.modelpacks.smq2Q_XYCPHASE import _Pack as _smq_pack
+
+_legacy.populate(
+    vars(_sys.modules[__name__]), _smq_pack,
+    description='I*X(pi/2), I*Y(pi/2), X(pi/2)*I, Y(pi/2)*I, and CPHASE gates',
+    gates=['Gix', 'Giy', 'Gxi', 'Gyi', 'Gcphase'],
+    state_space=[('Q0', 'Q1')],
+    op_labels=['Gix', 'Giy', 'Gxi', 'Gyi', 'Gcphase'],
+    op_expressions=['I(Q0):X(pi/2,Q1)', 'I(Q0):Y(pi/2,Q1)', 'X(pi/2,Q0):I(Q1)', 'Y(pi/2,Q0):I(Q1)', 'CPHASE(Q0,Q1)'])

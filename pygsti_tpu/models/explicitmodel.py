@@ -388,6 +388,50 @@ class ExplicitOpModel(OpModel):
             self, op_label, error_type, intrinsic_or_relational)
 
     # -- gauge ----------------------------------------------------------------
+    def set_all_parameterizations(self, gate_type, prep_type='auto',
+                                  povm_type='auto', extra=None):
+        """Convert all operations/preps/POVMs to the given parameterization
+        in place (reference: model.set_all_parameterizations)."""
+        import collections as _collections
+        from pygsti_tpu.models.modelconstruction import (_make_op, _make_prep,
+                                                         _make_povm)
+        nq = self.state_space.num_qubits
+        ptype = prep_type if prep_type != 'auto' else gate_type
+        etype = povm_type if povm_type != 'auto' else gate_type
+        for lbl, op in list(self.operations.items()):
+            self.operations[lbl] = _make_op(op.to_dense(), gate_type, self.basis)
+        for lbl, p in list(self.preps.items()):
+            self.preps[lbl] = _make_prep(p.to_dense(), ptype, self.basis, nq)
+        for lbl, povm in list(self.povms.items()):
+            effects = _collections.OrderedDict(povm.items())
+            self.povms[lbl] = _make_povm(effects, etype, self.basis, nq)
+        self.default_gate_type = gate_type
+        self._mark_for_rebuild()
+
+    def create_processor_spec(self, qudit_labels=None):
+        """A QubitProcessorSpec whose gates are this model's (unitary)
+        operations (reference: model.create_processor_spec)."""
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        from pygsti_tpu.tools import optools as _got
+        from pygsti_tpu.tools import basistools as _bt
+        nq = self.state_space.num_qubits
+        names, nonstd, avail = [], {}, {}
+        for lbl, op in self.operations.items():
+            name = lbl.name if hasattr(lbl, 'name') else str(lbl)
+            if name in ('[]', ''):
+                continue
+            sup = _bt.change_basis(np.asarray(op.to_dense()), self.basis, 'std')
+            nonstd[name] = _got.std_process_mx_to_unitary(sup)
+            names.append(name)
+            sslbls = getattr(lbl, 'sslbls', None)
+            avail[name] = [tuple(sslbls)] if sslbls else [None]
+        qlbls = qudit_labels if qudit_labels is not None \
+            else self.state_space.qubit_labels
+        return QubitProcessorSpec(nq, names, nonstd_gate_unitaries=nonstd,
+                                  availability={n: a for n, a in avail.items()
+                                                if a != [None]},
+                                  qubit_labels=qlbls)
+
     def transform_inplace(self, s):
         """Apply gauge transformation with element `s` (has .transform_matrix
         and .transform_matrix_inverse): rho -> Sinv rho, E -> E S,

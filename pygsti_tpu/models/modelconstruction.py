@@ -176,7 +176,17 @@ def create_operation(op_expr, state_space, basis='pp', parameterization='full'):
     state_space = StateSpace.cast(state_space)
     qlbls = state_space.tensor_product_block_labels
 
-    m = re.match(r'([A-Z]+)\(([^)]*)\)', op_expr.strip())
+    # composite expressions 'I(Q0):X(pi/2,Q1)' compose factor superops
+    # (disjoint targets, so matrix product == tensor composition)
+    parts = [p for p in op_expr.strip().split(':') if p.strip()]
+    if len(parts) > 1:
+        out = np.eye(state_space.dim)
+        for part in parts:
+            out = create_operation(part, state_space, basis,
+                                   parameterization) @ out
+        return out
+
+    m = re.match(r'([A-Z]+)\((.*)\)\s*$', op_expr.strip())
     if not m:
         if op_expr.strip() == 'I' or op_expr.strip() == '':
             return np.eye(state_space.dim)
@@ -185,7 +195,8 @@ def create_operation(op_expr, state_space, basis='pp', parameterization='full'):
     args = [a.strip() for a in argstr.split(',')] if argstr else []
 
     def _angle(s):
-        return float(eval(s, {'pi': np.pi, '__builtins__': {}}))  # noqa: S307
+        return float(eval(s, {'pi': np.pi, 'sqrt': np.sqrt,
+                              '__builtins__': {}}))  # noqa: S307
 
     if kind in ('X', 'Y', 'Z'):
         theta = _angle(args[0])
@@ -211,6 +222,14 @@ def create_operation(op_expr, state_space, basis='pp', parameterization='full'):
     if kind == 'CPHASE':
         u4 = np.diag([1, 1, 1, -1]).astype(complex)
         return _embed_unitary_superop(u4, (args[0], args[1]), qlbls, basis)
+    if kind == 'N':
+        # N(theta, sx, sy, sz, Q0): rotation by theta about axis
+        # (sx, sy, sz) (reference: modelconstruction.create_operation 'N')
+        theta = _angle(args[0])
+        sx, sy, sz = (_angle(a) for a in args[1:4])
+        gen = sx * sigmaX + sy * sigmaY + sz * sigmaZ
+        u = spl.expm(-1j * theta / 2 * gen)
+        return _embed_unitary_superop(u, (args[4],), qlbls, basis)
     raise ValueError("Unknown operation kind %r" % kind)
 
 
