@@ -5,3 +5,4 @@ from pygsti_tpu.modelmembers import operations
 from pygsti_tpu.modelmembers import states
 from pygsti_tpu.modelmembers import povms
 from pygsti_tpu.modelmembers import instruments
+from pygsti_tpu.modelmembers.modelmembergraph import ModelMemberGraph

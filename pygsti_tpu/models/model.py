@@ -66,6 +66,13 @@ class Model(object):
         import copy
         return copy.deepcopy(self)
 
+    def create_modelmember_graph(self):
+        """Dependency graph of this model's members, for structural
+        comparison via is_similar/is_equivalent (reference:
+        model.create_modelmember_graph)."""
+        from pygsti_tpu.modelmembers.modelmembergraph import ModelMemberGraph
+        return ModelMemberGraph.from_model(self)
+
 
 class OpModel(Model):
     """A model with member dicts (preps/povms/operations/instruments)."""

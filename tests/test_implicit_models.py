@@ -174,3 +174,30 @@ class TestStencilLabels:
         combos = rc.compute_absolute_sslbls(g, (1,))
         region = {q for c in combos for q in c}
         assert region <= {0, 1, 2} and all(len(c) == 2 for c in combos)
+
+
+class TestModelMemberGraph:
+    def test_similar_and_equivalent_explicit(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        m1 = mp.target_model('full TP')
+        m2 = mp.target_model('full TP')
+        g1, g2 = m1.create_modelmember_graph(), m2.create_modelmember_graph()
+        assert g1.is_similar(g2) and g1.is_equivalent(g2)
+        # perturb a parameter: still similar, no longer equivalent
+        import numpy as np
+        v = np.array(m2.to_vector())
+        v[0] += 0.05
+        m2.from_vector(v)
+        g2b = m2.create_modelmember_graph()
+        assert g1.is_similar(g2b)
+        assert not g1.is_equivalent(g2b)
+
+    def test_dissimilar_models(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI, smq1Q_XY
+        g1 = smq1Q_XYI.target_model().create_modelmember_graph()
+        g2 = smq1Q_XY.target_model().create_modelmember_graph()
+        assert not g1.is_similar(g2)  # different op label sets
+        # different parameterization of the same gates: not similar either
+        g3 = smq1Q_XYI.target_model('full TP').create_modelmember_graph()
+        g4 = smq1Q_XYI.target_model('static').create_modelmember_graph()
+        assert not g3.is_similar(g4)
