@@ -69,6 +69,67 @@ class GSTModelPack(object):
         return [Circuit(s) for s in cls._meas_fids]
 
     @classmethod
+    def clifford_compilation(cls, max_length=7):
+        """For 1Q packs whose gates generate the Clifford group: an
+        OrderedDict mapping 'Gc0'..'Gc23' to shortest label-tuple words
+        implementing each Clifford (reference: smq1Q_XYI.py:43
+        _clifford_compilation; computed here by breadth-first search over
+        gate words instead of stored tables).  Returns None if the pack's
+        gates do not reach all 24 Cliffords within `max_length`."""
+        import collections
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        from pygsti_tpu.baseobjs.basis import Basis
+
+        if cls._nqubits != 1:
+            return None
+        std = standard_gatename_unitaries()
+        basis = Basis.cast('pp', 4)
+
+        def superop(name):
+            return np.real(unitary_to_superop(std[name], basis))
+
+        gate_sups = {g: superop(g) for g in cls._gates if g in std}
+        targets = {('Gc%d' % i): superop('Gc%d' % i).round(8)
+                   for i in range(24)}
+
+        def key(mx):
+            return tuple(np.round(mx, 6).ravel())
+
+        found = {}          # clifford name -> word (tuple of gate names)
+        frontier = {key(np.eye(4)): ()}
+        seen = set(frontier)
+        for _ in range(max_length + 1):
+            for k, word in list(frontier.items()):
+                mx = np.eye(4)
+                for g in word:
+                    mx = gate_sups[g] @ mx
+                for cname, tmx in targets.items():
+                    if cname not in found and np.allclose(mx, tmx, atol=1e-6):
+                        found[cname] = word
+            if len(found) == 24:
+                break
+            new_frontier = {}
+            for k, word in frontier.items():
+                mx = np.eye(4)
+                for g in word:
+                    mx = gate_sups[g] @ mx
+                for g, gs in gate_sups.items():
+                    nmx = gs @ mx
+                    nk = key(nmx)
+                    if nk not in seen:
+                        seen.add(nk)
+                        new_frontier[nk] = word + (g,)
+            frontier = new_frontier
+        if len(found) < 24:
+            return None
+        out = collections.OrderedDict()
+        for i in range(24):
+            word = found['Gc%d' % i]
+            out['Gc%d' % i] = [(g, 0) for g in word] if word else [()]
+        return out
+
+    @classmethod
     def create_gst_experiment_design(cls, max_max_length, qubit_labels=None,
                                      fpr=False, lite=True, **kwargs):
         """Standard GST experiment design up to the given max length

@@ -88,3 +88,60 @@ def populate(ns, smq_pack, description, gates, state_space, op_labels,
               fiducials=prepStrs, prep_fiducials=prepStrs,
               meas_fiducials=effectStrs, germs=germs, germs_lite=germs_lite,
               target_model=target_model, processor_spec=processor_spec)
+
+    cc = _clifford_compilation_for(smq_pack, gates)
+    if cc is not None:
+        ns['clifford_compilation'] = cc
+
+
+def _clifford_compilation_for(smq_pack, legacy_gates):
+    """Legacy-named Clifford compilation table (reference: e.g.
+    std1Q_XYI.py:74, std2Q_XYI.py:200), derived from the BFS-computed smq
+    compilation.  1Q packs get 'Gc0'..'Gc23'; 2Q packs with per-qubit
+    x/y gates get the paired 'Gc{i}c{j}' table.  None when inapplicable."""
+    import collections
+
+    nq = smq_pack._nqubits
+    base = smq_pack.clifford_compilation() if nq == 1 else None
+    if nq == 1:
+        if base is None:
+            return None
+        has_idle = 'Gi' in legacy_gates
+        out = collections.OrderedDict()
+        for cname, word in base.items():
+            names = ['G' + _CHAR[lbl[0]] for lbl in word if lbl != ()]
+            if not names:
+                names = ['Gi'] if has_idle else \
+                    ['G' + _CHAR[smq_pack._gates[0]]] * 4
+            out[cname] = names
+        return out
+
+    if nq == 2 and {'Gxi', 'Gyi', 'Gix', 'Giy'} <= set(legacy_gates) \
+       and 'Gii' in legacy_gates:
+        # per-qubit 1Q compilation tiled in parallel, padded with idles
+        from pygsti_tpu.modelpacks.smq1Q_XYI import _Pack as _XYI
+        base = _XYI.clifford_compilation()
+        if base is None:
+            return None
+        chars = {c: ([_CHAR[lbl[0]] for lbl in w if lbl != ()] or ['i'])
+                 for c, w in base.items()}
+        maxlen = max(len(v) for v in chars.values())
+        # packs with parallel two-qubit names ('Gxx', ...) get the full
+        # 576-entry paired table (reference: std2Q_XXYYII.py); others only
+        # the one-sided 'Gc0c{j}' / 'Gc{i}c0' entries (reference:
+        # std2Q_XYI.py:200)
+        full = {'Gxx', 'Gyy', 'Gxy', 'Gyx'} <= set(legacy_gates)
+        pairs = [(i, j) for i in range(24) for j in range(24)] if full \
+            else [(0, j) for j in range(24)] + \
+                 [(i, 0) for i in range(1, 24)]
+        out = collections.OrderedDict()
+        for i, j in pairs:
+            ci, cj = chars['Gc%d' % i], chars['Gc%d' % j]
+            row = []
+            for k in range(maxlen):
+                a = ci[k] if k < len(ci) else 'i'
+                b = cj[k] if k < len(cj) else 'i'
+                row.append('G' + a + b)
+            out['Gc%dc%d' % (i, j)] = row
+        return out
+    return None

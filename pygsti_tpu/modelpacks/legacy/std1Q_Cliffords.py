@@ -44,3 +44,9 @@ def target_model(parameterization_type="full", sim_type="auto"):
 
 def processor_spec():
     return target_model('static').create_processor_spec(None)
+
+
+from collections import OrderedDict as _OrderedDict
+
+clifford_compilation = _OrderedDict(
+    [('Gc%d' % i, ['Gc%d' % i]) for i in range(24)])

@@ -80,3 +80,44 @@ class TestLegacyPacks:
         assert len(keys) == 24
         prod = (mats[1] @ mats[2]).round(4)
         assert tuple(prod.ravel()) in keys
+
+
+class TestCliffordCompilation:
+    def test_smq_bfs_compilation_correct(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks.smq1Q_XYI import _Pack
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        from pygsti_tpu.baseobjs.basis import Basis
+        cc = _Pack.clifford_compilation()
+        assert cc is not None and len(cc) == 24
+        std = standard_gatename_unitaries()
+        basis = Basis.cast('pp', 4)
+        for i in range(24):
+            mx = np.eye(4)
+            for lbl in cc['Gc%d' % i]:
+                if lbl == ():
+                    continue
+                mx = np.real(unitary_to_superop(std[lbl[0]], basis)) @ mx
+            t = np.real(unitary_to_superop(std['Gc%d' % i], basis))
+            assert np.allclose(mx, t, atol=1e-6), 'Gc%d word wrong' % i
+
+    def test_legacy_tables_present_and_valid(self):
+        import numpy as np
+        mods = {
+            'std1Q_XYI': 24, 'std1Q_XY': 24, 'std2Q_XYI': 47,
+            'std2Q_XXYYII': 576, 'std1Q_Cliffords': 24,
+        }
+        for name, n in mods.items():
+            mod = importlib.import_module(
+                'pygsti_tpu.modelpacks.legacy.' + name)
+            cc = mod.clifford_compilation
+            assert len(cc) == n, name
+            m = mod.target_model()
+            opnames = set(str(k) for k in m.operations.keys())
+            for word in cc.values():
+                assert set(word) <= opnames, (name, word)
+
+    def test_nongenerating_pack_returns_none(self):
+        from pygsti_tpu.modelpacks.smq1Q_ZN import _Pack
+        assert _Pack.clifford_compilation() is None
