@@ -6,3 +6,4 @@ from pygsti_tpu.extras.idletomography.idtcore import (IdleTomographyDesign,
                                                       IdleTomographyResults)
 from pygsti_tpu.extras.idletomography.pauliobjs import (NQOutcome, NQPauliState, NQPauliOp)
 from pygsti_tpu.extras.idletomography import idttools
+from pygsti_tpu.report.idtreport import create_idletomography_report

@@ -308,3 +308,30 @@ class TestIdtTools:
         assert len(idttools.nontrivial_paulis(1)) == 3
         assert len(idttools.nontrivial_paulis(2)) == 9
         assert ('X', 'Z') in idttools.nontrivial_paulis(2)
+
+
+class TestIdtReport:
+    def test_create_idletomography_report(self, tmp_path):
+        from pygsti_tpu.extras.idletomography import (
+            IdleTomographyDesign, IdleTomography,
+            create_idletomography_report)
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        from pygsti_tpu.tools.optools import unitary_to_pauligate
+        import scipy.linalg as spl
+        from pygsti_tpu.tools.internalgates import sigmaZ
+
+        model = mp.target_model('static')
+        model.operations[Label(())] = StaticArbitraryOp(
+            np.real(unitary_to_pauligate(spl.expm(-1j * 0.02 / 2 * sigmaZ))))
+        design = IdleTomographyDesign((0,), max_lengths=(0, 1, 2, 4))
+        ds = simulate_data(model, design.all_circuits_needing_data, 2000,
+                           seed=5)
+        res = IdleTomography().run(ProtocolData(design, ds))
+        out = str(tmp_path / "idt_report.html")
+        create_idletomography_report(res, out, title="IDT Test")
+        txt = open(out).read()
+        assert '<svg' in txt and 'Intrinsic rates' in txt
+        assert 'IDT Test' in txt and 'H(Z)' in txt
