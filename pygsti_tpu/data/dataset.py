@@ -56,6 +56,29 @@ class _DataSetRow(object):
         """Raw time-ordered outcome sequence (None if not time-series data)."""
         return self._series
 
+    @property
+    def timeseries_for_outcomes(self):
+        """(times, {outcome: reps-per-time list}): the row's data as
+        per-outcome clickstreams over the unique collection times
+        (reference: dataset.py:281 timeseries_for_outcomes)."""
+        if self._series is None or self._timestamps is None:
+            raise ValueError("Row has no time-series data")
+        reps = self._reps if self._reps is not None \
+            else [1] * len(self._timestamps)
+        times = []
+        series = {o: [] for o in self.counts}
+        last_t = None
+        for t, ol, rep in zip(self._timestamps, self._series, reps):
+            ol = OutcomeLabelDict.to_outcome(ol)
+            if t != last_t:
+                times.append(t)
+                last_t = t
+                for o in series:
+                    series[o].append(rep if o == ol else 0)
+            else:
+                series[ol][-1] += rep
+        return times, series
+
     def __getitem__(self, outcome):
         return self.counts[OutcomeLabelDict.to_outcome(outcome)]
 

@@ -8,3 +8,5 @@ from pygsti_tpu.extras.drift import probtrajectory
 from pygsti_tpu.extras.drift.probtrajectory import (
     ProbTrajectory, ConstantProbTrajectory, CosineProbTrajectory,
     negloglikelihood, maxlikelihood, amplitude_compression)
+from pygsti_tpu.extras.drift import trmodel
+from pygsti_tpu.extras.drift.trmodel import TimeResolvedModel

@@ -335,3 +335,50 @@ class TestIdtReport:
         txt = open(out).read()
         assert '<svg' in txt and 'Intrinsic rates' in txt
         assert 'IDT Test' in txt and 'H(Z)' in txt
+
+
+class TestTimeResolvedModel:
+    def test_ramsey_mle_recovers_frequency_amplitude(self):
+        """Time-resolved Ramsey: p1(t) = 0.5 + A*cos(w*t); MLE recovers A."""
+        from pygsti_tpu.extras.drift.trmodel import (TimeResolvedModel,
+                                                     negloglikelihood,
+                                                     maxlikelihood)
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+
+        w = 0.31
+
+        class RamseyModel(TimeResolvedModel):
+            def probabilities(self, circuit, times):
+                A = self.parameters[0]
+                p1 = np.clip(0.5 + A * np.cos(w * np.asarray(times)), 0, 1)
+                return {('1',): p1, ('0',): 1 - p1}
+
+        rng = np.random.RandomState(7)
+        times = np.arange(400, dtype=float)
+        p1 = 0.5 + 0.3 * np.cos(w * times)
+        outcomes = ['1' if rng.rand() < p else '0' for p in p1]
+        ds = DataSet(outcome_labels=[('0',), ('1',)])
+        c = Circuit('Gxpi2:0@(0)')
+        ds.add_raw_series_data(c, outcomes, times)
+        ds.done_adding_data()
+
+        seed = RamseyModel([w], [0.05])
+        nll_seed = negloglikelihood(seed, ds, 1e-4, 1 - 1e-4)
+        fit = maxlikelihood(seed, ds, verbosity=0,
+                            bounds=[(-0.49, 0.49)])
+        nll_fit = negloglikelihood(fit, ds, 1e-4, 1 - 1e-4)
+        assert nll_fit < nll_seed
+        assert abs(fit.parameters[0] - 0.3) < 0.05
+
+    def test_timeseries_for_outcomes(self):
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        ds = DataSet(outcome_labels=[('0',), ('1',)])
+        c = Circuit('Gxpi2:0@(0)')
+        ds.add_raw_series_data(c, ['0', '1', '1', '0'], [0.0, 0.0, 1.0, 2.0])
+        ds.done_adding_data()
+        times, series = ds[c].timeseries_for_outcomes
+        assert times == [0.0, 1.0, 2.0]
+        assert series[('0',)] == [1, 0, 1]
+        assert series[('1',)] == [1, 1, 0]
