@@ -51,6 +51,14 @@ def minimize(fn, x0, method='cg', callback=None, tol=1e-10, maxiter=1000000,
                 break
             best_f = float(res.fun)
         return OptimizerResult(x, best_f, True, "supersimplex finished")
+    if m == 'customcg':
+        # reference's custom conjugate-gradient maximizer (optimize.py:117
+        # fmax_cg, customcg.py:21) applied to -fn; scipy's CG line search
+        # replaces the reference's hand-rolled bounded line search
+        res = spo.minimize(fn, x0, method='CG', jac=jac, tol=tol,
+                           options={'maxiter': maxiter})
+        return OptimizerResult(res.x, float(res.fun), bool(res.success),
+                               str(res.message))
     if m in ('evolve', 'evolutionary'):
         bounds = addl_kwargs.get('bounds') or \
             [(xi - 1.0, xi + 1.0) for xi in x0]

@@ -178,3 +178,11 @@ class TestGrasp:
             feasible_threshold=(6, -12), rng=__import__('random').Random(3))
         assert score(local) <= score(init)
         assert score(local) < (6, -12)
+
+
+class TestOptimizeMethods:
+    def test_customcg_method(self):
+        from pygsti_tpu.optimize.optimize import minimize
+        res = minimize(lambda x: float(((x - 3.0) ** 2).sum()),
+                       np.zeros(4), method='customcg', tol=1e-10)
+        assert np.allclose(res.x, 3.0, atol=1e-4) and res.fun < 1e-6
