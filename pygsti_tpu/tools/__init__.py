@@ -38,3 +38,4 @@ from pygsti_tpu.tools import group
 from pygsti_tpu.tools.gatetools import single_qubit_gate, two_qubit_gate
 from pygsti_tpu.tools import dataframetools
 from pygsti_tpu.tools import errgenpolytools
+from pygsti_tpu.tools import mptools

@@ -432,3 +432,15 @@ class TestGroupAndHypothesis:
         out = generalized_bonferroni_correction(0.05, [0.6, 0.4],
                                                 numtests=[2, 4])
         assert abs(out[0] - 0.015) < 1e-12 and abs(out[1] - 0.005) < 1e-12
+
+
+class TestMpTools:
+    def test_starmap_with_kwargs(self):
+        from pygsti_tpu.tools.mptools import starmap_with_kwargs
+
+        def f(a, b=0):
+            return a + b
+
+        out = starmap_with_kwargs(f, 3, 1, [(1,), (2,), (3,)],
+                                  [{'b': 10}, {}, {'b': 1}])
+        assert out == [11, 2, 4]
