@@ -235,9 +235,18 @@ class RawDeltaLogLFunction(RawObjectiveFunction):
         terms = jnp.where(probs < self.min_p,
                           terms + c0 * (probs - self.min_p) + c1 * (probs - self.min_p) ** 2,
                           terms)
-        terms = jnp.where(counts == 0, jnp.zeros_like(probs), terms)
-        # AD-safe clamp (see RawPoissonPicDeltaLogLFunction.terms)
-        return jnp.where(terms < 0, jnp.zeros_like(terms), terms)
+        # NOTE: unlike the Poisson-picture divergence, per-outcome
+        # non-Poisson terms N*f*log(f/p) are legitimately negative when
+        # p > f, so no nonnegativity clamp is applied (reference:
+        # objectivefns.py:3231 RawDeltaLogLFunction.terms)
+        return jnp.where(counts == 0, jnp.zeros_like(probs), terms)
+
+    def lsvec(self, probs, counts, total_counts, freqs):
+        # least-squares use requires nonnegative terms (the reference raises
+        # here); clamp inside the sqrt so LM remains usable, without
+        # affecting fn()/terms() values
+        t = self.terms(probs, counts, total_counts, freqs)
+        return jnp.sqrt(jnp.where(t < 0, jnp.zeros_like(t), t))
 
     def dterms(self, probs, counts, total_counts, freqs):
         pos_probs = jnp.where(probs < self.min_p, self.min_p, probs)
@@ -1130,7 +1139,11 @@ def logl(model, dataset, circuits=None, min_prob_clip=1e-6,
     """Log-likelihood of the model (up to the data-dependent constant used by
     the reference: returns logL = max_logl - delta_logl)."""
     circuits = list(circuits) if circuits is not None else list(dataset.keys())
-    raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip, 'radius': radius})
+    if poisson_picture:
+        raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip,
+                                              'radius': radius})
+    else:
+        raw = RawDeltaLogLFunction({'min_prob_clip': min_prob_clip})
     obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
     return logl_max(model, dataset, circuits, poisson_picture) - obj.fn()
 
@@ -1152,9 +1165,13 @@ def logl_max(model, dataset, circuits=None, poisson_picture=True):
 
 
 def two_delta_logl(model, dataset, circuits=None, min_prob_clip=1e-6,
-                   radius=DEFAULT_RADIUS):
+                   radius=DEFAULT_RADIUS, poisson_picture=True):
     circuits = list(circuits) if circuits is not None else list(dataset.keys())
-    raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip, 'radius': radius})
+    if poisson_picture:
+        raw = RawPoissonPicDeltaLogLFunction({'min_prob_clip': min_prob_clip,
+                                              'radius': radius})
+    else:
+        raw = RawDeltaLogLFunction({'min_prob_clip': min_prob_clip})
     obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset, circuits)
     return 2 * obj.fn()
 

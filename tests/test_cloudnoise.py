@@ -190,3 +190,78 @@ class TestCloudnoiseCircuits:
         # them) are first-order amplifiable with these fiducials
         rank = np.linalg.matrix_rank(A, tol=1e-9)
         assert rank >= 8, "idle design amplifies only rank %d" % rank
+
+
+class TestCloudnoiseGSTEndToEnd:
+    def test_fit_recovers_cloud_rates(self):
+        """Full loop: amplifying design -> noisy data -> LM fit recovers the
+        planted cloud-noise error rates."""
+        from pygsti_tpu.algorithms.core import run_gst_fit_simple
+        from pygsti_tpu.circuits.cloudcircuitconstruction import (
+            create_cloudnoise_circuits)
+        from pygsti_tpu.objectivefns.objectivefns import (
+            ObjectiveFunctionBuilder)
+
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        fids = [(), ('Gxpi2',), ('Gypi2',), ('Gxpi2', 'Gxpi2')]
+        struct = create_cloudnoise_circuits(
+            pspec, [1, 2, 4], fids, max_idle_weight=1, maxhops=0,
+            extra_gate_weight=0, max_candidates=48, seed=3)
+        circuits = list(struct)
+
+        truth = create_cloud_crosstalk_model_from_hops_and_weights(
+            pspec, maxhops=0, max_idle_weight=1, gate_type='H+s')
+        vt = np.zeros(truth.num_params)
+        # plant an H_X error on the idle's qubit-0 and an H_Y on Gxpi2:0's
+        # cloud (labels: idle block first at gpindices of idle_member)
+        idle_sl = truth.idle_member.gpindices
+        lbls = truth.idle_member.errorgen.blocks[0].basis_element_labels
+        vt[idle_sl.start + lbls.index('XI')] = 0.03
+        truth.from_vector(vt)
+        ds = simulate_data(truth, circuits, 20000, seed=11)
+
+        start = truth.copy()
+        start.from_vector(np.zeros(truth.num_params))
+        opt_result, objective = run_gst_fit_simple(
+            ds, start, circuits, optimizer={'maxiter': 60},
+            objective_function_builder=ObjectiveFunctionBuilder.cast('chi2'))
+        vfit = np.asarray(objective.model.to_vector())
+        planted = vfit[idle_sl.start + lbls.index('XI')]
+        assert abs(planted - 0.03) < 0.01, \
+            "recovered idle H_X rate %g (expected 0.03)" % planted
+        # cloud-noise params are gauge-redundant, so other components need
+        # not vanish -- instead require the fit to predict the data at
+        # least as well as the generating model
+        from pygsti_tpu.tools.likelihoodfns import two_delta_logl
+        tdl_fit = two_delta_logl(objective.model, ds, circuits)
+        tdl_truth = two_delta_logl(truth, ds, circuits)
+        assert tdl_fit < tdl_truth + 10.0, \
+            "fit 2DlogL %g worse than truth %g" % (tdl_fit, tdl_truth)
+
+
+class TestLoglPoissonPicture:
+    def test_nonpoisson_two_delta_logl_formula(self):
+        """poisson_picture=False matches 2*sum N*f*log(f/p) directly."""
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuits
+        from pygsti_tpu.tools.likelihoodfns import two_delta_logl
+
+        t = mp.target_model()
+        circs = create_lsgst_circuits(t, mp.prep_fiducials(),
+                                      mp.meas_fiducials(), mp.germs(), [1])
+        noisy = t.depolarize(op_noise=0.02)
+        ds = simulate_data(noisy, circs, 2000, seed=3)
+        # evaluate at the datagen model so all probabilities stay well above
+        # the min_prob_clip stitching region
+        got = two_delta_logl(noisy, ds, circs, poisson_picture=False)
+        expected = 0.0
+        for c in circs:
+            row = ds[c]
+            probs = noisy.probabilities(c)
+            for outcome, cnt in row.items():
+                if cnt > 0:
+                    f = cnt / row.total
+                    p = max(float(probs.get(outcome, 0.0)), 1e-6)
+                    expected += 2 * cnt * np.log(f / p)
+        assert abs(got - expected) / abs(expected) < 1e-3
