@@ -7,36 +7,37 @@ spam_noise=0.01), 1000 shots seed 1234, GST seeded at the (full-param)
 target with chi2 iterations + final Poisson-picture logL (MINCLIP=1e-4).
 Baseline: 3113 s on 1 CPU rank (BASELINE.md, timings.json "1_1").
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <wall-clock s>, "unit": "s", "vs_baseline": <speedup>}
+The fit runs TWICE in one process:
+  * run 1 = COLD: every XLA executable is compiled from scratch (the
+    persistent compilation cache points at a fresh temp directory, so no
+    committed or pre-existing cache entries can be hit);
+  * run 2 = WARM: same-process re-run with fresh model/layout objects --
+    compiles hit the cache populated by run 1, measuring steady-state speed.
+
+Prints ONE JSON line; `value` is the warm wall-clock, with the cold numbers
+as extra keys:
+  {"metric": ..., "value": <warm s>, "unit": "s", "vs_baseline": <speedup>,
+   "cold_s": ..., "cold_vs_baseline": ...}
 
 Env knobs: BENCH_MAXL (default 64), BENCH_DTYPE (float64|float32, default
-float64), BENCH_PARAM (full|full TP, default full).
+float64), BENCH_PARAM (full|full TP, default full), BENCH_CACHE_DIR
+(override the fresh temp cache dir -- point it at an existing dir to skip
+the cold measurement's "fresh" guarantee), BENCH_SKIP_WARM=1 (one fit only).
 """
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 
-def main():
-    maxl = int(os.environ.get("BENCH_MAXL", "64"))
-    dtype = os.environ.get("BENCH_DTYPE", "float64")
-    param = os.environ.get("BENCH_PARAM", "full")
+BASELINE_S = 3113.0  # reference 1-rank CPU seconds (BASELINE.md)
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    # Write EVERY executable to the persistent cache.  The default
-    # min-compile-time gate (1s) can skip the big LM graphs when the TPU
-    # client defers the heavy compile to first execution (locally measured
-    # compile time then under-counts), and those graphs are exactly the ones
-    # worth caching: one cold compile of the fused LM chunk costs minutes.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    if dtype == "float64":
-        jax.config.update("jax_enable_x64", True)
 
-    import numpy as np
+def run_fit(maxl, param, gaugeopt, verbosity=2):
+    """One full GST fit; returns (fit_wall_seconds, nsigma, results)."""
     from pygsti_tpu.modelpacks import smq2Q_XYICNOT as mp
     from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
     from pygsti_tpu.data import simulate_data
@@ -44,9 +45,6 @@ def main():
     from pygsti_tpu.protocols.gst import (GateSetTomographyDesign, GateSetTomography,
                                           GSTInitialModel, GSTObjFnBuilders)
     from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
-
-    print("bench: backend=%s dtype=%s maxL=%d param=%r" %
-          (jax.default_backend(), dtype, maxl, param), file=sys.stderr)
 
     target = mp.target_model(param)
     maxlengths = [L for L in (1, 2, 4, 8, 16, 32, 64) if L <= maxl]
@@ -70,12 +68,9 @@ def main():
 
     design = GateSetTomographyDesign(target, lists)
     data = ProtocolData(design, ds)
-    gaugeopt = os.environ.get("BENCH_GAUGEOPT", "stdgaugeopt")
-    if gaugeopt in ("none", "0"):
-        gaugeopt = None
     gst = GateSetTomography(GSTInitialModel(model=target.copy()),
                             gaugeopt_suite=gaugeopt,
-                            objfn_builders=builders, verbosity=2)
+                            objfn_builders=builders, verbosity=verbosity)
 
     t0 = time.time()
     results = gst.run(data)
@@ -83,15 +78,63 @@ def main():
 
     est = results.estimates['GateSetTomography']
     nsigma = est.misfit_sigma()
-    print("bench: fit wall-clock %.1fs, Nsigma=%.2f" % (wall, nsigma), file=sys.stderr)
+    return wall, nsigma, results
 
-    baseline = 3113.0  # reference 1-rank CPU seconds (BASELINE.md)
-    scale_note = "" if maxl == 64 else " (maxL=%d, not full workload)" % maxl
+
+def main():
+    maxl = int(os.environ.get("BENCH_MAXL", "64"))
+    dtype = os.environ.get("BENCH_DTYPE", "float64")
+    param = os.environ.get("BENCH_PARAM", "full")
+
+    import jax
+    # A FRESH persistent-cache dir: run 1 is guaranteed cold (no committed
+    # or stale entries), run 2 hits the entries run 1 wrote.  Override with
+    # BENCH_CACHE_DIR to reuse a warm cache across processes.
+    cache_dir = os.environ.get("BENCH_CACHE_DIR")
+    cleanup_cache = False
+    if not cache_dir:
+        cache_dir = tempfile.mkdtemp(prefix="pygsti_tpu_benchcache_")
+        cleanup_cache = True
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Write EVERY executable to the cache: the default min-compile-time gate
+    # (1s) can skip the big LM graphs when the TPU client defers the heavy
+    # compile to first execution.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    print("bench: backend=%s dtype=%s maxL=%d param=%r cache=%s" %
+          (jax.default_backend(), dtype, maxl, param, cache_dir), file=sys.stderr)
+
+    gaugeopt = os.environ.get("BENCH_GAUGEOPT", "stdgaugeopt")
+    if gaugeopt in ("none", "0"):
+        gaugeopt = None
+
+    t_all = time.time()
+    cold_wall, cold_nsigma, _ = run_fit(maxl, param, gaugeopt)
+    print("bench: COLD fit wall-clock %.1fs, Nsigma=%.2f" %
+          (cold_wall, cold_nsigma), file=sys.stderr)
+
+    if os.environ.get("BENCH_SKIP_WARM") == "1":
+        warm_wall, warm_nsigma = cold_wall, cold_nsigma
+    else:
+        warm_wall, warm_nsigma, _ = run_fit(maxl, param, gaugeopt)
+        print("bench: WARM fit wall-clock %.1fs, Nsigma=%.2f (total %.1fs)" %
+              (warm_wall, warm_nsigma, time.time() - t_all), file=sys.stderr)
+
+    if cleanup_cache:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+    full = (maxl == 64)
+    scale_note = "" if full else " (maxL=%d, not full workload)" % maxl
     print(json.dumps({
         "metric": "2Q GST fit wall-clock (smq2Q_XYICNOT maxL=64, 1000 shots)%s" % scale_note,
-        "value": round(wall, 2),
+        "value": round(warm_wall, 2),
         "unit": "s",
-        "vs_baseline": round(baseline / wall, 2) if maxl == 64 else 0.0,
+        "vs_baseline": round(BASELINE_S / warm_wall, 2) if full else 0.0,
+        "cold_s": round(cold_wall, 2),
+        "cold_vs_baseline": round(BASELINE_S / cold_wall, 2) if full else 0.0,
+        "nsigma": round(float(warm_nsigma), 2),
     }))
 
 

@@ -277,26 +277,23 @@ class ErrorGeneratorPropagator(object):
             for lbl, c in d.items():
                 total[lbl] = total.get(lbl, 0.0) + c
         if bch_order >= 2:
-            # second-order: (1/2) sum_{t1 < t2} [L_t2, L_t1] -- commutators of
-            # elementary generators produce C/A terms; implemented for H-H
-            # pairs (the dominant coherent-error interaction).
+            # second-order Magnus/BCH: (1/2) sum_{t1 < t2} [L_t2, L_t1],
+            # via the full ANALYTIC elementary-errorgen commutator (all
+            # H/S/C/A type pairs; tools/errgenalgebra.py) -- polynomial
+            # cost at any qubit count (reference:
+            # errgenproptools.bch_approximation:100 order 2).
+            from pygsti_tpu.tools import errgenalgebra as _ega
             for t2 in range(D):
+                if not propagated_by_layer[t2]:
+                    continue
                 for t1 in range(t2):
-                    for l2, c2 in propagated_by_layer[t2].items():
-                        for l1, c1 in propagated_by_layer[t1].items():
-                            if l1.errorgen_type == 'H' and l2.errorgen_type == 'H':
-                                p1 = l1.basis_element_labels[0]
-                                p2 = l2.basis_element_labels[0]
-                                if p1.commutes_with(p2):
-                                    continue
-                                prod, e = _pauli_product(p2, p1, self.num_qubits)
-                                # [H_A, H_B] = H_{-i[A,B]}; for anticommuting
-                                # Paulis [P2,P1] = 2 P2 P1 = 2 i^e W (e odd),
-                                # so -i[P2,P1] = 2 i^{e-1} W.
-                                coeff = 0.5 * c2 * c1 * 2.0 * \
-                                    (1.0 if (e - 1) % 4 == 0 else -1.0)
-                                lbl = ElementaryErrorgenLabel('H', prod)
-                                total[lbl] = total.get(lbl, 0.0) + coeff
+                    if not propagated_by_layer[t1]:
+                        continue
+                    comm = _ega.layer_commutator_analytic(
+                        propagated_by_layer[t2], propagated_by_layer[t1],
+                        self.num_qubits, weight=0.5)
+                    for lbl, c in comm.items():
+                        total[lbl] = total.get(lbl, 0.0) + c
         return {k: v for k, v in total.items() if abs(v) > 1e-15}
 
     def errorgen_to_dense(self, errorgen_dict, basis='pp'):

@@ -249,10 +249,22 @@ class MatrixForwardSimulator(SimpleForwardSimulator):
 
 
 class MapForwardSimulator(SimpleForwardSimulator):
+    _tuning_warned = False
+
     def __init__(self, model=None, max_cache_size=None, num_atoms=None, param_blk_size=None):
         super().__init__(model, param_blk_size)
         self.max_cache_size = max_cache_size
         self.num_atoms = num_atoms
+        if (max_cache_size is not None or num_atoms is not None) \
+                and not MapForwardSimulator._tuning_warned:
+            import warnings
+            warnings.warn(
+                "MapForwardSimulator accepts num_atoms/max_cache_size for API "
+                "parity only; the TPU scanned-propagation kernel has no prefix "
+                "cache or atom decomposition, so these arguments are ignored. "
+                "(Work decomposition is controlled by the device mesh instead; "
+                "see parallel/mesh.py.)")
+            MapForwardSimulator._tuning_warned = True
 
 
 class DistributableForwardSimulator(SimpleForwardSimulator):

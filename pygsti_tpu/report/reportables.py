@@ -357,7 +357,6 @@ def general_decomposition(model_a, model_b):
     for gl in op_labels:
         gate = model_a.operations[gl].to_dense()
         target_op = model_b.operations[gl].to_dense()
-        glس = str(gl)
         gls = str(gl)
         target_evals = np.linalg.eigvals(target_op)
         failed = False
@@ -651,13 +650,18 @@ def _povm_map(model, povmlbl):
     effects = [vec_to_stdmx(dense[i], basis) for i in range(dense.shape[0])]
     n_out = len(effects)
     udim = int(round(np.sqrt(dim)))
+    if n_out > udim:
+        raise ValueError(
+            "POVM map is only defined for <= %d outcomes (Hilbert dim) but "
+            "POVM '%s' has %d; the classical register does not embed in the "
+            "diagonal (reference optools.compute_povm_map:1072 has the same "
+            "restriction)." % (udim, str(povmlbl), n_out))
     # superop on vec(rho) (std flat): out = sum_k tr(E_k rho) |k><k|
     M = np.zeros((dim, dim), complex)
     for k, E in enumerate(effects):
         row = E.conj().reshape(-1)             # tr(E rho) on vec(rho)
         proj = np.zeros((udim, udim), complex)
-        if k < udim:
-            proj[k, k] = 1.0
+        proj[k, k] = 1.0
         M += np.outer(proj.reshape(-1), row)
     return M
 
@@ -667,29 +671,52 @@ def _povm_map(model, povmlbl):
 # =============================================================================
 
 def instrument_infidelity(model_a, model_b, inst_lbl):
-    """1 - sum_k F_e(A_k, B_k) * tr-prob weight (reference: :2751)."""
+    """1 - (sum_k sqrt(F_e(A_k, B_k)))^2 (reference: reportables.py:2770-2772).
+
+    Identical instruments give exactly 0 since sum_k sqrt(F_e)=1 when each
+    member pair has F_e equal to its trace-probability share."""
     inst_a = model_a.instruments[inst_lbl]
     inst_b = model_b.instruments[inst_lbl]
-    sumfid = 0.0
-    for lbl in inst_a.member_labels:
-        a = inst_a[lbl].to_dense()
-        b = inst_b[lbl].to_dense()
-        d2 = a.shape[0]
-        sumfid += _ot.entanglement_fidelity(a, b, model_b.basis) \
-            * (np.real(b[0, 0]))  # weight by member trace-probability
-    return 1.0 - sumfid
+    sqrt_fids = [
+        np.sqrt(max(0.0, _ot.entanglement_fidelity(
+            inst_a[lbl].to_dense(), inst_b[lbl].to_dense(), model_b.basis)))
+        for lbl in inst_a.member_labels]
+    return 1.0 - float(sum(sqrt_fids)) ** 2
 
 
 def instrument_half_diamond_norm(model_a, model_b, inst_lbl):
-    """Half diamond distance between instruments via the joint map
-    (reference: :2779 -- sums member diamond norms as an upper bound)."""
+    """Half diamond distance of the joint quantum-to-(classical x quantum)
+    instrument map (reference: reportables.py:2798-2811 builds a composite op
+    on the direct-sum space of one d-dim block per member and takes ONE
+    diamond norm).  Here the direct-sum map is embedded in the std superop
+    space of C^(n_members*d); off-block components map to zero, which leaves
+    the completely-bounded norm unchanged."""
     inst_a = model_a.instruments[inst_lbl]
     inst_b = model_b.instruments[inst_lbl]
-    total = 0.0
-    for lbl in inst_a.member_labels:
-        total += 0.5 * _ot.diamonddist(inst_a[lbl].to_dense(),
-                                       inst_b[lbl].to_dense(), model_b.basis)
-    return total
+    from pygsti_tpu.tools.basistools import change_basis
+    labels = list(inst_a.member_labels)
+    nc = len(labels)
+    a0 = change_basis(np.asarray(inst_a[labels[0]].to_dense()),
+                      model_b.basis, 'std')
+    d2 = a0.shape[0]
+    d = int(round(np.sqrt(d2)))
+    D = nc * d
+    joint_a = np.zeros((D * D, D * D), complex)
+    joint_b = np.zeros((D * D, D * D), complex)
+    for i, lbl in enumerate(labels):
+        A = change_basis(np.asarray(inst_a[lbl].to_dense()), model_b.basis, 'std')
+        B = change_basis(np.asarray(inst_b[lbl].to_dense()), model_b.basis, 'std')
+        A4 = A.reshape(d, d, d, d)  # [r,c, r',c']
+        B4 = B.reshape(d, d, d, d)
+        for j in range(nc):
+            # input in diagonal Hilbert block j -> output in diagonal block i
+            rows = ((i * d + np.arange(d))[:, None] * D
+                    + (i * d + np.arange(d))[None, :]).reshape(-1)
+            cols = ((j * d + np.arange(d))[:, None] * D
+                    + (j * d + np.arange(d))[None, :]).reshape(-1)
+            joint_a[np.ix_(rows, cols)] += A4.reshape(d2, d2)
+            joint_b[np.ix_(rows, cols)] += B4.reshape(d2, d2)
+    return 0.5 * _ot.diamonddist(joint_a, joint_b, 'std')
 
 
 # =============================================================================

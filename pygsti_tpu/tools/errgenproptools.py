@@ -287,19 +287,33 @@ def error_generator_composition_numerical(lbl1, lbl2, num_qubits,
     return project_errorgen(L1 @ L2, num_qubits, types)
 
 
+def error_generator_commutator(lbl1, lbl2, num_qubits, weight=1.0,
+                               truncation_threshold=1e-14):
+    """[L1, L2] expanded in elementary errorgen coefficients -- ANALYTIC
+    Pauli-bitmask algebra (tools/errgenalgebra.py), polynomial cost at any
+    qubit count (reference: errgenproptools.error_generator_commutator:801
+    implements the same expansion as hand-written case tables)."""
+    from pygsti_tpu.tools import errgenalgebra as _ega
+    return _ega.error_generator_commutator(lbl1, lbl2, num_qubits, weight,
+                                           tol=truncation_threshold)
+
+
+def error_generator_composition(lbl1, lbl2, num_qubits, weight=1.0,
+                                truncation_threshold=1e-14):
+    """L1 o L2 projected onto elementary errorgen coefficients -- ANALYTIC
+    (reference: errgenproptools.py:1340-6415 composition case tables)."""
+    from pygsti_tpu.tools import errgenalgebra as _ega
+    return _ega.error_generator_composition(lbl1, lbl2, num_qubits, weight,
+                                            tol=truncation_threshold)
+
+
 def _layer_commutator(layer1, layer2, num_qubits, weight=1.0,
                       truncation_threshold=1e-14):
-    """weight * [L(layer1), L(layer2)] as an errorgen dict."""
-    out = {}
-    for l1, c1 in layer1.items():
-        for l2, c2 in layer2.items():
-            w = weight * c1 * c2
-            if abs(w) < truncation_threshold:
-                continue
-            for lbl, c in error_generator_commutator_numerical(
-                    l1, l2, num_qubits).items():
-                out[lbl] = out.get(lbl, 0.0) + w * c
-    return {k: v for k, v in out.items() if abs(v) > truncation_threshold}
+    """weight * [L(layer1), L(layer2)] as an errorgen dict (analytic; one
+    sandwich-level composition of the full layers)."""
+    from pygsti_tpu.tools import errgenalgebra as _ega
+    return _ega.layer_commutator_analytic(layer1, layer2, num_qubits, weight,
+                                          truncation_threshold)
 
 
 def _layer_sum(layers):
@@ -325,7 +339,9 @@ def bch_approximation(errgen_layer_1, errgen_layer_2, num_qubits=None,
     order 5: -(1/720)([X,F]-[Y,E]) + (1/360)([Y,F]-[X,E]) + (1/120)([Y,G]-[X,D])
              with B=[X,[X,Y]], C=[Y,[X,Y]], D=[Y,B], E=[Y,C], F=[X,B], G=[X,C]
              (reference: errgenproptools.py:280 fifth-order grouping)
-    All commutators are exact numerical elementary-errorgen commutators.
+    All commutators are exact ANALYTIC elementary-errorgen commutators
+    (Pauli-bitmask algebra, tools/errgenalgebra.py) -- polynomial cost at
+    any qubit count.
     """
     if num_qubits is None:
         num_qubits = next(iter(errgen_layer_1 or errgen_layer_2)
@@ -446,11 +462,30 @@ def iterative_error_generator_composition(errorgen_labels, rates,
     errgenproptools.iterative_error_generator_composition:6683 /
     iterative_error_generator_composition_numerical:7144).
 
-    The dense product is formed first and projected once at the end (the
-    reference's numerical route), so no out-of-span parts are lost at
-    intermediate steps.  Returns a list of (label, rate) tuples.  Cost is
-    16^n -- intended for <= 3 qubits.
+    ANALYTIC: the exact sandwich-level product is formed first and projected
+    once at the end (so no out-of-span parts are lost at intermediate
+    steps), with polynomial cost at any qubit count
+    (tools/errgenalgebra.iterative_composition_analytic).  Returns a list of
+    (label, rate) tuples.
     """
+    from pygsti_tpu.tools import errgenalgebra as _ega
+    labels = list(errorgen_labels)
+    rates = list(rates)
+    assert len(labels) == len(rates) and labels
+    if num_qubits is None:
+        num_qubits = labels[0].basis_element_labels[0].num_qubits
+    if len(labels) == 1:
+        return [(labels[0], rates[0])]
+    proj = _ega.iterative_composition_analytic(labels, rates, num_qubits,
+                                               truncation_threshold)
+    return [(lbl, rate) for lbl, rate in proj.items()]
+
+
+def iterative_error_generator_composition_numerical(errorgen_labels, rates,
+                                                    num_qubits=None,
+                                                    truncation_threshold=1e-14):
+    """Dense-numerical oracle for iterative_error_generator_composition
+    (16^n cost -- <= 3 qubits; used in tests)."""
     labels = list(errorgen_labels)
     rates = list(rates)
     assert len(labels) == len(rates) and labels
@@ -473,9 +508,19 @@ def stabilizer_probability_correction(errorgen_dict, state_s, state_p,
     stabilizer state, L = sum_j rate_j L_j (reference:
     errgenproptools.stabilizer_probability_correction:8374).
 
-    Order 1 uses the fast amplitude-based alpha sensitivities; orders >= 2
-    add (1/k!) <b| L^k(rho) |b> computed with the dense superoperator
-    (16^n cost -- <= 3 qubits)."""
+    ANALYTIC at every order: each (1/k!) <b| L^k(rho) |b> term is computed
+    at the Pauli-sandwich level with the stabilizer amplitude oracle
+    (tools/errgenalgebra.stabilizer_probability_correction_analytic) --
+    polynomial in n, usable at 10+ qubits."""
+    from pygsti_tpu.tools import errgenalgebra as _ega
+    return _ega.stabilizer_probability_correction_analytic(
+        errorgen_dict, state_s, state_p, bitstring, order)
+
+
+def stabilizer_probability_correction_numerical(errorgen_dict, state_s,
+                                                state_p, bitstring, order=1):
+    """Dense-numerical oracle for stabilizer_probability_correction (16^n
+    cost -- <= 3 qubits; used in tests)."""
     bits = np.asarray(list(bitstring), np.int64)
     n = len(state_p) // 2
     amps = StabilizerAmplitudes(state_s, state_p)

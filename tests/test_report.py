@@ -272,3 +272,54 @@ class TestColormaps:
         assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
         sq = SequentialColormap(0, 1)
         assert sq.interpolate_color(0.0) == '#ffffff'
+
+
+class TestInstrumentAndPOVMMetrics:
+    """ADVICE round-2 fixes: instrument_infidelity must be 0 for identical
+    instruments (reference reportables.py:2770-2772 formula) and _povm_map
+    must reject POVMs with more outcomes than the Hilbert dimension."""
+
+    @staticmethod
+    def _model_with_instrument(scale=1.0):
+        from pygsti_tpu.modelmembers.instruments import Instrument
+        from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+        from pygsti_tpu.tools.basistools import change_basis
+        m = mp.target_model()
+        P0 = np.array([[1, 0], [0, 0]], complex)
+        P1 = scale * np.array([[0, 0], [0, 1]], complex)
+
+        def mk(P):
+            S = np.einsum('ij,kl->ikjl', P, P.conj()).reshape(4, 4)
+            return FullArbitraryOp(np.real(change_basis(S, 'std', 'pp')))
+
+        m.instruments['Iz'] = Instrument({'p0': mk(P0), 'p1': mk(P1)})
+        return m
+
+    def test_instrument_infidelity_identical_is_zero(self):
+        import pygsti_tpu.report.reportables as rpt
+        m = self._model_with_instrument()
+        m2 = self._model_with_instrument()
+        assert abs(rpt.instrument_infidelity(m, m2, 'Iz')) < 1e-10
+
+    def test_instrument_infidelity_perturbed_positive(self):
+        import pygsti_tpu.report.reportables as rpt
+        m = self._model_with_instrument()
+        m2 = self._model_with_instrument(scale=0.9)
+        val = rpt.instrument_infidelity(m, m2, 'Iz')
+        assert 0 < val < 0.5
+
+    def test_instrument_half_diamond_norm_identical_is_zero(self):
+        import pygsti_tpu.report.reportables as rpt
+        m = self._model_with_instrument()
+        m2 = self._model_with_instrument()
+        assert abs(rpt.instrument_half_diamond_norm(m, m2, 'Iz')) < 1e-6
+
+    def test_povm_map_rejects_too_many_outcomes(self):
+        import pygsti_tpu.report.reportables as rpt
+        from pygsti_tpu.modelmembers.povms import UnconstrainedPOVM
+        m = mp.target_model()
+        e0 = np.array([1 / np.sqrt(2), 0, 0, 0.5])
+        e1 = np.array([1 / np.sqrt(2) / 2, 0, 0, -0.25])
+        m.povms['M3'] = UnconstrainedPOVM({'0': e0, '1': e1, '2': e1})
+        with pytest.raises(ValueError):
+            rpt._povm_map(m, 'M3')
