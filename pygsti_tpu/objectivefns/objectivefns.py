@@ -1071,22 +1071,53 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                                     axis=0)
             return J
     else:
+        # Mesh / non-uniform-outcome path.  On a 2-D ('circuits','params')
+        # mesh the Jacobian tangent basis is sharded along 'params' (each
+        # param-device column pushes its slice of jvp tangents through the
+        # circuit-sharded probs graph) and the resulting [P, E] transposed
+        # Jacobian is sharded along BOTH axes, so the JTJ Gram contraction
+        # psums over 'circuits' while its [P, P] rows stay 'params'-sharded
+        # -- the TPU-native analogue of the reference's param1 x param2
+        # processor-grid distribution (distlayout.py:139-196,
+        # arraysinterface.py:597).
+        mesh = getattr(sim, 'mesh', None)
+        param_sharded = mesh is not None and 'params' in mesh.axis_names
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        def _jac_t(v):
+            """[P, E] transposed Jacobian of probs, params-sharded on a 2-D
+            mesh."""
+            if not param_sharded:
+                return jax.jacfwd(probs_fn)(v).T
+            basis = jnp.eye(v.shape[0], dtype=v.dtype)
+            basis = jax.lax.with_sharding_constraint(
+                basis, NamedSharding(mesh, _P('params', None)))
+            Jt = jax.vmap(lambda t: jax.jvp(probs_fn, (v,), (t,))[1])(basis)
+            return jax.lax.with_sharding_constraint(
+                Jt, NamedSharding(mesh, _P('params', 'circuits')))
+
         def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
             ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
             dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            dp = jax.jacfwd(probs_fn)(v)           # [E, P]
-            J = dls[:, None] * dp
+            Jw = _jac_t(v) * dls[None, :]          # [P, E]
+            jtj = Jw @ Jw.T                        # psum over 'circuits'
+            jtf = Jw @ ls
+            if param_sharded:
+                jtj = jax.lax.with_sharding_constraint(
+                    jtj, NamedSharding(mesh, _P('params', None)))
             if regularize_factor > 0:
-                ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
-                J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
-                                    axis=0)
-            return ls, J.T @ J, J.T @ ls
+                pen = regularize_factor * jnp.abs(v)
+                ls = jnp.concatenate([ls, pen])
+                jtj = jtj + (regularize_factor ** 2) * jnp.eye(
+                    v.shape[0], dtype=v.dtype)
+                jtf = jtf + regularize_factor * jnp.sign(v) * pen
+            return ls, jtj, jtf
 
         def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
             dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            J = dls[:, None] * jax.jacfwd(probs_fn)(v)
+            J = (_jac_t(v) * dls[None, :]).T
             if regularize_factor > 0:
                 J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
                                     axis=0)

@@ -28,6 +28,29 @@ def circuit_mesh(n_devices=None, devices=None, axis_name='circuits'):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def grid_mesh(n_circuit_devices, n_param_devices, devices=None):
+    """2-D ('circuits', 'params') mesh: the TPU-native analogue of the
+    reference's atom-procs x param-procs processor grid
+    (pygsti/layouts/distlayout.py:139-196).  The circuit/element axis of
+    every batch tensor is sharded over 'circuits'; Jacobian tangents and
+    the JTJ/JTf rows are sharded over 'params'
+    (objectivefns._compiled_objective_graphs mesh path)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_circuit_devices * n_param_devices
+    assert len(devices) >= need, \
+        "grid_mesh needs %d devices, have %d" % (need, len(devices))
+    grid = np.array(devices[:need]).reshape(n_circuit_devices, n_param_devices)
+    return Mesh(grid, ('circuits', 'params'))
+
+
+def param_axis_size(mesh):
+    """Number of devices along the 'params' axis (1 for 1-D meshes)."""
+    if mesh is None or 'params' not in mesh.axis_names:
+        return 1
+    return mesh.shape['params']
+
+
 def shard_circuits(mesh, arr, axis_name='circuits'):
     """Place `arr` sharded along its leading axis."""
     spec = P(axis_name, *([None] * (np.ndim(arr) - 1)))
