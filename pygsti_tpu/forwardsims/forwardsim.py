@@ -181,20 +181,32 @@ class SimpleForwardSimulator(ForwardSimulator):
         prep_idx = jnp.asarray(layout.prep_index)    # [B]
         elem_c = jnp.asarray(layout.elem_circuit)    # [E]
         elem_e = jnp.asarray(layout.elem_effect)     # [E]
-        if self.mesh is not None:
-            # shard the batch axis across the mesh; XLA inserts the
-            # collectives for the element gathers and JTJ reductions.
-            from pygsti_tpu.parallel.mesh import shard_circuits
-            op_idx = shard_circuits(self.mesh, op_idx)
-            prep_idx = shard_circuits(self.mesh, prep_idx)
-            elem_c = shard_circuits(self.mesh, elem_c)
-            elem_e = shard_circuits(self.mesh, elem_e)
+        mesh = self.mesh
+        if mesh is not None:
+            # Shard the batch axis across the mesh.  The constraint is
+            # applied INSIDE the traced function (not via device_put at
+            # build time): jitted functions may not close over jax.Arrays
+            # spanning non-addressable devices, so under multi-process
+            # jax.distributed the index tensors must enter as host constants
+            # that the partitioner shards (XLA then inserts the collectives
+            # for the element gathers and JTJ reductions).
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            def _shard(a):
+                spec = _P('circuits', *([None] * (a.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, spec))
+        else:
+            def _shard(a):
+                return a
 
         def probs(v):
+            op_idx_s, prep_idx_s = _shard(op_idx), _shard(prep_idx)
+            elem_c_s, elem_e_s = _shard(elem_c), _shard(elem_e)
             t = compute(v)
             eye = jnp.eye(dim, dtype=t.ops.dtype)[None]
             G = jnp.concatenate([t.ops, eye], axis=0)      # [K+1, d, d]
-            rho = t.preps[prep_idx]                        # [B, d]
+            rho = t.preps[prep_idx_s]                      # [B, d]
             if layout.max_depth > 0:
                 def step(carry, idx_col):
                     # one-hot contraction instead of gather: TPU gathers of
@@ -205,9 +217,9 @@ class SimpleForwardSimulator(ForwardSimulator):
                     onehot = jax.nn.one_hot(idx_col, G.shape[0],
                                             dtype=carry.dtype)
                     return jnp.einsum('bki,bk->bi', y, onehot), None
-                rho, _ = jax.lax.scan(step, rho, op_idx.T)
-            E = t.effects[elem_e]                          # [E, d]
-            return jnp.sum(E * rho[elem_c], axis=1)        # [E]
+                rho, _ = jax.lax.scan(step, rho, op_idx_s.T)
+            E = t.effects[elem_e_s]                        # [E, d]
+            return jnp.sum(E * rho[elem_c_s], axis=1)      # [E]
 
         # jit pays off only for large batches; small/one-off layouts (e.g.
         # single-circuit .probabilities() queries) run eagerly.
