@@ -574,7 +574,17 @@ class TimeIndependentMDCObjectiveFunction(object):
                                             self._flag_j, self._regs_j)
         return np.asarray(ls), np.asarray(jtj), np.asarray(jtf)
 
-    def run_device_lm(self, x0, maxiter=100, tol=None, linesearch=None):
+    # Jittable out-of-bounds predicate (v, counts, totals, freqs, flag,
+    # regs) -> bool for the device LM's OOB protocol.  None for the dense
+    # objective: obj_fn(oob_check=True) never raises in the reference either
+    # (OOB is a term-simulator/termgap concept, reference
+    # objectivefns.py:4551), so the device loop's constantly-in-bounds
+    # predicate reproduces the host semantics exactly.  Subclasses with a
+    # real bounds condition override this with a traced predicate.
+    device_oob_fn = None
+
+    def run_device_lm(self, x0, maxiter=100, tol=None, linesearch=None,
+                      oob_check_interval=0):
         """Run the ENTIRE Levenberg-Marquardt loop on device as one jitted
         while_loop (optimize/device_lm.py) -- no per-iteration host round
         trips.  Returns (x, converged, msg, mu, nu, norm_f, f)."""
@@ -582,8 +592,9 @@ class TimeIndependentMDCObjectiveFunction(object):
         tol = tol or {}
         linesearch = linesearch or {}
         sim = self.model.sim
-        # tolerances / maxiter are runtime args: one compiled executable
-        # serves every GST stage (chi2 iterations AND the final logL stage)
+        # tolerances / maxiter / oob interval are runtime args: one compiled
+        # executable serves every GST stage (chi2 iterations AND the final
+        # logL stage, safe and unsafe OOB modes)
         key = ('device_lm', id(self.layout),
                tuple(sorted((self.penalties or {}).items())),
                tuple(sorted(linesearch.items())))
@@ -593,7 +604,8 @@ class TimeIndependentMDCObjectiveFunction(object):
                 num_params=len(x0),
                 ls_beta=linesearch.get('beta', 0.25),
                 ls_max_evals=linesearch.get('max_evals', 6),
-                ls_kappa=linesearch.get('kappa', 1.0))
+                ls_kappa=linesearch.get('kappa', 1.0),
+                oob_fn=self.device_oob_fn)
             sim._obj_graph_cache[key] = (_jit_fast(init_fn), _jit_fast(chunk_fn),
                                          _jit_fast(fin_fn))
         init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
@@ -613,7 +625,8 @@ class TimeIndependentMDCObjectiveFunction(object):
         else:
             B = self.layout.op_indices.shape[0]
             chunk = 12 if B < 2500 else (6 if B < 7000 else 3)
-        state = init_jit(jnp.asarray(x0), *data)
+        state = init_jit(jnp.asarray(x0), *data,
+                         oob_interval=int(oob_check_interval))
         while True:
             k_now = int(state.k)
             if int(state.exit_code) != 0 or k_now >= maxiter:

@@ -4,10 +4,21 @@ graph (lax.while_loop), eliminating per-iteration host round trips.
 Mirrors the update semantics of simplish_leastsq (see optimize/simplerlm.py
 and the reference pygsti/optimize/simplerlm.py:391): identity damping on the
 JTJ diagonal, (mu, nu) schedule with gain-ratio factor 1-(2 dF/dL-1)^3,
-guarded backtracking line search, and the same convergence criteria.  Out-of
--bounds checking is not implemented on device (CPTP-by-construction
-parameterizations don't need it); callers needing OOB fall back to the host
-loop.
+guarded backtracking line search, and the same convergence criteria.
+
+Out-of-bounds protocol (reference simplerlm.py:500-546, 590-640): the
+runtime ``oob_interval`` argument enables OOB checking every
+``oob_interval`` outer iterations against a jittable ``oob_fn(x, *data) ->
+bool`` predicate (True = out of bounds).  OOB candidates are rejected with
+the standard damping update (oob_action="reject"); best-x tracking only
+records known-in-bounds points; and a convergence exit reached while
+``oob_interval > 1`` REVERTS to the best known in-bounds point with the
+interval reset to 1 (the reference's revert_to_best_x) instead of
+terminating -- so the returned optimum is always OOB-validated when
+checking is on.  With ``oob_fn=None`` the predicate is constantly
+in-bounds, which makes intervals 0/1 exactly equivalent (matching the
+reference's behavior for dense objectives, where obj_fn(oob_check=True)
+never raises).
 
 Exit codes: 0 = running, 1 = f_norm2_tol, 2 = jac_norm_tol, 3 = rel_xtol,
 4 = rel_ftol, 5 = max_iter, 6 = nu overflow, 7 = singular, 8 = non-finite.
@@ -37,6 +48,7 @@ class _LMState(NamedTuple):
     best_mu: Any
     best_nu: Any
     exit_code: Any
+    oob_interval: Any
 
 
 def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
@@ -50,27 +62,34 @@ def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
 
 def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                    ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0,
-                   max_inner=16):
+                   max_inner=16, oob_fn=None):
     """Build the jitted LM driver.
 
-    jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f.
-    Returns (lm_init, lm_chunk, lm_finalize).  Convergence tolerances and the
-    iteration cap are RUNTIME arguments (a 5-vector `tols` =
-    [f_norm2_tol, jac_norm_tol, rel_ftol, rel_xtol, max_norm_dx] and the
-    integers k_stop / max_iter), so every GST stage -- chi2 iterations, the
-    final logL stage, different maxiters -- shares one compiled executable.
+    jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f;
+    oob_fn(x, *data) -> bool (True = out of bounds), or None for a
+    constantly-in-bounds predicate.
+    Returns (lm_init, lm_chunk, lm_finalize).  Convergence tolerances, the
+    iteration cap, AND the OOB check interval are RUNTIME arguments (a
+    5-vector `tols` = [f_norm2_tol, jac_norm_tol, rel_ftol, rel_xtol,
+    max_norm_dx], the integers k_stop / max_iter, and lm_init's
+    oob_interval), so every GST stage -- chi2 iterations, the final logL
+    stage, different maxiters, safe/unsafe OOB modes -- shares one compiled
+    executable.
     """
     tau = 1e-3
     half_max_nu = 2.0 ** 62
+    if oob_fn is None:
+        def oob_fn(x, *data):
+            return jnp.asarray(False)
 
-    def lm_init(x0, *data):
+    def lm_init(x0, *data, oob_interval=0):
         f0 = lsvec_fn(x0, *data)
         norm_f0 = jnp.dot(f0, f0)
         return _LMState(jnp.asarray(0), x0, f0, norm_f0,
                         jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
                         x0, norm_f0, f0,
                         jnp.asarray(1.0, x0.dtype), jnp.asarray(2.0, x0.dtype),
-                        jnp.asarray(0))
+                        jnp.asarray(0), jnp.asarray(oob_interval, jnp.int32))
 
     def lm_chunk(state, k_stop, tols, *data):
         """Advance the LM loop until exit or `k_stop` iterations (bounded
@@ -97,6 +116,10 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
 
             mu0 = jnp.where(st.k == 0, tau * jnp.max(jtj_diag), st.mu)
             nu0 = jnp.where(st.k == 0, 2.0, st.nu)
+
+            interval = st.oob_interval
+            do_oob_k = (interval > 0) & \
+                (jnp.mod(st.k, jnp.maximum(interval, 1)) == 0)
 
             # ---- inner damping loop -------------------------------------
             # One residual (lsvec) evaluation per inner iteration: the solve /
@@ -191,8 +214,13 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                 ftol_conv = (dL / norm_f < rel_ftol) & (dF >= 0) \
                     & (dF / norm_f < rel_ftol) & (dF / jnp.maximum(dL, 1e-300) < 2.0)
 
+                # OOB check of the concluded candidate (reference
+                # eval_candidate + oob_action="reject": an out-of-bounds
+                # candidate is rejected with the standard damping update)
+                oob_att = do_oob_k & oob_fn(new_x, *data)
+
                 accept = solve_ok & jnp.isfinite(att_norm) & (dL > 0) & (dF > 0) \
-                    & ~xtol_conv & ~ftol_conv
+                    & ~xtol_conv & ~ftol_conv & ~oob_att
 
                 # damping update on accept
                 t_gain = 1.0 - (2 * dF / jnp.maximum(dL, 1e-300) - 1.0) ** 3
@@ -253,7 +281,12 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
             f1 = jnp.where(accepted, new_f, f)
             norm_f1 = jnp.where(accepted, norm_new_f, norm_f)
 
-            improved = accepted & (norm_f1 < st.best_norm_f)
+            # best-x tracking records only KNOWN-IN-BOUNDS points (reference
+            # simplerlm.py:881-894: post-accept oob check before updating
+            # best_x).  When this iteration ran the periodic check, an
+            # accepted point already passed it; otherwise check it now.
+            inbounds = (interval == 0) | do_oob_k | ~oob_fn(x1, *data)
+            improved = accepted & (norm_f1 < st.best_norm_f) & inbounds
             best_x = jnp.where(improved, x1, st.best_x)
             best_norm_f = jnp.where(improved, norm_f1, st.best_norm_f)
             best_f = jnp.where(improved, f1, st.best_f)
@@ -264,9 +297,24 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                          jnp.where(norm_JTf < jac_norm_tol, 2,
                           jnp.where(~finite_jtj, 8, inner_code)))
 
+            # revert_to_best_x (reference simplerlm.py:598-604): a
+            # convergence exit (codes 1-4) reached while oob_interval > 1
+            # reverts to the last known in-bounds point and drops the
+            # interval to 1 instead of terminating, so the final optimum is
+            # OOB-validated.
+            conv_exit = (exit_code >= 1) & (exit_code <= 4)
+            do_revert = conv_exit & (interval > 1)
+            x1 = jnp.where(do_revert, best_x, x1)
+            f1 = jnp.where(do_revert, best_f, f1)
+            norm_f1 = jnp.where(do_revert, best_norm_f, norm_f1)
+            mu_f = jnp.where(do_revert, best_mu, mu_f)
+            nu_f = jnp.where(do_revert, best_nu, nu_f)
+            exit_code = jnp.where(do_revert, 0, exit_code)
+            new_interval = jnp.where(do_revert, 1, interval)
+
             return _LMState(st.k + 1, x1, f1, norm_f1, mu_f, nu_f,
                             best_x, best_norm_f, best_f, best_mu, best_nu,
-                            exit_code)
+                            exit_code, new_interval)
 
         return jax.lax.while_loop(cond, body, state)
 

@@ -87,12 +87,19 @@ class SimplerLMOptimizer(object):
         printer = VerbosityPrinter.create_printer(printer if printer is not None else 1)
         x0 = objective.model.to_vector()
 
-        use_device = (self.oob_check_interval == 0 and self.fditer == 0
+        # The device loop implements the reference OOB protocol for
+        # oob_action="reject" / oob_check_mode=0 (candidate checked before
+        # acceptance); other OOB modes fall back to the host loop.
+        oob_on_device = (self.oob_check_interval == 0
+                         or (self.oob_action == 'reject'
+                             and self.oob_check_mode == 0))
+        use_device = (self.fditer == 0 and oob_on_device
                       and hasattr(objective, 'run_device_lm')
                       and os.environ.get('PYGSTI_TPU_HOST_LM', '0') != '1')
         if use_device:
             x, converged, msg, mu, nu, norm_f, f = objective.run_device_lm(
-                x0, maxiter=self.maxiter, tol=self.tol, linesearch=self.linesearch)
+                x0, maxiter=self.maxiter, tol=self.tol, linesearch=self.linesearch,
+                oob_check_interval=self.oob_check_interval)
             printer.log("Device LM message = %s" % msg, 2)
             assert converged, "Failed to converge: %s" % msg
             objective.model.from_vector(x)
