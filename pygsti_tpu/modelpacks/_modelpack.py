@@ -27,18 +27,40 @@ class GSTModelPack(object):
     _global_fid_pairs = None
     _pergerm_fid_pairs = None
     _availability = None   # optional {gate_name: [qubit-tuples]} restriction
+    _op_order = None       # optional [(gate_name, qubit-index-tuple)] to match
+    #                        the reference pack's operation ordering ('' = idle)
 
     @classmethod
-    def processor_spec(cls):
+    def _check_qubit_labels(cls, qubit_labels):
+        if qubit_labels is None:
+            return None
+        qubit_labels = tuple(qubit_labels)
+        assert len(qubit_labels) == cls._nqubits, \
+            "Expected %d qubit labels and got: %s!" % (cls._nqubits, str(qubit_labels))
+        return qubit_labels
+
+    @classmethod
+    def _relabel(cls, circuits, qubit_labels):
+        """Relabel default integer qubit labels 0..n-1 to `qubit_labels`
+        (reference: _modelpack.py _indexed_circuits / qubit_labels args)."""
+        qubit_labels = cls._check_qubit_labels(qubit_labels)
+        if qubit_labels is None or qubit_labels == tuple(range(cls._nqubits)):
+            return circuits
+        mapper = dict(enumerate(qubit_labels))
+        return [c.map_state_space_labels(mapper) for c in circuits]
+
+    @classmethod
+    def processor_spec(cls, qubit_labels=None):
         names = list(cls._gates)
         if cls._include_idle:
             names = ['{idle}'] + names
         return QubitProcessorSpec(cls._nqubits, names, geometry='line',
-                                  availability=cls._availability)
+                                  availability=cls._availability,
+                                  qubit_labels=cls._check_qubit_labels(qubit_labels))
 
     @classmethod
     def target_model(cls, gate_type='full', prep_type='auto', povm_type='auto',
-                     simulator='auto', basis='pp'):
+                     simulator='auto', basis='pp', qubit_labels=None):
         ideal_spam = 'auto'
         if prep_type == 'auto' and povm_type == 'auto':
             if gate_type in ('full TP', 'TP'):
@@ -49,24 +71,37 @@ class GSTModelPack(object):
                 ideal_spam = 'computational'
             elif gate_type in ('CPTP', 'CPTPLND', 'GLND', 'H+S', 'H+s'):
                 ideal_spam = gate_type
-        return create_explicit_model(
-            cls.processor_spec(), basis=basis, ideal_gate_type=gate_type,
+        mdl = create_explicit_model(
+            cls.processor_spec(qubit_labels), basis=basis, ideal_gate_type=gate_type,
             ideal_spam_type=ideal_spam,
             ideal_prep_type=prep_type, ideal_povm_type=povm_type,
             simulator=simulator)
+        if cls._op_order is not None:
+            from pygsti_tpu.baseobjs.label import Label
+            qlbls = cls._check_qubit_labels(qubit_labels) or tuple(range(cls._nqubits))
+            order = [Label(()) if name == '' else
+                     Label((name,) + tuple(qlbls[i] for i in idxs))
+                     for name, idxs in cls._op_order]
+            ops = {k: mdl.operations[k] for k in order if k in mdl.operations}
+            ops.update({k: v for k, v in mdl.operations.items() if k not in ops})
+            for k in list(mdl.operations.keys()):
+                del mdl.operations[k]
+            for k, v in ops.items():
+                mdl.operations[k] = v
+        return mdl
 
     @classmethod
-    def germs(cls, lite=False):
+    def germs(cls, lite=False, qubit_labels=None):
         strs = cls._germs_lite if (lite and cls._germs_lite is not None) else cls._germs
-        return [Circuit(s) for s in strs]
+        return cls._relabel([Circuit(s) for s in strs], qubit_labels)
 
     @classmethod
-    def prep_fiducials(cls):
-        return [Circuit(s) for s in cls._prep_fids]
+    def prep_fiducials(cls, qubit_labels=None):
+        return cls._relabel([Circuit(s) for s in cls._prep_fids], qubit_labels)
 
     @classmethod
-    def meas_fiducials(cls):
-        return [Circuit(s) for s in cls._meas_fids]
+    def meas_fiducials(cls, qubit_labels=None):
+        return cls._relabel([Circuit(s) for s in cls._meas_fids], qubit_labels)
 
     @classmethod
     def clifford_compilation(cls, max_length=7):
@@ -136,6 +171,8 @@ class GSTModelPack(object):
         (reference: _modelpack.py:331)."""
         from pygsti_tpu.protocols.gst import StandardGSTDesign
         maxlengths = [2 ** i for i in range(int(np.log2(max_max_length)) + 1)]
-        return StandardGSTDesign(cls.target_model('static'), cls.prep_fiducials(),
-                                 cls.meas_fiducials(), cls.germs(lite), maxlengths,
+        return StandardGSTDesign(cls.target_model('static', qubit_labels=qubit_labels),
+                                 cls.prep_fiducials(qubit_labels),
+                                 cls.meas_fiducials(qubit_labels),
+                                 cls.germs(lite, qubit_labels), maxlengths,
                                  **kwargs)

@@ -1,7 +1,6 @@
 """Model pack: 2 qubits, X/Y(pi/2) on each + CNOT (no idle)
 (reference: pygsti/modelpacks/smq2Q_XYCNOT.py)."""
 
-from pygsti_tpu.baseobjs.label import Label
 from pygsti_tpu.modelpacks._modelpack import GSTModelPack
 from pygsti_tpu.modelpacks.smq2Q_XYICNOT import _Pack as _XYICNOTPack
 
@@ -16,19 +15,8 @@ class _Pack(GSTModelPack):
     _prep_fids = _XYICNOTPack._prep_fids
     _meas_fids = _XYICNOTPack._meas_fids
 
-    @classmethod
-    def target_model(cls, gate_type='full', prep_type='auto', povm_type='auto',
-                     simulator='auto', basis='pp'):
-        mdl = GSTModelPack.target_model.__func__(cls, gate_type, prep_type,
-                                                 povm_type, simulator, basis)
-        order = [Label('Gxpi2', 1), Label('Gypi2', 1),
-                 Label('Gxpi2', 0), Label('Gypi2', 0), Label(('Gcnot', 0, 1))]
-        ops = {k: mdl.operations[k] for k in order if k in mdl.operations}
-        for k in list(mdl.operations.keys()):
-            del mdl.operations[k]
-        for k, v in ops.items():
-            mdl.operations[k] = v
-        return mdl
+    _op_order = [('Gxpi2', (1,)), ('Gypi2', (1,)),
+                 ('Gxpi2', (0,)), ('Gypi2', (0,)), ('Gcnot', (0, 1))]
 
 
 target_model = _Pack.target_model

@@ -1,9 +1,7 @@
 """Model pack: 2 qubits, X/Y(pi/2) on each qubit + CNOT + idle
 (reference: pygsti/modelpacks/smq2Q_XYICNOT.py)."""
 
-from pygsti_tpu.baseobjs.label import Label
 from pygsti_tpu.modelpacks._modelpack import GSTModelPack
-from pygsti_tpu.models.modelconstruction import create_explicit_model
 
 
 class _Pack(GSTModelPack):
@@ -37,20 +35,10 @@ class _Pack(GSTModelPack):
         'Gxpi2:0Gypi2:1@(0,1)', 'Gypi2:0Gxpi2:1@(0,1)', 'Gypi2:0Gypi2:1@(0,1)',
     ]
 
-    @classmethod
-    def target_model(cls, gate_type='full', prep_type='auto', povm_type='auto',
-                     simulator='auto', basis='pp'):
-        mdl = super().target_model(gate_type, prep_type, povm_type, simulator, basis)
-        # match the reference pack's operation ordering:
-        # [], Gxpi2:1, Gypi2:1, Gxpi2:0, Gypi2:0, Gcnot:0:1
-        order = [Label(()), Label('Gxpi2', 1), Label('Gypi2', 1),
-                 Label('Gxpi2', 0), Label('Gypi2', 0), Label(('Gcnot', 0, 1))]
-        ops = {k: mdl.operations[k] for k in order if k in mdl.operations}
-        for k in list(mdl.operations.keys()):
-            del mdl.operations[k]
-        for k, v in ops.items():
-            mdl.operations[k] = v
-        return mdl
+    # match the reference pack's operation ordering:
+    # [], Gxpi2:1, Gypi2:1, Gxpi2:0, Gypi2:0, Gcnot:0:1
+    _op_order = [('', ()), ('Gxpi2', (1,)), ('Gypi2', (1,)),
+                 ('Gxpi2', (0,)), ('Gypi2', (0,)), ('Gcnot', (0, 1))]
 
 
 target_model = _Pack.target_model

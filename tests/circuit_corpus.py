@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Differential behavior corpus for pygsti_tpu Circuits.
+
+Golden-master harness for Circuit semantics, modeled on the reference's
+test/performance/circuit_corpus.py:1-50: generate fingerprints of realistic
+circuits under one version of the code, replay under another, and demand
+that every behavioral difference is on a human-readable allowlist.
+
+Usage:
+    python tests/circuit_corpus.py generate \
+        --out tests/circuit_corpus_baseline.jsonl.gz [--size small|smoke|full]
+    python tests/circuit_corpus.py compare \
+        tests/circuit_corpus_baseline.jsonl.gz candidate.jsonl.gz \
+        [--allowlist tests/circuit_corpus_allowlist.txt]
+
+The committed baseline is generated at --size small (~3k records) so the
+in-suite regression test (test_circuit_corpus.py) stays fast; --size full
+(~23k records, matching the reference's corpus scale) is for manual sweeps.
+
+Raw `hash` fingerprints are only process-stable under a fixed
+PYTHONHASHSEED -- the CLI re-execs itself with PYTHONHASHSEED=0
+automatically, and compare skips the 'hash' field when the current process
+does not have PYTHONHASHSEED=0 (the salt-independent `hash_eq_reparse`
+field pins hash/equality semantics in every environment).
+
+Allowlist format (tab-separated, '#' comments):
+    field<TAB>circuit-str<TAB>reason
+A mismatch is permitted iff some line matches its (field, baseline str)
+exactly.  For a reviewed systematic change, regenerate the baseline after
+sign-off instead of bulk-populating the allowlist.
+"""
+
+import argparse
+import gzip
+import io
+import json
+import os
+import sys
+
+SIZES = {
+    'smoke': dict(ml_1q=4, ml_2q=None, n_random=40, reparse_every=5),
+    'small': dict(ml_1q=8, ml_2q=2, n_random=500, reparse_every=10),
+    'full': dict(ml_1q=256, ml_2q=16, n_random=4000, reparse_every=10),
+}
+
+
+def build_corpus(size='small'):
+    """Deterministic list of (source_tag, Circuit)."""
+    import numpy as np
+    from pygsti_tpu.algorithms.randomcircuit import create_random_circuit
+    from pygsti_tpu.io.stdinput import StdInputParser
+    from pygsti_tpu.modelpacks import smq1Q_XYI
+    from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+
+    cfg = SIZES[size]
+    corpus = []
+
+    design = smq1Q_XYI.create_gst_experiment_design(cfg['ml_1q'])
+    corpus += [('gst_1q', c) for c in design.all_circuits_needing_data]
+
+    # the same 1-qubit design relabeled with a string qubit label ('Q0') so
+    # string line labels flow through every fingerprint field + reparse
+    design_q = smq1Q_XYI.create_gst_experiment_design(cfg['ml_1q'],
+                                                      qubit_labels=('Q0',))
+    corpus += [('gst_1q_strlbl', c) for c in design_q.all_circuits_needing_data]
+
+    if cfg['ml_2q']:
+        from pygsti_tpu.modelpacks import smq2Q_XYICNOT
+        design2 = smq2Q_XYICNOT.create_gst_experiment_design(cfg['ml_2q'])
+        corpus += [('gst_2q', c) for c in design2.all_circuits_needing_data]
+        design2_q = smq2Q_XYICNOT.create_gst_experiment_design(
+            cfg['ml_2q'], qubit_labels=('Q0', 'Q1'))
+        corpus += [('gst_2q_strlbl', c)
+                   for c in design2_q.all_circuits_needing_data]
+
+    pspec = QubitProcessorSpec(2, ['Gi', 'Gxpi2', 'Gypi2', 'Gcnot'],
+                               geometry='line')
+    rng = np.random.RandomState(20260610)
+    for _ in range(cfg['n_random']):
+        depth = int(rng.randint(0, 65))
+        circuit = create_random_circuit(pspec, depth, rand_state=rng)
+        corpus.append(('rand_2q', circuit))
+
+    # re-parse a sample through the string-parsing path
+    sip = StdInputParser()
+    for i in range(0, len(corpus), cfg['reparse_every']):
+        tag, c = corpus[i]
+        reparsed = sip.parse_circuit(c.str, create_subcircuits=False)
+        corpus.append((tag + ':reparsed', reparsed))
+    return corpus
+
+
+def _outcome(fn):
+    try:
+        return repr(fn())
+    except Exception as e:  # exceptions ARE behavior; record them
+        return 'EXC:%s:%s' % (type(e).__name__, e)
+
+
+def fingerprint(c):
+    from pygsti_tpu.io.stdinput import StdInputParser
+    sip = StdInputParser()
+
+    def hash_eq_reparse():
+        c2 = sip.parse_circuit(c.str, create_subcircuits=False)
+        return (hash(c) == hash(c2), c == c2)
+
+    return {
+        'str': _outcome(lambda: c.str),
+        'len': _outcome(lambda: len(c)),
+        'depth': _outcome(lambda: c.depth),
+        'width': _outcome(lambda: c.width),
+        'tup': _outcome(lambda: c.tup),
+        'layertup': _outcome(lambda: c.layertup),
+        'line_labels': _outcome(lambda: c.line_labels),
+        'num_gates': _outcome(lambda: c.num_gates),
+        'num_multiq_gates': _outcome(lambda: c.num_multiq_gates),
+        'hash': _outcome(lambda: hash(c)),
+        'hash_eq_reparse': _outcome(hash_eq_reparse),
+        'slice_head': _outcome(lambda: c[0:min(2, len(c))].tup),
+        'slice_tail': _outcome(lambda: c[len(c) // 2:].tup),
+        'concat_tup': _outcome(lambda: (c + c).tup),
+        'concat_str': _outcome(lambda: (c + c).str),
+        'pow2_str': _outcome(lambda: (c ** 2).str),
+        'serialize_str': _outcome(lambda: c.serialize().str),
+        'expand_str': _outcome(lambda: c.expand_subcircuits().str),
+    }
+
+
+def fingerprint_all(corpus):
+    return [{'id': i, 'src': tag, 'fp': fingerprint(c)}
+            for i, (tag, c) in enumerate(corpus)]
+
+
+HASH_STABLE = os.environ.get('PYTHONHASHSEED') == '0'
+
+
+def compare_fingerprints(base, other, allowlist, skip_hash=not HASH_STABLE):
+    """Returns list of non-allowlisted mismatches as dicts."""
+    mismatches = []
+    if len(base) != len(other):
+        mismatches.append({'id': None, 'src': 'CORPUS', 'field': 'length',
+                           'base': len(base), 'other': len(other)})
+        return mismatches
+    n_str_diff = sum(1 for rb, ro in zip(base, other)
+                     if rb['fp']['str'] != ro['fp']['str'])
+    if n_str_diff > len(base) / 2:
+        mismatches.append({'id': None, 'src': 'CORPUS',
+                           'field': 'CORPUS_ALIGNMENT',
+                           'base': '%d/%d circuit strs differ'
+                                   % (n_str_diff, len(base)),
+                           'other': ''})
+    allowed = {(field, cstr) for field, cstr, _reason in allowlist}
+    for rec_b, rec_o in zip(base, other):
+        base_str = rec_b['fp']['str']
+        for field, val_b in rec_b['fp'].items():
+            if field == 'hash' and skip_hash:
+                continue
+            val_o = rec_o['fp'].get(field)
+            if val_b == val_o:
+                continue
+            if (field, base_str) in allowed:
+                continue
+            mismatches.append({'id': rec_b['id'], 'src': rec_b['src'],
+                               'field': field, 'str': base_str,
+                               'base': val_b, 'other': val_o})
+    return mismatches
+
+
+def load_allowlist(path):
+    entries = []
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for lineno, line in enumerate(f, start=1):
+                line = line.rstrip('\n')
+                if not line or line.startswith('#'):
+                    continue
+                try:
+                    field, cstr, reason = line.split('\t', 2)
+                except ValueError as e:
+                    raise ValueError(
+                        "malformed allowlist line %d of %s: %r"
+                        % (lineno, path, line)) from e
+                entries.append((field, cstr, reason))
+    return entries
+
+
+def open_text(path, mode):
+    """Text I/O, gzip by '.gz' suffix; compressed writes fix mtime=0 so
+    regenerating identical content is byte-identical."""
+    if not path.endswith('.gz'):
+        return open(path, mode, encoding='utf-8')
+    if 'w' in mode:
+        gz = gzip.GzipFile(path, 'wb', compresslevel=9, mtime=0)
+    else:
+        gz = gzip.GzipFile(path, 'rb')
+    return io.TextIOWrapper(gz, encoding='utf-8')
+
+
+def _ensure_fixed_hashseed():
+    if os.environ.get('PYTHONHASHSEED') != '0':
+        env = dict(os.environ, PYTHONHASHSEED='0')
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest='cmd', required=True)
+    gen = sub.add_parser('generate')
+    gen.add_argument('--out', required=True)
+    gen.add_argument('--size', choices=sorted(SIZES), default='small')
+    cmp_p = sub.add_parser('compare')
+    cmp_p.add_argument('baseline')
+    cmp_p.add_argument('candidate')
+    cmp_p.add_argument('--allowlist', default=None)
+    args = parser.parse_args()
+
+    _ensure_fixed_hashseed()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    if args.cmd == 'generate':
+        records = fingerprint_all(build_corpus(args.size))
+        with open_text(args.out, 'wt') as f:
+            for rec in records:
+                f.write(json.dumps(rec) + '\n')
+        print("wrote %d fingerprints (%s) to %s"
+              % (len(records), args.size, args.out))
+    else:
+        with open_text(args.baseline, 'rt') as f:
+            base = [json.loads(line) for line in f]
+        with open_text(args.candidate, 'rt') as f:
+            other = [json.loads(line) for line in f]
+        mismatches = compare_fingerprints(base, other,
+                                          load_allowlist(args.allowlist),
+                                          skip_hash=False)
+        for m in mismatches[:200]:
+            print(json.dumps(m))
+        print("%d mismatches (of %d records)" % (len(mismatches), len(base)))
+        sys.exit(1 if mismatches else 0)
+
+
+if __name__ == '__main__':
+    main()
