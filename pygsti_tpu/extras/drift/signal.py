@@ -47,8 +47,37 @@ def lsp_power_spectrum(x, timestamps, frequencies):
 
 
 def power_significance_threshold(significance, numtests, dof=1):
-    """Bonferroni-corrected chi^2 power threshold for `numtests` modes."""
-    return stats.chi2.isf(significance / numtests, dof)
+    """Bonferroni-corrected chi^2 power threshold for `numtests` modes.
+
+    Powers averaged over `dof` independent chi^2_1 spectra are distributed
+    as chi^2_dof / dof under the null, so the threshold is normalized by
+    `dof` (reference: signal.py:398 power_significance_threshold)."""
+    return stats.chi2.isf(significance / numtests, dof) / dof
+
+
+def power_significance_quasithreshold(significance, numstats, dof,
+                                      procedure='Benjamini-Hochberg'):
+    """The Benjamini-Hochberg quasi-threshold: sorted powers are compared
+    to this ascending sequence; everything above the first exceedance is
+    significant (reference: signal.py:434)."""
+    if procedure != 'Benjamini-Hochberg':
+        raise ValueError(
+            "Can only obtain a quasithreshold for the Benjamini-Hochberg "
+            "procedure!")
+    return np.array([stats.chi2.isf((numstats - i) * significance / numstats,
+                                    dof) / dof for i in range(numstats)])
+
+
+def power_to_pvalue(power, dof):
+    """p-value of a power that is chi^2_dof/dof under the null
+    (reference: signal.py:410)."""
+    return 1 - stats.chi2.cdf(dof * power, dof)
+
+
+def maxpower_pvalue(maxpower, numpowers, dof):
+    """Approximate p-value of the largest of `numpowers` iid chi^2_dof/dof
+    powers (reference: signal.py:420)."""
+    return 1 - stats.chi2.cdf(maxpower * dof, dof) ** (numpowers - 1)
 
 
 def frequencies_from_timestep(timestep, T):
@@ -59,6 +88,18 @@ def frequencies_from_timestep(timestep, T):
 def amplitudes_at_frequencies(freq_indices, modes, T):
     """Extract mode amplitudes for given DCT frequency indices."""
     return {k: modes[k] for k in freq_indices}
+
+
+def dct_amplitudes_at_frequencies(freq_indices, bits):
+    """Amplitudes of a 0/1 sequence at the given DCT mode indices, in the
+    CosineProbTrajectory basis convention (basis functions 1 and
+    sqrt(2)cos(pi k (t+1/2)/T); reference: signal.py
+    amplitudes_at_frequencies).  amp_k = DCT-II-ortho coefficient / sqrt(T),
+    so sum_k amp_k * basis_k(t) reconstructs the sequence."""
+    bits = np.asarray(bits, dtype=float)
+    T = len(bits)
+    modes = dct(bits, norm='ortho')
+    return [float(modes[k]) / np.sqrt(T) for k in freq_indices]
 
 
 def sparse_signal_from_modes(mode_indices, mode_amplitudes, T, mean=0.5):
