@@ -103,6 +103,7 @@ class DataSet(object):
         self._times = {}
         self._reps = {}
         self._series = {}  # Circuit -> list of outcome tuples (raw time order)
+        self.auxInfo = collections.defaultdict(dict)  # Circuit -> aux metadata
         self._outcome_labels = [OutcomeLabelDict.to_outcome(o) for o in outcome_labels] \
             if outcome_labels is not None else []
         self.comment = comment
@@ -129,6 +130,8 @@ class DataSet(object):
             row[ol] = row.get(ol, 0) + cnt
             if update_ol and ol not in self._outcome_labels:
                 self._outcome_labels.append(ol)
+        if aux:
+            self.auxInfo[circuit].update(aux)
 
     def add_raw_series_data(self, circuit, outcome_label_list, time_stamp_list,
                             rep_count_list=None):

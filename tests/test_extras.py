@@ -22,16 +22,97 @@ class TestCrosstalkDetection:
         return tuples
 
     def test_no_crosstalk(self):
-        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
-        res = do_basic_crosstalk_detection(self._make_data(0.0, 500), 2)
+        from pygsti_tpu.extras.crosstalk import do_pairwise_crosstalk_detection
+        res = do_pairwise_crosstalk_detection(self._make_data(0.0, 500), 2)
         assert not res.crosstalk_detected
 
     def test_crosstalk_detected(self):
-        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
-        res = do_basic_crosstalk_detection(self._make_data(0.5, 500), 2)
+        from pygsti_tpu.extras.crosstalk import do_pairwise_crosstalk_detection
+        res = do_pairwise_crosstalk_detection(self._make_data(0.5, 500), 2)
         assert res.crosstalk_detected
         assert (0, 1) in res.crosstalk_pairs
         assert (1, 0) not in res.crosstalk_pairs
+
+    def test_pc_pipeline_recovers_planted_edge(self):
+        """PC-algorithm pipeline (reference core.py:186): a planted
+        dependence of region 0's outcome on region 1's setting is recovered
+        as a crosstalk edge, and no spurious pairs appear."""
+        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
+        res = do_basic_crosstalk_detection(self._make_data(0.5, 4000), 2,
+                                           verbosity=0)
+        assert res.any_crosstalk_detect()
+        assert res.crosstalk_detected
+        assert (0, 1) in res.crosstalk_pairs or (1, 0) in res.crosstalk_pairs
+        # the CPDAG contains the outcome0 <-> setting1 edge (columns 0 and 3)
+        assert res.graph.has_edge(0, 3) or res.graph.has_edge(3, 0)
+        # TVD weight for the crosstalk edge is large (true TVD = 0.5)
+        assert max(res.max_tvds.values()) > 0.3
+        assert "Crosstalk detected" in str(res)
+        assert "R$" in res.show_crosstalk_table()
+
+    def test_pc_pipeline_null(self):
+        """No dependence => no crosstalk edges from the PC pipeline."""
+        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
+        res = do_basic_crosstalk_detection(self._make_data(0.0, 4000), 2,
+                                           verbosity=0)
+        assert not res.any_crosstalk_detect()
+        assert res.crosstalk_pairs == []
+
+    def test_pc_pipeline_three_regions_matrix_input(self):
+        """3-region matrix input: outcome of region 1 depends on the setting
+        of region 2 only; the cmatrix names exactly that pair."""
+        from pygsti_tpu.extras.crosstalk import do_basic_crosstalk_detection
+        rng = np.random.RandomState(7)
+        n = 6000
+        s = rng.randint(0, 2, size=(n, 3))
+        o = rng.randint(0, 2, size=(n, 3))
+        o[:, 1] = (rng.rand(n) < (0.15 + 0.6 * s[:, 2])).astype(int)
+        data = np.hstack([o, s])
+        res = do_basic_crosstalk_detection(data, 3, settings=[1, 1, 1],
+                                           verbosity=0)
+        pairs = set(res.crosstalk_pairs)
+        assert pairs and pairs <= {(1, 2), (2, 1)}
+
+    def test_g_square_dis(self):
+        """G^2 CI test: dependent pair rejects, independent pair accepts,
+        conditional independence detected given the mediator."""
+        from pygsti_tpu.extras.crosstalk.pcalg import g_square_dis
+        rng = np.random.RandomState(0)
+        n = 5000
+        x = rng.randint(0, 2, n)
+        z = (x + (rng.rand(n) < 0.1)).astype(int) % 2  # z depends on x
+        y = (z + (rng.rand(n) < 0.1)).astype(int) % 2  # y depends on z
+        w = rng.randint(0, 2, n)                        # independent
+        data = np.stack([x, y, z, w], axis=1)
+        assert g_square_dis(data, 0, 1, ()) < 0.01      # x ~ y marginally
+        assert g_square_dis(data, 0, 3, ()) > 0.05      # x indep w
+        assert g_square_dis(data, 0, 1, (2,)) > 0.01    # x indep y | z
+
+    def test_dataset_auxinfo_pipeline(self):
+        """DataSet + auxInfo['settings'] path through form_ct_data_matrix
+        (reference core.py:228-295)."""
+        from pygsti_tpu.extras.crosstalk import (do_basic_crosstalk_detection,
+                                                 form_ct_data_matrix)
+        from pygsti_tpu.data.dataset import DataSet
+        from pygsti_tpu.circuits.circuit import Circuit
+        from pygsti_tpu.baseobjs.label import Label
+        import itertools
+        ds = DataSet()
+        for i, g0 in enumerate(('Gxpi2', 'Gypi2')):
+            c = Circuit([Label(g0, 0), Label('Gxpi2', 1)], (0, 1))
+            p1 = 0.2 if g0 == 'Gxpi2' else 0.8  # q1 outcome <- q0 setting
+            counts = {}
+            for b0, b1 in itertools.product('01', '01'):
+                p = 0.5 * (p1 if b1 == '1' else 1 - p1)
+                counts[b0 + b1] = int(round(4000 * p))
+            ds.add_count_dict(c, counts,
+                              aux={'settings': {(0,): i, (1,): 0}})
+        data = form_ct_data_matrix(ds, 2, [1, 1])
+        assert data.shape == (8000, 4)
+        res = do_basic_crosstalk_detection(ds, 2, settings=[1, 1],
+                                           verbosity=0)
+        pairs = set(res.crosstalk_pairs)
+        assert pairs and pairs <= {(1, 0), (0, 1)}
 
 
 class TestIdleTomography:
