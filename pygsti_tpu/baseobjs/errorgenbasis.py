@@ -30,6 +30,11 @@ class ElementaryErrorgenBasis(object):
                 return None
             raise
 
+    def label_indices(self, labels, ok_if_missing=False):
+        """Indices of several labels at once (reference:
+        errorgenbasis.ElementaryErrorgenBasis.label_indices)."""
+        return [self.label_index(l, ok_if_missing) for l in labels]
+
 
 class ExplicitElementaryErrorgenBasis(ElementaryErrorgenBasis):
     """A basis given by an explicit list of labels (reference:
@@ -104,25 +109,40 @@ class CompleteElementaryErrorgenBasis(ElementaryErrorgenBasis):
         return [GlobalElementaryErrorgenLabel.cast(l, self.sslbls)
                 for l in self._labels]
 
-    def elemgen_matrices(self, mx_basis='pp'):
-        """Dense superoperator for each label, in `mx_basis` (std-basis
-        generators from lindbladtools, converted)."""
-        from pygsti_tpu.tools import lindbladtools as _lt
-        from pygsti_tpu.tools.basistools import change_basis
+    @staticmethod
+    def _pauli_mat(s, normalized=True):
         sigma = {'I': np.eye(2), 'X': np.array([[0, 1], [1, 0]], complex),
                  'Y': np.array([[0, -1j], [1j, 0]]), 'Z': np.diag([1, -1.0])}
+        m = np.array([[1.0]], complex)
+        for ch in s:
+            m = np.kron(m, sigma[ch])
+        if normalized:  # Frobenius-normalized, matching Basis.cast('pp', .)
+            m = m / np.sqrt(2.0 ** len(s))
+        return m
 
-        def pmat(s):
-            m = np.array([[1.0]], complex)
-            for ch in s:
-                m = np.kron(m, sigma[ch])
-            return m
-
+    def elemgen_matrices(self, mx_basis='pp'):
+        """Dense superoperator for each label, in `mx_basis`; built from
+        NORMALIZED Pauli products, matching the reference's
+        CompleteElementaryErrorgenBasis / op errorgen-coefficient
+        convention (std-basis generators from lindbladtools, converted)."""
+        from pygsti_tpu.tools import lindbladtools as _lt
+        from pygsti_tpu.tools.basistools import change_basis
         out = []
         for lbl in self._labels:
-            bels = [pmat(b) for b in lbl.basis_element_labels]
+            bels = [self._pauli_mat(b) for b in lbl.basis_element_labels]
             g = _lt.create_elementary_errorgen(lbl.errorgen_type, *bels)
             out.append(np.real_if_close(change_basis(g, 'std', mx_basis)))
+        return out
+
+    def elemgen_dual_matrices(self, mx_basis='pp'):
+        """Dual superoperators <dual_i, gen_j> = delta_ij, in `mx_basis`."""
+        from pygsti_tpu.tools import lindbladtools as _lt
+        from pygsti_tpu.tools.basistools import change_basis
+        out = []
+        for lbl in self._labels:
+            bels = [self._pauli_mat(b) for b in lbl.basis_element_labels]
+            g = _lt.create_elementary_errorgen_dual(lbl.errorgen_type, *bels)
+            out.append(change_basis(g, 'std', mx_basis))
         return out
 
     def create_subbasis(self, sslbl_overlap):
@@ -134,3 +154,29 @@ class CompleteElementaryErrorgenBasis(ElementaryErrorgenBasis):
             if set(l.support_indices()) & want:
                 keep.append(l)
         return ExplicitElementaryErrorgenBasis(self.state_space, keep)
+
+
+def union_basis(basis_a, basis_b):
+    """Union of two elementary-errorgen bases, preserving basis_a's label
+    order (reference: errorgenbasis .union methods)."""
+    labels = list(basis_a.labels)
+    seen = set(labels)
+    labels.extend(l for l in basis_b.labels if l not in seen)
+    return ExplicitElementaryErrorgenBasis(
+        getattr(basis_a, 'state_space', None), labels)
+
+
+def intersection_basis(basis_a, basis_b):
+    """Labels common to both bases, in basis_a's order."""
+    other = set(basis_b.labels)
+    return ExplicitElementaryErrorgenBasis(
+        getattr(basis_a, 'state_space', None),
+        [l for l in basis_a.labels if l in other])
+
+
+def difference_basis(basis_a, basis_b):
+    """Labels of basis_a not in basis_b, in basis_a's order."""
+    other = set(basis_b.labels)
+    return ExplicitElementaryErrorgenBasis(
+        getattr(basis_a, 'state_space', None),
+        [l for l in basis_a.labels if l not in other])

@@ -46,9 +46,11 @@ class ModelMember(NicelySerializable):
         raise NotImplementedError()
 
     def to_dense(self, on_space='minimal'):
-        """Dense numpy representation at the current parameter values."""
+        """Dense numpy representation at the current parameter values.
+        Uses to_vector() (not _paramvals) so wrapper members whose params
+        live in child members (ExpErrorgenOp, RepeatedOp, ...) work too."""
         import jax.numpy as jnp
-        return np.array(self.to_dense_jax(jnp.asarray(self._paramvals)))
+        return np.array(self.to_dense_jax(jnp.asarray(self.to_vector())))
 
     def deriv_wrt_params(self, wrt_filter=None):
         """Jacobian d(vec(dense))/d(params), shape (dense_size, num_params).
@@ -57,7 +59,7 @@ class ModelMember(NicelySerializable):
         import jax
         import jax.numpy as jnp
         jac = jax.jacfwd(lambda v: self.to_dense_jax(v).reshape(-1))(
-            jnp.asarray(self._paramvals))
+            jnp.asarray(self.to_vector()))
         jac = np.asarray(jac).reshape(-1, self.num_params)
         if wrt_filter is not None:
             jac = jac[:, wrt_filter]

@@ -244,6 +244,26 @@ class ComposedOp(LinearOperator):
             mx = fm if mx is None else fm @ mx
         return mx
 
+    def _errorgen_factors(self):
+        return [f for f in self.factors
+                if hasattr(f, 'errorgen_coefficient_labels')]
+
+    def errorgen_coefficient_labels(self):
+        labels = []
+        for f in self._errorgen_factors():
+            labels.extend(f.errorgen_coefficient_labels())
+        return labels
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        out = {}
+        for f in self._errorgen_factors():
+            out.update(f.errorgen_coefficients())
+        return out
+
+    def set_errorgen_coefficients(self, coeff_dict, truncate=False):
+        for f in self._errorgen_factors():
+            f.set_errorgen_coefficients(coeff_dict, truncate)
+
 
 class RepeatedOp(LinearOperator):
     """op^k (reference: operations/repeatedop.py)."""
@@ -383,6 +403,62 @@ class LindbladErrorgen(ModelMember):
             out.update(b.coefficients(self._paramvals[off:off + n]))
             off += n
         return out
+
+    def errorgen_coefficient_labels(self):
+        """LocalElementaryErrorgenLabel list, ham + diag-stochastic blocks
+        (reference: lindbladerrorgen.coefficient_labels); 'other' (C/A)
+        blocks are not included."""
+        from pygsti_tpu.baseobjs.errorgenlabel import LocalElementaryErrorgenLabel
+        labels = []
+        for b in self.blocks:
+            if b.block_type == 'ham':
+                labels.extend(LocalElementaryErrorgenLabel('H', (str(l),))
+                              for l in b.basis_element_labels)
+            elif b.block_type == 'other_diag':
+                labels.extend(LocalElementaryErrorgenLabel('S', (str(l),))
+                              for l in b.basis_element_labels)
+        return labels
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        from pygsti_tpu.baseobjs.errorgenlabel import LocalElementaryErrorgenLabel
+        out = {}
+        for (typ, *bels), val in self.coefficients().items():
+            if typ in ('H', 'S'):
+                out[LocalElementaryErrorgenLabel(typ, tuple(str(b) for b in bels))] = val
+        return out
+
+    def set_errorgen_coefficients(self, coeff_dict, truncate=False):
+        """Set H/S coefficients from {LocalElementaryErrorgenLabel: value}
+        (reference: lindbladerrorgen.set_coefficients)."""
+        from pygsti_tpu.baseobjs.errorgenlabel import (
+            GlobalElementaryErrorgenLabel, LocalElementaryErrorgenLabel)
+        n_qubits = int(round(np.log2(np.sqrt(self._dim))))
+        all_sslbls = tuple(range(n_qubits))
+        lookup = {}
+        for lbl, val in coeff_dict.items():
+            if isinstance(lbl, GlobalElementaryErrorgenLabel):
+                lbl = LocalElementaryErrorgenLabel.cast(lbl, all_sslbls)
+            elif not isinstance(lbl, LocalElementaryErrorgenLabel):
+                lbl = LocalElementaryErrorgenLabel(
+                    lbl[0], tuple(lbl[1:]) if len(lbl) > 2 else (lbl[1],))
+            lookup[(lbl.errorgen_type, lbl.basis_element_labels[0])] = val
+        off = 0
+        pv = self._paramvals.copy()
+        for b in self.blocks:
+            n = b.num_params
+            if b.block_type in ('ham', 'other_diag'):
+                typ = 'H' if b.block_type == 'ham' else 'S'
+                cur = np.asarray(b.coefficient_matrix_jax(jnp.asarray(pv[off:off + n])))
+                new = np.array([lookup.get((typ, str(l)), cur[i])
+                                for i, l in enumerate(b.basis_element_labels)], float)
+                if b.block_type == 'other_diag' and b.param_mode == 'cholesky':
+                    if not truncate and np.any(new < -1e-12):
+                        raise ValueError("Negative S coefficient in CPTP-constrained block")
+                    pv[off:off + n] = np.sqrt(np.clip(new, 0, None))
+                else:
+                    pv[off:off + n] = new
+            off += n
+        self.from_vector(pv)
 
 
 class LindbladCoefficientBlock(object):
@@ -570,6 +646,15 @@ class ExpErrorgenOp(LinearOperator):
 
     def to_dense_jax(self, v):
         return jax.scipy.linalg.expm(self.errorgen.to_dense_jax(v))
+
+    def errorgen_coefficient_labels(self):
+        return self.errorgen.errorgen_coefficient_labels()
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        return self.errorgen.errorgen_coefficients()
+
+    def set_errorgen_coefficients(self, coeff_dict, truncate=False):
+        self.errorgen.set_errorgen_coefficients(coeff_dict, truncate)
 
 
 class DepolarizeOp(LinearOperator):

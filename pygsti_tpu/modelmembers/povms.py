@@ -188,6 +188,15 @@ class ComposedPOVM(POVM):
         base = self.base_povm.to_dense_jax(jnp.empty(0))
         return base @ self.error_map.to_dense_jax(v)
 
+    def errorgen_coefficient_labels(self):
+        return self.error_map.errorgen_coefficient_labels()
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        return self.error_map.errorgen_coefficients()
+
+    def set_errorgen_coefficients(self, coeff_dict, truncate=False):
+        self.error_map.set_errorgen_coefficients(coeff_dict, truncate)
+
 
 class MarginalizedPOVM(POVM):
     """Marginalize a POVM onto a subset of qubits (reference:

@@ -165,3 +165,12 @@ class ComposedState(State):
     def to_dense_jax(self, v):
         base = self.state_vec.to_dense_jax(jnp.empty(0))
         return self.error_map.to_dense_jax(v) @ base
+
+    def errorgen_coefficient_labels(self):
+        return self.error_map.errorgen_coefficient_labels()
+
+    def errorgen_coefficients(self, return_basis=False, logscale_nonham=False):
+        return self.error_map.errorgen_coefficients()
+
+    def set_errorgen_coefficients(self, coeff_dict, truncate=False):
+        self.error_map.set_errorgen_coefficients(coeff_dict, truncate)

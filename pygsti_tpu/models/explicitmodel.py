@@ -222,7 +222,12 @@ class ExplicitOpModel(OpModel):
         derived = [[base_op_keys.index(k) for k in comps]
                    for comps in self._derived_layers.values()]
 
+        ip_mx = None if self.param_interposer is None \
+            else jnp.asarray(self.param_interposer.transform_matrix)
+
         def compute(v):
+            if ip_mx is not None:  # model params -> member params
+                v = ip_mx @ v
             base = [o.to_dense_jax(v[sl]) for sl, o in op_items]
             for comp_idxs in derived:
                 m = base[comp_idxs[0]]
@@ -307,7 +312,12 @@ class ExplicitOpModel(OpModel):
                 return o.to_dense_jax_t(v, t)
             return o.to_dense_jax(v)
 
+        ip_mx = None if self.param_interposer is None \
+            else jnp.asarray(self.param_interposer.transform_matrix)
+
         def compute(v, t):
+            if ip_mx is not None:
+                v = ip_mx @ v
             ops = jnp.stack([dense_at(o, v[sl], t) for sl, o in op_items]) \
                 if op_items else jnp.zeros((0, self.dim, self.dim))
             preps = jnp.stack([dense_at(p, v[sl], t) for sl, p in prep_items])
@@ -356,36 +366,324 @@ class ExplicitOpModel(OpModel):
 
     # -- FOGI (first-order gauge-invariant) analysis ---------------------------
     # (reference: models/model.py:2516 setup_fogi, :2681-:2776 fogi_* API)
-    def setup_fogi(self, initial_gauge_basis=None, typs=('H', 'S'),
-                   include_spam=True, target_model=None, **_kwargs):
-        """Create and store a FOGIStore built from this model's (or
-        `target_model`'s) operations as the ideal targets.  After this, the
-        fogi_errorgen_* methods report gauge-invariant error rates."""
-        from pygsti_tpu.tools.fogitools import make_fogi_store_for_model
-        self.fogi_store = make_fogi_store_for_model(
-            target_model if target_model is not None else self,
-            typs=typs, include_spam=include_spam)
+    def _fogi_sslbls(self):
+        qlbls = getattr(self.state_space, 'qubit_labels', None)
+        return tuple(qlbls) if qlbls else tuple(range(
+            getattr(self.state_space, 'num_qubits', 1)))
+
+    def _fogi_member(self, lbl):
+        """Member for a primitive op/prep/povm label."""
+        if lbl in self.operations:
+            return self.operations[lbl]
+        if lbl in self.preps:
+            return self.preps[lbl]
+        if lbl in self.povms:
+            return self.povms[lbl]
+        raise KeyError(lbl)
+
+    @staticmethod
+    def _extract_ideal_superop(op):
+        """The ideal (target) superoperator factor of an op (reference
+        model.py extract_std_target_mx: Composed(ideal, ExpErrorgen) or a
+        bare ExpErrorgen == identity target)."""
+        from pygsti_tpu.modelmembers.operations import (ComposedOp,
+                                                        ExpErrorgenOp,
+                                                        IdentityPlusErrorgenOp)
+        if isinstance(op, (ExpErrorgenOp, IdentityPlusErrorgenOp)):
+            return np.identity(op.dim)
+        if isinstance(op, ComposedOp):
+            ideal = None
+            for f in op.factors:
+                if not hasattr(f, 'errorgen_coefficient_labels'):
+                    fm = np.asarray(f.to_dense())
+                    ideal = fm if ideal is None else fm @ ideal
+            return ideal if ideal is not None else np.identity(op.dim)
+        return np.asarray(op.to_dense())
+
+    def setup_fogi(self, initial_gauge_basis=None, create_complete_basis_fn=None,
+                   op_label_abbrevs=None, reparameterize=False,
+                   reduce_to_model_space=True, dependent_fogi_action='drop',
+                   include_spam=True, primitive_op_labels=None):
+        """Set up the first-order-gauge-invariant decomposition of this
+        model's error generators (reference: model.py:2516 setup_fogi).
+
+        Builds per-op gauge-action matrices over `initial_gauge_basis`
+        (default: the complete H+S elementary-errorgen basis), reduces them
+        to the model-allowed errorgen space, and constructs a
+        FirstOrderGaugeInvariantStore with intrinsic + relational FOGI
+        directions.  With reparameterize=True the model's parameters become
+        [untouched params..., FOGI components] via a LinearInterposer
+        (reference model.py _add_reparameterization)."""
+        from pygsti_tpu.baseobjs.errorgenbasis import (
+            CompleteElementaryErrorgenBasis, ExplicitElementaryErrorgenBasis)
+        from pygsti_tpu.baseobjs.errorgenlabel import (
+            GlobalElementaryErrorgenLabel, LocalElementaryErrorgenLabel)
+        from pygsti_tpu.baseobjs.errorgenspace import ErrorgenSpace
+        from pygsti_tpu.tools import fogitools as _fogit
+        from pygsti_tpu.models.fogistore import FirstOrderGaugeInvariantStore
+
+        self._rebuild_paramvec_if_needed()
+        sslbls = self._fogi_sslbls()
+        if initial_gauge_basis is None:
+            initial_gauge_basis = CompleteElementaryErrorgenBasis(
+                'PP', self.state_space, elementary_errorgen_types=('H', 'S'),
+                num_qubits=len(sslbls))
+        if primitive_op_labels is None:
+            primitive_op_labels = list(self.operations.keys())
+        primitive_prep_labels = list(self.preps.keys()) if include_spam else []
+        primitive_povm_labels = list(self.povms.keys()) if include_spam else []
+
+        gauge_local_labels = list(initial_gauge_basis.labels)
+        to_global = {l: GlobalElementaryErrorgenLabel.cast(l, sslbls)
+                     for l in gauge_local_labels}
+        gauge_global = [to_global[l] for l in gauge_local_labels]
+        gauge_basis_global = ExplicitElementaryErrorgenBasis(
+            self.state_space, gauge_global)
+        gens = initial_gauge_basis.elemgen_matrices(self.basis)
+        duals = initial_gauge_basis.elemgen_dual_matrices(self.basis)
+
+        def _reduce(mx, row_global_labels, member):
+            """_format_gauge_action_matrix (reference model.py:2393):
+            restrict rows to the member's allowed errorgen coefficients and
+            shrink the gauge space so disallowed rows vanish."""
+            allowed_local = member.errorgen_coefficient_labels() \
+                if hasattr(member, 'errorgen_coefficient_labels') else None
+            if allowed_local is None or not reduce_to_model_space:
+                allowed_global = row_global_labels
+                op_gauge_space = ErrorgenSpace(
+                    np.identity(len(gauge_global)), gauge_basis_global)
+                return mx, allowed_global, op_gauge_space
+            allowed_global = [GlobalElementaryErrorgenLabel.cast(l, sslbls)
+                              for l in allowed_local]
+            allowed_set = set(allowed_global)
+            disallowed = [i for i, l in enumerate(row_global_labels)
+                          if l not in allowed_set]
+            if disallowed:
+                from pygsti_tpu.tools import matrixtools as _mt
+                combos = _mt.nice_nullspace(mx[disallowed, :], tol=1e-4)
+                mx = mx @ combos
+                op_gauge_space = ErrorgenSpace(combos, gauge_basis_global)
+            else:
+                op_gauge_space = ErrorgenSpace(
+                    np.identity(len(gauge_global)), gauge_basis_global)
+            # reshape rows into the member's allowed-label order
+            row_index = {l: i for i, l in enumerate(row_global_labels)}
+            out = np.zeros((len(allowed_global), mx.shape[1]), mx.dtype)
+            for new_i, lbl in enumerate(allowed_global):
+                i = row_index.get(lbl)
+                if i is not None:
+                    out[new_i, :] = mx[i, :]
+            return out, allowed_global, op_gauge_space
+
+        gauge_action_matrices = collections.OrderedDict()
+        gauge_action_gauge_spaces = collections.OrderedDict()
+        errorgen_coefficient_labels = collections.OrderedDict()
+
+        for op_label in primitive_op_labels:
+            op = self.operations[op_label]
+            U = self._extract_ideal_superop(op)
+            mx = _fogit.first_order_gauge_action_matrix(U, gens, duals)
+            keep = [i for i in range(mx.shape[0])
+                    if np.linalg.norm(mx[i, :]) > 1e-12]
+            mx2, allowed_global, op_gauge_space = _reduce(
+                mx[keep, :], [gauge_global[i] for i in keep], op)
+            errorgen_coefficient_labels[op_label] = allowed_global
+            gauge_action_matrices[op_label] = mx2
+            gauge_action_gauge_spaces[op_label] = op_gauge_space
+
+        for prep_label in primitive_prep_labels:
+            prep = self.preps[prep_label]
+            v = np.asarray(prep.to_dense())
+            mx = _fogit.first_order_gauge_action_matrix_for_prep(v, gens)
+            keep = [i for i in range(mx.shape[0])
+                    if np.linalg.norm(mx[i, :]) > 1e-8]
+            mx2, allowed_global, op_gauge_space = _reduce(
+                mx[keep, :], [gauge_global[i] for i in keep], prep)
+            errorgen_coefficient_labels[prep_label] = allowed_global
+            gauge_action_matrices[prep_label] = mx2
+            gauge_action_gauge_spaces[prep_label] = op_gauge_space
+
+        for povm_label in primitive_povm_labels:
+            povm = self.povms[povm_label]
+            effects = np.asarray(povm.to_dense())  # [n_effects, d2]
+            mx = _fogit.first_order_gauge_action_matrix_for_povm(
+                list(effects), gens)
+            keep = [i for i in range(mx.shape[0])
+                    if np.linalg.norm(mx[i, :]) > 1e-8]
+            mx2, allowed_global, op_gauge_space = _reduce(
+                mx[keep, :], [gauge_global[i] for i in keep], povm)
+            errorgen_coefficient_labels[povm_label] = allowed_global
+            gauge_action_matrices[povm_label] = mx2
+            gauge_action_gauge_spaces[povm_label] = op_gauge_space
+
+        self.fogi_store = FirstOrderGaugeInvariantStore.from_gauge_action_matrices(
+            gauge_action_matrices, gauge_action_gauge_spaces,
+            errorgen_coefficient_labels, op_label_abbrevs,
+            dependent_fogi_action, norm_order='auto')
+
+        if reparameterize:
+            self.param_interposer = self._add_reparameterization(
+                list(primitive_op_labels) + primitive_prep_labels
+                + primitive_povm_labels,
+                self.fogi_store.fogi_directions,
+                self.fogi_store.errorgen_space_op_elem_labels)
+            self._mark_for_rebuild()
         return self.fogi_store
+
+    def _add_reparameterization(self, primitive_op_labels, fogi_dirs,
+                                errgenset_space_labels):
+        """LinearInterposer mapping [untouched params..., FOGI components] to
+        member params (reference: model.py _add_reparameterization).
+        Requires each involved member's errorgen-coefficient derivative
+        w.r.t. its params to be the identity (simple H+s-style blocks)."""
+        from pygsti_tpu.models.modelparaminterposer import LinearInterposer
+        from pygsti_tpu.baseobjs.errorgenlabel import GlobalElementaryErrorgenLabel
+        sslbls = self._fogi_sslbls()
+        nOpParams = self.num_params
+        idx_of = {pair: i for i, pair in enumerate(errgenset_space_labels)}
+        invDeriv = np.zeros((nOpParams, len(errgenset_space_labels)))
+        used = set()
+        for op_label in primitive_op_labels:
+            member = self._fogi_member(op_label)
+            lbls = [GlobalElementaryErrorgenLabel.cast(l, sslbls)
+                    for l in member.errorgen_coefficient_labels()]
+            gp = member.gpindices
+            param_indices = list(range(gp.start, gp.stop))
+            assert len(param_indices) == len(lbls), \
+                ("FOGI reparameterization requires op params == errorgen "
+                 "coefficients (op %s has %d params, %d coefficients)"
+                 % (op_label, len(param_indices), len(lbls)))
+            used.update(param_indices)
+            for i, lbl in enumerate(lbls):
+                invDeriv[param_indices[i], idx_of[(op_label, lbl)]] = 1.0
+        unused = sorted(set(range(nOpParams)) - used)
+        prefix_mx = np.zeros((nOpParams, len(unused)))
+        for j, indx in enumerate(unused):
+            prefix_mx[indx, j] = 1.0
+        fogi_vecs = np.linalg.pinv(np.asarray(fogi_dirs).T)
+        F = invDeriv @ fogi_vecs
+        return LinearInterposer(np.concatenate([prefix_mx, F], axis=1))
 
     def _require_fogi(self):
         store = getattr(self, 'fogi_store', None)
         assert store is not None, "Call setup_fogi(...) first"
         return store
 
+    def errorgen_coefficients(self, normalized_elem_gens=True):
+        """Per-primitive-op errorgen coefficient dicts keyed by GLOBAL
+        elementary-errorgen labels (reference: model.errorgen_coefficients).
+        normalized_elem_gens=False rescales H coefficients by 1/d."""
+        from pygsti_tpu.baseobjs.errorgenlabel import GlobalElementaryErrorgenLabel
+        sslbls = self._fogi_sslbls()
+        d2 = np.sqrt(self.dim)  # superop dim = d2^2
+        d = np.sqrt(d2)
+        out = {}
+        members = list(self.operations.items()) + list(self.preps.items()) \
+            + list(self.povms.items())
+        for lbl, member in members:
+            if not hasattr(member, 'errorgen_coefficients'):
+                continue
+            coeffs = {}
+            for l, v in member.errorgen_coefficients().items():
+                g = GlobalElementaryErrorgenLabel.cast(l, sslbls)
+                if not normalized_elem_gens and g.errorgen_type == 'H':
+                    v = v / d
+                coeffs[g] = v
+            out[lbl] = coeffs
+        return out
+
     def fogi_errorgen_component_labels(self, include_fogv=False, typ='normal'):
-        return self._require_fogi().fogi_quantity_labels()
+        labels = self._require_fogi().fogi_errorgen_direction_labels(typ)
+        if include_fogv:
+            labels += self._require_fogi().fogv_errorgen_direction_labels(typ)
+        return labels
 
     def fogi_errorgen_components_array(self, include_fogv=False,
                                        normalized_elem_gens=True):
-        return self._require_fogi().fogi_errorgen_rates(self)
+        store = self._require_fogi()
+        op_coeffs = self.errorgen_coefficients(normalized_elem_gens)
+        if include_fogv:
+            fogi, fogv = store.opcoeffs_to_fogiv_components_array(op_coeffs)
+            return np.concatenate([fogi, fogv])
+        return store.opcoeffs_to_fogi_components_array(op_coeffs)
+
+    def set_fogi_errorgen_components_array(self, components, include_fogv=False,
+                                           normalized_elem_gens=True,
+                                           truncate=False):
+        """Set model errors from FOGI (+FOGV) components (reference:
+        model.set_fogi_errorgen_components_array)."""
+        store = self._require_fogi()
+        fogi, fogv = store.num_fogi_directions, store.num_fogv_directions
+        components = np.asarray(components)
+        if include_fogv:
+            op_coeffs = store.fogiv_components_array_to_opcoeffs(
+                components[0:fogi], components[fogi:fogi + fogv])
+        else:
+            op_coeffs = store.fogi_components_array_to_opcoeffs(
+                components[0:fogi])
+        from pygsti_tpu.baseobjs.errorgenlabel import (
+            GlobalElementaryErrorgenLabel, LocalElementaryErrorgenLabel)
+        sslbls = self._fogi_sslbls()
+        d2 = np.sqrt(self.dim)
+        d = np.sqrt(d2)
+        for op_label, coeff_dict in op_coeffs.items():
+            member = self._fogi_member(op_label)
+            local = {}
+            for l, v in coeff_dict.items():
+                if isinstance(l, GlobalElementaryErrorgenLabel):
+                    l = LocalElementaryErrorgenLabel.cast(l, sslbls)
+                if not normalized_elem_gens and l.errorgen_type == 'H':
+                    v = v * d
+                local[l] = v
+            member.set_errorgen_coefficients(local, truncate=truncate)
+        self._mark_for_rebuild()
 
     def fogi_errorgen_vector(self, normalized_elem_gens=False):
-        return self._require_fogi().errorgen_vector(self)
+        """Stacked errorgen-coefficient vector in the FOGI store's row order
+        (reference: model.fogi_errorgen_vector)."""
+        store = self._require_fogi()
+        d = self.errorgen_coefficients(normalized_elem_gens=normalized_elem_gens)
+        errvec = np.zeros(store.fogi_directions.shape[0], 'd')
+        for op_lbl in store.primitive_op_labels:
+            errdict = d[op_lbl]
+            lbls = store.elem_errorgen_labels_by_op[op_lbl]
+            s = store.op_errorgen_indices[op_lbl]
+            for lbl, i in zip(lbls, range(s.start, s.stop)):
+                errvec[i] = errdict.get(lbl, 0.0)
+        return errvec
+
+    def _fogi_errorgen_vector_projection(self, space,
+                                         normalized_elem_gens=False):
+        errvec = self.fogi_errorgen_vector(normalized_elem_gens)
+        Pspace = space @ np.linalg.pinv(space)
+        return Pspace @ errvec
 
     def fogi_contribution(self, op_label, error_type='H',
-                          intrinsic_or_relational='intrinsic', **_kwargs):
-        return self._require_fogi().fogi_contribution(
-            self, op_label, error_type, intrinsic_or_relational)
+                          intrinsic_or_relational='intrinsic', target='all',
+                          **_kwargs):
+        """Aggregate FOGI error contribution for one op (reference:
+        model.fogi_contribution, model.py:2776): project the model's
+        errorgen vector onto the chosen FOGI subspace; H errors add in
+        quadrature, S errors linearly."""
+        store = self._require_fogi()
+        if error_type in ('H', 'S'):
+            space = store.create_fogi_aggregate_single_op_space(
+                op_label, error_type, intrinsic_or_relational, target)
+            proj = self._fogi_errorgen_vector_projection(space)
+            if error_type == 'H':
+                return float(np.linalg.norm(proj))
+            return float(np.sum(np.abs(proj)))
+        elif error_type in ('fogi_total_error', 'fogi_infidelity'):
+            Hspace = store.create_fogi_aggregate_single_op_space(
+                op_label, 'H', intrinsic_or_relational, target)
+            Sspace = store.create_fogi_aggregate_single_op_space(
+                op_label, 'S', intrinsic_or_relational, target)
+            Hval = np.linalg.norm(self._fogi_errorgen_vector_projection(Hspace))
+            Sval = np.sum(np.abs(self._fogi_errorgen_vector_projection(Sspace)))
+            if error_type == 'fogi_total_error':
+                return float(2 * Hval + Sval)
+            return float(Hval ** 2 + Sval)
+        raise ValueError("Invalid error_type: %s" % str(error_type))
 
     # -- gauge ----------------------------------------------------------------
     def set_all_parameterizations(self, gate_type, prep_type='auto',

@@ -82,6 +82,10 @@ class OpModel(Model):
         self.basis = Basis.cast(basis, self.state_space.dim) if isinstance(basis, str) else basis
         self._sim = None
         self._sim_type = simulator
+        # optional linear map model-params -> member-params (reference:
+        # model.param_interposer / modelparaminterposer.LinearInterposer),
+        # used by FOGI reparameterization
+        self.param_interposer = None
 
     # -- simulator pairing (reference: forwardsim.py:141-152) ----------------
     @property
@@ -109,11 +113,17 @@ class OpModel(Model):
             obj.gpindices = slice(off, off + n)
             vecs.append(obj.to_vector())
             off += n
-        self._paramvec = np.concatenate(vecs) if vecs else np.empty(0)
+        w = np.concatenate(vecs) if vecs else np.empty(0)
+        ip = getattr(self, 'param_interposer', None)
+        self._paramvec = w if ip is None \
+            else ip.ops_paramvec_to_model_paramvec(w)
 
     def _push_paramvec_to_members(self):
+        ip = getattr(self, 'param_interposer', None)
+        w = self._paramvec if ip is None \
+            else ip.model_paramvec_to_ops_paramvec(self._paramvec)
         for _, obj in self._iter_parameterized_objs():
-            obj.from_vector(self._paramvec[obj.gpindices])
+            obj.from_vector(w[obj.gpindices])
 
     def _mark_for_rebuild(self):
         self._need_rebuild = True

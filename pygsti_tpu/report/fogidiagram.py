@@ -16,7 +16,7 @@ import numpy as np
 class FOGIDiagram(object):
     """Renders a model's FOGI error rates (reference:
     fogidiagram.FOGIDiagram).  The model must have `setup_fogi(...)` run
-    (or pass an explicit FOGIStore)."""
+    (or pass an explicit FirstOrderGaugeInvariantStore)."""
 
     def __init__(self, model, fogi_store=None):
         self.model = model
@@ -26,16 +26,33 @@ class FOGIDiagram(object):
             "Call model.setup_fogi(...) first or pass fogi_store"
 
     def rates_table(self):
-        """List of (label, rate, kind) sorted by |rate| descending."""
+        """List of (label, rate, kind) sorted by |rate| descending; kind is
+        'intrinsic' for single-op quantities (no gauge-space direction) and
+        'relational' otherwise (reference fogidiagram's intrinsic/relational
+        split via fogi metadata opsets)."""
         store = self.store
-        rates = store.fogi_errorgen_rates(self.model)
+        rates = self.model.fogi_errorgen_components_array(include_fogv=False)
         rows = []
-        for k in range(store.num_fogi_quantities):
-            kind = 'intrinsic' if store.fogi_quantity_is_intrinsic(k) \
+        for k, meta in enumerate(store.fogi_metadata):
+            kind = 'intrinsic' if meta['gaugespace_dir'] is None \
                 else 'relational'
-            rows.append((store.fogi_quantity_label(k), float(rates[k]), kind))
+            rows.append((meta['name'], float(rates[k]), kind))
         rows.sort(key=lambda r: -abs(r[1]))
         return rows
+
+    def aggregate_by_op(self):
+        """{op_label: {'H': .., 'S': .., 'total': ..}} intrinsic error
+        aggregates (reference fogidiagram's per-op wheel node values,
+        computed via model.fogi_contribution)."""
+        out = {}
+        for op_label in self.store.primitive_op_labels:
+            try:
+                h = self.model.fogi_contribution(op_label, 'H', 'intrinsic')
+                s = self.model.fogi_contribution(op_label, 'S', 'intrinsic')
+                out[op_label] = {'H': h, 'S': s, 'total': 2 * h + s}
+            except (KeyError, AssertionError):
+                continue
+        return out
 
     def render_html(self, max_rows=50):
         rows = self.rates_table()[:max_rows]
@@ -56,7 +73,19 @@ class FOGIDiagram(object):
                 '<td><div style="background:%s;width:%dpx;height:10px">'
                 '</div></td></tr>'
                 % (_html.escape(lbl), kind, rate, color, width))
-        out.append('</table></div>')
+        out.append('</table>')
+        agg = self.aggregate_by_op()
+        if agg:
+            out.append('<h4>Per-op intrinsic totals</h4><table border="0" '
+                       'cellpadding="3"><tr><th>op</th><th>H</th><th>S</th>'
+                       '<th>total</th></tr>')
+            for op_label, vals in agg.items():
+                out.append('<tr><td><code>%s</code></td>'
+                           '<td>%.3e</td><td>%.3e</td><td>%.3e</td></tr>'
+                           % (_html.escape(str(op_label)), vals['H'],
+                              vals['S'], vals['total']))
+            out.append('</table>')
+        out.append('</div>')
         return '\n'.join(out)
 
     def write_html(self, path, max_rows=50):

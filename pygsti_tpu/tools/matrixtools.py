@@ -58,19 +58,33 @@ def approximate_matrix_log(m, target_logm, target_weight=10.0, tol=1e-6):
     return log_m.real
 
 
-def nice_nullspace(m, tol=1e-7, orthogonalize=False):
-    """Nullspace basis with rows 'nicely' scaled (reference: matrixtools.nice_nullspace)."""
+def nullspace(m, tol=1e-7):
+    """SVD nullspace: columns span ker(m) (reference: matrixtools.nullspace,
+    absolute singular-value tolerance)."""
     m = np.asarray(m)
     _, s, vh = np.linalg.svd(m)
-    rank = int(np.sum(s > tol * (s[0] if len(s) else 1.0)))
-    ns = vh[rank:].T.conj()
-    if orthogonalize and ns.size:
-        ns, _ = np.linalg.qr(ns)
-    return ns
+    rank = int((s > tol).sum())
+    return vh[rank:].T.conj()
 
 
-def nullspace(m, tol=1e-7):
-    return nice_nullspace(m, tol)
+def nice_nullspace(m, tol=1e-7, orthogonalize=False):
+    """Nullspace with a 'nice' basis: project unit columns (chosen by pivoted
+    QR) onto the nullspace, then scale each column so its largest-magnitude
+    element is +1.0 (reference: matrixtools.nice_nullspace — conventions
+    matter for FOGI direction reproducibility)."""
+    nullsp = nullspace(m, tol)
+    dim_ker = nullsp.shape[1]
+    if dim_ker == 0:
+        return nullsp
+    _, _, p = spl.qr(nullsp.T.conj(), mode='raw', pivoting=True)
+    ret = nullsp @ (nullsp.T[:, p[:dim_ker]]).conj()
+    if orthogonalize:
+        ret, _ = spl.qr(ret, mode='economic')
+    for j in range(ret.shape[1]):  # normalize so largest element is +1.0
+        imax = np.argmax(np.abs(ret[:, j]))
+        if abs(ret[imax, j]) > 1e-6:
+            ret[:, j] /= ret[imax, j]
+    return ret
 
 
 def column_basis_vector(i, dim):
@@ -137,16 +151,45 @@ def is_projector(m, tol=1e-9):
 
 
 def normalize_columns(m, return_norms=False, ord=None):
-    """Column-normalized copy (reference: matrixtools.normalize_columns)."""
-    m = np.array(m, dtype=float if not np.iscomplexobj(m) else complex)
-    norms = np.linalg.norm(m, axis=0, ord=ord)
-    safe = np.where(norms > 1e-300, norms, 1.0)
-    out = m / safe[None, :]
-    return (out, norms) if return_norms else out
+    """Column-normalized copy; `ord` may be an array of per-column norm
+    orders.  Zero columns report norm 1.0 (reference:
+    matrixtools.normalize_columns)."""
+    norms = column_norms(m, ord)
+    norms[norms == 0.0] = 1.0
+    normalized_m = scale_columns(m, 1 / norms)
+    return (normalized_m, norms) if return_norms else normalized_m
 
 
 def column_norms(m, ord=None):
-    return np.linalg.norm(np.asarray(m), axis=0, ord=ord)
+    """Per-column norms; `ord` may be a per-column array (reference:
+    matrixtools.column_norms)."""
+    m = np.asarray(m)
+    if isinstance(ord, (list, np.ndarray)):
+        assert len(ord) == m.shape[1]
+        return np.array([np.linalg.norm(m[:, j], ord=o)
+                         for j, o in enumerate(ord)])
+    return np.linalg.norm(m, axis=0, ord=ord)
+
+
+def scale_columns(m, scale_values):
+    """Scale each column by the given value (reference:
+    matrixtools.scale_columns)."""
+    return np.asarray(m) * np.asarray(scale_values)[None, :]
+
+
+def sign_fix_qr(q, r, tol=1e-6):
+    """Flip signs of Q columns / R rows so each Q column's (first) largest-
+    magnitude element is positive — removes QR sign ambiguity (reference:
+    matrixtools.sign_fix_qr)."""
+    qq = q.copy()
+    rr = r.copy()
+    for i in range(q.shape[1]):
+        max_abs = max(np.abs(q[:, i]))
+        k = np.argmax(np.abs(q[:, i]) > (max_abs - tol))
+        if q[k, i] < 0.0:
+            qq[:, i] = -q[:, i]
+            rr[i, :] = -r[i, :]
+    return qq, rr
 
 
 def columns_are_orthogonal(m, tol=1e-7):
@@ -163,21 +206,23 @@ def columns_are_orthonormal(m, tol=1e-7):
 
 
 def independent_columns(m, initial_independent_cols=None, tol=1e-7):
-    """Indices of a maximal linearly independent column subset (reference:
-    matrixtools.independent_columns)."""
+    """Indices of a maximal linearly independent column subset, optionally
+    relative to a base of known-independent columns (reference:
+    matrixtools.independent_columns: project out the base with QR, then
+    rank + pivoted QR pick the columns)."""
     m = np.asarray(m)
-    keep = []
-    basis = [] if initial_independent_cols is None \
-        else [np.asarray(c, dtype=complex) for c in
-              np.asarray(initial_independent_cols).T]
-    for j in range(m.shape[1]):
-        v = m[:, j].astype(complex)
-        for b in basis:
-            v = v - (b.conj() @ v) / (b.conj() @ b) * b
-        if np.linalg.norm(v) > tol * max(np.linalg.norm(m[:, j]), 1e-300):
-            keep.append(j)
-            basis.append(v)
-    return keep
+    if initial_independent_cols is None or np.asarray(initial_independent_cols).shape[1] == 0:
+        proj_m = m.copy()
+    else:
+        base = np.asarray(initial_independent_cols)
+        assert base.shape[0] == m.shape[0]
+        q = spl.qr(base, mode='economic')[0]
+        proj_m = m - q @ (q.T.conj() @ m)
+    if proj_m.shape[1] == 0:
+        return []
+    rank = np.linalg.matrix_rank(proj_m, tol=tol)
+    pivots = spl.qr(proj_m, overwrite_a=True, mode='raw', pivoting=True)[2]
+    return pivots[:rank].tolist()
 
 
 def matrix_sign(m):
@@ -253,17 +298,16 @@ def intersection_space(space1, space2, tol=1e-7, use_nice_nullspace=False):
     """Intersection of two column spaces (reference:
     matrixtools.intersection_space)."""
     VW = np.concatenate([np.asarray(space1), -np.asarray(space2)], axis=1)
-    ns = nullspace(VW, tol)
+    ns = nice_nullspace(VW, tol) if use_nice_nullspace else nullspace(VW, tol)
     return np.asarray(space1) @ ns[:np.asarray(space1).shape[1], :]
 
 
 def union_space(space1, space2, tol=1e-7):
-    """Span of the union of two column spaces (reference:
-    matrixtools.union_space)."""
-    stacked = np.concatenate([np.asarray(space1), np.asarray(space2)], axis=1)
-    u, s, _ = np.linalg.svd(stacked, full_matrices=False)
-    rank = int(np.sum(s > tol * max(s[0] if len(s) else 1.0, 1e-30)))
-    return u[:, :rank]
+    """Span of the union of two column spaces: the independent columns of
+    their concatenation (reference: matrixtools.union_space)."""
+    VW = np.concatenate([np.asarray(space1), np.asarray(space2)], axis=1)
+    indep_cols = independent_columns(VW, None, tol)
+    return VW[:, indep_cols]
 
 
 def zvals_to_dense(zvals, superket=True):

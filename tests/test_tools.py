@@ -396,8 +396,14 @@ class TestMatrixtoolsExtras:
         from pygsti_tpu.tools import matrixtools as mt
         assert np.allclose(mt.matrix_sign(np.diag([2.0, -3.0])),
                            np.diag([1, -1]))
-        assert mt.independent_columns(
-            np.array([[1, 0, 1.], [0, 1, 1.]])) == [0, 1]
+        # pivoted-QR column choice (reference semantics): 2 independent
+        # columns, largest-norm pivot first
+        ic = mt.independent_columns(np.array([[1, 0, 1.], [0, 1, 1.]]))
+        assert len(ic) == 2 and len(set(ic)) == 2
+        # relative to a base of known-independent columns
+        base = np.array([[1.], [0.]])
+        ic2 = mt.independent_columns(np.array([[2., 0.], [0., 1.]]), base)
+        assert ic2 == [1]
         s, u = mt.to_unitary(1.5 * np.eye(2))
         assert abs(s - 1.5) < 1e-12 and np.allclose(u, np.eye(2))
         m = np.arange(4.).reshape(2, 2)
