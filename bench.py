@@ -35,6 +35,52 @@ import time
 
 BASELINE_S = 3113.0  # reference 1-rank CPU seconds (BASELINE.md)
 
+# bf16 peak of one TPU v5e (v5 lite) chip; override for other hardware.
+PEAK_FLOPS = float(os.environ.get("PYGSTI_TPU_PEAK_FLOPS", "197e12"))
+
+
+def _clear_lm_stats():
+    from pygsti_tpu.optimize.device_lm import LM_RUN_STATS
+    LM_RUN_STATS.clear()
+
+
+def _lm_stats_summary(tag):
+    """Aggregate device-LM throughput stats (per-stage timings, achieved
+    FLOPS, MFU, circuits/sec, Jacobian rows/sec -- the BASELINE.md driver
+    metrics) and print them to stderr.  Returns the summary dict."""
+    from pygsti_tpu.optimize.device_lm import LM_RUN_STATS
+    if not LM_RUN_STATS:
+        return {}
+    total_iters = sum(s['iters'] for s in LM_RUN_STATS)
+    lm_wall = sum(s['wall_s'] for s in LM_RUN_STATS)
+    flops = sum(s['iters'] * s['flops_per_iter'] for s in LM_RUN_STATS)
+    circs = sum(s['iters'] * s['num_circuits'] for s in LM_RUN_STATS)
+    rows = sum(s['iters'] * s['num_elements'] for s in LM_RUN_STATS)
+    for i, s in enumerate(LM_RUN_STATS):
+        tf = s['iters'] * s['flops_per_iter'] / max(s['wall_s'], 1e-9) / 1e12
+        print("bench[%s]: stage %d: B=%d E=%d P=%d iters=%d wall=%.1fs "
+              "achieved=%.2f TFLOPS" %
+              (tag, i, s['num_circuits'], s['num_elements'],
+               s['num_params'], s['iters'], s['wall_s'], tf), file=sys.stderr)
+    achieved = flops / max(lm_wall, 1e-9)
+    summary = {
+        'lm_iters': total_iters,
+        'lm_wall_s': round(lm_wall, 2),
+        'achieved_tflops': round(achieved / 1e12, 3),
+        'mfu': round(achieved / PEAK_FLOPS, 4),
+        'circuits_per_sec': round(circs / max(lm_wall, 1e-9), 1),
+        'jac_rows_per_sec': round(rows / max(lm_wall, 1e-9), 1),
+        'lm_iters_per_sec': round(total_iters / max(lm_wall, 1e-9), 3),
+    }
+    print("bench[%s]: LM total: %d iters in %.1fs (%.2f it/s), "
+          "%.2f TFLOPS achieved (MFU %.1f%% of %.0f TFLOPS peak), "
+          "%.0f circuits/s, %.0f Jacobian rows/s" %
+          (tag, total_iters, lm_wall, summary['lm_iters_per_sec'],
+           summary['achieved_tflops'], 100 * summary['mfu'], PEAK_FLOPS / 1e12,
+           summary['circuits_per_sec'], summary['jac_rows_per_sec']),
+          file=sys.stderr)
+    return summary
+
 
 def run_fit(maxl, param, gaugeopt, verbosity=2):
     """One full GST fit; returns (fit_wall_seconds, nsigma, results)."""
@@ -87,6 +133,8 @@ def main():
     param = os.environ.get("BENCH_PARAM", "full")
 
     import jax
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. "cpu" for a smoke run
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     # A FRESH persistent-cache dir: run 1 is guaranteed cold (no committed
     # or stale entries), run 2 hits the entries run 1 wrote.  Override with
     # BENCH_CACHE_DIR to reuse a warm cache across processes.
@@ -111,14 +159,19 @@ def main():
         gaugeopt = None
 
     t_all = time.time()
+    _clear_lm_stats()
     cold_wall, cold_nsigma, _ = run_fit(maxl, param, gaugeopt)
+    cold_stats = _lm_stats_summary("cold")
     print("bench: COLD fit wall-clock %.1fs, Nsigma=%.2f" %
           (cold_wall, cold_nsigma), file=sys.stderr)
 
     if os.environ.get("BENCH_SKIP_WARM") == "1":
         warm_wall, warm_nsigma = cold_wall, cold_nsigma
+        warm_stats = cold_stats
     else:
+        _clear_lm_stats()
         warm_wall, warm_nsigma, _ = run_fit(maxl, param, gaugeopt)
+        warm_stats = _lm_stats_summary("warm")
         print("bench: WARM fit wall-clock %.1fs, Nsigma=%.2f (total %.1fs)" %
               (warm_wall, warm_nsigma, time.time() - t_all), file=sys.stderr)
 
@@ -127,7 +180,7 @@ def main():
 
     full = (maxl == 64)
     scale_note = "" if full else " (maxL=%d, not full workload)" % maxl
-    print(json.dumps({
+    out = {
         "metric": "2Q GST fit wall-clock (smq2Q_XYICNOT maxL=64, 1000 shots)%s" % scale_note,
         "value": round(warm_wall, 2),
         "unit": "s",
@@ -135,7 +188,9 @@ def main():
         "cold_s": round(cold_wall, 2),
         "cold_vs_baseline": round(BASELINE_S / cold_wall, 2) if full else 0.0,
         "nsigma": round(float(warm_nsigma), 2),
-    }))
+    }
+    out.update(warm_stats)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -625,6 +625,8 @@ class TimeIndependentMDCObjectiveFunction(object):
         else:
             B = self.layout.op_indices.shape[0]
             chunk = 12 if B < 2500 else (6 if B < 7000 else 3)
+        import time as _time
+        _t0 = _time.time()
         state = init_jit(jnp.asarray(x0), *data,
                          oob_interval=int(oob_check_interval))
         while True:
@@ -634,6 +636,15 @@ class TimeIndependentMDCObjectiveFunction(object):
             state = chunk_jit(state, jnp.asarray(min(k_now + chunk, maxiter)),
                               tols_j, *data)
         x, f, norm_f, mu, nu, code, k = fin_jit(state, jnp.asarray(maxiter))
+        # record per-run throughput stats for bench instrumentation
+        from pygsti_tpu.optimize.device_lm import LM_RUN_STATS
+        LM_RUN_STATS.append({
+            'iters': int(k), 'wall_s': _time.time() - _t0,
+            'flops_per_iter': self._fns.get('flops_per_jtj', 0.0),
+            'num_circuits': int(self.layout.op_indices.shape[0]),
+            'num_elements': int(self.layout.num_elements),
+            'num_params': int(len(x0)),
+        })
         code = int(code)
         converged = code in (1, 2, 3, 4, 5)
         msg = EXIT_MESSAGES.get(code, "exit code %d" % code)
@@ -1161,6 +1172,27 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 [base_dls(v, counts, totals, freqs, flag, regs),
                  jax.jacrev(pen_fn)(v)], axis=0)
 
+    # Analytic FLOP count of one jtj_jtf evaluation (dominant terms), for
+    # the bench's achieved-FLOPS / MFU instrumentation (BASELINE.md driver
+    # metric: circuits/sec + Jacobian rows/sec).
+    P_est = model.num_params
+    E_est = layout.num_elements
+    D_est = layout.op_indices.shape[1]
+    d_est = model.dim
+    if n_out_uniform and getattr(sim, 'mesh', None) is None:
+        flops_per_jtj = (
+            2 * D_est * Bp * K1 * d_est * d_est            # forward scan
+            + 4 * D_est * Bp * n_out * K1 * d_est * d_est  # backward accum
+            + 2 * Bp * n_out * NT * NT                     # per-block Gram
+            + 2 * NT * NT * P_est + 2 * NT * P_est * P_est  # chain via Tv
+        )
+    else:
+        K1_est = len(model.op_keys) + 1
+        B_est = layout.op_indices.shape[0]
+        flops_per_jtj = (2 * D_est * B_est * K1_est * d_est * d_est
+                         * (P_est + 1)                     # jacfwd tangents
+                         + 2 * P_est * P_est * E_est)      # Gram
+
     fns = {
         'lsvec': _jit_fast(lsvec_fn),
         'fn': _jit_fast(fn_fn),
@@ -1169,6 +1201,7 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         'probs': _jit_fast(probs_fn),
         'lsvec_raw': lsvec_fn,
         'jtj_jtf_raw': jtj_jtf_fn,
+        'flops_per_jtj': float(flops_per_jtj),
     }
     sim._obj_graph_cache[key] = fns
     return fns

@@ -34,6 +34,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Per-run throughput stats appended by MDCObjectiveFunction.run_device_lm
+# (iters, wall_s, flops_per_iter, num_circuits/elements/params); consumed by
+# bench.py for achieved-FLOPS / MFU / circuits-per-sec instrumentation.
+LM_RUN_STATS = []
+
 
 class _LMState(NamedTuple):
     k: Any
