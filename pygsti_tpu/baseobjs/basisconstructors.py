@@ -123,15 +123,37 @@ def gm_labels(matrix_dim):
 
 @functools.lru_cache(maxsize=None)
 def qt_matrices(matrix_dim):
-    """Qutrit basis (d=3): symmetric-subspace-adapted basis used by the
-    reference for qutrit models (basisconstructors.qt_matrices)."""
+    """Qutrit basis (d=3): 2-qubit Pauli products projected onto the
+    symmetric (triplet) subspace, Gram-Schmidt'ed to Tr(Bi Bj) = delta_ij
+    (reference: basisconstructors.qt_matrices:970 -- element-for-element
+    identical, so qutrit models/reportables are numerically comparable)."""
+    if matrix_dim == 1:
+        return np.identity(1, 'd')[None, :, :]
     if matrix_dim != 3:
         raise ValueError("qt basis requires dimension 3")
-    # Use the normalized Gell-Mann basis rotated so that element 0 is I/sqrt(3);
-    # the reference's qt basis is a specific real combination -- we provide the
-    # orthonormal Gell-Mann-derived qutrit basis here (tested for orthonormality).
-    return gm_matrices(3, normalize=True)
+    # projector onto the symmetric subspace |00>, (|01>+|10>)/sqrt2, |11>
+    proj = np.array([[1, 0, 0, 0],
+                     [0, 1 / sqrt2, 1 / sqrt2, 0],
+                     [0, 0, 0, 1]], 'd')
+    pp = pp_matrices(4)
+    # pp indices II, XX, YY, YZ, IX, IY, IZ, XY, XZ
+    selected = (0, 5, 10, 11, 1, 2, 3, 6, 7)
+    mxs = [proj @ pp[i] @ proj.T for i in selected]
+    mxs[0] = mxs[0] / np.sqrt(0.75)
+    q1 = mxs[1] - mxs[0] * np.sqrt(0.75) / 3
+    q2 = mxs[2] - mxs[0] * np.sqrt(0.75) / 3
+    mxs[1] = (q1 + q2) / np.sqrt(2.0 / 3.0)
+    mxs[2] = (q1 - q2) / sqrt2
+    for i in range(3, 9):
+        mxs[i] = mxs[i] / np.sqrt(0.5)
+    out = np.array(mxs)
+    out.flags.writeable = False
+    return out
 
 
 def qt_labels(matrix_dim):
-    return ["II", "X+", "X-", "Y+", "Y-", "Z+", "Z-", "XX", "YY"][:matrix_dim ** 2]
+    if matrix_dim == 0:
+        return []
+    if matrix_dim == 1:
+        return ['']
+    return ['II', 'X+Y', 'X-Y', 'YZ', 'IX', 'IY', 'IZ', 'XY', 'XZ']

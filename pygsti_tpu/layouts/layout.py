@@ -49,6 +49,18 @@ class CircuitOutcomeProbabilityLayout(object):
 
         op_keys = model.op_keys
         op_index_map = {k: i for i, k in enumerate(op_keys)}
+        # Legacy-pack circuits carry sslbl-free labels on line '*' (e.g. bare
+        # 'Gx') while explicit models may key operations with state-space
+        # labels ('Gx:T0').  When a bare name matches exactly one operation,
+        # alias it (the reference's old implicit-sslbls Label matching).
+        by_name = {}
+        for k, i in list(op_index_map.items()):
+            name = getattr(k, 'name', None)
+            if name is not None and name != k:
+                by_name.setdefault(name, []).append(i)
+        for name, idxs in by_name.items():
+            if len(idxs) == 1 and name not in op_index_map:
+                op_index_map[Label(name)] = idxs[0]
         prep_keys = model.prep_keys
         prep_index_map = {k: i for i, k in enumerate(prep_keys)}
         povm_rows = model.povm_effect_rows()

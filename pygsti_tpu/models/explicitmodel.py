@@ -693,7 +693,11 @@ class ExplicitOpModel(OpModel):
         import collections as _collections
         from pygsti_tpu.models.modelconstruction import (_make_op, _make_prep,
                                                          _make_povm)
-        nq = self.state_space.num_qubits
+        try:
+            nq = self.state_space.num_qubits
+        except ValueError:
+            nq = None  # qudit space: only valid for parameterizations that
+            # keep the dense SPAM vectors (full / full TP / static dense)
         ptype = prep_type if prep_type != 'auto' else gate_type
         etype = povm_type if povm_type != 'auto' else gate_type
         for lbl, op in list(self.operations.items()):

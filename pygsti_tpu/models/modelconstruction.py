@@ -70,6 +70,9 @@ def _make_op(ideal_mx, gate_type, basis):
 def _make_prep(ideal_vec, prep_type, basis, nqubits):
     if prep_type in ('computational', 'static', 'static unitary',
                      'static standard', 'full unitary', 'static pure'):
+        if nqubits is None:
+            raise ValueError("prep type %r requires a qubit state space"
+                             % prep_type)
         return _st.ComputationalBasisState([0] * nqubits, basis)
     if prep_type in ('full', 'full arbitrary'):
         return _st.FullState(ideal_vec)
@@ -86,6 +89,9 @@ def _make_prep(ideal_vec, prep_type, basis, nqubits):
 def _make_povm(ideal_effects, povm_type, basis, nqubits):
     if povm_type in ('computational', 'static', 'static unitary',
                      'static standard', 'full unitary', 'static pure'):
+        if nqubits is None:
+            raise ValueError("povm type %r requires a qubit state space"
+                             % povm_type)
         return _pv.ComputationalBasisPOVM(nqubits, basis)
     if povm_type in ('full', 'full arbitrary'):
         return _pv.UnconstrainedPOVM(ideal_effects)
