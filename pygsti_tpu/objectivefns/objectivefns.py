@@ -606,8 +606,9 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0),
                 oob_fn=self.device_oob_fn)
+            # fin_fn is pure-host numpy (not jitted: see device_lm.lm_finalize)
             sim._obj_graph_cache[key] = (_jit_fast(init_fn), _jit_fast(chunk_fn),
-                                         _jit_fast(fin_fn))
+                                         fin_fn)
         init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)
@@ -635,7 +636,7 @@ class TimeIndependentMDCObjectiveFunction(object):
                 break
             state = chunk_jit(state, jnp.asarray(min(k_now + chunk, maxiter)),
                               tols_j, *data)
-        x, f, norm_f, mu, nu, code, k = fin_jit(state, jnp.asarray(maxiter))
+        x, f, norm_f, mu, nu, code, k = fin_jit(state, maxiter)
         # record per-run throughput stats for bench instrumentation
         from pygsti_tpu.optimize.device_lm import LM_RUN_STATS
         LM_RUN_STATS.append({

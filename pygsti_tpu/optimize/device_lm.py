@@ -324,14 +324,22 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
         return jax.lax.while_loop(cond, body, state)
 
     def lm_finalize(final, max_iter):
-        hit_max = (final.exit_code == 0) & (final.k >= max_iter)
-        exit_code = jnp.where(hit_max, 5, final.exit_code)
+        # pure-host numpy: a jitted version of this trivial select cost ~10s
+        # of cold XLA compile (f64 emulation passes over the [E]-sized state
+        # arrays) for microseconds of device work
+        k = int(final.k)
+        exit_code = int(final.exit_code)
+        if exit_code == 0 and k >= int(max_iter):
+            exit_code = 5
+        norm_f = float(final.norm_f)
+        best_norm_f = float(final.best_norm_f)
         # return the best known point (matching the host loop / reference)
-        use_best = final.best_norm_f <= final.norm_f
-        x_out = jnp.where(use_best, final.best_x, final.x)
-        f_out = jnp.where(use_best, final.best_f, final.f)
-        norm_out = jnp.where(use_best, final.best_norm_f, final.norm_f)
-        return x_out, f_out, norm_out, final.mu, final.nu, exit_code, final.k
+        if best_norm_f <= norm_f:
+            x_out, f_out, norm_out = final.best_x, final.best_f, best_norm_f
+        else:
+            x_out, f_out, norm_out = final.x, final.f, norm_f
+        return (np.asarray(x_out), np.asarray(f_out), norm_out,
+                float(final.mu), float(final.nu), exit_code, k)
 
     return lm_init, lm_chunk, lm_finalize
 
