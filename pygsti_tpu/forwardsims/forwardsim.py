@@ -200,10 +200,30 @@ class SimpleForwardSimulator(ForwardSimulator):
             def _shard(a):
                 return a
 
+        # Reduced-precision propagation: the scan's matmuls run at this dtype
+        # and the result is cast back to the model dtype.  On TPU f64 is
+        # software-emulated, so float32 propagation trades ~1e-7 probability
+        # error (far below shot noise) for a ~5x faster residual evaluation
+        # (measured: full 2Q GST bench 60.1s -> 43.3s warm with final Nsigma
+        # unchanged at the statistical optimum).  Defaults: float32 on TPU,
+        # exact (model dtype) elsewhere; override with
+        # PYGSTI_TPU_PROBS_DTYPE=float32|float64|none.
+        import os as _os
+        _probs_dtype = _os.environ.get('PYGSTI_TPU_PROBS_DTYPE')
+        if _probs_dtype is None and jax.default_backend() == 'tpu':
+            _probs_dtype = 'float32'
+        if _probs_dtype in ('none', '', 'float64'):
+            _probs_dtype = None
+
         def probs(v):
             op_idx_s, prep_idx_s = _shard(op_idx), _shard(prep_idx)
             elem_c_s, elem_e_s = _shard(elem_c), _shard(elem_e)
             t = compute(v)
+            out_dtype = t.preps.dtype
+            if _probs_dtype:
+                t = t._replace(ops=t.ops.astype(_probs_dtype),
+                               preps=t.preps.astype(_probs_dtype),
+                               effects=t.effects.astype(_probs_dtype))
             eye = jnp.eye(dim, dtype=t.ops.dtype)[None]
             G = jnp.concatenate([t.ops, eye], axis=0)      # [K+1, d, d]
             rho = t.preps[prep_idx_s]                      # [B, d]
@@ -219,7 +239,8 @@ class SimpleForwardSimulator(ForwardSimulator):
                     return jnp.einsum('bki,bk->bi', y, onehot), None
                 rho, _ = jax.lax.scan(step, rho, op_idx_s.T)
             E = t.effects[elem_e_s]                        # [E, d]
-            return jnp.sum(E * rho[elem_c_s], axis=1)      # [E]
+            p = jnp.sum(E * rho[elem_c_s], axis=1)         # [E]
+            return p.astype(out_dtype) if _probs_dtype else p
 
         # jit pays off only for large batches; small/one-off layouts (e.g.
         # single-circuit .probabilities() queries) run eagerly.

@@ -976,6 +976,13 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         # PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
         _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
         j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
+        # MXU precision of the per-block Gram matmuls.  The global default is
+        # 'highest' (3-pass bf16 for f32 operands); the Gram of an f32
+        # Jacobian steering a damped LM step tolerates single-pass precision
+        # (validated: full 2Q bench converges to the same Nsigma) --
+        # override with PYGSTI_TPU_GRAM_PRECISION=default|high|highest.
+        _gram_precision = os.environ.get('PYGSTI_TPU_GRAM_PRECISION',
+                                         'default')
 
         def _block_probs_jac(tf, op_b, prep_b, eff_b):
             """(probs [blk*n_out], Jt [blk*n_out, NT]) for one circuit block.
@@ -1064,8 +1071,11 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                 # VMEM-sized blocks, f32 accumulation of ~1e8-scale partial
                 # Grams loses enough precision to visibly degrade LM
                 # convergence (measured Nsigma 500 -> 1039 on the 2Q bench)
-                return (M + (Jw.T @ Jw).astype(v.dtype),
-                        q + (Jw.T @ ls.astype(j_dtype)).astype(v.dtype)), ls
+                gram = jnp.matmul(Jw.T, Jw, precision=_gram_precision)
+                gvec = jnp.matmul(Jw.T, ls.astype(j_dtype),
+                                  precision=_gram_precision)
+                return (M + gram.astype(v.dtype),
+                        q + gvec.astype(v.dtype)), ls
             init = (jnp.zeros((NT, NT), dtype=v.dtype), jnp.zeros(NT, dtype=v.dtype))
             (M, q), ls_blocks = jax.lax.scan(body, init,
                                              idx_blocks + (cnt_b, tot_b, frq_b))

@@ -26,54 +26,58 @@ import jax.numpy as jnp
 
 
 def _kernel(cols_ref, g_ref, e_ref, f_ref, a_ref, bfin_ref):
-    """One circuit tile, batch-last layout.
+    """One (circuit tile, outcome) program, batch-last layout.  The grid is
+    (batch tiles x outcomes): each outcome's back-propagated effect evolves
+    independently, and splitting outcomes across programs keeps the unrolled
+    kernel body small enough for the Mosaic compiler at production sizes
+    (K1=17, d=16 crashed the compile helper when all outcomes shared one
+    program body).
 
     cols_ref: [D, 1, TB] int32 op indices (identity-padded)
     g_ref:    [K1, d, d] op stack (+identity), g_ref[k][j][i] = G[k][i][j]
               (TRANSPOSED within each op so column slices give G rows)
-    e_ref:    [NOUT, d, TB] effect rows
+    e_ref:    [1, d, TB] this outcome's effect rows
     f_ref:    [D, d, TB] state BEFORE each layer (forward-pass stash)
-    a_ref:    [K1, NOUT*d*d, TB] per-op gradient accumulator (output);
-              row n*d*d + i*d + j holds A[b, n, k, i, j]
-    bfin_ref: [NOUT, d, TB] back-propagated effects (output)
+    a_ref:    [K1, d*d, TB] per-op gradient accumulator (output);
+              row i*d + j holds A[b, n, k, i, j] for this program's n
+    bfin_ref: [1, d, TB] back-propagated effect (output)
     """
     from jax.experimental import pallas as pl
 
     D = cols_ref.shape[0]
     K1, d, _ = g_ref.shape
-    NOUT = e_ref.shape[0]
 
     a_ref[:] = jnp.zeros_like(a_ref)
 
     def body(t, bc):
-        # bc: [NOUT, d, TB].  cols/F arrive depth-REVERSED, so the loop
-        # counter indexes them directly (index arithmetic on the counter
-        # trips Mosaic's int32/int64 verification under jax_enable_x64)
+        # bc: [d, TB].  cols/F arrive depth-REVERSED, so the loop counter
+        # indexes them directly (index arithmetic on the counter trips
+        # Mosaic's int32/int64 verification under jax_enable_x64)
         idx = cols_ref[pl.ds(t, 1)][0]               # [1, TB]
         f = f_ref[pl.ds(t, 1)][0]                    # [d, TB]
-        # contrib rows (n*d*d + i*d + j) = Bc[n,i,:] * f[j,:]
-        pieces = []
-        for n in range(NOUT):
-            for i in range(d):
-                pieces.append(bc[n, i:i + 1, :] * f)     # [d, TB]
-        contrib = jnp.concatenate(pieces, axis=0)        # [NOUT*d*d, TB]
-        masks = [(idx == k).astype(bc.dtype) for k in range(K1)]  # [1, TB]
+        # contrib rows (i*d + j) = Bc[i,:] * f[j,:]
+        pieces = [bc[i:i + 1, :] * f for i in range(d)]  # each [d, TB]
+        contrib = jnp.concatenate(pieces, axis=0)        # [d*d, TB]
+        # explicit int32 literals: under jax_enable_x64 a bare Python int
+        # promotes the comparison to int64, which Mosaic rejects
+        masks = [(idx == jnp.int32(k)).astype(bc.dtype)
+                 for k in range(K1)]                     # [1, TB]
         for k in range(K1):
             a_ref[k, :, :] += masks[k] * contrib
-        # Bc[n,j,:] = sum_i Bc[n,i,:] * G[idx, i, j]:
-        #   ghat_i[:, j, :] = sum_k mask_k * G[k, i, j]  (g_ref holds G^T
-        #   per op so g_ref[k, :, i] is the row G[k, i, :])
+        # Bc[j,:] = sum_i Bc[i,:] * G[idx, i, j]:
+        #   ghat_i[j, :] = sum_k mask_k * G[k, i, j]  (g_ref holds G^T per
+        #   op so g_ref[k, :, i] is the row G[k, i, :])
         bc_new = jnp.zeros_like(bc)
         for i in range(d):
-            ghat_i = masks[0][None] * g_ref[0:1, :, i:i + 1]
+            ghat_i = masks[0] * g_ref[0, :, i:i + 1]
             for k in range(1, K1):
-                ghat_i = ghat_i + masks[k][None] * g_ref[k:k + 1, :, i:i + 1]
-            # ghat_i: [1, d(j), TB]; bc[:, i:i+1, :]: [NOUT, 1, TB]
-            bc_new = bc_new + bc[:, i:i + 1, :] * ghat_i
+                ghat_i = ghat_i + masks[k] * g_ref[k, :, i:i + 1]
+            # ghat_i: [d(j), TB]; bc[i:i+1, :]: [1, TB]
+            bc_new = bc_new + bc[i:i + 1, :] * ghat_i
         return bc_new
 
-    bc_final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(D), body, e_ref[:])
-    bfin_ref[:] = bc_final
+    bc_final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(D), body, e_ref[0])
+    bfin_ref[:] = bc_final[None]
 
 
 @functools.partial(jax.jit, static_argnames=('tile',))
@@ -103,34 +107,48 @@ def bwd_jacobian_accumulate(cols, G, E, F, tile=256):
     f_t = jnp.transpose(F, (1, 2, 0))[::-1]              # [D, d, B] reversed
     g_t = jnp.transpose(G, (0, 2, 1))                    # G^T per op
 
+    # index maps return EXPLICIT int32: under jax_enable_x64 the default
+    # int64 block indices crash the TPU compile helper (constants must be
+    # created inside the map -- index maps may not capture tracers)
+    def _i32(x):
+        return jax.lax.convert_element_type(x, jnp.int32)
+
     grid_spec = pl.GridSpec(
-        grid=(nb,),
+        grid=(nb, NOUT),
         in_specs=[
-            pl.BlockSpec((D, 1, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((D, 1, tile), lambda i, n: (_i32(0), _i32(0), _i32(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K1, d, d), lambda i: (0, 0, 0),
+            pl.BlockSpec((K1, d, d), lambda i, n: (_i32(0), _i32(0), _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NOUT, d, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((1, d, tile), lambda i, n: (_i32(n), _i32(0), _i32(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, d, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((D, d, tile), lambda i, n: (_i32(0), _i32(0), _i32(i)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K1, X, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((1, K1, d * d, tile),
+                         lambda i, n: (_i32(n), _i32(0), _i32(0), _i32(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NOUT, d, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((1, d, tile), lambda i, n: (_i32(n), _i32(0), _i32(i)),
                          memory_space=pltpu.VMEM),
         ],
     )
+
+    def _kernel_wrap(cols_ref, g_ref, e_ref, f_ref, a4_ref, bfin_ref):
+        # int32 ref slice: a bare 0 under x64 lowers to an i64 memref index,
+        # which Mosaic rejects
+        _kernel(cols_ref, g_ref, e_ref, f_ref, a4_ref.at[jnp.int32(0)],
+                bfin_ref)
+
     A_t, Bf_t = pl.pallas_call(
-        _kernel,
+        _kernel_wrap,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((K1, X, B), G.dtype),
+            jax.ShapeDtypeStruct((NOUT, K1, d * d, B), G.dtype),
             jax.ShapeDtypeStruct((NOUT, d, B), G.dtype),
         ],
     )(cols_t, g_t, e_t, f_t)
-    A = jnp.transpose(A_t.reshape(K1, NOUT, d, d, B), (4, 1, 0, 2, 3))
+    A = jnp.transpose(A_t.reshape(NOUT, K1, d, d, B), (4, 0, 1, 2, 3))
     B_final = jnp.transpose(Bf_t, (2, 0, 1))
     return A, B_final
 

@@ -107,9 +107,9 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
             return (st.exit_code == 0) & (st.k < k_stop)
 
         def body(st):
-            # use the carried residual (full-precision lsvec evaluations)
-            # rather than the Jacobian pass's f, which may be computed at
-            # reduced precision
+            # use the carried residual (lsvec evaluations at the simulator's
+            # propagation precision) rather than the Jacobian pass's f, which
+            # is computed at the (possibly lower) Jacobian dtype
             _, JTJ, JTf = jtj_jtf_fn(st.x, *data)
             f = st.f
             norm_f = st.norm_f

@@ -250,3 +250,74 @@ class TestDoIdleTomography:
                                      (PREP_DICT, MEAS_DICT), maxweight=1)
         s = str(res)
         assert "hamiltonian" in s and "stochastic" in s
+
+
+class TestModelBridges:
+    """set_idle_errors / extract_idle_errors / predicted_*_rates round trips
+    (reference: idttools.py:172-549)."""
+
+    def _model_with_idle(self, nq):
+        from pygsti_tpu.baseobjs.label import Label
+        from pygsti_tpu.modelmembers.operations import (
+            ExpErrorgenOp, build_lindblad_errorgen)
+        if nq == 1:
+            from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        else:
+            from pygsti_tpu.modelpacks import smq2Q_XYI as mp
+        model = mp.target_model('static')
+        eg = build_lindblad_errorgen('pp', 'H+s', dim=4 ** nq, max_weight=1)
+        model.operations[Label(())] = ExpErrorgenOp(eg)
+        return model
+
+    def test_set_extract_round_trip(self):
+        from pygsti_tpu.extras.idletomography import idttools
+        model = self._model_with_idle(2)
+        rates = {"H(ZI)": 0.02, "S(IX)": 0.01, "S(ZI)": 0.004}
+        idttools.set_idle_errors(2, model, rates)
+        ham, sto, _ = idttools.extract_idle_errors(2, model)
+        assert abs(ham.get('ZI', 0) - 0.02) < 1e-10, ham
+        assert abs(sto.get('IX', 0) - 0.01) < 1e-10, sto
+        assert abs(sto.get('ZI', 0) - 0.004) < 1e-10, sto
+        assert all(abs(v) < 1e-10 for k, v in ham.items() if k != 'ZI')
+
+    def test_predicted_matches_do_idle_tomography(self):
+        """Intrinsic rates recovered by do_idle_tomography match
+        predicted_intrinsic_rates on a model with known idle errors."""
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.extras.idletomography import idttools
+        model = self._model_with_idle(1)
+        idttools.set_idle_errors(1, model, {"H(Z)": 0.03, "S(X)": 0.008})
+        max_lengths = [0, 1, 2, 4, 8]
+        circuits = idt.make_idle_tomography_list(
+            1, max_lengths, (PREP_DICT, MEAS_DICT), maxweight=1)
+        ds = simulate_data(model, circuits, 200000, seed=11)
+        results = idt.do_idle_tomography(
+            1, ds, max_lengths, (PREP_DICT, MEAS_DICT), maxweight=1)
+        ham_pred, sto_pred, _ = idttools.predicted_intrinsic_rates(
+            1, 1, model)
+        assert np.allclose(results.intrinsic_rates['hamiltonian'], ham_pred,
+                           atol=0.005), (results.intrinsic_rates, ham_pred)
+        assert np.allclose(results.intrinsic_rates['stochastic'], sto_pred,
+                           atol=0.003), (results.intrinsic_rates, sto_pred)
+
+    def test_predicted_observable_rates(self):
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.extras.idletomography import idttools
+        model = self._model_with_idle(1)
+        idttools.set_idle_errors(1, model, {"S(Z)": 0.01})
+        max_lengths = [0, 1, 2, 4]
+        circuits = idt.make_idle_tomography_list(
+            1, max_lengths, (PREP_DICT, MEAS_DICT), maxweight=1)
+        ds = simulate_data(model, circuits, 100000, seed=13)
+        results = idt.do_idle_tomography(
+            1, ds, max_lengths, (PREP_DICT, MEAS_DICT), maxweight=1)
+        pred = idttools.predicted_observable_rates(results, 'samebasis', 1, 1,
+                                                   model)
+        obs_and_pred = []
+        for fidpair, infos in zip(results.pauli_fidpairs['samebasis'],
+                                  results.observed_rate_infos['samebasis']):
+            for out, info in infos.items():
+                obs_and_pred.append((info['rate'], pred[fidpair][out]))
+        obs = np.array([o for o, _ in obs_and_pred])
+        prd = np.array([p for _, p in obs_and_pred])
+        assert np.abs(obs - prd).max() < 0.003, list(zip(obs, prd))
