@@ -595,9 +595,25 @@ class TimeIndependentMDCObjectiveFunction(object):
         # tolerances / maxiter / oob interval are runtime args: one compiled
         # executable serves every GST stage (chi2 iterations AND the final
         # logL stage, safe and unsafe OOB modes)
+        # solver: Cholesky by default; conjugate-gradient ('cg') when the
+        # parameter count is large or a params-sharded mesh is active, so
+        # the damped solve never gathers the [P, P] Gram matrix onto one
+        # device (the reference's "fine" LM-vector distribution +
+        # custom_solve, customsolve.py:30).  PYGSTI_TPU_LM_SOLVER overrides;
+        # PYGSTI_TPU_LM_CG_THRESHOLD sets the P cutoff (default 8192).
+        solver = os.environ.get('PYGSTI_TPU_LM_SOLVER')
+        if solver is None:
+            mesh = getattr(sim, 'mesh', None)
+            cg_thresh = int(os.environ.get('PYGSTI_TPU_LM_CG_THRESHOLD',
+                                           '8192'))
+            param_sharded = mesh is not None and 'params' in getattr(
+                mesh, 'axis_names', ())
+            solver = 'cg' if (len(x0) >= cg_thresh
+                              or (param_sharded and len(x0) >= 1024)) \
+                else 'cholesky'
         key = ('device_lm', id(self.layout),
                tuple(sorted((self.penalties or {}).items())),
-               tuple(sorted(linesearch.items())))
+               tuple(sorted(linesearch.items())), solver)
         if key not in sim._obj_graph_cache:
             init_fn, chunk_fn, fin_fn = make_device_lm(
                 self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
@@ -605,7 +621,7 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_beta=linesearch.get('beta', 0.25),
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0),
-                oob_fn=self.device_oob_fn)
+                oob_fn=self.device_oob_fn, solver=solver)
             # fin_fn is pure-host numpy (not jitted: see device_lm.lm_finalize)
             sim._obj_graph_cache[key] = (_jit_fast(init_fn), _jit_fast(chunk_fn),
                                          fin_fn)
@@ -928,14 +944,26 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                                          str(256 * 1024 * 1024)))
         blk = max(64, int(_blk_budget // (max(n_out, 1) * NT * itemsize)))
         blk = min(blk, B)  # never pad the batch beyond one block
-        # Pallas backward-accumulation kernel (ops/pallas_kernels.py):
-        # 37x faster than the einsum scan standalone, but the current
-        # Mosaic toolchain fails to legalize the kernel when it is embedded
-        # inside the fused device-LM while_loop program ("failed to
-        # legalize operation 'func.return'"), so it is OPT-IN:
-        # PYGSTI_TPU_PALLAS_BWD=1 (works with the host LM loop,
-        # PYGSTI_TPU_HOST_LM=1, where the jtj graph compiles standalone).
-        _use_pallas_bwd = os.environ.get('PYGSTI_TPU_PALLAS_BWD') == '1'
+        # Jacobian/Gram arithmetic dtype: f32 by default on TPU (the Jacobian
+        # only steers LM steps -- convergence checks always use the
+        # simulator-precision lsvec -- and f32 halves HBM traffic and runs
+        # matmuls at full MXU rate; f64 emulation would dominate otherwise).
+        # Override with PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
+        _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
+        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
+        # Pallas backward-accumulation kernel (ops/pallas_kernels.py): keeps
+        # the per-op gradient accumulator VMEM-resident across the whole
+        # depth loop (28x faster than the einsum scan standalone: 34ms vs
+        # 975ms at the 2Q maxL=64 shapes) and legalizes inside the fused
+        # device-LM while_loop on the current Mosaic toolchain.  DEFAULT on
+        # TPU with an f32/bf16 Jacobian (Mosaic has no f64); opt out with
+        # PYGSTI_TPU_PALLAS_BWD=0.
+        _pallas_env = os.environ.get('PYGSTI_TPU_PALLAS_BWD')
+        if _pallas_env is None:
+            _use_pallas_bwd = (jax.default_backend() == 'tpu'
+                               and j_dtype != jnp.dtype('float64'))
+        else:
+            _use_pallas_bwd = _pallas_env == '1'
         if _use_pallas_bwd:
             blk = max(128, (blk // 128) * 128)  # kernel tiles are 128 lanes
         nb = -(-B // blk)
@@ -969,13 +997,6 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             return ops, preps, effects
 
         K1 = n_ops + 1   # op stack + identity padding slot
-        # Jacobian/Gram arithmetic dtype: f32 by default (the Jacobian only
-        # steers LM steps -- convergence checks always use f64 lsvec -- and
-        # f32 halves HBM traffic and runs matmuls at full MXU rate; f64
-        # emulation would dominate otherwise).  Override with
-        # PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
-        _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
-        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
         # MXU precision of the per-block Gram matmuls.  The global default is
         # 'highest' (3-pass bf16 for f32 operands); the Gram of an f32
         # Jacobian steering a damped LM step tolerates single-pass precision
@@ -1015,8 +1036,8 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             if _use_pallas_bwd:
                 # Pallas kernel: the A accumulator stays in VMEM for the
                 # whole depth loop instead of round-tripping HBM every
-                # layer (measured 37x faster than the einsum scan on the
-                # 2Q maxL=64 workload; ops/pallas_kernels.py)
+                # layer (measured 28x faster than the einsum scan at the
+                # 2Q maxL=64 shapes; ops/pallas_kernels.py)
                 from pygsti_tpu.ops.pallas_kernels import bwd_jacobian_accumulate
                 A, B_final = bwd_jacobian_accumulate(
                     op_b, G, E, jnp.transpose(F_prev, (1, 0, 2)), tile=128)

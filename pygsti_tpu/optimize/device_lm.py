@@ -65,9 +65,32 @@ def _solve_damped(JTJ, jtj_diag, mu, minus_JTf):
     return dx
 
 
+def _solve_damped_cg(JTJ, jtj_diag, mu, minus_JTf, maxiter=250, tol=1e-12):
+    """Solve (JTJ + mu*I) dx = -JTf with Jacobi-preconditioned conjugate
+    gradient.  Every operation is a matvec / elementwise op, so when JTJ is
+    params-sharded on a device mesh the solve stays FULLY SHARDED (XLA
+    inserts psums for the matvec) -- the TPU-native analogue of the
+    reference's distributed `custom_solve` / "fine" LM-vector distribution
+    (pygsti/optimize/customsolve.py:30, arraysinterface.py:597), replacing
+    its hand-rolled distributed Gaussian elimination.  Cholesky, by
+    contrast, forces XLA to gather the full [P, P] matrix onto every
+    device."""
+    diag = jtj_diag + mu  # A's diagonal (A = JTJ off-diag + this diag)
+
+    def matvec(x):
+        # A @ x where A is JTJ with its diagonal replaced by jtj_diag + mu
+        return JTJ @ x + (diag - jtj_diag) * x
+
+    inv_diag = 1.0 / jnp.maximum(diag, 1e-300)
+    dx, _ = jax.scipy.sparse.linalg.cg(
+        matvec, minus_JTf, tol=tol, maxiter=maxiter,
+        M=lambda r: inv_diag * r)
+    return dx
+
+
 def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                    ls_beta=0.25, ls_max_evals=6, ls_kappa=1.0,
-                   max_inner=16, oob_fn=None):
+                   max_inner=16, oob_fn=None, solver='cholesky'):
     """Build the jitted LM driver.
 
     jtj_jtf_fn(x, *data) -> (f, JTJ, JTf);  lsvec_fn(x, *data) -> f;
@@ -86,6 +109,9 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
     if oob_fn is None:
         def oob_fn(x, *data):
             return jnp.asarray(False)
+    # 'cholesky' (exact, gathers [P,P] per device) or 'cg' (matvec-only --
+    # stays params-sharded on a mesh; the customsolve.py analogue)
+    solve_damped = _solve_damped if solver == 'cholesky' else _solve_damped_cg
 
     def lm_init(x0, *data, oob_interval=0):
         f0 = lsvec_fn(x0, *data)
@@ -161,7 +187,7 @@ def make_device_lm(jtj_jtf_fn, lsvec_fn, num_params,
                 # phase 0: new damped solve (full step, t=1); phase 1: reuse
                 # the carried dx and try the next backtracked t.
                 def new_solve(_):
-                    dx = _solve_damped(JTJ, jtj_diag, mu, minus_JTf)
+                    dx = solve_damped(JTJ, jtj_diag, mu, minus_JTf)
                     solve_ok = jnp.all(jnp.isfinite(dx))
                     norm_dx = jnp.dot(dx, dx)
                     clip = norm_dx > max_norm_dx

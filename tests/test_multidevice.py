@@ -216,3 +216,44 @@ def test_grid_jacobian_actually_param_sharded(workload):
     assert ("f64[%d," % per_dev) in txt, \
         "no %d-row tangent shards in the partitioned module; the param " \
         "axis appears replicated" % per_dev
+
+
+def test_cg_solver_matches_cholesky_unit():
+    """_solve_damped_cg == _solve_damped on random SPD systems."""
+    from pygsti_tpu.optimize.device_lm import _solve_damped, _solve_damped_cg
+    rng = np.random.RandomState(5)
+    for P in (7, 40):
+        J = rng.randn(3 * P, P)
+        JTJ = jnp.asarray(J.T @ J)
+        jtj_diag = jnp.diag(JTJ)
+        rhs = jnp.asarray(rng.randn(P))
+        for mu in (1e-3, 1.0):
+            dx_c = _solve_damped(JTJ, jtj_diag, jnp.asarray(mu), rhs)
+            dx_g = _solve_damped_cg(JTJ, jtj_diag, jnp.asarray(mu), rhs)
+            np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_c),
+                                       rtol=1e-7, atol=1e-9)
+
+
+def test_grid_lm_with_cg_solver(workload):
+    """Device LM with the params-sharded CG solve (the customsolve
+    analogue) lands on the same point as the serial Cholesky LM on a
+    2x4 ('circuits','params') grid."""
+    from pygsti_tpu.parallel.mesh import grid_mesh
+    target, ds, circuits = workload
+    circuits = circuits[:96]
+
+    serial_model = target.copy()
+    obj_s, _ = _objective(serial_model, ds, circuits, None, None)
+    grid_model = target.copy()
+    obj_g, _ = _objective(grid_model, ds, circuits, grid_mesh(2, 4), 2)
+
+    v = serial_model.to_vector()
+    x_s, conv_s, _, _, _, nf_s, _ = obj_s.run_device_lm(v, maxiter=4)
+    os.environ['PYGSTI_TPU_LM_SOLVER'] = 'cg'
+    try:
+        x_g, conv_g, _, _, _, nf_g, _ = obj_g.run_device_lm(v, maxiter=4)
+    finally:
+        del os.environ['PYGSTI_TPU_LM_SOLVER']
+    assert conv_s and conv_g
+    np.testing.assert_allclose(nf_g, nf_s, rtol=1e-8)
+    np.testing.assert_allclose(x_g, x_s, rtol=1e-6, atol=1e-8)
