@@ -13,9 +13,9 @@ Usage:
         tests/circuit_corpus_baseline.jsonl.gz candidate.jsonl.gz \
         [--allowlist tests/circuit_corpus_allowlist.txt]
 
-The committed baseline is generated at --size small (~3k records) so the
-in-suite regression test (test_circuit_corpus.py) stays fast; --size full
-(~23k records, matching the reference's corpus scale) is for manual sweeps.
+The committed baseline is generated at --size full (~26k records,
+matching the reference's ~23k-circuit corpus scale); generation takes
+~45s so the in-suite regression test replays it directly.
 
 Raw `hash` fingerprints are only process-stable under a fixed
 PYTHONHASHSEED -- the CLI re-execs itself with PYTHONHASHSEED=0

@@ -2,7 +2,7 @@
 
 Mirrors the reference's differential-behavior harness
 (test/performance/circuit_corpus.py + circuit_corpus_baseline.jsonl.gz):
-regenerate fingerprints for ~5.5k realistic circuits (GST designs at 1Q/2Q
+regenerate fingerprints for ~26k realistic circuits (GST designs at 1Q/2Q
 with int and string qubit labels, random 2Q circuits, re-parsed samples)
 and demand byte-level agreement with the committed baseline, modulo an
 explicit human-readable allowlist.
@@ -27,12 +27,12 @@ ALLOWLIST = os.path.join(TESTS_DIR, 'circuit_corpus_allowlist.txt')
 def test_circuit_corpus_matches_baseline(tmp_path):
     assert os.path.exists(BASELINE), \
         "no committed baseline; run: python tests/circuit_corpus.py generate " \
-        "--out tests/circuit_corpus_baseline.jsonl.gz --size small"
+        "--out tests/circuit_corpus_baseline.jsonl.gz --size full"
     candidate = str(tmp_path / 'candidate.jsonl.gz')
     env = dict(os.environ, PYTHONHASHSEED='0', JAX_PLATFORMS='cpu')
     gen = subprocess.run(
         [sys.executable, CORPUS_CLI, 'generate', '--out', candidate,
-         '--size', 'small'],
+         '--size', 'full'],
         capture_output=True, text=True, env=env, timeout=900)
     assert gen.returncode == 0, gen.stdout + gen.stderr
     cmd = [sys.executable, CORPUS_CLI, 'compare', BASELINE, candidate]
