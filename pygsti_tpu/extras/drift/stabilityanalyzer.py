@@ -273,6 +273,25 @@ class StabilityAnalyzer(object):
                     self.frequencies[c] = _sig.frequencies_from_timestep(dt, T)
         self._basespectra = base
         self._shape = (n_ds, n_circ, n_out_indep, T)
+        # dof bookkeeping for averaged spectra (reference: _dofreduction,
+        # stabilityanalyzer.py:602).  The reference keeps all outcome
+        # streams and loses one dof averaging over the (dependent) outcome
+        # axis; our base spectra EXCLUDE the dependent outcome stream, so
+        # no reduction applies on any axis.
+        self._dofreduction = {'dataset': 0, 'circuit': 0, 'outcome': 0}
+        # frequency pointers: circuit index -> frequency-set id (reference:
+        # _freqpointers); circuits sharing the default timestep share
+        # pointer 0
+        self._freqpointers = {}
+        dts = {}
+        for j, c in enumerate(circuits):
+            times, _ = self._timeinfo[(self._dskeys[0], c)]
+            dt = round(float((times[min(T, len(times)) - 1] - times[0])
+                             / max(min(T, len(times)) - 1, 1)), 12) \
+                if len(times) >= 2 else 0.0
+            ptr = dts.setdefault(dt, len(dts))
+            if ptr != 0:
+                self._freqpointers[j] = ptr
         # shape for test condensing uses the FULL outcome count (the
         # reference's trivial-axis rule compares against 2 outcomes)
         self._condshape = (n_ds, n_circ, len(outcomes))
@@ -289,6 +308,44 @@ class StabilityAnalyzer(object):
         return self.spectra
 
     # -- averaged spectra / dof ------------------------------------------------
+    def dof_reduction(self, axislabel):
+        """Chi2-dof reduction when averaging spectra along `axislabel`
+        (reference: dof_reduction:602).  Zero on every axis here: the base
+        spectra exclude the dependent outcome stream."""
+        return self._dofreduction[axislabel]
+
+    def _check_dofreduction_set(self, axislabel):
+        return self._dofreduction.get(axislabel, None) is not None
+
+    def same_frequencies(self, dictlabel=None):
+        """Whether all base spectra selected by `dictlabel` share one
+        frequency set (reference: same_frequencies:674)."""
+        if not self._freqpointers:
+            return True
+        dictlabel = dictlabel or {}
+        if 'circuit' in dictlabel:
+            circ_indices = [self._index('circuit', dictlabel['circuit'])]
+        else:
+            circ_indices = range(self._shape[1])
+        ptrs = {self._freqpointers.get(j, 0) for j in circ_indices}
+        return len(ptrs) == 1
+
+    def averaging_allowed(self, dictlabel=None, checklevel=2):
+        """Whether the base spectra selected by `dictlabel` may be averaged
+        into one spectrum for hypothesis testing (reference:
+        averaging_allowed:723): checklevel 0 = always, 1 = shared
+        frequencies, 2+ = also a computable dof."""
+        if checklevel == 0:
+            return True
+        if not self.same_frequencies(dictlabel):
+            return False
+        if checklevel >= 2:
+            dictlabel = dictlabel or {}
+            for a in _AXISLABELS:
+                if a not in dictlabel and not self._check_dofreduction_set(a):
+                    return False
+        return True
+
     def num_degrees_of_freedom(self, test):
         """Null chi^2 dof of a power in the `test`-averaged spectra = the
         number of base spectra averaged together (reference:
@@ -518,9 +575,34 @@ class StabilityAnalyzer(object):
         self.instability_detected = self._driftdetected_global[detectorkey]
 
     # -- detection accessors (reference: :1319-1700) ---------------------------
-    @property
-    def unstable_circuits(self):
-        return self.unstable_circuits_list
+    def unstable_circuits(self, getmaxtvd=False, detectorkey=None,
+                          freqindices=False):
+        """Dict of circuits found unstable -> their significant drift
+        frequencies in Hz (or frequency indices with `freqindices=True`);
+        with `getmaxtvd=True` values are `(freqs, max_tvd_bound)` tuples
+        (reference: unstable_circuits:1357)."""
+        detectorkey = detectorkey or self._def_detection
+        out = {}
+        for c in self.unstable_circuits_list:
+            if freqindices:
+                freqs = self.instability_indices({'circuit': c}, detectorkey)
+                # fall back to the legacy per-key record when the per-circuit
+                # condensed test wasn't implemented directly
+                if not freqs:
+                    freqs = tuple(self.drift_frequencies.get((c,), ()))
+            else:
+                freqs = self.instability_frequencies({'circuit': c},
+                                                     detectorkey)
+                if not freqs:
+                    inds = self.drift_frequencies.get((c,), ())
+                    fr = self.frequencies.get(c)
+                    freqs = [float(fr[i]) for i in inds
+                             if fr is not None and i < len(fr)]
+            if getmaxtvd:
+                out[c] = (freqs, self.maximum_tvd_bound(c))
+            else:
+                out[c] = freqs
+        return out
 
     def statistical_significance(self, detectorkey=None):
         detectorkey = detectorkey or self._def_detection

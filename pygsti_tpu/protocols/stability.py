@@ -35,11 +35,11 @@ class StabilityAnalysis(Protocol):
 
         trajectories = {}
         if self.estimate_trajectories:
-            for c in analyzer.unstable_circuits:
+            for c in analyzer.unstable_circuits():
                 for o, traj in analyzer.probability_trajectories(c).items():
                     trajectories[(c, o)] = traj
         return StabilityAnalysisResults(data, self, analyzer,
-                                        list(analyzer.unstable_circuits),
+                                        list(analyzer.unstable_circuits()),
                                         trajectories)
 
 

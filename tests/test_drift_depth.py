@@ -102,8 +102,8 @@ class TestDetectionDepth:
         an.run_instability_detection()
         assert an.instability_detected
         circuits = list(ds.keys())
-        assert circuits[0] in an.unstable_circuits
-        assert circuits[1] in an.unstable_circuits
+        assert circuits[0] in an.unstable_circuits()
+        assert circuits[1] in an.unstable_circuits()
 
     def test_benjamini_hochberg_detector(self):
         ds = make_drifting_dataset(drifting=(0,))
@@ -237,3 +237,70 @@ class TestReferenceOracle:
             {'circuit': list(ds.keys())[2]}) == ()
         assert tuple(ref_an.instability_indices(
             {'circuit': list(ref_ds.keys())[2]})) == ()
+
+
+class TestAnalyzerAuxSurface:
+    """dof_reduction / same_frequencies / averaging_allowed /
+    unstable_circuits options (reference: stabilityanalyzer.py:602-770,
+    1357)."""
+
+    def _drifting_analyzer(self):
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        rng = np.random.RandomState(0)
+        T = 128
+        times = np.arange(T, dtype=float)
+        ds = DataSet()
+        c_drift = Circuit('Gxpi2:0@(0)')
+        p = 0.5 + 0.35 * np.cos(2 * np.pi * 5 * times / T)
+        outcomes = [('1',) if rng.rand() < pi else ('0',) for pi in p]
+        ds.add_raw_series_data(c_drift, outcomes, times)
+        c_stable = Circuit('Gypi2:0@(0)')
+        outcomes = [('1',) if rng.rand() < 0.5 else ('0',) for _ in times]
+        ds.add_raw_series_data(c_stable, outcomes, times)
+        an = StabilityAnalyzer(ds, significance=0.05)
+        an.compute_spectra()
+        an.run_instability_detection()
+        return an, c_drift, c_stable
+
+    def test_dof_and_averaging(self):
+        an, _, _ = self._drifting_analyzer()
+        for a in ('dataset', 'circuit', 'outcome'):
+            assert an.dof_reduction(a) == 0
+            assert an._check_dofreduction_set(a)
+        assert an.same_frequencies()          # shared timestep
+        assert an.averaging_allowed()
+        assert an.averaging_allowed(checklevel=0)
+
+    def test_unstable_circuits_method(self):
+        an, c_drift, c_stable = self._drifting_analyzer()
+        uc = an.unstable_circuits()
+        assert c_drift in uc and c_stable not in uc
+        freqs = uc[c_drift]
+        assert len(freqs) >= 1 and all(f > 0 for f in freqs)
+        uc_idx = an.unstable_circuits(freqindices=True)
+        assert all(isinstance(i, (int, np.integer)) for i in uc_idx[c_drift])
+        an.run_instability_characterization()  # required for max-TVD bounds
+        uc_tvd = an.unstable_circuits(getmaxtvd=True)
+        fr, tvd = uc_tvd[c_drift]
+        assert tvd > 0.05, tvd
+
+    def test_freqpointers_differ(self):
+        """Circuits with different timesteps get distinct frequency sets."""
+        from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        rng = np.random.RandomState(1)
+        T = 64
+        ds = DataSet()
+        c1, c2 = Circuit('Gxpi2:0@(0)'), Circuit('Gypi2:0@(0)')
+        ds.add_raw_series_data(c1, [(str(rng.randint(2)),) for _ in range(T)],
+                               np.arange(T, dtype=float))
+        ds.add_raw_series_data(c2, [(str(rng.randint(2)),) for _ in range(T)],
+                               2.5 * np.arange(T, dtype=float))
+        an = StabilityAnalyzer(ds)
+        an.compute_spectra()
+        assert not an.same_frequencies()
+        assert an.same_frequencies({'circuit': c1})
+        assert not an.averaging_allowed()
