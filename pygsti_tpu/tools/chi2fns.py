@@ -50,3 +50,81 @@ def chi2_jacobian(model, dataset, circuits=None,
         return jnp.sum(raw.terms(p, counts, totals, freqs))
 
     return np.asarray(jax.jit(jax.grad(total))(jnp.asarray(model.to_vector())))
+
+
+def chialpha(alpha, model, dataset, circuits=None, pfratio_stitchpt=1e-2,
+             pfratio_derivpt=1e-2, radius=None, **_kwargs):
+    """Total chi-alpha objective value (reference: chi2fns.chialpha:330)."""
+    return float(np.sum(chialpha_per_circuit(
+        alpha, model, dataset, circuits, pfratio_stitchpt=pfratio_stitchpt,
+        pfratio_derivpt=pfratio_derivpt, radius=radius)))
+
+
+def chialpha_per_circuit(alpha, model, dataset, circuits=None,
+                         pfratio_stitchpt=1e-2, pfratio_derivpt=1e-2,
+                         radius=None, **_kwargs):
+    """Per-circuit chi-alpha contributions (reference:
+    chi2fns.chialpha_per_circuit:404)."""
+    from pygsti_tpu.objectivefns.objectivefns import (
+        RawChiAlphaFunction, TimeIndependentMDCObjectiveFunction)
+    reg = {'pfratio_stitchpt': pfratio_stitchpt,
+           'pfratio_derivpt': pfratio_derivpt}
+    if radius is not None:
+        reg['radius'] = radius
+    raw = RawChiAlphaFunction(regularization=reg, alpha=alpha)
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset,
+                                              list(circuits) if circuits
+                                              is not None else None)
+    return obj.percircuit()
+
+
+def chi2_hessian(model, dataset, circuits=None,
+                 min_prob_clip_for_weighting=1e-4, **_kwargs):
+    """Exact-AD Hessian of chi2 (reference: chi2fns.chi2_hessian)."""
+    import jax
+    import jax.numpy as jnp
+    from pygsti_tpu.objectivefns.objectivefns import (
+        RawChi2Function, TimeIndependentMDCObjectiveFunction)
+    raw = RawChi2Function(regularization={
+        'min_prob_clip_for_weighting': min_prob_clip_for_weighting})
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset,
+                                              list(circuits) if circuits
+                                              is not None else None)
+    probs_fn = model.sim.probs_fn(obj.layout)
+    counts = jnp.asarray(obj.counts)
+    totals = jnp.asarray(obj.total_counts)
+    freqs = jnp.asarray(obj.freqs)
+
+    def total(v):
+        p = probs_fn(v)
+        return jnp.sum(raw.terms(p, counts, totals, freqs))
+
+    H = jax.jit(jax.hessian(total))(jnp.asarray(model.to_vector()))
+    return np.asarray(H)
+
+
+def chi2_approximate_hessian(model, dataset, circuits=None,
+                             min_prob_clip_for_weighting=1e-4, **_kwargs):
+    """Gauss-Newton (J^T W J) approximation of the chi2 Hessian -- drops
+    second derivatives of the probabilities (reference:
+    chi2fns.chi2_approximate_hessian)."""
+    import jax
+    import jax.numpy as jnp
+    from pygsti_tpu.objectivefns.objectivefns import (
+        RawChi2Function, TimeIndependentMDCObjectiveFunction)
+    raw = RawChi2Function(regularization={
+        'min_prob_clip_for_weighting': min_prob_clip_for_weighting})
+    obj = TimeIndependentMDCObjectiveFunction(raw, model, dataset,
+                                              list(circuits) if circuits
+                                              is not None else None)
+    probs_fn = model.sim.probs_fn(obj.layout)
+    counts = jnp.asarray(obj.counts)
+    totals = jnp.asarray(obj.total_counts)
+    freqs = jnp.asarray(obj.freqs)
+    v = jnp.asarray(model.to_vector())
+
+    def lsv(vv):
+        return raw.lsvec(probs_fn(vv), counts, totals, freqs)
+
+    J = jax.jit(jax.jacfwd(lsv))(v)
+    return 2.0 * np.asarray(J.T @ J)

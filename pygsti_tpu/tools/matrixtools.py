@@ -323,3 +323,201 @@ def zvals_to_dense(zvals, superket=True):
         return psi
     from pygsti_tpu.tools.basistools import stdmx_to_vec
     return np.real(stdmx_to_vec(np.outer(psi, psi.conj()), 'pp'))
+
+
+# =============================================================================
+# Reference-surface parity additions (reference: pygsti/tools/matrixtools.py).
+# =============================================================================
+
+def assert_hermitian(mat, tol):
+    """Raise ValueError when `mat` is not Hermitian to tolerance `tol`
+    (reference: matrixtools.assert_hermitian:94)."""
+    err = np.abs(mat - mat.T.conj())
+    if np.any(err > tol):
+        raise ValueError("Input matrix is not Hermitian up to tolerance %g "
+                         "(max |mat - mat^H| = %g)" % (tol, err.max()))
+
+
+def is_projector(mx, tol=1e-12):
+    """Whether `mx` is an orthogonal projector (Hermitian and idempotent)
+    (reference: matrixtools.is_projector:104)."""
+    mx = np.asarray(mx)
+    return bool(np.all(np.abs(mx - mx.T.conj()) <= tol)
+                and np.all(np.abs(mx @ mx - mx) <= tol))
+
+
+def assert_projector(mx, tol=1e-12):
+    """Raise ValueError when `mx` is not an orthogonal projector
+    (reference: matrixtools.assert_projector:134)."""
+    if not is_projector(mx, tol):
+        raise ValueError("Matrix is not an orthogonal projector to "
+                         "tolerance %g" % tol)
+
+
+def nullspace_qr(m, tol=1e-7):
+    """Nullspace of `m` via the QR decomposition of m^T (columns of Q beyond
+    rank(m) span null(m)); faster but less accurate than the SVD nullspace
+    (reference: matrixtools.nullspace_qr:312)."""
+    M, N = m.shape
+    q, r = np.linalg.qr(np.asarray(m).T, mode='complete')  # q: [N, N]
+    rank = int(np.sum(np.abs(np.diag(r)[:min(M, N)]) > tol))
+    return q[:, rank:]
+
+
+def prime_factors(n):
+    """Prime factorization of `n` as a list with multiplicity (reference:
+    matrixtools.prime_factors:1288)."""
+    factors = []
+    d = 2
+    n = int(n)
+    while d * d <= n:
+        while n % d == 0:
+            factors.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        factors.append(n)
+    return factors
+
+
+def safe_norm(a, part=None):
+    """Frobenius norm of a dense array or scipy sparse matrix, optionally of
+    its real/imag part only (reference: matrixtools.safe_norm:1666)."""
+    import scipy.sparse as _sps
+    if _sps.issparse(a):
+        a = a.tocsr().data
+    a = np.asarray(a)
+    if part == 'real':
+        a = a.real
+    elif part == 'imag':
+        a = a.imag
+    return float(np.linalg.norm(a))
+
+
+def sparse_equal(a, b, atol=1e-8):
+    """Whether two scipy sparse matrices are (almost) equal (reference:
+    matrixtools.sparse_equal:2122)."""
+    import scipy.sparse as _sps
+    if np.array_equal(a.shape, b.shape) is False:
+        return False
+    diff = (a - b).tocoo() if _sps.issparse(a) else np.asarray(a - b)
+    if _sps.issparse(a):
+        return bool(len(diff.data) == 0 or np.all(np.abs(diff.data) <= atol))
+    return bool(np.all(np.abs(diff) <= atol))
+
+
+def sparse_onenorm(a):
+    """Induced 1-norm (max column abs sum) of a sparse or dense matrix
+    (reference: matrixtools.sparse_onenorm:2150)."""
+    import scipy.sparse as _sps
+    if _sps.issparse(a):
+        return float(np.max(np.abs(a).sum(axis=0)))
+    return float(np.linalg.norm(np.asarray(a), 1))
+
+
+def int64_parity(x):
+    """Bit parity of an int64 (reference: matrixtools.int64_parity)."""
+    x = int(x)
+    return bin(x & 0xFFFFFFFFFFFFFFFF).count('1') % 2
+
+
+def mx_to_string_complex(m, real_width=9, im_width=9, prec=4):
+    """Pretty-format string for a complex matrix (reference:
+    matrixtools.mx_to_string_complex:760)."""
+    m = np.asarray(m)
+    if m.ndim == 1:
+        m = m[None, :]
+    lines = []
+    for row in m:
+        lines.append(" ".join(
+            "%*.*f%+*.*fj" % (real_width, prec, el.real, im_width, prec,
+                              el.imag) for el in row))
+    return "\n".join(lines) + "\n"
+
+
+def near_identity_matrix_log(m, tol=1e-8):
+    """Logarithm of a superoperator matrix near the identity; real when `m`
+    is real (reference: matrixtools.near_identity_matrix_log:837).  Uses the
+    principal matrix log, which lands on the branch nearest zero for
+    near-identity inputs."""
+    import scipy.linalg as _spl
+    log_m = _spl.logm(np.asarray(m))
+    if np.isrealobj(m):
+        assert np.linalg.norm(log_m.imag) < tol, \
+            "Near-identity matrix log has significant imaginary part!"
+        return log_m.real
+    return log_m
+
+
+def minweight_match(a, b, metricfn=None, return_pairs=True,
+                    pass_indices_to_metricfn=False):
+    """Min-weight bipartite matching of the elements of `a` to `b`
+    (linear-sum assignment; reference: matrixtools.minweight_match:1310).
+    Returns the matched weights and (optionally) the index pairs."""
+    from scipy.optimize import linear_sum_assignment
+    assert len(a) == len(b)
+    D = len(a)
+    if metricfn is None:
+        def metricfn(x, y):
+            return abs(x - y)
+    weight = np.empty((D, D), 'd')
+    for i in range(D):
+        for j in range(D):
+            weight[i, j] = metricfn(i, j) if pass_indices_to_metricfn \
+                else metricfn(a[i], b[j])
+    rows, cols = linear_sum_assignment(weight)
+    pairs = list(zip(rows, cols))
+    if return_pairs:
+        return weight[rows, cols], pairs
+    return weight[rows, cols]
+
+
+def minweight_match_realmxeigs(a, b, metricfn=None,
+                               pass_indices_to_metricfn=False, eps=1e-9):
+    """Match the eigenvalues of two real matrices so that conjugate pairs
+    stay conjugate pairs (reference:
+    matrixtools.minweight_match_realmxeigs:1378).  Returns (eigs_a, eigs_b)
+    reordered so matched values align."""
+    ev_a = np.linalg.eigvals(np.asarray(a))
+    ev_b = np.linalg.eigvals(np.asarray(b))
+    _, pairs = minweight_match(ev_a, ev_b, metricfn, True,
+                               pass_indices_to_metricfn)
+    # repair conjugacy: greedily enforce that if (i, j) matched then
+    # (conj(i), conj(j)) are matched too
+    pairs = dict(pairs)
+    used_b = set(pairs.values())
+
+    def conj_index(evals, i):
+        if abs(evals[i].imag) < eps:
+            return None
+        target = np.conj(evals[i])
+        cands = [k for k in range(len(evals))
+                 if k != i and abs(evals[k] - target) < eps]
+        return cands[0] if cands else None
+
+    for i in list(pairs.keys()):
+        ci = conj_index(ev_a, i)
+        if ci is None or ci not in pairs:
+            continue
+        cj = conj_index(ev_b, pairs[i])
+        if cj is not None and pairs[ci] != cj and cj in used_b:
+            # swap to restore conjugate pairing
+            other = next(k for k, v in pairs.items() if v == cj)
+            pairs[other], pairs[ci] = pairs[ci], cj
+    idx_a = sorted(pairs.keys())
+    return ev_a[idx_a], ev_b[[pairs[i] for i in idx_a]]
+
+
+def compute_kite(eigenvalues):
+    """Block ("kite") structure of a sorted eigenvalue list: sizes of the
+    degenerate blocks (reference: matrixtools.compute_kite)."""
+    kite = []
+    blk = 1
+    for i in range(1, len(eigenvalues)):
+        if np.isclose(eigenvalues[i], eigenvalues[i - 1]):
+            blk += 1
+        else:
+            kite.append(blk)
+            blk = 1
+    kite.append(blk)
+    return kite

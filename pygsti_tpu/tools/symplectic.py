@@ -282,16 +282,22 @@ def compute_internal_gate_symplectic_representations(gllist=None):
     symplectic.py:940)."""
     from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
     std = standard_gatename_unitaries()
+    # short aliases the reference also exposes (symplectic.py:984-1049)
+    short = {'I': 'Gi', 'H': 'Gh', 'P': 'Gp', 'PH': None, 'HP': None,
+             'HPH': None, 'CNOT': 'Gcnot', 'SWAP': 'Gswap',
+             'CPHASE': 'Gcphase'}
     if gllist is None:
         gllist = ['Gi', 'Gxpi', 'Gypi', 'Gzpi', 'Gxpi2', 'Gypi2', 'Gzpi2',
                   'Gxmpi2', 'Gympi2', 'Gzmpi2', 'Gh', 'Gp', 'Gpdag',
-                  'Gcnot', 'Gcphase', 'Gswap'] + ['Gc%d' % i for i in range(24)]
+                  'Gcnot', 'Gcphase', 'Gswap'] \
+            + ['Gc%d' % i for i in range(24)] \
+            + [k for k, v in short.items() if v is not None]
     out = {}
     for name in gllist:
         if name in _internal_srep_cache:
             out[name] = _internal_srep_cache[name]
             continue
-        u = std.get(name)
+        u = std.get(short.get(name) or name, std.get(name))
         if u is None:
             continue
         try:
@@ -582,4 +588,350 @@ def stabilizer_outcome_probability(state_s, state_p, outcome_bits):
                 return 0.0
             prob *= p1
             s, p = st1
+    return prob
+
+
+# =============================================================================
+# Reference-surface parity: public helpers the reference exposes from
+# tools/symplectic.py.  The Koenig-Smolin enumeration functions implement the
+# published algorithm ("How to efficiently select an arbitrary Clifford group
+# element", J. Math. Phys. 55, 122202 (2014)); Pauli-layer bookkeeping follows
+# the Hostens-De Moor phase conventions used throughout this module.
+# =============================================================================
+
+def change_symplectic_form_convention(s, outconvention='standard'):
+    """Convert a symplectic matrix between the 'standard' (X1..Xn, Z1..Zn)
+    and 'directsum' (X1, Z1, X2, Z2, ...) orderings (reference:
+    symplectic.py:73)."""
+    n = s.shape[0] // 2
+    perm = np.array([2 * i for i in range(n)] + [2 * i + 1 for i in range(n)])
+    if outconvention == 'standard':
+        return s[np.ix_(perm, perm)]
+    if outconvention == 'directsum':
+        inv = np.argsort(perm)
+        return s[np.ix_(inv, inv)]
+    raise ValueError("Invalid `outconvention`: %s" % outconvention)
+
+
+def symplectic_innerproduct(v, w):
+    """The symplectic inner product <v, w> = v^T Omega w mod 2 over
+    F_2^{2n} in the directsum convention (reference: symplectic.py:1774)."""
+    nn = len(v)
+    vw = 0
+    for i in range(0, nn, 2):
+        vw += v[i] * w[i + 1] + v[i + 1] * w[i]
+    return int(vw % 2)
+
+
+def symplectic_transvection(k, v):
+    """Apply the transvection Z_k: v -> v + <v,k> k (mod 2) (reference:
+    symplectic.py:1801)."""
+    return _symplectic_transvection(k, v)
+
+
+def find_symplectic_transvection(x, y):
+    """Two transvections (h1, h2) with Z_h1 Z_h2 x = y, for nonzero x, y
+    (Lemma 2 of Koenig-Smolin; reference: symplectic.py:1841)."""
+    return _find_transvection(x, y)
+
+
+def int_to_bitstring(i, n):
+    """Little-endian length-`n` bit array of integer `i` (reference:
+    symplectic.py:1823)."""
+    return np.array([(int(i) >> j) & 1 for j in range(n)], np.int8)
+
+
+def bitstring_to_int(b, n):
+    """Integer of the little-endian length-`n` bit array `b` (reference:
+    symplectic.py:1856)."""
+    return int(sum((1 << j) for j in range(n) if int(b[j]) & 1))
+
+
+def compute_num_symplectics(n):
+    """|Sp(2n, F_2)| = prod_{j=1..n} 4^j - 1) * 2^(2j-1) ... computed via the
+    Koenig-Smolin per-level factors (reference: symplectic.py:1731)."""
+    num = 1
+    for j in range(1, n + 1):
+        num *= (2 ** (2 * j) - 1) * (2 ** (2 * j - 1))
+    return num
+
+
+def compute_num_cliffords(n):
+    """The size of the n-qubit Clifford group (up to phases):
+    4^n * |Sp(2n)| (reference: symplectic.py:1711)."""
+    return (4 ** n) * compute_num_symplectics(n)
+
+
+def compute_num_cosets(n):
+    """|Sp(2n)| / |Sp(2n-2)|: the number of cosets at the outermost
+    Koenig-Smolin level (reference: symplectic.py:1754)."""
+    return (2 ** (2 * n) - 1) * (2 ** (2 * n - 1))
+
+
+def compute_symplectic_matrix(i, n):
+    """The `i`-th 2n x 2n symplectic matrix in the Koenig-Smolin canonical
+    enumeration (directsum-ordered rows, as in the published algorithm;
+    reference: symplectic.py:1956)."""
+    nn = 2 * n
+    ncosets = (2 ** nn - 1) * (2 ** (nn - 1))
+    s_int = int(i % (2 ** nn - 1)) + 1
+    rest = int(i) // (2 ** nn - 1)
+    f1 = int_to_bitstring(s_int, nn).astype(np.int64)
+    e1 = np.zeros(nn, np.int64)
+    e1[0] = 1
+    t1, t2 = _find_transvection(e1, f1)
+    bits = [(rest >> j) & 1 for j in range(nn - 1)]
+    eprime = e1.copy()
+    for j in range(2, nn):
+        eprime[j] = bits[j - 1]
+    h0 = _symplectic_transvection(t1, eprime)
+    h0 = _symplectic_transvection(t2, h0)
+    if bits[0] == 1:
+        f1 = f1 * 0
+    if n == 1:
+        g = np.identity(2, np.int64)
+    else:
+        g = np.identity(nn, np.int64)
+        g[2:, 2:] = compute_symplectic_matrix(rest >> (nn - 1), n - 1)
+    for j in range(nn):
+        g[j] = _symplectic_transvection(t1, g[j])
+        g[j] = _symplectic_transvection(t2, g[j])
+        g[j] = _symplectic_transvection(h0, g[j])
+        g[j] = _symplectic_transvection(f1, g[j])
+    return g
+
+
+def compute_symplectic_label(gn, n=None):
+    """The Koenig-Smolin canonical index of symplectic matrix `gn`
+    (directsum-ordered; inverse of compute_symplectic_matrix; reference:
+    symplectic.py:2037)."""
+    gn = np.asarray(gn, np.int64)
+    if n is None:
+        n = gn.shape[0] // 2
+    nn = 2 * n
+    v, w = gn[0], gn[1]
+    e1 = np.zeros(nn, np.int64)
+    e1[0] = 1
+    # transvections mapping v back onto e1
+    t1, t2 = _find_transvection(v, e1)
+    tw = _symplectic_transvection(t2, _symplectic_transvection(t1, np.copy(w)))
+    b = int(tw[0])
+    h0 = np.zeros(nn, np.int64)
+    h0[0] = 1
+    h0[2:] = tw[2:]
+    # the per-level coset index packs (nonzero first row, b, tw tail)
+    bb = np.zeros(nn - 1, np.int64)
+    bb[0] = b
+    bb[1:] = tw[2:]
+    zv = bitstring_to_int(v, nn) - 1
+    zw = bitstring_to_int(bb, nn - 1)
+    cvw = zw * (2 ** nn - 1) + zv
+    if n == 1:
+        return cvw
+    gprime = np.copy(gn)
+    for j in range(nn):
+        gprime[j] = _symplectic_transvection(
+            t2, _symplectic_transvection(t1, gn[j]))
+        gprime[j] = _symplectic_transvection(h0, gprime[j])
+        if b == 0:
+            gprime[j] = _symplectic_transvection(e1, gprime[j])
+    gnew = gprime[2:, 2:]
+    return cvw + compute_num_cosets(n) * compute_symplectic_label(gnew, n - 1)
+
+
+def random_symplectic_index(n, rand_state=None):
+    """A uniformly random index into the Koenig-Smolin enumeration of
+    Sp(2n, F_2) -- sampled per-level so arbitrarily large group orders never
+    overflow (reference: symplectic.py:2116)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    index = 0
+    mult = 1
+    for j in range(1, n + 1):
+        sz = (2 ** (2 * j) - 1) * (2 ** (2 * j - 1))
+        index += mult * int(rng.randint(0, sz))
+        mult *= sz
+    return index
+
+
+def random_phase_vector(s, n, rand_state=None):
+    """A uniformly random valid phase vector for the symplectic matrix `s`
+    (reference: symplectic.py:1552)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    pseed = 2 * rng.randint(0, 2, size=2 * n)
+    return construct_valid_phase_vector(s, pseed)
+
+
+def colsum(i, j, s, p, n):
+    """Stabilizer-frame column update: generator[i] *= generator[j]
+    (in place on `s` [2n, 2n] mod-2 and `p` [2n] mod-4; reference:
+    symplectic.py:741)."""
+    u = np.zeros((2 * n, 2 * n), np.int64)
+    u[n:2 * n, 0:n] = np.identity(n, np.int64)
+    p[i] += p[j] + 2 * int(np.dot(s[:, i].T, np.dot(u, s[:, j])))
+    s[:, i] ^= s[:, j]
+
+
+def colsum_acc(acc_s, acc_p, j, s, p, n):
+    """colsum into a separate accumulator column `acc_s` [2n], `acc_p` [1]
+    (reference: symplectic.py:791)."""
+    u = np.zeros((2 * n, 2 * n), np.int64)
+    u[n:2 * n, 0:n] = np.identity(n, np.int64)
+    acc_p[0] += p[j] + 2 * int(np.dot(acc_s.T, np.dot(u, s[:, j])))
+    acc_s ^= s[:, j]
+
+
+def find_pauli_number(pvec):
+    """Per-qubit Pauli indices (0=I, 1=X, 2=Y, 3=Z) of the Pauli encoded by
+    phase vector `pvec` (reference: symplectic.py:440)."""
+    n = len(pvec) // 2
+    v = (np.asarray(pvec[0:n]) // 2) + 2 * (np.asarray(pvec[n:]) // 2)
+    return [[0, 3, 1, 2][int(i)] for i in v]
+
+
+def find_pauli_layer(pvec, qubit_labels, pauli_labels=None):
+    """[(pauli_label, qubit_label), ...] for the Pauli encoded by phase
+    vector `pvec` (reference: symplectic.py:429)."""
+    if pauli_labels is None:
+        pauli_labels = ['I', 'X', 'Y', 'Z']
+    return [(pauli_labels[p], q)
+            for p, q in zip(find_pauli_number(pvec), qubit_labels)]
+
+
+def bitstring_for_pauli(p):
+    """The computational-basis bitstring the Pauli with phase vector `p`
+    creates from |0...0> (reference: symplectic.py:1615)."""
+    n = len(p) // 2
+    return [1 if int(b) > 0 else 0 for b in p[n:]]
+
+
+def _pauli_layer_from_vec(vec, n, qubit_labels):
+    labels = []
+    for q in range(n):
+        x, z = int(vec[q]) % 2, int(vec[q + n]) % 2
+        labels.append((('I', 'Z', 'X', 'Y')[2 * x + z], qubit_labels[q]))
+    return labels
+
+
+def find_postmultipled_pauli(s, p_implemented, p_target, qubit_labels=None):
+    """The Pauli layer to APPEND to a circuit implementing (s,
+    p_implemented) so that it implements (s, p_target) (reference:
+    symplectic.py:315)."""
+    from pygsti_tpu.tools import matrixmod2 as _m2
+    n = s.shape[0] // 2
+    omega = symplectic_form(n)
+    vec = _m2.dot_mod2(s, np.dot(omega, (np.asarray(p_target)
+                                         - np.asarray(p_implemented)) // 2))
+    if qubit_labels is None:
+        qubit_labels = list(range(n))
+    return _pauli_layer_from_vec(vec, n, qubit_labels)
+
+
+def find_premultipled_pauli(s, p_implemented, p_target, qubit_labels=None):
+    """The Pauli layer to PREPEND to a circuit implementing (s,
+    p_implemented) so that it implements (s, p_target) (reference:
+    symplectic.py:372)."""
+    from pygsti_tpu.tools import matrixmod2 as _m2
+    n = s.shape[0] // 2
+    omega = symplectic_form(n)
+    vec = _m2.dot_mod2(omega, (np.asarray(p_target)
+                               - np.asarray(p_implemented)) // 2)
+    if qubit_labels is None:
+        qubit_labels = list(range(n))
+    return _pauli_layer_from_vec(vec, n, qubit_labels)
+
+
+def apply_internal_gate_to_symplectic(s, gate_name, qindex_list,
+                                      optype='row'):
+    """Apply H / P / CNOT / SWAP to the rows or columns of the symplectic
+    matrix `s` in place (reference: symplectic.py:1638)."""
+    n = s.shape[0] // 2
+    if optype not in ('row', 'column'):
+        raise ValueError("optype must be 'row' or 'column'!")
+    if gate_name == 'H':
+        i = qindex_list[0]
+        if optype == 'row':
+            s[[i + n, i], :] = s[[i, i + n], :]
+        else:
+            s[:, [i + n, i]] = s[:, [i, i + n]]
+    elif gate_name == 'P':
+        i = qindex_list[0]
+        if optype == 'row':
+            s[i + n, :] = s[i, :] ^ s[i + n, :]
+        else:
+            s[:, i] = s[:, i] ^ s[:, i + n]
+    elif gate_name == 'CNOT':
+        c, t = qindex_list[0], qindex_list[1]
+        if optype == 'row':
+            s[t, :] = s[t, :] ^ s[c, :]
+            s[c + n, :] = s[t + n, :] ^ s[c + n, :]
+        else:
+            s[:, c] = s[:, c] ^ s[:, t]
+            s[:, t + n] = s[:, t + n] ^ s[:, c + n]
+    elif gate_name == 'SWAP':
+        i, j = qindex_list[0], qindex_list[1]
+        if optype == 'row':
+            s[[i, j, i + n, j + n], :] = s[[j, i, j + n, i + n], :]
+        else:
+            s[:, [i, j, i + n, j + n]] = s[:, [j, i, j + n, i + n]]
+    else:
+        raise ValueError("Unsupported gate name: %s" % gate_name)
+
+
+def one_q_clifford_symplectic_group_relations():
+    """The up-to-Pauli composition table of the 1-qubit Clifford coset
+    representatives 'I','H','P','HP','PH','HPH': table[(A, B)] = C when
+    B.A = C x Pauli (reference: symplectic.py:1211).  Computed directly
+    from the symplectic representations rather than hard-coded."""
+    srep = compute_internal_gate_symplectic_representations()
+    names = ('I', 'H', 'P', 'HP', 'PH', 'HPH')
+    mats = {}
+    for name in names:
+        s = np.identity(2, np.int64)
+        p = np.zeros(2, np.int64)
+        for g in reversed(name if name != 'I' else ''):
+            gs, gp = srep[g]
+            s, p = compose_cliffords(s, p, gs, gp)
+        mats[name] = s
+    table = {}
+    for a in names:
+        for b in names:
+            sba = np.dot(mats[b], mats[a]) % 2
+            for c in names:
+                if np.array_equal(sba, mats[c]):
+                    table[(a, b)] = c
+                    break
+    return table
+
+
+def unitary_is_clifford(unitary):
+    """True when `unitary` (standard basis) is a Clifford gate (reference:
+    symplectic.py:1276)."""
+    try:
+        s, p = unitary_to_symplectic(unitary, flagnonclifford=False)
+    except Exception:
+        return False
+    return s is not None
+
+
+def stabilizer_measurement_prob(state_sp_tuple, moutcomes, qubit_filter=None,
+                                return_state=False):
+    """Probability of computational-basis outcome `moutcomes` when measuring
+    the qubits in `qubit_filter` (all qubits when None) of the stabilizer
+    state `(s, p)` (reference: symplectic.py:846)."""
+    s, p = state_sp_tuple
+    s = np.array(s, np.int64)
+    p = np.array(p, np.int64)
+    n = s.shape[0] // 2
+    qubits = list(range(n)) if qubit_filter is None else list(qubit_filter)
+    prob = 1.0
+    for q, out in zip(qubits, moutcomes):
+        p0, st0, p1, st1 = pauli_z_measurement(s, p, q)
+        branch_prob, branch_state = (p0, st0) if int(out) == 0 else (p1, st1)
+        prob *= branch_prob
+        if branch_state is None:  # deterministic opposite outcome
+            prob = 0.0
+            break
+        s, p = branch_state
+    if return_state:
+        return prob, (s, p)
     return prob

@@ -163,3 +163,108 @@ class TestReferenceParity:
             ms, mp = my_sreps[name]
             assert np.array_equal(rs, ms), "s mismatch for %s" % name
             assert np.array_equal(rp % 4, mp % 4), "p mismatch for %s" % name
+
+
+class TestReferenceSurfaceParity:
+    """The public Koenig-Smolin / Pauli-bookkeeping helpers agree with the
+    reference implementations (tools/symplectic.py:315-2150)."""
+
+    def test_ks_enumeration_matches_reference(self, ref_pygsti):
+        from pygsti.tools import symplectic as rsym
+        import pygsti_tpu.tools.symplectic as sym
+        rng = np.random.RandomState(4)
+        for n in (1, 2, 3):
+            total = sym.compute_num_symplectics(n)
+            assert total == rsym.compute_num_symplectics(n)
+            assert sym.compute_num_cliffords(n) == rsym.compute_num_cliffords(n)
+            assert sym.compute_num_cosets(n) == rsym.compute_num_cosets(n)
+            for _ in range(8):
+                i = int(rng.randint(0, min(total, 2 ** 31 - 1)))
+                g_mine = sym.compute_symplectic_matrix(i, n)
+                g_ref = rsym.compute_symplectic_matrix(i, n)
+                assert np.array_equal(g_mine % 2, np.asarray(g_ref) % 2), (n, i)
+                # label inverts the enumeration
+                assert sym.compute_symplectic_label(g_mine, n) == i
+                assert rsym.compute_symplectic_label(g_mine.astype('int8'),
+                                                     n) == i
+
+    def test_convention_change_round_trip(self, ref_pygsti):
+        from pygsti.tools import symplectic as rsym
+        import pygsti_tpu.tools.symplectic as sym
+        rng = np.random.RandomState(5)
+        for n in (1, 2, 3):
+            s = sym.random_symplectic_matrix(n, rand_state=rng)
+            ds = sym.change_symplectic_form_convention(s, 'directsum')
+            rds = rsym.change_symplectic_form_convention(s, 'directsum')
+            assert np.array_equal(ds, np.asarray(rds))
+            back = sym.change_symplectic_form_convention(ds, 'standard')
+            assert np.array_equal(back, s)
+
+    def test_pauli_layers_match_reference(self, ref_pygsti):
+        from pygsti.tools import symplectic as rsym
+        import pygsti_tpu.tools.symplectic as sym
+        rng = np.random.RandomState(6)
+        for n in (1, 2, 3):
+            s, p_impl = sym.random_clifford(n, rand_state=rng)
+            p_tgt = sym.construct_valid_phase_vector(
+                s, 2 * rng.randint(0, 2, size=2 * n))
+            for fn, rfn in [(sym.find_postmultipled_pauli,
+                             rsym.find_postmultipled_pauli),
+                            (sym.find_premultipled_pauli,
+                             rsym.find_premultipled_pauli)]:
+                mine = fn(s, p_impl, p_tgt)
+                ref = rfn(s, p_impl, p_tgt)
+                assert mine == list(ref), (mine, ref)
+            pv = np.asarray(p_tgt)
+            assert sym.find_pauli_number(pv) == rsym.find_pauli_number(pv)
+            assert sym.bitstring_for_pauli(pv.copy()) == \
+                rsym.bitstring_for_pauli(pv.copy())
+
+    def test_group_relations_match_reference(self, ref_pygsti):
+        from pygsti.tools import symplectic as rsym
+        import pygsti_tpu.tools.symplectic as sym
+        assert sym.one_q_clifford_symplectic_group_relations() == \
+            rsym.one_q_clifford_symplectic_group_relations()
+
+    def test_apply_internal_gate_matches_reference(self, ref_pygsti):
+        from pygsti.tools import symplectic as rsym
+        import pygsti_tpu.tools.symplectic as sym
+        rng = np.random.RandomState(7)
+        for gate, nq in [('H', 1), ('P', 1), ('CNOT', 2), ('SWAP', 2)]:
+            for optype in ('row', 'column'):
+                s0 = sym.random_symplectic_matrix(3, rand_state=rng)
+                qi = list(rng.choice(3, nq, replace=False))
+                mine = s0.copy()
+                sym.apply_internal_gate_to_symplectic(mine, gate, qi, optype)
+                ref = s0.copy()
+                rsym.apply_internal_gate_to_symplectic(ref, gate, qi, optype)
+                assert np.array_equal(mine, ref), (gate, optype)
+
+    def test_unitary_is_clifford(self):
+        import pygsti_tpu.tools.symplectic as sym
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        U = standard_gatename_unitaries()
+        assert sym.unitary_is_clifford(U['Gh'])
+        assert sym.unitary_is_clifford(U['Gcnot'])
+        assert not sym.unitary_is_clifford(U['Gtpi8']
+                                           if 'Gtpi8' in U else U['Gt'])
+
+    def test_stabilizer_measurement_prob(self):
+        import pygsti_tpu.tools.symplectic as sym
+        # |0> state: P(0) = 1
+        s, p = sym.prep_stabilizer_state(2)
+        assert abs(sym.stabilizer_measurement_prob((s, p), [0, 0]) - 1) < 1e-12
+        assert sym.stabilizer_measurement_prob((s, p), [1, 0]) == 0.0
+        # H on qubit 0 -> uniform over first bit
+        srep = sym.compute_internal_gate_symplectic_representations()
+        hs, hp = srep['H']
+        es, ep = sym.embed_clifford(hs, hp, [0], 2)
+        s2, p2 = sym.apply_clifford_to_stabilizer_state(es, ep, s, p)
+        pr, st = sym.stabilizer_measurement_prob((s2, p2), [1, 0],
+                                                 return_state=True)
+        assert abs(pr - 0.5) < 1e-12
+        # colsum/colsum_acc keep the frame valid
+        sc, pc = sym.prep_stabilizer_state(2)
+        sym.colsum(0, 1, sc, pc, 2)
+        acc_s, acc_p = sc[:, 0].copy(), np.array([pc[0]])
+        sym.colsum_acc(acc_s, acc_p, 1, sc, pc, 2)

@@ -450,3 +450,303 @@ class TestMpTools:
         out = starmap_with_kwargs(f, 3, 1, [(1,), (2,), (3,)],
                                   [{'b': 10}, {}, {'b': 1}])
         assert out == [11, 2, 4]
+
+
+class TestStandaloneObjectiveHelpers:
+    """likelihoodfns/chi2fns/rbtools reference-surface additions."""
+
+    def _workload(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.data import simulate_data
+        target = mp.target_model('full TP')
+        lists = create_lsgst_circuit_lists(
+            target, mp.prep_fiducials(), mp.meas_fiducials(), mp.germs(), [1])
+        circuits = list(lists[-1])
+        ds = simulate_data(target.depolarize(op_noise=0.02), circuits, 1000,
+                           seed=3)
+        return target, ds, circuits
+
+    def test_per_circuit_logl_decomposition(self):
+        from pygsti_tpu.tools import likelihoodfns as lf
+        model, ds, circuits = self._workload()
+        per_max = lf.logl_max_per_circuit(model, ds, circuits)
+        per_2d = lf.two_delta_logl_per_circuit(model, ds, circuits)
+        per_l = lf.logl_per_circuit(model, ds, circuits)
+        assert np.allclose(per_l, per_max - per_2d / 2)
+        # sums match the aggregate functions
+        assert np.isclose(np.sum(per_max), lf.logl_max(model, ds, circuits),
+                          rtol=1e-8)
+        assert np.isclose(np.sum(per_2d),
+                          lf.two_delta_logl(model, ds, circuits), rtol=1e-6)
+
+    def test_two_delta_logl_nsigma(self):
+        from pygsti_tpu.tools import likelihoodfns as lf
+        model, ds, circuits = self._workload()
+        ns = lf.two_delta_logl_nsigma(model, ds, circuits)
+        assert np.isfinite(ns)
+        # the depolarized data should violate the ideal model strongly
+        assert ns > 3
+
+    def test_two_delta_logl_term(self):
+        from pygsti_tpu.tools import likelihoodfns as lf
+        # p == f gives zero contribution in both pictures
+        assert np.allclose(lf.two_delta_logl_term(
+            np.array([50.0]), np.array([0.5]), np.array([0.5])), 0.0)
+        t = lf.two_delta_logl_term(np.array([50.0]), np.array([0.4]),
+                                   np.array([0.5]))
+        assert t[0] > 0
+
+    def test_chialpha_interpolates(self):
+        from pygsti_tpu.tools import chi2fns as c2
+        from pygsti_tpu.tools import likelihoodfns as lf
+        model, ds, circuits = self._workload()
+        ca1 = c2.chialpha(1.0, model, ds, circuits)
+        chi2val = c2.chi2(model, ds, circuits)
+        # alpha=1 chialpha is chi2-like: same scale (not exact -- different
+        # regularization), so just demand the same order of magnitude
+        assert 0.2 < ca1 / max(chi2val, 1e-12) < 5, (ca1, chi2val)
+        per = c2.chialpha_per_circuit(1.0, model, ds, circuits)
+        assert np.isclose(np.sum(per), ca1)
+
+    def test_chi2_hessians(self):
+        from pygsti_tpu.tools import chi2fns as c2
+        model, ds, circuits = self._workload()
+        circuits = circuits[:10]
+        H = c2.chi2_hessian(model, ds, circuits)
+        Happrox = c2.chi2_approximate_hessian(model, ds, circuits)
+        P = model.num_params
+        assert H.shape == (P, P) and Happrox.shape == (P, P)
+        assert np.allclose(H, H.T, atol=1e-6)
+        # GN approximation is PSD
+        w = np.linalg.eigvalsh((Happrox + Happrox.T) / 2)
+        assert w.min() > -1e-6 * max(w.max(), 1.0)  # PSD up to round-off
+
+    def test_rbtools_hamming_helpers(self, ref_pygsti):
+        from pygsti_tpu.tools import rbtools as rbt
+        from pygsti.tools import rbtools as rrbt
+        assert rbt.hamming_distance('0010', '0111') == 2
+        pdf = [0.8, 0.15, 0.05]
+        assert np.isclose(rbt.adjusted_success_probability(pdf),
+                          rrbt.adjusted_success_probability(pdf))
+        assert np.isclose(
+            rbt.rescaling_factor([2, 4], [[4.0, 6.0], [12.0]]),
+            rrbt.rescaling_factor([2, 4], [[4.0, 6.0], [12.0]]))
+
+    def test_rbtools_marginalized_counts(self):
+        from pygsti_tpu.tools import rbtools as rbt
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        ds = DataSet()
+        c = Circuit([('Gxpi2', 0), ('Gxpi2', 1)], line_labels=(0, 1))
+        ds.add_count_dict(c, {('00',): 10, ('01',): 5, ('10',): 3, ('11',): 2})
+        row = ds[c]
+        assert rbt.marginalized_success_counts(row, c, '00', (0,)) == 15
+        assert rbt.marginalized_success_counts(row, c, '00', (1,)) == 13
+        hist = rbt.marginalized_hamming_distance_counts(row, c, '00', (0, 1))
+        assert hist == [10, 8, 2]
+
+
+class TestOptoolsReferenceSurface:
+    """POVM/instrument maps, eigenvalue fidelities, elementary-errorgen
+    projection API (reference: optools.py:235-2940)."""
+
+    def test_compute_povm_map_matches_reference(self, ref_pygsti):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools import optools as ot
+        import pygsti
+        from pygsti.modelpacks import smq1Q_XYI as ref_mp
+        model = mp.target_model('full TP')
+        mine = ot.compute_povm_map(model, 'Mdefault')
+        ref_model = ref_mp.target_model('full TP')
+        ref = pygsti.tools.compute_povm_map(ref_model, 'Mdefault')
+        assert np.allclose(mine, np.asarray(ref), atol=1e-10)
+
+    def test_povm_metrics(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.tools import optools as ot
+        ideal = mp.target_model('full TP')
+        # depolarize(spam_noise) leaves POVMs alone (reference parity), so
+        # perturb the POVM directly
+        noisy = mp.target_model('full TP')
+        from pygsti_tpu.modelmembers.povms import UnconstrainedPOVM
+        import numpy as _np
+        D = _np.diag([1.0, 0.9, 0.9, 0.9])
+        noisy.povms['Mdefault'] = UnconstrainedPOVM(
+            {lbl: D @ _np.asarray(e).ravel()
+             for lbl, e in noisy.povms['Mdefault'].items()})
+        assert abs(ot.povm_fidelity(ideal, ideal, 'Mdefault') - 1) < 1e-9
+        assert ot.povm_jtracedist(ideal, ideal, 'Mdefault') < 1e-8
+        assert ot.povm_fidelity(noisy, ideal, 'Mdefault') < 1 - 1e-4
+        assert ot.povm_jtracedist(noisy, ideal, 'Mdefault') > 1e-4
+
+    def test_eigenvalue_fidelity_matches_reference(self, ref_pygsti):
+        from pygsti_tpu.tools import optools as ot
+        import pygsti
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            A = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+            x = A @ A.conj().T
+            B = rng.randn(4, 4) + 1j * rng.randn(4, 4)
+            y = B @ B.conj().T
+            f_mine = ot.eigenvalue_fidelity(x, y)
+            f_ref = pygsti.tools.optools.eigenvalue_fidelity(x, y)
+            assert np.isclose(f_mine, float(f_ref), rtol=1e-9)
+            f_mine_g = ot.eigenvalue_fidelity(x, y, gauge_invariant=False)
+            f_ref_g = pygsti.tools.optools.eigenvalue_fidelity(
+                x, y, gauge_invariant=False)
+            assert np.isclose(f_mine_g, float(f_ref_g), rtol=1e-9)
+
+    def test_is_trace_preserving_and_unitary(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        U = standard_gatename_unitaries()
+        g = ot.unitary_to_superop(U['Gxpi2'], 'pp')
+        assert ot.is_trace_preserving(g, 'pp')
+        assert ot.superop_is_unitary(g, 'pp')
+        depol = np.diag([1.0, 0.9, 0.9, 0.9])
+        assert ot.is_trace_preserving(depol, 'pp')
+        assert not ot.superop_is_unitary(depol, 'pp')
+        ntp = g.copy()
+        ntp[0, 1] = 0.1
+        assert not ot.is_trace_preserving(ntp, 'pp')
+
+    def test_lindblad_paramtype_and_labels(self, ref_pygsti):
+        from pygsti_tpu.tools import optools as ot
+        import pygsti
+        for typ in ('H+S', 'CPTP', 'GLND', 'S+A', 'H', 'H+s+A', 'H+S terms',
+                    'bogus', 'A', 'H+H'):
+            assert ot.is_valid_lindblad_paramtype(typ) == \
+                pygsti.tools.optools.is_valid_lindblad_paramtype(typ), typ
+        assert ot.effect_label_to_outcome('Mdefault_0') == '0'
+        assert ot.effect_label_to_povm('Mdefault_0') == 'Mdefault'
+
+    def test_project_errorgen_round_trip(self):
+        """Projecting an errorgen built from known H/S rates recovers them."""
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.tools import lindbladtools as lt
+        from pygsti_tpu.tools.basistools import change_basis
+        from pygsti_tpu.baseobjs.basis import Basis
+        b = Basis.cast('pp', 4)
+        rates = {'X': 0.02, 'Z': -0.01}
+        eg_std = sum(r * lt.create_elementary_errorgen(
+            'H', np.asarray(b.elements[list(b.labels).index(lbl)]))
+            for lbl, r in rates.items())
+        eg_pp = np.real(change_basis(eg_std, 'std', 'pp'))
+        proj = ot.project_errorgen(eg_pp, 'H', 'pp', 'pp')
+        got = {str(k.basis_element_labels[0]): v for k, v in proj.items()}
+        assert np.isclose(got['X'], 0.02, atol=1e-10)
+        assert np.isclose(got['Z'], -0.01, atol=1e-10)
+        assert np.isclose(got['Y'], 0.0, atol=1e-10)
+        # S projections of an H generator vanish
+        s_proj = ot.project_errorgen(eg_pp, 'S', 'pp', 'pp')
+        assert all(abs(v) < 1e-10 for v in s_proj.values())
+        # extract_... agrees
+        from pygsti_tpu.baseobjs.errorgenlabel import LocalElementaryErrorgenLabel
+        lbls = [LocalElementaryErrorgenLabel('H', ('X',)),
+                LocalElementaryErrorgenLabel('S', ('X',))]
+        coeffs = ot.extract_elementary_errorgen_coefficients(eg_pp, lbls,
+                                                             'pp', 'pp')
+        assert np.isclose(coeffs[lbls[0]], 0.02, atol=1e-10)
+        assert np.isclose(coeffs[lbls[1]], 0.0, atol=1e-10)
+
+    def test_elementary_errorgens_match_reference(self, ref_pygsti):
+        from pygsti_tpu.tools import optools as ot
+        import pygsti
+        for typ in ('H', 'S', 'C', 'A'):
+            mine = ot.elementary_errorgens(4, typ, 'pp')
+            ref = pygsti.tools.optools.elementary_errorgens(4, typ, 'pp')
+            rkeys = {(k.errorgen_type, tuple(k.basis_element_labels)): v
+                     for k, v in ref.items()}
+            assert len(mine) == len(rkeys), typ
+            for k, v in mine.items():
+                rk = (k.errorgen_type, tuple(k.basis_element_labels))
+                assert np.allclose(v, rkeys[rk], atol=1e-10), (typ, k)
+
+    def test_instrument_infidelity_and_diamonddist(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.modelmembers.instruments import Instrument
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        U = standard_gatename_unitaries()
+        from pygsti_tpu.modelmembers.operations import StaticArbitraryOp
+        g = ot.unitary_to_superop(U['Gi'] if 'Gi' in U else np.eye(2), 'pp')
+        mems = {'p0': StaticArbitraryOp(0.5 * g),
+                'p1': StaticArbitraryOp(0.5 * g)}
+        inst_a = Instrument(mems)
+        inst_b = Instrument({k: StaticArbitraryOp(0.5 * g) for k in mems})
+        assert abs(ot.instrument_infidelity(inst_a, inst_b, 'pp')) < 1e-9
+        assert ot.instrument_diamonddist(inst_a, inst_b, 'pp') < 1e-6
+
+    def test_generator_infidelity(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        import scipy.linalg as spl
+        U = standard_gatename_unitaries()
+        tgt = ot.unitary_to_superop(U['Gxpi2'], 'pp')
+        assert abs(ot.generator_infidelity(tgt, tgt, 'pp')) < 1e-12
+        # depolarizing noise: S rates sum to the depol rate contributions
+        noisy = tgt @ np.diag([1.0, 0.99, 0.99, 0.99])
+        gi = ot.generator_infidelity(noisy, tgt, 'pp')
+        assert gi > 1e-4
+
+    def test_superket_trace_and_density_rank(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.tools.basistools import stdmx_to_vec
+        from pygsti_tpu.baseobjs.basis import Basis
+        b = Basis.cast('pp', 4)
+        rho = np.array([[0.7, 0], [0, 0.3]], complex)
+        sk = np.asarray(stdmx_to_vec(rho, b))
+        assert np.isclose(ot.superket_trace(sk, b), 1.0)
+        assert ot.fast_density_rank(rho) == 2
+        assert ot.fast_density_rank(np.diag([1.0, 0.0])) == 1
+
+
+class TestMatrixtoolsReferenceSurface:
+    def test_minweight_match(self, ref_pygsti):
+        from pygsti_tpu.tools import matrixtools as mt
+        import pygsti
+        rng = np.random.RandomState(2)
+        a = rng.randn(6) + 1j * rng.randn(6)
+        b = a[rng.permutation(6)] + 0.01 * rng.randn(6)
+        w_mine, p_mine = mt.minweight_match(a, b)
+        w_ref, p_ref = pygsti.tools.matrixtools.minweight_match(a, b)
+        assert np.allclose(np.sum(w_mine), np.sum(w_ref))
+        assert [tuple(x) for x in p_mine] == [tuple(x) for x in p_ref]
+
+    def test_nullspace_qr(self):
+        from pygsti_tpu.tools import matrixtools as mt
+        rng = np.random.RandomState(3)
+        m = rng.randn(3, 6)
+        ns = mt.nullspace_qr(m)
+        assert ns.shape == (6, 3)
+        assert np.abs(m @ ns).max() < 1e-9
+
+    def test_misc_helpers(self):
+        from pygsti_tpu.tools import matrixtools as mt
+        import scipy.sparse as sps
+        assert mt.prime_factors(60) == [2, 2, 3, 5]
+        assert mt.int64_parity(7) == 1 and mt.int64_parity(6) == 0
+        a = sps.csr_matrix(np.array([[1.0, 0], [0, 2.0]]))
+        assert mt.safe_norm(a) == np.sqrt(5)
+        assert mt.sparse_equal(a, a.copy())
+        assert mt.sparse_onenorm(a) == 2.0
+        assert mt.is_projector(np.diag([1.0, 0.0]))
+        with pytest.raises(ValueError):
+            mt.assert_projector(np.diag([1.0, 0.5]))
+        mt.assert_hermitian(np.eye(2), 1e-12)
+        with pytest.raises(ValueError):
+            mt.assert_hermitian(np.array([[0, 1.0], [0, 0]]), 1e-12)
+        assert mt.compute_kite([1.0, 1.0, 2.0, 3.0, 3.0, 3.0]) == [2, 1, 3]
+        s = mt.mx_to_string_complex(np.eye(2))
+        assert '1.0000' in s
+        L = mt.near_identity_matrix_log(np.diag([1.0, 0.95, 0.95, 0.9]))
+        assert np.allclose(np.diag(L), np.log([1.0, 0.95, 0.95, 0.9]))
+
+    def test_minweight_match_realmxeigs(self):
+        from pygsti_tpu.tools import matrixtools as mt
+        rng = np.random.RandomState(4)
+        a = rng.randn(4, 4)
+        b = a + 0.01 * rng.randn(4, 4)
+        ea, eb = mt.minweight_match_realmxeigs(a, b)
+        assert np.abs(np.sort(ea) - np.sort(np.linalg.eigvals(a))).max() < 1e-12
+        assert np.abs(ea - eb).max() < 0.2
