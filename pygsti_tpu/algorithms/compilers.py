@@ -199,6 +199,12 @@ def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None
     n = s.shape[0] // 2
     if qubit_labels is None:
         qubit_labels = tuple(pspec.qubit_labels) if pspec is not None else tuple(range(n))
+    if pspec is None and compilation_rules is None:
+        # no processor: compile over the internal H/P/CNOT gate set
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        pspec = QubitProcessorSpec(n, ['Gh', 'Gp', 'Gcnot'],
+                                   geometry='fully_connected',
+                                   qubit_labels=qubit_labels)
     rules = compilation_rules or CompilationRules(pspec)
 
     gen_gates = synthesize_symplectic(s)
@@ -243,3 +249,131 @@ def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None
 def _pauli_word(rules, pauli, qubit):
     gs, gp = _gen_sreps()[pauli]
     return compile_1q_clifford(gs, gp, rules.native_1q, qubit)
+
+
+# =============================================================================
+# Reference-named compilation entry points (reference: compilers.py).
+# =============================================================================
+
+def _gates_to_circuit(gen_gates, pspec, qubit_labels, rules=None):
+    """Generator-name gate list -> Circuit (native gates when a pspec /
+    rules is given, internal Gh/Gp/Gcnot labels otherwise)."""
+    from pygsti_tpu.baseobjs.label import Label
+    n_needed = 1 + max((max(q) for _, q in gen_gates), default=0)
+    if qubit_labels is None:
+        qubit_labels = tuple(pspec.qubit_labels) if pspec is not None \
+            else tuple(range(n_needed))
+    if pspec is not None or rules is not None:
+        rules = rules or CompilationRules(pspec)
+        labels = []
+        for gen, qubits in gen_gates:
+            qlbls = tuple(qubit_labels[q] for q in qubits)
+            if gen == 'CNOT':
+                labels.extend(rules.word_for_cnot(qlbls[0], qlbls[1]))
+            else:
+                labels.extend(rules.word_for_1q(gen, qlbls[0]))
+    else:
+        name_map = {'H': 'Gh', 'P': 'Gp', 'CNOT': 'Gcnot'}
+        labels = [Label(name_map[gen], tuple(qubit_labels[q] for q in qubits))
+                  for gen, qubits in gen_gates]
+    return Circuit(labels, qubit_labels)
+
+
+def compile_symplectic(s, pspec=None, absolute_compilation=None,
+                       paulieq_compilation=None, qubit_labels=None,
+                       iterations=20, algorithms=('ROCAGE',),
+                       costfunction='2QGC:10:depth:1', paulirandomize=False,
+                       aargs=None, check=True, rand_state=None):
+    """A circuit implementing the Clifford with symplectic matrix `s`, up
+    to Paulis (reference: compilers.compile_symplectic).  Uses the
+    column-elimination tableau synthesis (Aaronson-Gottesman); native gates
+    when `pspec` is given, internal Gh/Gp/Gcnot labels otherwise."""
+    gen_gates = synthesize_symplectic(np.asarray(s) % 2)
+    circ = _gates_to_circuit(gen_gates, pspec, qubit_labels,
+                             rules=absolute_compilation
+                             if isinstance(absolute_compilation,
+                                           CompilationRules) else None)
+    if check:
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(circ)
+        assert np.array_equal(s_c, np.asarray(s) % 2), \
+            "compile_symplectic synthesis check failed"
+    return circ
+
+
+def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
+                         algorithm='COiCAGE', compile_to_native=False,
+                         check=True, aargs=None, rand_state=None):
+    """A CNOT circuit implementing the invertible GF(2) matrix encoded in
+    `s` (reference: compilers.compile_cnot_circuit).  `s` may be the [n, n]
+    GF(2) matrix itself or the symplectic rep of a CNOT circuit (whose
+    upper-left block is taken).  Synthesized by Gaussian elimination."""
+    s = np.asarray(s) % 2
+    n = s.shape[0] // 2 if s.shape[0] % 2 == 0 and s.shape[0] == s.shape[1] \
+        and s.shape[0] > 2 and np.array_equal(
+            s[:s.shape[0] // 2, s.shape[0] // 2:],
+            np.zeros((s.shape[0] // 2,) * 2, s.dtype)) else None
+    M = s[:n, :n].copy() if n is not None else s.copy()
+    n = M.shape[0]
+    # Gaussian elimination: CNOT(c, t) adds row c to row t (x-propagation)
+    ops = []
+    A = M.copy()
+    for j in range(n):
+        if not A[j, j]:
+            pivots = [k for k in range(j + 1, n) if A[k, j]]
+            if not pivots:
+                raise AssertionError(
+                    "CNOT-circuit matrix is not invertible over GF(2)")
+            k = pivots[0]
+            A[j, :] ^= A[k, :]
+            ops.append(('CNOT', (k, j)))
+        for k in range(n):
+            if k != j and A[k, j]:
+                A[k, :] ^= A[j, :]
+                ops.append(('CNOT', (j, k)))
+    assert np.array_equal(A, np.eye(n, dtype=A.dtype)), \
+        "CNOT-circuit matrix is not invertible over GF(2)"
+    # ops reduce M to I (left-multiplying row ops); the circuit implementing
+    # M applies them reversed (all CNOTs are self-inverse)
+    gen_gates = list(reversed(ops))
+    circ = _gates_to_circuit(gen_gates,
+                             pspec if compile_to_native else None,
+                             qubit_labels)
+    if check:
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(
+            circ, srep_dict=sym.compute_internal_gate_symplectic_representations())
+        assert np.array_equal(s_c[:n, :n] % 2, M), \
+            "compile_cnot_circuit synthesis check failed"
+    return circ
+
+
+def compile_stabilizer_state(s, p, pspec=None, absolute_compilation=None,
+                             paulieq_compilation=None, qubit_labels=None,
+                             iterations=20, paulirandomize=False,
+                             algorithm='COiCAGE', aargs=None, costfunction=None,
+                             rand_state=None):
+    """A circuit preparing the stabilizer state U|0...0> where U is the
+    Clifford (s, p) (reference: compilers.compile_stabilizer_state).
+    Compiles the full Clifford -- correct though not depth-minimal (the
+    reference exploits the state's stabilizer-group freedom)."""
+    return compile_clifford(np.asarray(s), np.asarray(p), pspec,
+                            qubit_labels=qubit_labels,
+                            compilation_rules=absolute_compilation
+                            if isinstance(absolute_compilation,
+                                          CompilationRules) else None)
+
+
+def compile_stabilizer_measurement(s, p, pspec=None,
+                                   absolute_compilation=None,
+                                   paulieq_compilation=None,
+                                   qubit_labels=None, iterations=20,
+                                   paulirandomize=False, algorithm='COiCAGE',
+                                   aargs=None, costfunction=None,
+                                   rand_state=None):
+    """A circuit rotating the stabilizer state U|0...0> back to the
+    computational basis -- i.e. implementing U^{-1} (reference:
+    compilers.compile_stabilizer_measurement)."""
+    s_inv, p_inv = sym.inverse_clifford(np.asarray(s), np.asarray(p))
+    return compile_clifford(s_inv, p_inv, pspec, qubit_labels=qubit_labels,
+                            compilation_rules=absolute_compilation
+                            if isinstance(absolute_compilation,
+                                          CompilationRules) else None)

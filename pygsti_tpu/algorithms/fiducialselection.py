@@ -244,3 +244,71 @@ def _grasp(model, candidates, prep_or_meas, force_empty, printer,
                     % (it, len(chosen), s), 2)
     assert best_solution is not None, "GRASP found no complete fiducial set"
     return best_solution[1]
+
+
+def create_prep_mxs(model, prep_fid_list, prep_cache=None):
+    """One matrix per model preparation: columns are the fiducial-evolved
+    prep superkets (reference: fiducialselection.create_prep_mxs:731)."""
+    return [np.stack(_prep_vectors(model, prep_fid_list), axis=1)]
+
+
+def create_meas_mxs(model, meas_fid_list, meas_cache=None):
+    """One matrix per measurement effect: columns are the back-propagated
+    effect rows (reference: fiducialselection.create_meas_mxs:790)."""
+    return [np.stack(_meas_vectors(model, meas_fid_list), axis=1)]
+
+
+def create_candidate_fiducial_list(target_model, omit_identity=True,
+                                   ops_to_omit=None, candidate_fid_counts=2,
+                                   max_fid_length=None, eq_thresh=1e-6,
+                                   candidate_seed=None):
+    """Candidate fiducial circuits: all gate words up to a length bound,
+    deduplicated by the superoperator they produce (reference:
+    fiducialselection.create_candidate_fiducial_list:1911).
+    `candidate_fid_counts` is an int max length, or a dict
+    {length: 'all upto' | count}."""
+    import itertools
+    if max_fid_length is not None:
+        candidate_fid_counts = int(max_fid_length)
+    ops_to_omit = set(ops_to_omit or ())
+    op_labels = [gl for gl in target_model.operations.keys()
+                 if gl not in ops_to_omit]
+    if omit_identity:
+        op_labels = [gl for gl in op_labels
+                     if getattr(gl, 'name', str(gl)) not in ('Gi', '[]', '')]
+    lls = target_model.state_space.qubit_labels
+    if isinstance(candidate_fid_counts, int):
+        counts = {candidate_fid_counts: 'all upto'}
+    else:
+        counts = dict(candidate_fid_counts)
+    rng = np.random.RandomState(candidate_seed)
+    fids = [Circuit((), lls)]
+    seen_words = {()}
+    for length, how in counts.items():
+        if how == 'all upto':
+            for L in range(1, length + 1):
+                for combo in itertools.product(op_labels, repeat=L):
+                    if combo not in seen_words:
+                        seen_words.add(combo)
+                        fids.append(Circuit(combo, lls))
+        else:
+            for _ in range(int(how)):
+                combo = tuple(op_labels[rng.randint(len(op_labels))]
+                              for _ in range(length))
+                if combo not in seen_words:
+                    seen_words.add(combo)
+                    fids.append(Circuit(combo, lls))
+    # dedupe by the fiducial's dense product
+    from pygsti_tpu.algorithms.germselection import _germ_product_and_jacobian
+    kept, prods = [], []
+    for c in fids:
+        if len(c.layertup) == 0:
+            prod = np.eye(target_model.dim)
+        else:
+            prod, _ = _germ_product_and_jacobian(target_model, c)
+            prod = np.asarray(prod)
+        if any(np.linalg.norm(prod - p2) < eq_thresh for p2 in prods):
+            continue
+        prods.append(prod)
+        kept.append(c)
+    return kept

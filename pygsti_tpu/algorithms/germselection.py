@@ -398,3 +398,257 @@ def _cyclic_canonical(combo):
     """Canonical form under cyclic rotation (germs are cyclic)."""
     rots = [combo[i:] + combo[:i] for i in range(len(combo))]
     return min(rots)
+
+
+# =============================================================================
+# Reference-named public entry points (reference: germselection.py).  Each
+# search strategy is one `algorithm=` mode of find_germs; the reference also
+# exposes them as standalone functions operating on explicit candidate lists.
+# =============================================================================
+
+def _make_set_score(model, score_func='all', op_penalty=0.0, l1_penalty=0.0):
+    """(set_score, n_target): the same scoring closure find_germs builds,
+    over an explicit germ list (twirled-deriv Gram eigenvalues projected
+    onto non-gauge space; cached per germ).  n_target is the number of
+    germ-AMPLIFIABLE directions (less than the non-gauge count: SPAM-only
+    directions are never germ-amplified)."""
+    proj = _nongauge_projector(model)
+    n_nongauge = int(round(np.trace(proj)))
+    n_target = max_amplified_directions(model, non_gauge_projector=proj)
+    twirled = {}
+
+    def set_score(germ_list):
+        Jc = np.zeros((model.num_params, model.num_params))
+        for g in germ_list:
+            if g not in twirled:
+                T = twirled_deriv(model, g) @ proj
+                twirled[g] = np.real(T.conj().T @ T)
+            Jc += twirled[g]
+        evals = np.linalg.eigvalsh(Jc)[::-1][:n_nongauge]
+        safe = np.clip(evals, 1e-30, None)
+        n_amp = int(np.sum(evals > 1e-10 * max(np.max(evals), 1e-30)))
+        base = float(np.sum(1.0 / safe)) if score_func == 'all' \
+            else float(1.0 / safe[-1])
+        base += l1_penalty * len(germ_list) \
+            + op_penalty * sum(len(g.layertup) for g in germ_list)
+        return base, n_amp
+
+    return set_score, n_target
+
+
+def _first_model(model_list):
+    return model_list[0] if isinstance(model_list, (list, tuple)) \
+        else model_list
+
+
+def _forced_singletons(model, force):
+    if force == "singletons":
+        lls = model.state_space.qubit_labels
+        return [Circuit((gl,), lls) for gl in model.operations.keys()]
+    return list(force) if isinstance(force, (list, tuple)) else []
+
+
+def find_germs_breadthfirst(model_list, germs_list, randomize=False,
+                            randomization_strength=1e-3, num_copies=None,
+                            seed=0, op_penalty=0, score_func='all', tol=1e-6,
+                            threshold=1e6, check=False, force="singletons",
+                            verbosity=0, **_kwargs):
+    """Greedy (breadth-first) germ selection from an explicit candidate list
+    (reference: germselection.find_germs_breadthfirst)."""
+    model = _first_model(model_list)
+    if randomize:
+        model = randomize_model_list([model], randomization_strength, 1,
+                                     seed)[0]
+    printer = VerbosityPrinter.create_printer(verbosity)
+    set_score, n_nongauge = _make_set_score(model, score_func, op_penalty)
+    germs = _forced_singletons(model, force)
+    candidates = [c for c in germs_list if c not in germs]
+    cur_score, n_amp = set_score(germs) if germs else (np.inf, 0)
+    while candidates:
+        if n_amp >= n_nongauge and cur_score < threshold:
+            break
+        best = None
+        for cand in candidates:
+            sc, na = set_score(germs + [cand])
+            if best is None or (na, -sc) > (best[2], -best[1]):
+                best = (cand, sc, na)
+        germs.append(best[0])
+        candidates.remove(best[0])
+        cur_score, n_amp = best[1], best[2]
+        printer.log("  added %s -> %d/%d" % (best[0].str, n_amp, n_nongauge),
+                    2)
+    return germs
+
+
+find_germs_breadthfirst_greedy = find_germs_breadthfirst
+
+
+def find_germs_depthfirst(model_list, germs_list, randomize=False,
+                          randomization_strength=1e-3, num_copies=None,
+                          seed=0, op_penalty=0, score_func='all', tol=1e-6,
+                          threshold=1e6, check=False, force="singletons",
+                          verbosity=0, **_kwargs):
+    """Depth-first germ selection: add candidates in list order until the
+    set is amplificationally complete (reference:
+    germselection.find_germs_depthfirst)."""
+    model = _first_model(model_list)
+    set_score, n_nongauge = _make_set_score(model, score_func, op_penalty)
+    germs = _forced_singletons(model, force)
+    for cand in germs_list:
+        if cand in germs:
+            continue
+        score, n_amp = set_score(germs)
+        if n_amp >= n_nongauge and score < threshold:
+            break
+        germs.append(cand)
+    return germs
+
+
+def find_germs_grasp(model_list, germs_list, alpha=0.1, randomize=False,
+                     randomization_strength=1e-3, num_copies=None, seed=0,
+                     op_penalty=0, score_func='all', tol=1e-6, threshold=1e6,
+                     force="singletons", iterations=5, verbosity=0,
+                     return_all=False, **_kwargs):
+    """GRASP germ search over an explicit candidate list (reference:
+    germselection.find_germs_grasp)."""
+    model = _first_model(model_list)
+    set_score, n_nongauge = _make_set_score(model, score_func, op_penalty)
+    forced = _forced_singletons(model, force)
+    best = _find_germs_grasp(list(germs_list), forced, set_score, n_nongauge,
+                             threshold,
+                             VerbosityPrinter.create_printer(verbosity),
+                             iterations=iterations, alpha=alpha,
+                             rand_state=np.random.RandomState(seed))
+    return best
+
+
+def find_germs_integer_slack(model_list, germs_list, randomize=False,
+                             randomization_strength=1e-3, num_copies=None,
+                             seed=0, l1_penalty=1e-2, op_penalty=0,
+                             initial_weights=None, score_func='all',
+                             max_iter=100, fixed_slack=False,
+                             slack_frac=False, return_all=False, tol=1e-6,
+                             check=False, force="singletons", verbosity=0,
+                             **_kwargs):
+    """Integer-weight slack-based germ optimization (reference:
+    germselection.find_germs_integer_slack)."""
+    model = _first_model(model_list)
+    set_score, n_nongauge = _make_set_score(model, score_func, op_penalty,
+                                            l1_penalty)
+    forced = _forced_singletons(model, force)
+    return _find_germs_integer_slack(
+        list(germs_list), forced, set_score, n_nongauge, threshold=1e6,
+        printer=VerbosityPrinter.create_printer(verbosity),
+        fixed_slack=fixed_slack or None,
+        slack_frac=slack_frac or (None if fixed_slack else 0.1),
+        max_iters=max_iter)
+
+
+def compute_germ_set_score(germs, target_model=None, neighborhood=None,
+                           neighborhood_size=5,
+                           randomization_strength=1e-2, score_func='all',
+                           op_penalty=0.0, l1_penalty=0.0, seed=None):
+    """Worst (max) composite score of a germ set over a neighborhood of
+    randomized models (reference: germselection.compute_germ_set_score)."""
+    if neighborhood is None:
+        neighborhood = randomize_model_list([target_model],
+                                            randomization_strength,
+                                            neighborhood_size, seed)
+    worst = -np.inf
+    for m in neighborhood:
+        set_score, _ = _make_set_score(m, score_func, op_penalty, l1_penalty)
+        worst = max(worst, set_score(list(germs))[0])
+    return worst
+
+
+def test_germ_set_infl(model, germs_to_test, score_func='all',
+                       threshold=1e6):
+    """Whether a germ set is amplificationally complete at infinite L
+    (twirled-derivative rank test; reference:
+    germselection.test_germ_set_infl)."""
+    return bool(test_germs_list_completeness(model, germs_to_test,
+                                             score_func=score_func,
+                                             threshold=threshold) >= 0)
+
+
+def test_germ_set_finitel(model, germs_to_test, length, weights=None,
+                          return_spectrum=False, tol=1e-6):
+    """Whether the germ set is amplificationally complete at FINITE length
+    `length`: the derivatives of germ^(length//|germ|) products span the
+    non-gauge directions (reference: germselection.test_germ_set_finitel)."""
+    proj = _nongauge_projector(model)
+    n_target = max_amplified_directions(model, non_gauge_projector=proj)
+    derivs = []
+    for germ in germs_to_test:
+        reps = max(int(length) // max(len(germ.layertup), 1), 1)
+        power = germ * reps
+        _, J = _germ_product_and_jacobian(model, power)
+        derivs.append(np.real(np.asarray(J)) / max(len(power.layertup), 1))
+    if weights is None:
+        weights = np.ones(len(derivs))
+    gram = sum(w * (d @ proj).T @ (d @ proj)
+               for w, d in zip(weights, derivs))
+    spectrum = np.sort(np.linalg.eigvalsh(gram))
+    observable = spectrum[-n_target:] if n_target > 0 else spectrum
+    ok = bool(observable[0] > tol)
+    if return_spectrum:
+        return ok, spectrum
+    return ok
+
+
+def randomize_model_list(model_list, randomization_strength, num_copies,
+                         seed=None):
+    """Randomize each model (or make `num_copies` randomized copies of a
+    single model) (reference: germselection.randomize_model_list)."""
+    if not isinstance(model_list, (list, tuple)):
+        model_list = [model_list]
+    if len(model_list) > 1 and num_copies not in (None, 1):
+        raise ValueError("Input multiple models XOR request multiple copies "
+                         "of one model -- not both!")
+    out = []
+    for i, m in enumerate(model_list):
+        for j in range(num_copies or 1):
+            s = None if seed is None else seed + i * (num_copies or 1) + j
+            out.append(m.randomize_with_unitary(randomization_strength,
+                                                seed=s)
+                       if hasattr(m, 'randomize_with_unitary')
+                       else m.depolarize(max_op_noise=randomization_strength,
+                                         seed=s))
+    return out
+
+
+def drop_random_germs(candidate_list, rand_frac, target_model,
+                      keep_bare=True, seed=None):
+    """Randomly drop a fraction of candidate germs, optionally keeping the
+    bare single-gate germs (reference: germselection.drop_random_germs)."""
+    rng = np.random.RandomState(seed)
+    lls = target_model.state_space.qubit_labels
+    bare = {Circuit((gl,), lls) for gl in target_model.operations.keys()} \
+        if keep_bare else set()
+    return [c for c in candidate_list
+            if c in bare or rng.rand() >= rand_frac]
+
+
+def create_circuit_cache(model, circuits):
+    """{Circuit: dense product matrix} cache (reference:
+    germselection.create_circuit_cache)."""
+    out = {}
+    for c in circuits:
+        prod, _ = _germ_product_and_jacobian(model, c)
+        out[c] = np.asarray(prod)
+    return out
+
+
+def clean_germ_list(model, circuit_cache, eq_thresh=1e-6):
+    """Deduplicate candidate germs whose dense products coincide (reference:
+    germselection.clean_germ_list).  Returns (deduped_circuits,
+    deduped_cache)."""
+    seen = []
+    out_circuits, out_cache = [], {}
+    for c, mx in circuit_cache.items():
+        if any(np.linalg.norm(mx - m2) < eq_thresh for m2 in seen):
+            continue
+        seen.append(mx)
+        out_circuits.append(c)
+        out_cache[c] = mx
+    return out_circuits, out_cache

@@ -113,8 +113,20 @@ def create_random_circuit(pspec, length, qubit_labels=None, sampler='edgegrab',
     samplerargs = samplerargs or {}
     layers = []
     for _ in range(length):
-        if sampler == 'edgegrab':
+        if callable(sampler):
+            layers.append(sampler(pspec, qubit_labels, rand_state=rng,
+                                  **samplerargs))
+        elif sampler == 'edgegrab':
             layers.append(sample_circuit_layer_by_edgegrab(
+                pspec, qubit_labels, rand_state=rng, **samplerargs))
+        elif sampler == 'Qelimination':
+            layers.append(sample_circuit_layer_by_q_elimination(
+                pspec, qubit_labels, rand_state=rng, **samplerargs))
+        elif sampler == 'co2Qgates':
+            layers.append(sample_circuit_layer_by_co2_q_gates(
+                pspec, qubit_labels, rand_state=rng, **samplerargs))
+        elif sampler in ('local', '1Q'):
+            layers.append(sample_circuit_layer_of_one_q_gates(
                 pspec, qubit_labels, rand_state=rng, **samplerargs))
         else:
             raise ValueError("Unknown sampler %r" % sampler)
@@ -336,3 +348,117 @@ def create_binary_rb_circuit(pspec, clifford_compilations=None, length=1,
 
     full = prep_circ + core + basis_circ
     return full, meas, sign
+
+
+# =============================================================================
+# Additional reference layer samplers (reference: randomcircuit.py:292-520).
+# =============================================================================
+
+def _ops_on_qubits(pspec, qubit_labels):
+    """{qubit-tuple: [Label, ...]} over 1Q and 2Q gates (the reference's
+    pspec.compute_ops_on_qubits restricted to what the samplers need)."""
+    out = {}
+    for q in qubit_labels:
+        out[(q,)] = []
+    for q1 in qubit_labels:
+        for q2 in qubit_labels:
+            if q1 != q2:
+                out[(q1, q2)] = []
+    for name in pspec.gate_names:
+        nq = pspec.gate_num_qubits(name)
+        if nq not in (1, 2) or name in ('{idle}', '(idle)', '[]', ''):
+            continue
+        for targets in pspec.resolved_availability(name):
+            if all(t in qubit_labels for t in targets) and targets in out:
+                out[targets].append(Label(name, targets))
+    return out
+
+
+def sample_circuit_layer_by_q_elimination(pspec, qubit_labels=None,
+                                          two_q_prob=0.5, rand_state=None):
+    """'Qelimination' layer sampler: repeatedly pick a random unassigned
+    qubit; with probability `two_q_prob` give it a random available 2Q gate
+    to another unassigned qubit, else a random 1Q gate (reference:
+    randomcircuit.py:292)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = list(qubit_labels) if qubit_labels is not None \
+        else list(pspec.qubit_labels)
+    ops = _ops_on_qubits(pspec, tuple(qubits))
+    layer = []
+    remaining = list(qubits)
+    while remaining:
+        q = remaining.pop(rng.randint(len(remaining)))
+        twoq = []
+        for q2 in remaining:
+            twoq += ops.get((q, q2), []) + ops.get((q2, q), [])
+        if twoq and rng.rand() < two_q_prob:
+            lbl = twoq[rng.randint(len(twoq))]
+            layer.append(lbl)
+            other = lbl.sslbls[0] if lbl.sslbls[0] != q else lbl.sslbls[1]
+            remaining.remove(other)
+        else:
+            oneq = ops[(q,)]
+            layer.append(oneq[rng.randint(len(oneq))])
+    return LabelTupTup.init(tuple(layer))
+
+
+def sample_circuit_layer_of_one_q_gates(pspec, qubit_labels=None,
+                                        one_q_gate_names='all', pdist='uniform',
+                                        modelname='clifford', rand_state=None):
+    """A layer of independent random 1Q gates on every qubit (reference:
+    randomcircuit.py:520)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    if one_q_gate_names == 'all':
+        names = [g for g in pspec.gate_names if pspec.gate_num_qubits(g) == 1
+                 and g not in ('{idle}', '(idle)', '[]', '')]
+    else:
+        names = list(one_q_gate_names)
+    if isinstance(pdist, str) and pdist == 'uniform':
+        p = None
+    else:
+        p = np.asarray(pdist, float)
+        p = p / p.sum()
+    layer = [Label(names[rng.choice(len(names), p=p)], (q,)) for q in qubits]
+    return LabelTupTup.init(tuple(layer))
+
+
+def sample_circuit_layer_by_co2_q_gates(pspec, qubit_labels, co2_q_gates,
+                                        co2_q_gates_prob='uniform',
+                                        two_q_prob=1.0,
+                                        one_q_gate_names='all',
+                                        rand_state=None):
+    """'co2Qgates' layer sampler: pick one user-supplied set of compatible
+    2Q gates (possibly nested one level), keep each with probability
+    `two_q_prob`, and fill the remaining qubits with random 1Q gates
+    (reference: randomcircuit.py:394)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    sets = list(co2_q_gates)
+    if isinstance(co2_q_gates_prob, str) and co2_q_gates_prob == 'uniform':
+        probs = None
+    else:
+        probs = np.asarray(co2_q_gates_prob, float)
+        probs = probs / probs.sum()
+    chosen = sets[rng.choice(len(sets), p=probs)]
+    if len(chosen) > 0 and isinstance(chosen[0], (list, tuple)) \
+       and not hasattr(chosen[0], 'sslbls'):  # Labels are tuple subclasses
+        # nested one level: choose again uniformly within the sub-list
+        chosen = chosen[rng.randint(len(chosen))]
+    layer = []
+    occupied = set()
+    for lbl in chosen:
+        if rng.rand() < two_q_prob:
+            layer.append(lbl)
+            occupied.update(lbl.sslbls)
+    if one_q_gate_names == 'all':
+        names = [g for g in pspec.gate_names if pspec.gate_num_qubits(g) == 1
+                 and g not in ('{idle}', '(idle)', '[]', '')]
+    else:
+        names = list(one_q_gate_names)
+    for q in qubits:
+        if q not in occupied:
+            layer.append(Label(names[rng.randint(len(names))], (q,)))
+    return LabelTupTup.init(tuple(layer))

@@ -75,3 +75,78 @@ def r_to_p(r, d, rtype='EI'):
     if rtype == 'AGI':
         return 1 - d * r / (d - 1)
     raise ValueError("Unknown rtype %r" % rtype)
+
+
+class FitResults(object):
+    """Container for RB fit results (reference: rbfit.FitResults:236)."""
+
+    def __init__(self, fittype, seed, rtype, success, estimates, variable,
+                 stds=None, bootstraps=None, bootstraps_failrate=None):
+        self.fittype = fittype
+        self.seed = seed
+        self.rtype = rtype
+        self.success = success
+        self.estimates = dict(estimates)
+        self.variable = dict(variable) if isinstance(variable, dict) \
+            else variable
+        self.stds = dict(stds) if stds else None
+        self.bootstraps = bootstraps
+        self.bootstraps_failrate = bootstraps_failrate
+
+    def __str__(self):
+        if not self.success:
+            return "Fit failed!"
+        return "Fit results: " + ", ".join(
+            "%s = %g" % (k, v) for k, v in self.estimates.items())
+
+
+def custom_least_squares_fit(lengths, asps, n, a=None, b=None, seed=None,
+                             rtype='EI'):
+    """Least-squares fit of RB decay data to a + B p^m, with `a` and/or `b`
+    optionally FIXED (reference: rbfit.custom_least_squares_fit:86).
+    Returns a FitResults."""
+    import scipy.optimize as spo
+    lengths = np.asarray(lengths, float)
+    asps = np.asarray(asps, float)
+    fixed_a = a is not None
+    fixed_b = b is not None
+
+    a0 = a if fixed_a else 1.0 / 2 ** n
+    b0 = b if fixed_b else max(asps[0] - a0, 1e-6)
+    if len(lengths) >= 2 and asps[-1] - a0 > 0 and b0 > 0:
+        span = max(lengths[-1] - lengths[0], 1)
+        p0 = min(max(((asps[-1] - a0) / b0) ** (1.0 / span), 0.0), 1.0)
+    else:
+        p0 = 0.9
+    if seed is not None:
+        if fixed_a and fixed_b:
+            p0 = seed[0] if np.ndim(seed) else seed
+        elif fixed_a:
+            b0, p0 = seed
+        elif fixed_b:
+            a0, p0 = seed
+        else:
+            a0, b0, p0 = seed
+
+    def curve(m, *params):
+        i = 0
+        av = a if fixed_a else params[(i := i + 1) - 1]
+        bv = b if fixed_b else params[(i := i + 1) - 1]
+        pv = params[i]
+        return av + bv * pv ** m
+
+    x0 = [v for v, fixed in ((a0, fixed_a), (b0, fixed_b)) if not fixed] + [p0]
+    try:
+        popt, _ = spo.curve_fit(curve, lengths, asps, p0=x0, maxfev=10000)
+        i = 0
+        a_fit = a if fixed_a else popt[(i := i + 1) - 1]
+        b_fit = b if fixed_b else popt[(i := i + 1) - 1]
+        p_fit = popt[i]
+        estimates = {'a': float(a_fit), 'b': float(b_fit), 'p': float(p_fit),
+                     'r': float(p_to_r(p_fit, 2 ** n, rtype))}
+        success = True
+    except Exception:
+        estimates = {}
+        success = False
+    variable = {'a': not fixed_a, 'b': not fixed_b, 'p': True, 'r': True}
+    return FitResults('LS', seed, rtype, success, estimates, variable)

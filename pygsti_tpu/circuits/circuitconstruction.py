@@ -138,3 +138,145 @@ def filter_circuits(circuits, sslbls_to_keep, new_sslbls=None, drop=False):
         elif not drop:
             out.append(None)
     return out
+
+
+def create_circuits(*args, **kwargs):
+    """Create circuits via python-expression templates evaluated in a nested
+    loop over the list/tuple keyword arguments (reference:
+    circuitconstruction.create_circuits:28).  Example::
+
+        create_circuits('f0+germ*e+f1', f0=fids, f1=fids, germ=germs, e=2)
+    """
+    import itertools
+    lst = []
+    loop_order = list(kwargs.pop('order', []))
+    loop_lists = {}
+    loop_locals = {'True': True, 'False': False, 'str': str, 'int': int,
+                   'float': float}
+    for key, val in kwargs.items():
+        if type(val) in (list, tuple):
+            loop_lists[key] = val
+            if key not in loop_order:
+                loop_order.append(key)
+        else:
+            loop_locals[key] = val
+
+    for expr in args:
+        if len(expr) == 0:
+            lst.append(Circuit(()))
+            continue
+        keys = [k for k in loop_order if k in expr]
+        for vals in itertools.product(*[loop_lists[k] for k in keys]):
+            scope = {k: v for k, v in zip(keys, vals)}
+            scope.update(loop_locals)
+            try:
+                result = eval(expr, {"__builtins__": {}}, scope)
+            except AssertionError:
+                continue
+            if isinstance(result, Circuit):
+                lst.append(result)
+            elif isinstance(result, (list, tuple)):
+                lst.append(Circuit(result))
+            elif isinstance(result, str):
+                from pygsti_tpu.io.stdinput import parse_circuit
+                lst.append(parse_circuit(result))
+        if not keys:
+            # expression with no loop variables evaluates once (handled
+            # above by the empty itertools.product)
+            pass
+    return lst
+
+
+def create_lgst_circuits(prep_fiducials, meas_fiducials, op_label_src):
+    """The circuits LGST needs: fiducials, fiducial pairs, and
+    prep+gate+meas sandwiches (reference:
+    circuitconstruction.create_lgst_circuits:470).  `op_label_src` is a
+    Model or a list of operation labels."""
+    if hasattr(op_label_src, 'operations'):
+        op_labels = list(op_label_src.operations.keys())
+    else:
+        op_labels = list(op_label_src)
+    singles = [Circuit((gl,), prep_fiducials[0].line_labels)
+               for gl in op_labels]
+    lgst_list = list(prep_fiducials) + list(meas_fiducials)
+    seen = set(lgst_list)
+
+    def add(c):
+        if c not in seen:
+            seen.add(c)
+            lgst_list.append(c)
+
+    for e in meas_fiducials:
+        for r in prep_fiducials:
+            add(r + e)
+    for g in singles:
+        for e in meas_fiducials:
+            for r in prep_fiducials:
+                add(r + g + e)
+    return lgst_list
+
+
+def list_circuits_lgst_can_estimate(dataset, prep_fiducials, meas_fiducials):
+    """The circuits whose process matrices LGST can estimate from `dataset`:
+    those `c` with every prep + c + meas sandwich present (reference:
+    circuitconstruction.list_circuits_lgst_can_estimate:509)."""
+    estimatable = []
+    seen = set()
+    ds_circuits = set(dataset.keys())
+    for c in dataset.keys():
+        # try interpreting c as prep + middle + meas for the FIRST pair and
+        # then demand all sandwiches exist
+        for r in prep_fiducials:
+            for e in meas_fiducials:
+                rl, el = len(r.layertup), len(e.layertup)
+                if rl + el > len(c.layertup):
+                    continue
+                if tuple(c.layertup[:rl]) != tuple(r.layertup):
+                    continue
+                if el > 0 and tuple(c.layertup[-el:]) != tuple(e.layertup):
+                    continue
+                mid = Circuit(c.layertup[rl:len(c.layertup) - el],
+                              c.line_labels)
+                if mid in seen:
+                    continue
+                if all((r2 + mid + e2) in ds_circuits
+                       for r2 in prep_fiducials for e2 in meas_fiducials):
+                    seen.add(mid)
+                    estimatable.append(mid)
+    return estimatable
+
+
+def manipulate_circuit(circuit, rules, line_labels="auto"):
+    """Apply (find, replace) layer-tuple rewrite rules to a circuit,
+    left-to-right without double-modification (reference:
+    circuitconstruction.manipulate_circuit:684)."""
+    if rules is None:
+        return circuit
+    layers = tuple(circuit.layertup)
+    out = []
+    i = 0
+    while i < len(layers):
+        for find, replace in rules:
+            n = len(find)
+            if tuple(layers[i:i + n]) == tuple(find):
+                out.extend(replace)
+                i += n
+                break
+        else:
+            out.append(layers[i])
+            i += 1
+    lls = circuit.line_labels if line_labels == "auto" else line_labels
+    return Circuit(tuple(out), lls)
+
+
+def manipulate_circuits(circuits, rules, line_labels="auto"):
+    """manipulate_circuit over a list (reference:
+    circuitconstruction.manipulate_circuits)."""
+    return [manipulate_circuit(c, rules, line_labels) for c in circuits]
+
+
+def filter_circuit(circuit, sslbls_to_keep, new_sslbls=None, drop=False):
+    """Keep only the gates acting within `sslbls_to_keep` (reference:
+    circuitconstruction.filter_circuit)."""
+    out = filter_circuits([circuit], sslbls_to_keep, new_sslbls, drop)
+    return out[0] if out else None

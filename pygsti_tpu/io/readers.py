@@ -65,3 +65,71 @@ def read_time_dependent_dataset(filename, record_zero_counts=True):
 load_dataset = read_dataset
 load_circuit_list = read_circuit_list
 load_multidataset = read_multidataset
+
+
+def convert_strings_to_circuits(obj):
+    """Inverse of writers.convert_circuits_to_strings: parse any circuit
+    string (marked 'circuit/<str>') back into a Circuit (reference:
+    readers.convert_strings_to_circuits:352)."""
+    from pygsti_tpu.io.stdinput import StdInputParser
+    parser = StdInputParser()
+
+    def convert(x):
+        if isinstance(x, (list, tuple)):
+            return [convert(v) for v in x]
+        if isinstance(x, dict):
+            return {convert_key(k): convert(v) for k, v in x.items()}
+        if isinstance(x, str) and x.startswith('circuit/'):
+            return parser.parse_circuit(x[len('circuit/'):])
+        return x
+
+    def convert_key(k):
+        if isinstance(k, str) and k.startswith('circuit/'):
+            return parser.parse_circuit(k[len('circuit/'):])
+        return k
+
+    return convert(obj)
+
+
+def read_circuit_strings(filename):
+    """Load a json file written by writers.write_circuit_strings (reference:
+    readers.read_circuit_strings:387)."""
+    import json
+    if str(filename).endswith('.json'):
+        with open(filename) as f:
+            return convert_strings_to_circuits(json.load(f))
+    raise ValueError("Cannot determine format from extension of filename: %s"
+                     % str(filename))
+
+
+def read_edesign_from_dir(dirname, quick_load=False):
+    """Load an ExperimentDesign from an edesign directory tree (reference:
+    readers.read_edesign_from_dir)."""
+    from pygsti_tpu.protocols.protocol import ExperimentDesign
+    return ExperimentDesign.from_dir(dirname)
+
+
+def read_data_from_dir(dirname, preferred_comm=None, quick_load=False):
+    """Load a ProtocolData from a data directory tree (reference:
+    readers.read_data_from_dir)."""
+    from pygsti_tpu.protocols.protocol import ProtocolData
+    return ProtocolData.from_dir(dirname)
+
+
+def read_results_from_dir(dirname, name=None, preferred_comm=None,
+                          quick_load=False):
+    """Load ProtocolResults (or a results directory) from disk (reference:
+    readers.read_results_from_dir)."""
+    from pygsti_tpu.protocols.protocol import (ProtocolResults,
+                                               ProtocolResultsDir)
+    if name is None:
+        return ProtocolResultsDir.from_dir(dirname)
+    return ProtocolResults.from_dir(dirname, name)
+
+
+def read_protocol_from_dir(dirname, quick_load=False):
+    """Load a serialized Protocol object from disk (reference:
+    readers.read_protocol_from_dir)."""
+    from pygsti_tpu.io.metadir import _cls_from_meta_json
+    cls = _cls_from_meta_json(dirname)
+    return cls.from_dir(dirname)

@@ -90,3 +90,98 @@ def write_empty_dataset(filename, circuits, header_string='## Columns = 0 count,
         for c in circuits:
             zeros = "  ".join(['0'] * num_zero_cols)
             f.write(c.str + ("  " + zeros if zeros else "") + "\n")
+
+
+def convert_circuits_to_strings(obj):
+    """Convert (possibly nested) lists/dicts containing Circuits into a
+    JSON-able structure with 'circuit/<str>' markers (reference:
+    writers.convert_circuits_to_strings:706)."""
+    from pygsti_tpu.circuits.circuit import Circuit
+
+    def convert(x):
+        if isinstance(x, Circuit):
+            return 'circuit/' + x.str
+        if isinstance(x, (list, tuple)):
+            return [convert(v) for v in x]
+        if isinstance(x, dict):
+            return {(('circuit/' + k.str) if isinstance(k, Circuit) else k):
+                    convert(v) for k, v in x.items()}
+        return x
+
+    return convert(obj)
+
+
+def write_circuit_strings(filename, obj):
+    """Write a Circuit-containing structure as json with circuits replaced
+    by their string reps (reference: writers.write_circuit_strings:733)."""
+    import json
+    json_dict = convert_circuits_to_strings(obj)
+    if str(filename).endswith('.json'):
+        with open(filename, 'w') as f:
+            json.dump(json_dict, f, indent=4)
+    else:
+        raise ValueError("Cannot determine format from extension of "
+                         "filename: %s" % str(filename))
+
+
+def write_empty_protocol_data(dirname, edesign, sparse="auto",
+                              clobber_ok=False):
+    """Write an edesign directory tree plus an EMPTY dataset template file
+    the user fills with real data (reference:
+    writers.write_empty_protocol_data:480)."""
+    import os
+    dirname = str(dirname)
+    data_dir = os.path.join(dirname, 'data')
+    if os.path.exists(os.path.join(data_dir, 'dataset.txt')) \
+       and not clobber_ok:
+        raise ValueError("Would clobber %s; pass clobber_ok=True"
+                         % os.path.join(data_dir, 'dataset.txt'))
+    edesign.write(dirname)
+    os.makedirs(data_dir, exist_ok=True)
+    circuits = edesign.all_circuits_needing_data
+    if sparse == "auto":
+        nq = len(getattr(edesign, 'qubit_labels', None) or (0,))
+        sparse = nq > 3
+    if sparse:
+        header = "## Outcomes = --"  # sparse (outcome-labeled) format
+        write_empty_dataset(os.path.join(data_dir, 'dataset.txt'), circuits,
+                            header_string=header)
+    else:
+        write_empty_dataset(os.path.join(data_dir, 'dataset.txt'), circuits)
+
+
+def fill_in_empty_dataset_with_fake_data(dataset_filename, model, num_samples,
+                                         sample_error="multinomial",
+                                         seed=None, rand_state=None,
+                                         alias_dict=None,
+                                         collision_action="aggregate",
+                                         record_zero_counts=True, comm=None,
+                                         mem_limit=None, times=None,
+                                         fixed_column_mode="auto"):
+    """Replace an empty dataset template's counts with simulated data from
+    `model` (reference: writers.fill_in_empty_dataset_with_fake_data:600).
+    Arguments may also be given as (model, dataset_filename, ...) -- the
+    reference supports both orders."""
+    from pygsti_tpu.data.datasetconstruction import simulate_data
+    from pygsti_tpu.io.stdinput import StdInputParser
+    if hasattr(dataset_filename, 'probabilities') \
+       or not isinstance(dataset_filename, str):
+        model, dataset_filename = dataset_filename, model  # swapped order
+    # template lines are "circuit  <count columns...>": parse the circuit
+    # token only
+    parser = StdInputParser()
+    circuits = []
+    with open(dataset_filename) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('#'):
+                continue
+            circuits.append(parser.parse_circuit(line.split()[0]))
+    ds = simulate_data(model, circuits, num_samples,
+                       sample_error=sample_error, seed=seed,
+                       record_zero_counts=record_zero_counts, times=times)
+    write_dataset(dataset_filename, ds, circuits,
+                  fixed_column_mode=(len(ds.outcome_labels) <= 8
+                                     if fixed_column_mode == "auto"
+                                     else fixed_column_mode))
+    return ds

@@ -551,3 +551,106 @@ def create_cloud_crosstalk_model(processor_spec, custom_gates=None,
     return CloudNoiseModel(pspec, gate_members, prep_member, povm_member,
                            cloud_map, cloud_members_blk, basis=basis,
                            simulator=simulator, idle_member=idle_member)
+
+
+def create_identity_vec(basis):
+    """The identity superket in `basis` (reference:
+    modelconstruction.create_identity_vec:114)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools.basistools import stdmx_to_vec
+    b = basis if isinstance(basis, Basis) else Basis.cast(basis, None)
+    udim = int(round(np.sqrt(b.dim)))
+    return np.real(np.asarray(stdmx_to_vec(np.eye(udim).astype(complex),
+                                           b))).ravel()
+
+
+def create_explicit_alias_model(mdl_primitives, alias_dict):
+    """A model whose gates are compositions of an existing model's gates,
+    per `alias_dict` {new_label: Circuit of primitive labels}; SPAM is
+    copied unchanged (reference:
+    modelconstruction.create_explicit_alias_model:720)."""
+    from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+    mdl_new = mdl_primitives.copy()
+    for lbl in list(mdl_new.operations.keys()):
+        del mdl_new.operations[lbl]
+    for alias_lbl, circuit in alias_dict.items():
+        mx = np.eye(mdl_primitives.dim)
+        for layer in circuit.layertup:
+            mx = np.asarray(
+                mdl_primitives.operations[layer].to_dense()) @ mx
+        mdl_new.operations[alias_lbl] = FullArbitraryOp(mx)
+    if hasattr(mdl_new, '_mark_for_rebuild'):
+        mdl_new._mark_for_rebuild()
+    return mdl_new
+
+
+def create_cloud_crosstalk_model_from_hops_and_weights(
+        processor_spec, custom_gates=None, max_idle_weight=1,
+        max_spam_weight=1, maxhops=0, extra_weight_1_hops=0,
+        extra_gate_weight=0, simulator="auto", evotype='default',
+        gate_type="H+S", spam_type="H+S", implicit_idle_mode="none",
+        errcomp_type="gates", independent_gates=True, independent_spam=True,
+        connected_highweight_errors=True, basis='pp', verbosity=0):
+    """Cloud-crosstalk model from maximum error weights and graph hops
+    (reference:
+    modelconstruction.create_cloud_crosstalk_model_from_hops_and_weights:2013):
+    every gate gets H/S elementary errorgen coefficients (initially zero) on
+    all Paulis supported within `maxhops` hops of its targets, with weight
+    limits `1 + extra_gate_weight` (2Q gates) / 1 (1Q gates, plus
+    `extra_weight_1_hops` additional hops for the weight-1 terms)."""
+    pspec = processor_spec
+    graph = pspec.qubit_graph
+    qubits = list(pspec.qubit_labels)
+
+    def hop_neighborhood(targets, hops):
+        reach = set(targets)
+        frontier = set(targets)
+        for _ in range(hops):
+            new = set()
+            for q in frontier:
+                for e in graph.edges():
+                    if q in e:
+                        new.update(e)
+            frontier = new - reach
+            reach |= new
+        return sorted(reach, key=qubits.index)
+
+    def paulis_on(qs, max_weight):
+        import itertools
+        out = []
+        for w in range(1, max_weight + 1):
+            for subset in itertools.combinations(qs, w):
+                for letters in itertools.product('XYZ', repeat=w):
+                    spec = ','.join('%s:%s' % (l, q)
+                                    for l, q in zip(letters, subset))
+                    out.append(spec)
+        return out
+
+    lindblad_coeffs = {}
+    for name in pspec.gate_names:
+        nq_gate = pspec.gate_num_qubits(name)
+        if name in ('{idle}', '(idle)', '[]', ''):
+            continue
+        coeff = {}
+        for avail in pspec.resolved_availability(name)[:1]:
+            # stencil-relative specs: build from the FIRST availability and
+            # express qubits relative to targets where possible
+            max_w = 1 + (extra_gate_weight if nq_gate == 2 else 0)
+            hood = hop_neighborhood(avail, maxhops)
+            hood_w1 = hop_neighborhood(avail, maxhops + extra_weight_1_hops)
+            for spec in paulis_on(hood_w1, 1) + (
+                    paulis_on(hood, max_w) if max_w > 1 else []):
+                # convert 'X:q' pair lists to the constructor's spec form
+                letters = ''.join(p.split(':')[0] for p in spec.split(','))
+                qs = ','.join(p.split(':')[1] for p in spec.split(','))
+                for typ in [t for t in ('H', 'S') if t in gate_type]:
+                    coeff[(typ, '%s:%s' % (letters, qs))] = 0.0
+        if coeff:
+            lindblad_coeffs[name] = coeff
+
+    return create_cloud_crosstalk_model(
+        pspec, custom_gates=custom_gates,
+        lindblad_error_coeffs=lindblad_coeffs, evotype=evotype,
+        simulator=simulator, independent_gates=independent_gates,
+        errcomp_type=errcomp_type, implicit_idle_mode=implicit_idle_mode,
+        basis=basis, verbosity=verbosity)

@@ -281,6 +281,46 @@ class ModelEstimateResults(ProtocolResults):
         estimate.parent = self
         self.estimates[estimate_key] = estimate
 
+    # -- directory-tree serialization (reference: gst.py ModelEstimateResults
+    #    write/from_dir via the results-dir protocol) --------------------------
+    def to_nice_serialization(self):
+        state = {'protocol_name': self.protocol.name,
+                 'circuit_lists': {k: [c.str for c in cl]
+                                   for k, cl in self.circuit_lists.items()},
+                 'estimates': {}}
+        for name, est in self.estimates.items():
+            models = {k: m.to_nice_serialization()
+                      for k, m in est.models.items()
+                      if hasattr(m, 'to_nice_serialization')}
+            params = {}
+            for k, v in est.parameters.items():
+                if isinstance(v, (int, float, str, bool, type(None))):
+                    params[k] = v
+            state['estimates'][name] = {
+                'models': models, 'parameters': params,
+                'goparameters_keys': list(est.goparameters.keys())}
+        return state
+
+    @classmethod
+    def _from_nice_serialization_with_data(cls, state, data):
+        from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable
+        from pygsti_tpu.io.stdinput import StdInputParser
+        from pygsti_tpu.protocols.protocol import Protocol
+        parser = StdInputParser()
+        results = cls(data, Protocol(state.get('protocol_name')),
+                      init_circuits=False)
+        for k, strs in state.get('circuit_lists', {}).items():
+            results.circuit_lists[k] = [parser.parse_circuit(s) for s in strs]
+        for name, est_state in state.get('estimates', {}).items():
+            models = collections.OrderedDict(
+                (k, NicelySerializable.from_nice_serialization(m))
+                for k, m in est_state['models'].items())
+            est = Estimate(results, models, est_state.get('parameters', {}))
+            for gk in est_state.get('goparameters_keys', []):
+                est.goparameters[gk] = {}
+            results.estimates[name] = est
+        return results
+
     def add_model_test(self, target_model, themodel, estimate_key='test', gaugeopt_keys="auto",
                        verbosity=0):
         """Add an estimate that is just a fixed model evaluated against the data."""

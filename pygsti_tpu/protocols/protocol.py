@@ -214,6 +214,11 @@ class ProtocolData(object):
         if (p / 'data' / 'dataset.json').exists():
             with open(p / 'data' / 'dataset.json') as f:
                 ds = DataSet.from_nice_serialization(decode_value(json.load(f)))
+        elif (p / 'data' / 'dataset.txt').exists():
+            # text-format dataset (e.g. written by write_empty_protocol_data
+            # and filled in -- the reference's standard user workflow)
+            from pygsti_tpu.io.readers import read_dataset
+            ds = read_dataset(str(p / 'data' / 'dataset.txt'))
         return cls(edesign, ds)
 
 
@@ -250,8 +255,40 @@ class ProtocolResults(object):
         self.data.write(dirname)
         rd = p / 'results'
         rd.mkdir(parents=True, exist_ok=True)
+        state = self.to_nice_serialization()
+        state['results_type'] = '%s.%s' % (type(self).__module__,
+                                           type(self).__name__)
         with open(rd / ('%s.json' % self.protocol.name), 'w') as f:
-            json.dump(encode_value(self.to_nice_serialization()), f, indent=1)
+            json.dump(encode_value(state), f, indent=1)
+
+    @classmethod
+    def from_dir(cls, dirname, name=None, preferred_comm=None,
+                 quick_load=False):
+        """Load results written by `write` (reference:
+        protocol.ProtocolResults.from_dir).  `name` selects the protocol
+        when several results live in the directory (default: the only
+        one)."""
+        import importlib
+        p = pathlib.Path(dirname)
+        rd = p / 'results'
+        files = sorted(rd.glob('*.json'))
+        if name is not None:
+            files = [rd / ('%s.json' % name)]
+        if not files:
+            raise ValueError("No results found under %s" % str(rd))
+        with open(files[0]) as f:
+            state = decode_value(json.load(f))
+        data = ProtocolData.from_dir(dirname)
+        type_name = state.get('results_type')
+        if type_name:
+            mod, clsname = type_name.rsplit('.', 1)
+            rcls = getattr(importlib.import_module(mod), clsname)
+        else:
+            rcls = cls
+        if hasattr(rcls, '_from_nice_serialization_with_data'):
+            return rcls._from_nice_serialization_with_data(state, data)
+        protocol = Protocol(state.get('protocol_name'))
+        return rcls(data, protocol)
 
 
 class ProtocolResultsDir(object):

@@ -561,3 +561,71 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
     with open(filename, 'w') as f:
         _json.dump(nb, f, indent=1)
     return filename
+
+
+def construct_nqnoise_report(results, title="auto", confidence_level=None,
+                             verbosity=1, **kwargs):
+    """Standard report variant for implicit (n-qubit noise) models
+    (reference: factory.construct_nqnoise_report:1530).  The TPU report
+    machinery renders implicit-model estimates through the same pipeline,
+    so this delegates to construct_standard_report."""
+    if title == "auto":
+        title = "N-Qubit Noise Report"
+    return construct_standard_report(results, title,
+                                     confidence_level=confidence_level,
+                                     verbosity=verbosity, **kwargs)
+
+
+def create_drift_report(results, title="auto", verbosity=1, **kwargs):
+    """Drift (stability analysis) report (reference:
+    factory.create_drift_report:1745).  `results` is a
+    StabilityAnalysisResults (or ProtocolResults holding one)."""
+    from pygsti_tpu.report.driftreport import DriftReport
+    if title == "auto" or title is None:
+        title = "Drift Report"
+    return DriftReport(results, title)
+
+
+def create_offline_zip(output_dir="."):
+    """Package report output for fully-offline viewing (reference:
+    factory.create_offline_zip:1053).  The reference zips its js/css asset
+    tree; reports here are single self-contained HTML files already, so
+    this zips the HTML files found under `output_dir`."""
+    import os
+    import zipfile
+    out_path = os.path.join(str(output_dir), 'offline.zip')
+    with zipfile.ZipFile(out_path, 'w', zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(str(output_dir)):
+            for fn in files:
+                if fn.endswith(('.html', '.pdf')) and fn != 'offline.zip':
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, str(output_dir)))
+    return out_path
+
+
+def find_std_clifford_compilation(model, verbosity=0):
+    """The standard-modelpack Clifford compilation matching `model`'s gate
+    set, or None (reference: factory.find_std_clifford_compilation:1117)."""
+    import importlib
+    from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+    if not isinstance(model, ExplicitOpModel):
+        return None
+    my_ops = {str(k) for k in model.operations.keys()}
+    pack_names = ['smq1Q_XYI', 'smq1Q_XY', 'smq1Q_XZ', 'smq1Q_XYZI',
+                  'smq1Q_ZN', 'smq1Q_pi4_pi2_XZ',
+                  'smq2Q_XYICNOT', 'smq2Q_XYCNOT', 'smq2Q_XYICPHASE',
+                  'smq2Q_XYCPHASE', 'smq2Q_XYI', 'smq2Q_XY']
+    for name in pack_names:
+        try:
+            pack = importlib.import_module('pygsti_tpu.modelpacks.' + name)
+            tgt = pack.target_model('static')
+        except Exception:
+            continue
+        if {str(k) for k in tgt.operations.keys()} == my_ops:
+            try:
+                getter = getattr(pack, 'clifford_compilation', None) or \
+                    getattr(pack, '_Pack').clifford_compilation
+                return getter()
+            except Exception:
+                return None
+    return None

@@ -15,6 +15,8 @@ import functools
 import numpy as np
 import scipy.linalg as spl
 
+from pygsti_tpu.baseobjs.unitarygatefunction import UnitaryGateFunction
+
 sigmaI = np.eye(2, dtype=complex)
 sigmaX = np.array([[0, 1], [1, 0]], dtype=complex)
 sigmaY = np.array([[0, -1j], [1j, 0]], dtype=complex)
@@ -225,3 +227,155 @@ def standard_gatenames_qiskit_conversions():
         'Gp': 's', 'Gpdag': 'sdg', 'Gt': 't', 'Gtdag': 'tdg',
         'Gcnot': 'cx', 'Gcphase': 'cz', 'Gswap': 'swap', 'Gzr': 'rz',
     }
+
+
+# =============================================================================
+# Reference-surface parity: parameterized gate callables, reverse lookups,
+# and external-framework conversion tables (reference: internalgates.py).
+# =============================================================================
+
+class Gzr(UnitaryGateFunction):
+    """Parameterized Z rotation: diag(1, e^{i theta}) (reference:
+    internalgates.Gzr:34; theta = pi gives Z)."""
+    shape = (2, 2)
+
+    def __call__(self, arg):
+        return np.array([[1.0, 0.0],
+                         [0.0, np.exp(1j * float(arg[0]))]], complex)
+
+
+class Gczr(UnitaryGateFunction):
+    """Controlled Gzr (reference: internalgates.Gczr:45)."""
+    shape = (4, 4)
+
+    def __call__(self, arg):
+        u = np.eye(4, dtype=complex)
+        u[3, 3] = np.exp(1j * float(arg[0]))
+        return u
+
+
+class Gu3(UnitaryGateFunction):
+    """QASM u3(theta, phi, lambda) single-qubit gate (reference:
+    internalgates.Gu3:58)."""
+    shape = (2, 2)
+
+    def __call__(self, arg):
+        theta, phi, lamb = (float(arg[0]), float(arg[1]), float(arg[2]))
+        return np.array(
+            [[np.cos(theta / 2), -np.exp(1j * lamb) * np.sin(theta / 2)],
+             [np.exp(1j * phi) * np.sin(theta / 2),
+              np.exp(1j * (phi + lamb)) * np.cos(theta / 2)]], complex)
+
+
+def qasm_u3(theta, phi, lamb, output='unitary'):
+    """The QASM u3 gate as a unitary or pp-basis superoperator (reference:
+    internalgates.qasm_u3:999)."""
+    u = Gu3()([theta, phi, lamb])
+    if output == 'unitary':
+        return u
+    if output == 'superoperator':
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        return np.real(unitary_to_superop(u, 'pp'))
+    raise ValueError("Invalid `output`: %s" % output)
+
+
+def internal_gate_unitaries():
+    """The standard gate-name -> unitary dict, with the continuously
+    parameterized gates included as callables (reference:
+    internalgates.internal_gate_unitaries:70)."""
+    u = {k: v for k, v in standard_gatename_unitaries().items()
+         if v is not None}
+    u['Gzr'] = Gzr()
+    u['Gczr'] = Gczr()
+    u['Gu3'] = Gu3()
+    return u
+
+
+def unitary_to_standard_gatename(unitary, up_to_phase=False,
+                                 return_phase=False):
+    """The standard gate name matching `unitary`, or None (reference:
+    internalgates.unitary_to_standard_gatename:347)."""
+    unitary = np.asarray(unitary)
+    std = standard_gatename_unitaries()
+    for name, U in std.items():
+        if U is None or callable(U):
+            continue
+        U = np.asarray(U)
+        if U.shape == unitary.shape and np.allclose(unitary, U):
+            return (name, 1.0) if (up_to_phase and return_phase) else name
+    if up_to_phase:
+        for name, U in std.items():
+            if U is None or callable(U):
+                continue
+            U = np.asarray(U)
+            if U.shape != unitary.shape:
+                continue
+            # phase: ratio of the largest-magnitude entries
+            idx = np.unravel_index(np.argmax(np.abs(U)), U.shape)
+            if abs(unitary[idx]) < 1e-12:
+                continue
+            phase = U[idx] / unitary[idx]
+            if np.allclose(unitary * phase, U):
+                return (name, complex(phase)) if return_phase else name
+    return (None, None) if (up_to_phase and return_phase) else None
+
+
+def is_gate_pauli_equivalent_to_this_standard_unitary(gate_unitary,
+                                                      standard_gate_name):
+    """Whether `gate_unitary` equals the named standard (Clifford) gate up
+    to pre/post Pauli multiplication and a phase (reference:
+    internalgates.is_gate_pauli_equivalent_to_this_standard_unitary:172)."""
+    from pygsti_tpu.tools.symplectic import unitary_to_symplectic
+    try:
+        s1, _ = unitary_to_symplectic(np.asarray(gate_unitary))
+        s2, _ = unitary_to_symplectic(
+            np.asarray(standard_gatename_unitaries()[standard_gate_name]))
+    except (ValueError, KeyError):
+        return False
+    return bool(np.array_equal(s1, s2))
+
+
+def cirq_gatenames_standard_conversions():
+    """cirq gate -> standard gate-name map (the reverse of
+    standard_gatenames_cirq_conversions; reference:
+    internalgates.cirq_gatenames_standard_conversions:565)."""
+    fwd = standard_gatenames_cirq_conversions()
+    return {v: k for k, v in fwd.items() if v is not None}
+
+
+def qiskit_gatenames_standard_conversions():
+    """qiskit gate-name -> standard gate-name map (reference:
+    internalgates.qiskit_gatenames_standard_conversions)."""
+    fwd = standard_gatenames_qiskit_conversions()
+    out = {}
+    for k, v in fwd.items():
+        out.setdefault(v, k)
+    return out
+
+
+def standard_gatenames_quil_conversions():
+    """Standard gate-name -> quil gate-name map (reference:
+    internalgates.standard_gatenames_quil_conversions:598)."""
+    return {
+        'Gi': 'I', 'Gxpi': 'X', 'Gypi': 'Y', 'Gzpi': 'Z',
+        'Gxpi2': 'RX(pi/2)', 'Gxmpi2': 'RX(-pi/2)',
+        'Gypi2': 'RY(pi/2)', 'Gympi2': 'RY(-pi/2)',
+        'Gzpi2': 'RZ(pi/2)', 'Gzmpi2': 'RZ(-pi/2)',
+        'Gh': 'H', 'Gp': 'S', 'Gt': 'T',
+        'Gcphase': 'CZ', 'Gcnot': 'CNOT', 'Gswap': 'SWAP',
+    }
+
+
+def standard_gatenames_stim_conversions():
+    """Standard gate-name -> stim Tableau map (requires stim; reference:
+    internalgates.standard_gatenames_stim_conversions:398)."""
+    try:
+        import stim
+    except ImportError as e:
+        raise ImportError("stim is required for this operation") from e
+    names = {'Gi': 'I', 'Gxpi': 'X', 'Gypi': 'Y', 'Gzpi': 'Z',
+             'Gxpi2': 'SQRT_X', 'Gypi2': 'SQRT_Y', 'Gzpi2': 'S',
+             'Gxmpi2': 'SQRT_X_DAG', 'Gympi2': 'SQRT_Y_DAG',
+             'Gzmpi2': 'S_DAG', 'Gh': 'H', 'Gp': 'S', 'Gpdag': 'S_DAG',
+             'Gcnot': 'CNOT', 'Gcphase': 'CZ', 'Gswap': 'SWAP'}
+    return {k: stim.Tableau.from_named_gate(v) for k, v in names.items()}

@@ -1,0 +1,226 @@
+"""Reference API-surface additions: io read/write wrappers, full GST
+results round trip, circuitconstruction helpers, rbfit FitResults, fiducial
+candidate generation, and random-circuit layer samplers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.circuits import Circuit
+
+
+@pytest.fixture(scope="module")
+def gst_results(tmp_path_factory):
+    from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+    from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+    from pygsti_tpu.data import simulate_data
+    from pygsti_tpu.protocols.protocol import ProtocolData
+    from pygsti_tpu.protocols.gst import (GateSetTomographyDesign,
+                                          GateSetTomography, GSTInitialModel)
+    target = mp.target_model('full TP')
+    lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                       mp.meas_fiducials(), mp.germs(), [1])
+    ds = simulate_data(target.depolarize(op_noise=0.02), list(lists[-1]),
+                       500, seed=5)
+    gst = GateSetTomography(GSTInitialModel(model=target.copy()),
+                            gaugeopt_suite='stdgaugeopt', verbosity=0)
+    return gst.run(ProtocolData(GateSetTomographyDesign(target, lists), ds))
+
+
+class TestResultsRoundTrip:
+    def test_write_and_read_results(self, gst_results, tmp_path):
+        from pygsti_tpu.io.readers import (read_results_from_dir,
+                                           read_data_from_dir,
+                                           read_edesign_from_dir)
+        from pygsti_tpu.protocols.protocol import ProtocolResults
+        d = str(tmp_path / 'results_dir')
+        gst_results.write(d)
+        loaded = ProtocolResults.from_dir(d)
+        assert type(loaded).__name__ == 'ModelEstimateResults'
+        est0 = gst_results.estimates['GateSetTomography']
+        est1 = loaded.estimates['GateSetTomography']
+        for key in ('target', 'final iteration estimate', 'stdgaugeopt'):
+            m0 = est0.models[key]
+            m1 = est1.models[key]
+            for lbl in m0.operations:
+                assert np.allclose(np.asarray(m0.operations[lbl].to_dense()),
+                                   np.asarray(m1.operations[lbl].to_dense()))
+        assert np.isclose(est1.misfit_sigma(), est0.misfit_sigma())
+        # named-reader variant + edesign/data readers
+        loaded2 = read_results_from_dir(d, name='GateSetTomography')
+        assert np.isclose(
+            loaded2.estimates['GateSetTomography'].misfit_sigma(),
+            est0.misfit_sigma())
+        data = read_data_from_dir(d)
+        assert len(data.dataset) == len(gst_results.data.dataset)
+        ed = read_edesign_from_dir(d)
+        assert len(ed.all_circuits_needing_data) == \
+            len(gst_results.data.edesign.all_circuits_needing_data)
+
+
+class TestIoHelpers:
+    def test_circuit_strings_round_trip(self, tmp_path):
+        from pygsti_tpu.io.writers import (convert_circuits_to_strings,
+                                           write_circuit_strings)
+        from pygsti_tpu.io.readers import (convert_strings_to_circuits,
+                                           read_circuit_strings)
+        c1 = Circuit(('Gxpi2', 'Gypi2'), (0,))
+        c2 = Circuit(('Gxpi2',), (0,))
+        obj = {'list': [c1, c2], 'single': c1, 'n': 3}
+        enc = convert_circuits_to_strings(obj)
+        assert enc['single'].startswith('circuit/')
+        dec = convert_strings_to_circuits(enc)
+        assert dec['list'][0] == c1 and dec['single'] == c1 and dec['n'] == 3
+        fn = str(tmp_path / 'circs.json')
+        write_circuit_strings(fn, obj)
+        dec2 = read_circuit_strings(fn)
+        assert dec2['list'][1] == c2
+
+    def test_write_empty_protocol_data_and_fill(self, tmp_path):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.io.writers import (write_empty_protocol_data,
+                                           fill_in_empty_dataset_with_fake_data)
+        from pygsti_tpu.io.readers import read_data_from_dir
+        design = mp.create_gst_experiment_design(2)
+        d = str(tmp_path / 'empty_data')
+        write_empty_protocol_data(d, design)
+        ds_file = os.path.join(d, 'data', 'dataset.txt')
+        assert os.path.exists(ds_file)
+        model = mp.target_model('full TP').depolarize(op_noise=0.05)
+        ds = fill_in_empty_dataset_with_fake_data(ds_file, model, 1000,
+                                                  seed=7)
+        data = read_data_from_dir(d)
+        assert len(data.dataset) == len(design.all_circuits_needing_data)
+        row = data.dataset[design.all_circuits_needing_data[0]]
+        assert row.total == 1000
+
+
+class TestCircuitConstructionHelpers:
+    def test_create_circuits(self):
+        from pygsti_tpu.circuits import circuitconstruction as cc
+        fids = cc.to_circuits([(), ('Gxpi2',), ('Gypi2',)], line_labels=(0,))
+        germs = cc.to_circuits([('Gxpi2',), ('Gxpi2', 'Gypi2')],
+                               line_labels=(0,))
+        lst = cc.create_circuits('f0+germ*e+f1', f0=fids, f1=fids,
+                                 germ=germs, e=2,
+                                 order=['germ', 'f0', 'f1'])
+        assert len(lst) == len(germs) * len(fids) ** 2
+        assert lst[0] == germs[0] * 2
+
+    def test_create_lgst_circuits_and_estimatable(self):
+        from pygsti_tpu.circuits import circuitconstruction as cc
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        preps, meass = list(mp.prep_fiducials()), list(mp.meas_fiducials())
+        model = mp.target_model('full TP')
+        lgst_list = cc.create_lgst_circuits(preps, meass, model)
+        assert all(isinstance(c, Circuit) for c in lgst_list)
+        ds = simulate_data(model, lgst_list, 100, seed=1)
+        estimatable = cc.list_circuits_lgst_can_estimate(ds, preps, meass)
+        names = {c.str for c in estimatable}
+        assert any('Gxpi2' in n for n in names)
+
+    def test_manipulate_and_filter(self):
+        from pygsti_tpu.circuits import circuitconstruction as cc
+        c = Circuit(('Gxpi2', 'Gypi2', 'Gxpi2'), (0,))
+        m = cc.manipulate_circuit(c, [(('Gxpi2',), ('Gzpi2', 'Gzpi2'))])
+        assert [getattr(l, 'name', str(l)) for l in m.layertup] == \
+            ['Gzpi2', 'Gzpi2', 'Gypi2', 'Gzpi2', 'Gzpi2']
+        ms = cc.manipulate_circuits([c, c], [(('Gypi2',), ())])
+        assert all(len(x.layertup) == 2 for x in ms)
+
+
+class TestRbFitAndSamplers:
+    def test_custom_least_squares_fit(self):
+        from pygsti_tpu.algorithms.rbfit import custom_least_squares_fit
+        m = np.array([2, 4, 8, 16, 32])
+        asps = 0.5 + 0.48 * 0.97 ** m
+        res = custom_least_squares_fit(m, asps, 1)
+        assert res.success and abs(res.estimates['p'] - 0.97) < 1e-6
+        res_fa = custom_least_squares_fit(m, asps, 1, a=0.5)
+        assert res_fa.success and abs(res_fa.estimates['p'] - 0.97) < 1e-6
+        assert res_fa.estimates['a'] == 0.5
+        assert 'p =' in str(res_fa).replace('= ', '= ') or res_fa.estimates
+
+    def test_layer_samplers_cover_all_qubits(self):
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        from pygsti_tpu.algorithms import randomcircuit as rc
+        from pygsti_tpu.baseobjs.label import Label
+        pspec = QubitProcessorSpec(3, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        co2 = [[Label('Gcnot', (0, 1))], [Label('Gcnot', (1, 2))], []]
+        for sampler, args in [('edgegrab', {}), ('Qelimination', {}),
+                              ('local', {}),
+                              ('co2Qgates', {'co2_q_gates': co2})]:
+            c = rc.create_random_circuit(pspec, 6, sampler=sampler,
+                                         samplerargs=args, seed=3)
+            for layer in c.layertup:
+                comps = layer.components if not layer.is_simple else (layer,)
+                qs = sorted(q for l in comps for q in l.sslbls)
+                assert qs == [0, 1, 2], (sampler, layer)
+
+    def test_candidate_fiducials(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms import fiducialselection as fs
+        model = mp.target_model('full TP')
+        cands = fs.create_candidate_fiducial_list(model,
+                                                  candidate_fid_counts=3)
+        assert len(cands) > 4
+        assert Circuit((), model.state_space.qubit_labels) in cands
+        pm = fs.create_prep_mxs(model, cands)
+        mm = fs.create_meas_mxs(model, cands)
+        assert pm[0].shape[1] == len(cands)
+        assert mm[0].shape[0] == model.dim
+
+
+class TestCompilerEntryPoints:
+    """compile_symplectic / compile_cnot_circuit / compile_stabilizer_*
+    (reference: compilers.py)."""
+
+    def test_compile_symplectic(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        rng = np.random.RandomState(0)
+        for n in (1, 2, 3):
+            s, _ = sym.random_clifford(n, rand_state=rng)
+            c = cmp.compile_symplectic(s)
+            s_c, _ = sym.symplectic_rep_of_clifford_circuit(c)
+            assert np.array_equal(s_c, s % 2)
+
+    def test_compile_symplectic_native(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        rng = np.random.RandomState(1)
+        s, _ = sym.random_clifford(2, rand_state=rng)
+        c = cmp.compile_symplectic(s, pspec=pspec)
+        names = {getattr(l, 'name', str(l)) for l in c.layertup}
+        assert names <= {'Gxpi2', 'Gypi2', 'Gcnot'}
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(c)
+        assert np.array_equal(s_c, s % 2)
+
+    def test_compile_cnot_circuit(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        M = np.array([[1, 1, 0], [0, 1, 0], [1, 0, 1]])
+        c = cmp.compile_cnot_circuit(M)
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(c)
+        assert np.array_equal(s_c[:3, :3] % 2, M % 2)
+        with pytest.raises(AssertionError):
+            cmp.compile_cnot_circuit(np.array([[1, 1], [1, 1]]))
+
+    def test_stabilizer_prep_meas_inverse(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        rng = np.random.RandomState(2)
+        s, p = sym.random_clifford(2, rand_state=rng)
+        prep = cmp.compile_stabilizer_state(s, p)
+        meas = cmp.compile_stabilizer_measurement(s, p)
+        s1, p1 = sym.symplectic_rep_of_clifford_circuit(prep)
+        s2, p2 = sym.symplectic_rep_of_clifford_circuit(meas)
+        sc, pc = sym.compose_cliffords(s1, p1, s2, p2)
+        assert np.array_equal(sc, np.eye(4, dtype=np.int64))
+        assert np.all(pc % 4 == 0)

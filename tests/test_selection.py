@@ -201,3 +201,62 @@ class TestSelectionVariants:
         assert set(pairs.keys()) == {(g, L) for g in germs for L in (1, 2)}
         for plist in pairs.values():
             assert len(plist) >= 1
+
+
+class TestGermSelectionReferenceEntryPoints:
+    """find_germs_* standalone entry points + germ-set test functions
+    (reference: germselection.py)."""
+
+    def _setup(self):
+        import itertools
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        import pygsti_tpu.algorithms.germselection as gs
+        from pygsti_tpu.circuits import Circuit
+        model = mp.target_model('full TP')
+        rmodel = gs.randomize_model_list([model], 1e-2, 1, seed=4)[0]
+        lls = model.state_space.qubit_labels
+        ops = list(model.operations.keys())
+        cands = [Circuit(c, lls) for L in (1, 2, 3)
+                 for c in itertools.product(ops, repeat=L)]
+        return gs, rmodel, cands, mp
+
+    def test_breadthfirst_and_depthfirst(self):
+        gs, rmodel, cands, mp = self._setup()
+        g_bf = gs.find_germs_breadthfirst(rmodel, cands, threshold=1e8)
+        assert gs.test_germ_set_infl(rmodel, g_bf)
+        g_df = gs.find_germs_depthfirst(rmodel, cands, threshold=1e8)
+        assert gs.test_germ_set_infl(rmodel, g_df)
+
+    def test_grasp_and_slack(self):
+        gs, rmodel, cands, mp = self._setup()
+        g_gr = gs.find_germs_grasp(rmodel, cands, iterations=2, seed=1,
+                                   threshold=1e8)
+        assert gs.test_germ_set_infl(rmodel, g_gr)
+        g_sl = gs.find_germs_integer_slack(rmodel, cands, slack_frac=0.2)
+        assert gs.test_germ_set_infl(rmodel, g_sl)
+
+    def test_germ_set_tests(self):
+        gs, rmodel, cands, mp = self._setup()
+        pack = list(mp.germs())
+        assert gs.test_germ_set_infl(rmodel, pack)
+        assert gs.test_germ_set_finitel(rmodel, pack, 16)
+        assert not gs.test_germ_set_infl(rmodel, [cands[0]])
+        ok, spectrum = gs.test_germ_set_finitel(rmodel, pack, 16,
+                                                return_spectrum=True)
+        assert ok and len(spectrum) == rmodel.num_params
+
+    def test_score_cache_and_drop(self):
+        gs, rmodel, cands, mp = self._setup()
+        sc = gs.compute_germ_set_score(list(mp.germs()), target_model=rmodel,
+                                       neighborhood_size=2, seed=1)
+        assert np.isfinite(sc)
+        cache = gs.create_circuit_cache(rmodel, cands[:12])
+        c2, cache2 = gs.clean_germ_list(rmodel, cache)
+        assert len(c2) <= 12 and set(cache2) == set(c2)
+        dropped = gs.drop_random_germs(cands, 0.5, rmodel, seed=2)
+        assert len(dropped) < len(cands)
+        # bare singletons survive
+        from pygsti_tpu.circuits import Circuit
+        lls = rmodel.state_space.qubit_labels
+        for gl in rmodel.operations.keys():
+            assert Circuit((gl,), lls) in dropped
