@@ -274,3 +274,33 @@ def run_iterative_gst(dataset, start_model, circuit_lists, optimizer,
         models.append(mdl)
         results.append(opt_results)
     return models, results
+
+
+def gram_rank_and_eigenvalues(dataset, prep_fiducials, effect_fiducials,
+                              target_model):
+    """Rank and singular values of the dataset's Gram matrix (reference:
+    core.gram_rank_and_eigenvalues:536)."""
+    from pygsti_tpu.algorithms.grammatrix import _gram_rank_and_evals
+    return _gram_rank_and_evals(dataset, prep_fiducials, effect_fiducials,
+                                target_model)
+
+
+def find_closest_unitary_opmx(operation_mx, op_basis='pp'):
+    """The closest (max-fidelity) unitary superoperator to `operation_mx`:
+    the unitary part of the polar decomposition of the Choi matrix's
+    dominant eigenvector's unitary... computed here via the dominant Choi
+    eigenvector, which maximizes process fidelity among unitary channels
+    (reference: core.find_closest_unitary_opmx:1200)."""
+    import numpy as _np
+    from pygsti_tpu.tools.jamiolkowski import jamiolkowski_iso
+    from pygsti_tpu.tools.optools import unitary_to_superop
+    J = _np.asarray(jamiolkowski_iso(_np.asarray(operation_mx), op_basis,
+                                     'std'))
+    evals, evecs = _np.linalg.eigh((J + J.conj().T) / 2)
+    kraus = evecs[:, -1]                      # dominant Choi eigenvector
+    d = int(round(_np.sqrt(len(kraus))))
+    K = kraus.reshape(d, d) * _np.sqrt(d)
+    # polar-project K onto the unitary manifold
+    u_svd, _, vh = _np.linalg.svd(K)
+    U = u_svd @ vh
+    return _np.real_if_close(unitary_to_superop(U, op_basis))

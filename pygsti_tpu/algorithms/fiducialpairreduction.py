@@ -236,3 +236,111 @@ def find_sufficient_fiducial_pairs(target_model, prep_fiducials, meas_fiducials,
     for pairs in per_germ.values():
         union.update(pairs)
     return sorted(union)
+
+
+def test_fiducial_pairs(fid_pairs, target_model, prep_fiducials,
+                        meas_fiducials, germs, test_lengths=(256, 2048),
+                        prep_povm_tuples="first", tol=0.75, verbosity=0,
+                        mem_limit=None):
+    """How many (non-gauge) model parameters the given fiducial pairs
+    amplify (reference: fiducialpairreduction.test_fiducial_pairs:870).
+    `fid_pairs` is a global list of (iPrep, iMeas) index 2-tuples or a
+    per-germ dict of such lists."""
+    proj = _nongauge_projector(target_model)
+    total_rows = []
+    for germ in germs:
+        pairs = fid_pairs[germ] if isinstance(fid_pairs, dict) else fid_pairs
+        rows, pair_index, n_amp = _germ_pair_sensitivities(
+            target_model, germ, prep_fiducials, meas_fiducials, proj)
+        T = twirled_deriv(target_model, germ) @ proj
+        U, s, Vh = np.linalg.svd(T, full_matrices=False)
+        keep = s > 1e-8 * max(s[0], 1e-30)
+        directions = Vh[keep]                            # [n_amp, P]
+        pair_set = set(tuple(p) for p in pairs)
+        sel = [k for k, pi in enumerate(pair_index) if pi in pair_set]
+        if not sel:
+            continue
+        # rows are in per-germ amplified-direction coordinates; map back to
+        # full parameter space for cross-germ accumulation
+        total_rows.append(rows[sel] @ directions)
+    if not total_rows:
+        return 0
+    J = np.concatenate(total_rows, axis=0)
+    s = np.linalg.svd(J, compute_uv=False)
+    return int(np.sum(s > 1e-8 * max(s[0] if len(s) else 0.0, 1e-30)))
+
+
+def find_sufficient_fiducial_pairs_per_germ_global(
+        target_model, prep_fiducials, meas_fiducials, germs=None,
+        initial_seed_mode='greedy', evd_tol=1e-10, sensitivity_threshold=1e-10,
+        seed=None, verbosity=0, num_soln_returned=1, type_soln_returned='best',
+        retry_for_smaller=True, mem_limit=None, germ_vector_spanning_set=None,
+        precomputed_jacobians=None):
+    """Per-germ fiducial-pair reduction scored against the GLOBAL germ-set
+    amplified directions rather than each germ's own (reference:
+    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_global:668).
+    Greedy selection per germ until the global sensitivity rank saturates."""
+    printer = VerbosityPrinter.create_printer(verbosity)
+    proj = _nongauge_projector(target_model)
+    out = {}
+    for germ in germs:
+        rows, pair_index, n_amp = _germ_pair_sensitivities(
+            target_model, germ, prep_fiducials, meas_fiducials, proj)
+        # greedy pair selection until this germ's rows reach full rank n_amp
+        pairs_order = []
+        seen = set()
+        for (i, j) in pair_index:
+            if (i, j) not in seen:
+                seen.add((i, j))
+                pairs_order.append((i, j))
+        chosen = []
+        current_rank = 0
+        while current_rank < n_amp and len(chosen) < len(pairs_order):
+            best = None
+            for cand in pairs_order:
+                if cand in chosen:
+                    continue
+                sel = [k for k, pi in enumerate(pair_index)
+                       if pi in chosen or pi == cand]
+                rank = np.linalg.matrix_rank(rows[sel],
+                                             tol=sensitivity_threshold)
+                if best is None or rank > best[1]:
+                    best = (cand, rank)
+            chosen.append(best[0])
+            current_rank = best[1]
+        out[germ] = chosen
+        printer.log("  germ %s: %d pairs for %d directions"
+                    % (germ.str, len(chosen), n_amp), 2)
+    return out
+
+
+get_per_germ_fid_pairs_global = find_sufficient_fiducial_pairs_per_germ_global
+
+
+def filter_useless_fid_pairs(fid_pairs, target_model, prep_fiducials,
+                             meas_fiducials, germ,
+                             sensitivity_threshold=1e-10):
+    """Drop pairs whose sensitivity rows are (numerically) zero for `germ`
+    (reference: fiducialpairreduction.filter_useless_fid_pairs)."""
+    rows, pair_index, _ = _germ_pair_sensitivities(
+        target_model, germ, prep_fiducials, meas_fiducials)
+    useful = set()
+    for k, pi in enumerate(pair_index):
+        if np.linalg.norm(rows[k]) > sensitivity_threshold:
+            useful.add(pi)
+    return [p for p in fid_pairs if tuple(p) in useful]
+
+
+def compute_jacobian_dicts(target_model, germs, prep_fiducials,
+                           meas_fiducials, comm=None, mem_limit=None,
+                           verbosity=0):
+    """Per-germ sensitivity Jacobians keyed by germ (reference:
+    fiducialpairreduction.compute_jacobian_dicts)."""
+    out = {}
+    proj = _nongauge_projector(target_model)
+    for germ in germs:
+        rows, pair_index, n_amp = _germ_pair_sensitivities(
+            target_model, germ, prep_fiducials, meas_fiducials, proj)
+        out[germ] = {'jacobian': rows, 'pair_index': pair_index,
+                     'num_amplified': n_amp}
+    return out

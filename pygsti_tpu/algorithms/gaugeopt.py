@@ -280,3 +280,25 @@ def gaugeopt_custom(model, objective_fn, gauge_group=None, method='L-BFGS-B',
     out = model.copy()
     out.transform_inplace(el)
     return out
+
+
+class GaugeoptToTargetArgs(object):
+    """Argument container for gaugeopt_to_target calls (reference:
+    gaugeopt.GaugeoptToTargetArgs) -- stores kwargs so gauge-opt suites can
+    be built programmatically and replayed."""
+
+    def __init__(self, **kwargs):
+        self.args = dict(kwargs)
+
+    def run(self, model, target_model):
+        return gaugeopt_to_target(model, target_model, **self.args)
+
+
+def gates_with_instruments(model):
+    """The model's operation labels plus expanded instrument-member labels
+    (reference: gaugeopt.gates_with_instruments)."""
+    labels = list(model.operations.keys())
+    for ilbl, inst in getattr(model, 'instruments', {}).items():
+        for mlbl in inst.member_labels:
+            labels.append((ilbl, mlbl))
+    return labels

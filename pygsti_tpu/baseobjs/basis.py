@@ -23,11 +23,22 @@ _BUILTIN = {
     'PP': (lambda d: _bc.pp_matrices(d, normalize=False), _bc.pp_labels, False),
     'gm': (lambda d: _bc.gm_matrices(d, normalize=True), _bc.gm_labels, True),
     'qt': (_bc.qt_matrices, _bc.qt_labels, True),
+    'l2p1': (_bc.lf_matrices, _bc.lf_labels, True),
 }
 
 
 class Basis(object):
     """A basis of d x d matrices spanning (a subspace of) matrix space."""
+
+    def implies_leakage_modeling(self):
+        """True when this basis designates a proper computational subspace
+        (labels use the C[...]/L[...] leakage convention; reference:
+        basis.implies_leakage_modeling:374)."""
+        import re
+        labels = [str(l) for l in self.labels]
+        has_eye = any(re.match(r'^(?:I|C\[I+\])+$', l) for l in labels)
+        has_leak = any(l.startswith('L[') for l in labels)
+        return bool(has_eye and has_leak)
 
     @classmethod
     def cast(cls, name_or_basis, dim_or_statespace=None):

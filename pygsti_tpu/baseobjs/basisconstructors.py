@@ -157,3 +157,34 @@ def qt_labels(matrix_dim):
     if matrix_dim == 1:
         return ['']
     return ['II', 'X+Y', 'X-Y', 'YZ', 'IX', 'IY', 'IZ', 'XY', 'XZ']
+
+
+@functools.lru_cache(maxsize=None)
+def lf_matrices(matrix_dim):
+    """The 'l2p1' leakage basis for a 2+1 level system: Hilbert space splits
+    into a 2-dim computational subspace + 1-dim leakage level; basis elements
+    separate computational-supported and leakage-supported operator sectors
+    (reference: basisconstructors.lf_matrices:728)."""
+    if matrix_dim != 3:
+        raise NotImplementedError("l2p1 basis requires matrix_dim == 3")
+    gm = gm_matrices(3, normalize=True)
+    out = np.array([
+        np.sqrt(2) / 3 * (np.sqrt(3) * gm[0] + 0.5 * np.sqrt(6) * gm[8]),
+        gm[1],            # X_{0,1}
+        gm[4],            # Y_{0,1}
+        gm[7],            # Z_{1}
+        gm[2],            # X_{0,2}
+        gm[3],            # X_{1,2}
+        gm[5],            # Y_{0,2}
+        gm[6],            # Y_{1,2}
+        1 / 3 * (np.sqrt(3) * gm[0] - np.sqrt(6) * gm[8]),
+    ])
+    out.flags.writeable = False
+    return out
+
+
+def lf_labels(matrix_dim):
+    if matrix_dim != 3:
+        raise NotImplementedError("l2p1 basis requires matrix_dim == 3")
+    return ["C[I]", "C[X]", "C[Y]", "C[Z]",
+            "L[X_02]", "L[X_12]", "L[Y_02]", "L[Y_12]", "L[I]"]

@@ -133,3 +133,94 @@ def read_protocol_from_dir(dirname, quick_load=False):
     from pygsti_tpu.io.metadir import _cls_from_meta_json
     cls = _cls_from_meta_json(dirname)
     return cls.from_dir(dirname)
+
+
+def create_edesign_from_dir(dirname):
+    """Create an ExperimentDesign from a bare directory of circuit files
+    (edesign/circuits*.txt) when no serialized edesign exists (reference:
+    readers.create_edesign_from_dir)."""
+    import os
+    from pygsti_tpu.protocols.protocol import ExperimentDesign
+    edir = os.path.join(str(dirname), 'edesign')
+    try:
+        return ExperimentDesign.from_dir(dirname)
+    except Exception:
+        pass
+    circuit_files = sorted(
+        fn for fn in (os.listdir(edir) if os.path.isdir(edir) else [])
+        if fn.startswith('circuits') and fn.endswith('.txt'))
+    if not circuit_files:
+        raise ValueError("No edesign found under %s" % str(dirname))
+    all_circuits = []
+    for fn in circuit_files:
+        all_circuits.extend(read_circuit_list(os.path.join(edir, fn)))
+    return ExperimentDesign(all_circuits)
+
+
+# -- MongoDB wrappers (reference: readers.read_*_from_mongodb;
+#    gated on pymongo, like the reference) ----------------------------------
+
+def _mongo_read(mongodb, collection_name, doc_id):
+    from pygsti_tpu.io.mongodb import read_auxtree_from_mongodb
+    return read_auxtree_from_mongodb(mongodb[collection_name], doc_id)
+
+
+def read_edesign_from_mongodb(mongodb, doc_id, quick_load=False, comm=None):
+    """Load an ExperimentDesign from MongoDB (reference:
+    readers.read_edesign_from_mongodb)."""
+    return _mongo_read(mongodb, 'pygsti_experiment_designs', doc_id)
+
+
+def read_data_from_mongodb(mongodb, doc_id, quick_load=False, comm=None):
+    """Load a ProtocolData from MongoDB (reference:
+    readers.read_data_from_mongodb)."""
+    return _mongo_read(mongodb, 'pygsti_protocol_data', doc_id)
+
+
+def read_results_from_mongodb(mongodb, doc_id, quick_load=False, comm=None):
+    """Load ProtocolResults from MongoDB (reference:
+    readers.read_results_from_mongodb)."""
+    return _mongo_read(mongodb, 'pygsti_protocol_results', doc_id)
+
+
+def read_resultsdir_from_mongodb(mongodb, doc_id, quick_load=False,
+                                 comm=None, read_all_results_for_data=False):
+    """Load a results directory tree from MongoDB (reference:
+    readers.read_resultsdir_from_mongodb)."""
+    return _mongo_read(mongodb, 'pygsti_protocol_results_dirs', doc_id)
+
+
+def read_protocol_from_mongodb(mongodb, doc_id, quick_load=False):
+    """Load a Protocol object from MongoDB (reference:
+    readers.read_protocol_from_mongodb)."""
+    return _mongo_read(mongodb, 'pygsti_protocols', doc_id)
+
+
+def _mongo_remove(mongodb, collection_name, doc_id, session=None):
+    from pygsti_tpu.io.mongodb import remove_auxtree_from_mongodb
+    return remove_auxtree_from_mongodb(mongodb[collection_name], doc_id,
+                                       session=session)
+
+
+def remove_edesign_from_mongodb(mongodb, doc_id, session=None):
+    """Remove an ExperimentDesign from MongoDB (reference:
+    readers.remove_edesign_from_mongodb)."""
+    return _mongo_remove(mongodb, 'pygsti_experiment_designs', doc_id,
+                         session)
+
+
+def remove_data_from_mongodb(mongodb, doc_id, session=None):
+    return _mongo_remove(mongodb, 'pygsti_protocol_data', doc_id, session)
+
+
+def remove_results_from_mongodb(mongodb, doc_id, session=None):
+    return _mongo_remove(mongodb, 'pygsti_protocol_results', doc_id, session)
+
+
+def remove_resultsdir_from_mongodb(mongodb, doc_id, session=None):
+    return _mongo_remove(mongodb, 'pygsti_protocol_results_dirs', doc_id,
+                         session)
+
+
+def remove_protocol_from_mongodb(mongodb, doc_id, session=None):
+    return _mongo_remove(mongodb, 'pygsti_protocols', doc_id, session)

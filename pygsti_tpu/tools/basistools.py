@@ -156,3 +156,44 @@ def flexible_change_basis(mx, start_basis, end_basis):
     mx2 = resize_std_mx(change_basis(mx, sb, 'std'),
                         'expand' if eb.dim > sb.dim else 'contract', sb, eb)
     return change_basis(mx2, 'std', eb)
+
+
+def is_sparse_basis(name_or_basis):
+    """Whether a basis (or basis name) uses sparse matrices (reference:
+    basistools.is_sparse_basis).  All builtin bases here are dense."""
+    return bool(getattr(name_or_basis, 'sparse', False))
+
+
+def is_cvxpy_expression(obj):
+    """Whether `obj` is a cvxpy expression (reference:
+    basistools.is_cvxpy_expression).  cvxpy is an optional dependency the
+    TPU build does not ship, so this is True only when cvxpy is importable
+    AND `obj` is one of its Expression types."""
+    try:
+        import cvxpy
+    except ImportError:
+        return False
+    return isinstance(obj, cvxpy.expressions.expression.Expression)
+
+
+def resize_mx(mx, dim_or_block_dims=None, resize=None):
+    """Expand a direct-sum block-space matrix into the full embedding space
+    or contract it back (reference: basistools.resize_mx:402 /
+    resize_std_mx:328).  Implemented exactly as the reference does: through
+    the direct-sum std basis's to/from-elementstd transform matrices."""
+    import numpy as _np
+    from pygsti_tpu.baseobjs.basis import BuiltinBasis, DirectSumBasis
+    if dim_or_block_dims is None:
+        return mx
+    if isinstance(dim_or_block_dims, int):
+        dim_or_block_dims = (dim_or_block_dims,)
+    ds = DirectSumBasis([BuiltinBasis('std', d * d)
+                         for d in dim_or_block_dims])
+    T = ds.to_elementstd_transform_matrix()       # [big^2, small^2]
+    F = T.conj().T                                 # dual (elements orthonormal)
+    mx = _np.asarray(mx)
+    if resize == 'expand':
+        return T @ mx @ F
+    if resize == 'contract':
+        return F @ mx @ T
+    raise ValueError("resize must be 'expand' or 'contract'")

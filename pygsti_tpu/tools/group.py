@@ -79,3 +79,11 @@ def construct_1q_clifford_group():
     assert len(elems) == 24, \
         "1Q Clifford group should have 24 elements, got %d" % len(elems)
     return MatrixGroup(list(elems.values()), labels=list(range(24)))
+
+
+def is_integer(x):
+    """Whether `x` is an integer type (reference: group.is_integer:18)."""
+    import numbers
+    import numpy as _np
+    return isinstance(x, (int, _np.integer)) \
+        or (isinstance(x, numbers.Integral) and not isinstance(x, bool))

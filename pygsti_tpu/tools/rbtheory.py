@@ -121,3 +121,49 @@ def gate_dependence_of_errormaps(model, target_model, norm='diamond'):
         else:
             deltas.append(float(np.linalg.norm(D, 'fro')))
     return float(np.mean(deltas))
+
+
+def R_matrix(model, group, group_to_model=None, weights=None):
+    """The RB 'R-matrix' of Proctor et al PRL 119, 130502 (2017),
+    generalized to weighted subset sampling (reference:
+    rbtheory.R_matrix:401)."""
+    import numpy as _np
+    if group_to_model is None:
+        for key in model.operations.keys():
+            assert group.label_indices([key]), "Gate labels not in `group`!"
+    d2 = model.dim
+    group_dim = len(group)
+    R = _np.zeros((group_dim * d2, group_dim * d2), float)
+    if weights is None:
+        weights = {key: 1.0 for key in model.operations.keys()}
+    normalizer = sum(weights[k] for k in model.operations.keys())
+    for i in range(group_dim):
+        inv_i = group.inverse_index(i)
+        for j in range(group_dim):
+            # the element taking group element i to j under left-to-right
+            # circuit composition: C_j C_i^{-1} as a MATRIX product (the
+            # reference's product() composes in circuit order; ours composes
+            # in matrix order, hence [j, inv_i])
+            label_itoj = group.labels[group.product([j, inv_i])]
+            gslabel = None
+            if group_to_model is not None:
+                gslabel = group_to_model.get(label_itoj)
+            elif label_itoj in model.operations:
+                gslabel = label_itoj
+            if gslabel is not None:
+                R[j * d2:(j + 1) * d2, i * d2:(i + 1) * d2] = \
+                    weights[gslabel] * _np.asarray(
+                        model.operations[gslabel].to_dense())
+    return R / normalizer
+
+
+def R_matrix_predicted_rb_decay_parameter(model, group, group_to_model=None,
+                                          weights=None):
+    """The RB decay parameter predicted by the R-matrix: its second-largest
+    'eigenvalue in magnitude after the trivial unit eigenvalue (reference:
+    rbtheory.R_matrix_predicted_rb_decay_parameter:352)."""
+    import numpy as _np
+    E = _np.absolute(_np.linalg.eigvals(
+        R_matrix(model, group, group_to_model, weights)))
+    E = _np.flipud(_np.sort(E))
+    return float(E[1])

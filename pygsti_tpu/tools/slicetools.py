@@ -87,3 +87,27 @@ def slice_of_slice(s, base):
 
 def slice_hash(s):
     return (s.start, s.stop, s.step)
+
+
+def intersect_within(s1, s2):
+    """Intersection of two slices plus the sub-slices of each that select
+    the intersection (reference: slicetools.intersect_within:97).  `s2` may
+    be an index array, in which case index arrays are returned."""
+    import numpy as _np
+    assert s1.step in (None, 1), "only step-1 slices supported"
+    if isinstance(s2, slice):
+        assert s2.step in (None, 1)
+        start = max(s1.start, s2.start)
+        stop = min(s1.stop, s2.stop)
+        if start >= stop:
+            empty = slice(0, 0)
+            return empty, empty, empty
+        return (slice(start, stop),
+                slice(start - s1.start, stop - s1.start),
+                slice(start - s2.start, stop - s2.start))
+    s2 = _np.asarray(s2)
+    mask = (s2 >= s1.start) & (s2 < s1.stop)
+    within2 = _np.nonzero(mask)[0]
+    intersection = s2[mask]
+    within1 = intersection - s1.start
+    return intersection, within1, within2

@@ -224,3 +224,107 @@ class TestCompilerEntryPoints:
         sc, pc = sym.compose_cliffords(s1, p1, s2, p2)
         assert np.array_equal(sc, np.eye(4, dtype=np.int64))
         assert np.all(pc % 4 == 0)
+
+
+class TestSmallToolsSurface:
+    def test_slicetools_group_basistools(self, ref_pygsti):
+        import pygsti
+        from pygsti_tpu.tools import slicetools, group, basistools as bt
+        i, w1, w2 = slicetools.intersect_within(slice(2, 8), slice(5, 12))
+        ri, rw1, rw2 = pygsti.tools.slicetools.intersect_within(
+            slice(2, 8), slice(5, 12))
+        assert (i, w1, w2) == (ri, rw1, rw2)
+        assert group.is_integer(np.int32(3)) and not group.is_integer(2.5)
+        rng = np.random.RandomState(0)
+        m, B = rng.randn(5, 5), rng.randn(9, 9)
+        assert np.allclose(bt.resize_mx(m, (2, 1), 'expand'),
+                           np.asarray(pygsti.tools.resize_mx(m, (2, 1),
+                                                             'expand')))
+        assert np.allclose(bt.resize_mx(B, (2, 1), 'contract'),
+                           np.asarray(pygsti.tools.resize_mx(B, (2, 1),
+                                                             'contract')))
+
+    def test_gram_rank_and_closest_unitary(self):
+        from pygsti_tpu.algorithms import core
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.circuits import circuitconstruction as cc
+        m = mp.target_model('full TP')
+        preps, meass = list(mp.prep_fiducials()), list(mp.meas_fiducials())
+        lgst_list = cc.create_lgst_circuits(preps, meass, m)
+        ds = simulate_data(m, lgst_list, 1000, seed=2)
+        rank, evals, tgt_evals = core.gram_rank_and_eigenvalues(
+            ds, preps, meass, m)
+        assert rank >= 4
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        from pygsti_tpu.tools.optools import unitary_to_superop
+        sup = np.real(unitary_to_superop(
+            standard_gatename_unitaries()['Gxpi2'], 'pp'))
+        noisy = np.diag([1, 0.95, 0.95, 0.95]) @ sup
+        closest = core.find_closest_unitary_opmx(noisy)
+        assert np.abs(closest - sup).max() < 1e-6
+
+    def test_rbtheory_r_matrix(self):
+        from pygsti_tpu.tools import rbtheory, group
+        g = group.construct_1q_clifford_group()
+        # depolarized Clifford model; group labels are ints, so map them to
+        # model labels via group_to_model
+        from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+        from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+        from pygsti_tpu.baseobjs.statespace import QubitSpace
+        from pygsti_tpu.baseobjs.basis import Basis
+        from pygsti_tpu.baseobjs.label import Label
+        mdl = ExplicitOpModel(QubitSpace(1), Basis.cast('pp', 4))
+        D = np.diag([1.0, 0.98, 0.98, 0.98])
+        group_to_model = {}
+        for i in range(len(g)):
+            lbl = Label('Gc%d' % i, (0,))
+            mdl.operations[lbl] = FullArbitraryOp(D @ g.matrix(i))
+            group_to_model[g.labels[i]] = lbl
+        p = rbtheory.R_matrix_predicted_rb_decay_parameter(
+            mdl, g, group_to_model=group_to_model)
+        assert abs(p - 0.98) < 5e-3, p
+
+    def test_leakage_reportables(self):
+        from pygsti_tpu.report import reportables as rpt
+        # 3-level system in the leakage basis: inject leakage on level 2
+        from pygsti_tpu.baseobjs.basis import Basis
+        from pygsti_tpu.tools.basistools import change_basis
+        udim = 3
+        # unitary mixing |1> and |2> slightly -> leakage
+        theta = 0.1
+        U = np.eye(3, dtype=complex)
+        U[1, 1] = U[2, 2] = np.cos(theta)
+        U[1, 2] = -np.sin(theta)
+        U[2, 1] = np.sin(theta)
+        sup_std = np.kron(U, U.conj())
+        op = np.real(change_basis(sup_std, 'std', 'l2p1'))
+        # |1> leaks into |2> at rate sin^2(theta)
+        rate = rpt.pergate_leakrate_max(op, None, 'l2p1')
+        assert np.isclose(rate, np.sin(theta) ** 2, atol=1e-10), rate
+        assert rpt.pergate_leakrate_min(op, None, 'l2p1') < 1e-10
+        seep = rpt.pergate_seeprate(op, None, 'l2p1')
+        assert np.isclose(seep, np.sin(theta) ** 2, atol=1e-10)
+        # a non-leakage basis reports NaN
+        b4 = Basis.cast('pp', 4)
+        assert np.isnan(rpt.pergate_leakrate_max(np.eye(4), None, b4))
+        # leaky entanglement infidelity of identity is ~0
+        ident9 = np.eye(9)
+        assert abs(rpt.leaky_entanglement_infidelity(
+            ident9, ident9, 'l2p1')) < 1e-9
+
+    def test_fpr_test_and_global(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms import fiducialpairreduction as fpr
+        m = mp.target_model('full TP')
+        preps = list(mp.prep_fiducials())
+        meass = list(mp.meas_fiducials())
+        germs = list(mp.germs())[:4]
+        allpairs = [(i, j) for i in range(len(preps))
+                    for j in range(len(meass))]
+        n_all = fpr.test_fiducial_pairs(allpairs, m, preps, meass, germs)
+        pg = fpr.find_sufficient_fiducial_pairs_per_germ_global(
+            m, preps, meass, germs=germs)
+        n_pg = fpr.test_fiducial_pairs(pg, m, preps, meass, germs)
+        assert n_pg == n_all
+        assert sum(len(v) for v in pg.values()) < len(allpairs) * len(germs)
