@@ -462,3 +462,116 @@ def sample_circuit_layer_by_co2_q_gates(pspec, qubit_labels, co2_q_gates,
         if q not in occupied:
             layer.append(Label(names[rng.randint(len(names))], (q,)))
     return LabelTupTup.init(tuple(layer))
+
+
+def create_random_germ(pspec, depths, interacting_qs_density, qubit_labels,
+                       rand_state=None):
+    """A random 'germ' circuit: per-qubit repeated random 1Q-gate subgerms
+    (power-of-2 subgerm depths) with 2Q gates inserted at the requested
+    density (reference: randomcircuit.create_random_germ:1651)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = list(qubit_labels) if qubit_labels is not None \
+        else list(pspec.qubit_labels)
+    width = len(qubits)
+    if width == 1:
+        interacting_qs_density = 0
+
+    r = rng.rand()
+    max_subgerm_depth = 1 if r < 0.5 else (2 if r < 0.75 else
+                                           (4 if r < 0.875 else 8))
+    if interacting_qs_density > 0:
+        required = max_subgerm_depth * width * interacting_qs_density
+        R = int(np.ceil(2 / required))
+    else:
+        R = 1
+    germ_depth = R * max_subgerm_depth
+
+    oneq_names = [g for g in pspec.gate_names
+                  if pspec.gate_num_qubits(g) == 1
+                  and g not in ('{idle}', '(idle)', '[]', '')]
+    twoq_names = [g for g in pspec.gate_names if pspec.gate_num_qubits(g) == 2]
+
+    repeated_subgerm = {}
+    for q in qubits:
+        power = 0
+        while rng.binomial(1, 0.5) == 1 and 2 ** power < max_subgerm_depth:
+            power += 1
+        sub_depth = 2 ** power
+        sub = [Label(oneq_names[rng.randint(len(oneq_names))], (q,))
+               for _ in range(sub_depth)]
+        repeated_subgerm[q] = (germ_depth // sub_depth) * sub
+
+    layers = []
+    for l in range(germ_depth):
+        layers.append(LabelTupTup.init(
+            tuple(repeated_subgerm[q][l] for q in qubits)))
+
+    if interacting_qs_density > 0 and twoq_names:
+        num_2q = int(np.floor(germ_depth * width
+                              * interacting_qs_density / 2))
+        edges = [tuple(e) for e in pspec.qubit_graph.edges()
+                 if e[0] in qubits and e[1] in qubits]
+        for _ in range(max(num_2q, 1)):
+            if not edges:
+                break
+            l = rng.randint(germ_depth)
+            e = edges[rng.randint(len(edges))]
+            g2 = Label(twoq_names[rng.randint(len(twoq_names))], e)
+            comps = [c for c in (layers[l].components
+                                 if not layers[l].is_simple
+                                 else (layers[l],))
+                     if not set(c.sslbls) & set(e)]
+            layers[l] = LabelTupTup.init(tuple(comps) + (g2,))
+    return Circuit(layers, qubits)
+
+
+def create_random_germpower_circuits(pspec, depths, interacting_qs_density,
+                                     qubit_labels, fixed_versus_depth=False,
+                                     rand_state=None):
+    """Random germ-power circuits: one (or per-depth) random germ repeated
+    to reach each requested depth (reference:
+    randomcircuit.create_random_germpower_circuits:1779).  Returns
+    (circuits, auxinfo) with the germ(s) recorded."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = list(qubit_labels) if qubit_labels is not None \
+        else list(pspec.qubit_labels)
+    circuits = []
+    aux = {'germs': []}
+    germ = create_random_germ(pspec, depths, interacting_qs_density,
+                              qubits, rng) if fixed_versus_depth else None
+    for depth in depths:
+        g = germ if fixed_versus_depth else create_random_germ(
+            pspec, depths, interacting_qs_density, qubits, rng)
+        glen = max(len(g.layertup), 1)
+        reps = max(int(depth) // glen, 1)
+        circuits.append(g * reps)
+        aux['germs'].append(g)
+    return circuits, aux
+
+
+def create_random_germpower_mirror_circuits(pspec, absolute_compilation,
+                                            depths, qubit_labels=None,
+                                            localclifford=True,
+                                            paulirandomize=True,
+                                            interacting_qs_density=1 / 8,
+                                            fixed_versus_depth=False,
+                                            rand_state=None):
+    """Mirror (circuit + inverse) versions of random germ-power circuits,
+    returning (circuits, ideal_outcomes, auxinfo) (reference:
+    randomcircuit.create_random_germpower_mirror_circuits:1847).  Built on
+    create_mirror_rb_circuit's mirroring machinery."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    base_circuits, aux = create_random_germpower_circuits(
+        pspec, depths, interacting_qs_density, list(qubits),
+        fixed_versus_depth, rng)
+    from pygsti_tpu.algorithms.mirroring import create_mirror_circuit
+    circuits, outcomes = [], []
+    for c in base_circuits:
+        mc, out = create_mirror_circuit(c, pspec,
+                                        circ_type='clifford+zxzxz'
+                                        if paulirandomize else 'clifford')
+        circuits.append(mc)
+        outcomes.append(out)
+    return circuits, outcomes, aux

@@ -84,6 +84,18 @@ def create_elementary_errorgen_dual(typ, p, q=None, sparse=False):
     return out
 
 
+def create_pairing_normalized_errorgen_dual(typ, p, q=None):
+    """A dual scaled so <dual, elementary_errorgen(typ, p, q)> = 1 EXACTLY
+    at any Hilbert dimension (the fixed-scale duals above match the
+    reference's convention, which pairs to 1 only at d = 2; coefficient
+    extraction needs the exact pairing)."""
+    out = create_elementary_errorgen_dual(typ, p, q)
+    prim = create_elementary_errorgen(typ, p, q)
+    scale = np.real(np.vdot(out, prim))
+    assert abs(scale) > 1e-300, "degenerate elementary errorgen"
+    return out / scale
+
+
 def create_lindbladian_term_errorgen(typ, lindblad_term_basis_mx, other_mx=None, sparse=False):
     """'L-term' generators: H same as elementary-H; 'O' (other) terms are the
     general-Lindbladian off-diagonal generators

@@ -663,12 +663,12 @@ def elementary_errorgens_dual(dim, typ, basis):
     if typ in 'HS':
         for lbl, mx in zip(lbls, mxs):
             out[LocalElementaryErrorgenLabel(typ, (str(lbl),))] = \
-                _lt.create_elementary_errorgen_dual(typ, mx)
+                _lt.create_pairing_normalized_errorgen_dual(typ, mx)
     else:
         for i, (la, ma) in enumerate(zip(lbls, mxs)):
             for lb, mb in zip(lbls[i + 1:], mxs[i + 1:]):
                 out[LocalElementaryErrorgenLabel(typ, (str(la), str(lb)))] = \
-                    _lt.create_elementary_errorgen_dual(typ, ma, mb)
+                    _lt.create_pairing_normalized_errorgen_dual(typ, ma, mb)
     return out
 
 
@@ -748,3 +748,183 @@ def generator_infidelity(a, b, mx_basis='pp'):
     h = project_errorgen(errgen, 'H', 'pp', mx_basis)
     s = project_errorgen(errgen, 'S', 'pp', mx_basis)
     return float(sum(v ** 2 for v in h.values()) + sum(s.values()))
+
+
+def create_elementary_errorgen_nqudit(typ, basis_element_labels, basis_1q,
+                                      normalize=False, sparse=False,
+                                      tensorprod_basis=False):
+    """An n-qudit elementary error generator (std basis, dense) built from
+    per-qudit basis-label strings, e.g. ('XY',) for a 2-qubit H generator
+    (reference: optools.create_elementary_errorgen_nqudit:2193)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools import lindbladtools as _lt
+    b1 = basis_1q if isinstance(basis_1q, Basis) else Basis.cast(basis_1q, 4)
+    lbl_to_el = {str(l): np.asarray(e)
+                 for l, e in zip(b1.labels, b1.elements)}
+
+    def kron_label(label_str):
+        m = np.ones((1, 1), complex)
+        for ch in label_str:
+            m = np.kron(m, lbl_to_el[ch])
+        return m
+
+    mats = [kron_label(s) for s in basis_element_labels]
+    if typ in ('H', 'S'):
+        assert len(mats) == 1
+        out = _lt.create_elementary_errorgen(typ, mats[0])
+    else:
+        assert len(mats) == 2
+        out = _lt.create_elementary_errorgen(typ, mats[0], mats[1])
+    if normalize:
+        nrm = np.linalg.norm(out)
+        if nrm > 1e-300:
+            out = out / nrm
+    if sparse:
+        import scipy.sparse as _sps
+        return _sps.csr_matrix(out)
+    return out
+
+
+def create_elementary_errorgen_nqudit_dual(typ, basis_element_labels,
+                                           basis_1q, normalize=False,
+                                           sparse=False,
+                                           tensorprod_basis=False):
+    """Dual of create_elementary_errorgen_nqudit (reference:
+    optools.create_elementary_errorgen_nqudit_dual)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools import lindbladtools as _lt
+    b1 = basis_1q if isinstance(basis_1q, Basis) else Basis.cast(basis_1q, 4)
+    lbl_to_el = {str(l): np.asarray(e)
+                 for l, e in zip(b1.labels, b1.elements)}
+
+    def kron_label(label_str):
+        m = np.ones((1, 1), complex)
+        for ch in label_str:
+            m = np.kron(m, lbl_to_el[ch])
+        return m
+
+    mats = [kron_label(s) for s in basis_element_labels]
+    if typ in ('H', 'S'):
+        out = _lt.create_pairing_normalized_errorgen_dual(typ, mats[0])
+    else:
+        out = _lt.create_pairing_normalized_errorgen_dual(typ, mats[0],
+                                                          mats[1])
+    if normalize:
+        nrm = np.linalg.norm(out)
+        if nrm > 1e-300:
+            out = out / nrm
+    if sparse:
+        import scipy.sparse as _sps
+        return _sps.csr_matrix(out)
+    return out
+
+
+def bulk_create_elementary_errorgen_nqudit(typ, basis_element_labels,
+                                           basis_1q, normalize=False,
+                                           sparse=False,
+                                           tensorprod_basis=False):
+    """List of n-qudit elementary error generators, one per (typ, labels)
+    pair (reference: optools.bulk_create_elementary_errorgen_nqudit:2276)."""
+    typs = [typ] * len(basis_element_labels) if isinstance(typ, str) else typ
+    return [create_elementary_errorgen_nqudit(t, lbls, basis_1q, normalize,
+                                              sparse, tensorprod_basis)
+            for t, lbls in zip(typs, basis_element_labels)]
+
+
+def bulk_create_elementary_errorgen_nqudit_dual(typ, basis_element_labels,
+                                                basis_1q, normalize=False,
+                                                sparse=False,
+                                                tensorprod_basis=False):
+    """Duals of bulk_create_elementary_errorgen_nqudit (reference:
+    optools.bulk_create_elementary_errorgen_nqudit_dual)."""
+    typs = [typ] * len(basis_element_labels) if isinstance(typ, str) else typ
+    return [create_elementary_errorgen_nqudit_dual(t, lbls, basis_1q,
+                                                   normalize, sparse,
+                                                   tensorprod_basis)
+            for t, lbls in zip(typs, basis_element_labels)]
+
+
+def minimal_kraus_decomposition(superop, mx_basis='pp', tol=1e-9):
+    """Kraus decomposition keeping only operators with weight above `tol`
+    (reference: optools.minimal_kraus_decomposition)."""
+    return kraus_decomposition(superop, mx_basis, tol)
+
+
+def tensorized_with_eye(op, op_basis, ten_basis=None, std_basis=None,
+                        ten_std_basis=None):
+    """kron(op, I) as a superoperator: `op` tensored with an identity factor
+    of the same dimension, returned in `ten_basis` (default: pp of the
+    doubled space) (reference: optools.tensorized_with_eye:595)."""
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.tools.basistools import change_basis
+    op = np.asarray(op)
+    d2 = op.shape[0]
+    d = int(round(np.sqrt(d2)))
+    op_std = change_basis(op, op_basis, 'std').reshape(d, d, d, d)
+    eye = np.eye(d)
+    # big[(r1 r2)(c1 c2), (r1' r2')(c1' c2')] =
+    #   op_std[r1 c1, r1' c1'] * delta(r2, r2') * delta(c2, c2')
+    big_std = np.einsum('acef,bg,dh->abcdegfh', op_std, eye, eye)
+    big_std = big_std.reshape(d2 * d2, d2 * d2)
+    tb = ten_basis if ten_basis is not None else Basis.cast('pp', d2 * d2)
+    return change_basis(big_std, 'std', tb)
+
+
+def rootconj_superop(kraus_op, mx_basis='pp'):
+    """The superoperator rho -> K rho K^dag for a single Kraus operator
+    (reference: optools.rootconj_superop)."""
+    from pygsti_tpu.tools.basistools import change_basis
+    K = np.asarray(kraus_op)
+    sup_std = np.kron(K, K.conj())
+    return change_basis(sup_std, 'std', mx_basis)
+
+
+def project_to_target_eigenspace(model, target_model, eps=1e-6):
+    """Project each model gate onto its target gate's eigenspaces: replace
+    G with sum_i P_i G P_i where P_i are the target's eigenprojectors
+    (removes off-eigenspace 'coherent' errors; reference:
+    optools.project_to_target_eigenspace)."""
+    ret = target_model.copy()
+    for gl, target_op in target_model.operations.items():
+        tmx = np.asarray(target_op.to_dense())
+        gmx = np.asarray(model.operations[gl].to_dense())
+        evals, V = np.linalg.eig(tmx)
+        Vinv = np.linalg.inv(V)
+        g_in_eig = Vinv @ gmx @ V
+        # zero entries coupling different target eigenvalues
+        mask = np.abs(evals[:, None] - evals[None, :]) < eps
+        proj = np.real_if_close(V @ (g_in_eig * mask) @ Vinv)
+        from pygsti_tpu.modelmembers.operations import FullArbitraryOp
+        ret.operations[gl] = FullArbitraryOp(np.real(proj))
+    if hasattr(ret, '_mark_for_rebuild'):
+        ret._mark_for_rebuild()
+    return ret
+
+
+def compute_best_case_gauge_transform(gate_mx, target_gate_mx,
+                                      return_all=False):
+    """The unitary gauge transform aligning `gate_mx`'s eigenvectors with
+    the target's (Kaiser-style best-case alignment; reference:
+    optools.compute_best_case_gauge_transform).  Returns the superoperator
+    U_gauge with U_gauge^-1 gate U_gauge ~ target as closely as a pure
+    eigenbasis rotation allows."""
+    from scipy.optimize import linear_sum_assignment
+    G = np.asarray(gate_mx)
+    T = np.asarray(target_gate_mx)
+    evG, VG = np.linalg.eig(G)
+    evT, VT = np.linalg.eig(T)
+    # match eigenvalues
+    cost = np.abs(evG[:, None] - evT[None, :])
+    ri, ci = linear_sum_assignment(cost)
+    VG_m = VG[:, ri]
+    VT_m = VT[:, ci]
+    U = VG_m @ np.linalg.inv(VT_m)
+    if return_all:
+        return U, (evG[ri], evT[ci])
+    return U
+
+
+def relaxed_scalar_tolerance(a, b, rtol=1e-8, atol=1e-10):
+    """A forgiving scalar comparison tolerance helper (reference:
+    optools.relaxed_scalar_tolerance)."""
+    return max(atol, rtol * max(abs(a), abs(b)))

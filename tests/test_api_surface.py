@@ -328,3 +328,84 @@ class TestSmallToolsSurface:
         n_pg = fpr.test_fiducial_pairs(pg, m, preps, meass, germs)
         assert n_pg == n_all
         assert sum(len(v) for v in pg.values()) < len(allpairs) * len(germs)
+
+
+class TestGermPowerCircuits:
+    def test_random_germ_and_powers(self):
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        from pygsti_tpu.algorithms import randomcircuit as rc
+        pspec = QubitProcessorSpec(3, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        rng = np.random.RandomState(5)
+        g = rc.create_random_germ(pspec, [4], 0.2, [0, 1, 2], rand_state=rng)
+        assert len(g.layertup) >= 1
+        circs, aux = rc.create_random_germpower_circuits(
+            pspec, [4, 16], 0.2, [0, 1, 2], rand_state=rng)
+        assert len(circs) == 2 and len(aux['germs']) == 2
+        assert len(circs[1].layertup) >= len(circs[0].layertup)
+        # fixed_versus_depth shares one germ
+        circs2, aux2 = rc.create_random_germpower_circuits(
+            pspec, [4, 8], 0.2, [0, 1, 2], fixed_versus_depth=True,
+            rand_state=rng)
+        assert aux2['germs'][0] == aux2['germs'][1]
+
+    def test_germpower_mirror_circuits(self):
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        from pygsti_tpu.algorithms import randomcircuit as rc
+        pspec = QubitProcessorSpec(2, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                   geometry='line')
+        rng = np.random.RandomState(6)
+        mcs, outs, aux = rc.create_random_germpower_mirror_circuits(
+            pspec, None, [4], qubit_labels=(0, 1), rand_state=rng)
+        assert len(mcs) == 1 and len(outs[0]) == 2
+        assert set(outs[0]) <= {'0', '1'}
+
+
+class TestErrgenNquditApi:
+    def test_nqudit_duals_pair_to_one(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.baseobjs.basis import Basis
+        b1 = Basis.cast('pp', 4)
+        for typ, lbls in [('H', ('XY',)), ('S', ('ZZ',)),
+                          ('C', ('XI', 'IZ')), ('A', ('XY', 'YX'))]:
+            dual = ot.create_elementary_errorgen_nqudit_dual(typ, lbls, b1)
+            prim = ot.create_elementary_errorgen_nqudit(typ, lbls, b1)
+            assert np.isclose(np.real(np.vdot(dual, prim)), 1.0), typ
+        bulk = ot.bulk_create_elementary_errorgen_nqudit(
+            'H', [('XI',), ('IZ',)], b1)
+        assert len(bulk) == 2
+
+    def test_2q_projection_exact(self):
+        from pygsti_tpu.tools import optools as ot
+        from pygsti_tpu.tools import lindbladtools as lt
+        from pygsti_tpu.tools.basistools import change_basis
+        from pygsti_tpu.baseobjs.basisconstructors import pp_matrices
+        from itertools import product
+        pp2 = pp_matrices(16)
+        lbls = ["".join(t) for t in product('IXYZ', repeat=2)]
+        eg_std = 0.03 * lt.create_elementary_errorgen(
+            'H', pp2[lbls.index('ZZ')]) + 0.01 * lt.create_elementary_errorgen(
+            'S', pp2[lbls.index('XI')])
+        eg_pp = np.real(change_basis(eg_std, 'std', 'pp'))
+        h = ot.project_errorgen(eg_pp, 'H', 'pp', 'pp')
+        s = ot.project_errorgen(eg_pp, 'S', 'pp', 'pp')
+        hvals = {str(k.basis_element_labels[0]): v for k, v in h.items()
+                 if abs(v) > 1e-9}
+        svals = {str(k.basis_element_labels[0]): v for k, v in s.items()
+                 if abs(v) > 1e-9}
+        assert len(hvals) == 1 and np.isclose(list(hvals.values())[0], 0.03)
+        assert len(svals) == 1 and np.isclose(list(svals.values())[0], 0.01)
+
+    def test_misc_superop_helpers(self):
+        from pygsti_tpu.tools import optools as ot
+        t = ot.tensorized_with_eye(np.eye(4), 'pp')
+        assert np.abs(np.asarray(t) - np.eye(16)).max() < 1e-9
+        K = np.array([[0, 1], [1, 0]], complex)
+        rc_ = ot.rootconj_superop(K, 'pp')
+        assert np.isclose(np.real(rc_[3, 3]), -1)
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        m = mp.target_model('full TP').depolarize(op_noise=0.02)
+        tgt = mp.target_model('full TP')
+        proj = ot.project_to_target_eigenspace(m, tgt)
+        assert set(str(k) for k in proj.operations) == \
+            set(str(k) for k in tgt.operations)
