@@ -255,14 +255,17 @@ def _pauli_word(rules, pauli, qubit):
 # Reference-named compilation entry points (reference: compilers.py).
 # =============================================================================
 
-def _gates_to_circuit(gen_gates, pspec, qubit_labels, rules=None):
+def _gates_to_circuit(gen_gates, pspec, qubit_labels, rules=None, n=None):
     """Generator-name gate list -> Circuit (native gates when a pspec /
-    rules is given, internal Gh/Gp/Gcnot labels otherwise)."""
+    rules is given, internal Gh/Gp/Gcnot labels otherwise).  `n` fixes the
+    qubit count (an identity synthesis has NO gates, so the gate list alone
+    cannot determine the width)."""
     from pygsti_tpu.baseobjs.label import Label
-    n_needed = 1 + max((max(q) for _, q in gen_gates), default=0)
+    if n is None:
+        n = 1 + max((max(q) for _, q in gen_gates), default=0)
     if qubit_labels is None:
         qubit_labels = tuple(pspec.qubit_labels) if pspec is not None \
-            else tuple(range(n_needed))
+            else tuple(range(n))
     if pspec is not None or rules is not None:
         rules = rules or CompilationRules(pspec)
         labels = []
@@ -292,7 +295,8 @@ def compile_symplectic(s, pspec=None, absolute_compilation=None,
     circ = _gates_to_circuit(gen_gates, pspec, qubit_labels,
                              rules=absolute_compilation
                              if isinstance(absolute_compilation,
-                                           CompilationRules) else None)
+                                           CompilationRules) else None,
+                             n=np.asarray(s).shape[0] // 2)
     if check:
         s_c, _ = sym.symplectic_rep_of_clifford_circuit(circ)
         assert np.array_equal(s_c, np.asarray(s) % 2), \
@@ -337,7 +341,7 @@ def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
     gen_gates = list(reversed(ops))
     circ = _gates_to_circuit(gen_gates,
                              pspec if compile_to_native else None,
-                             qubit_labels)
+                             qubit_labels, n=n)
     if check:
         s_c, _ = sym.symplectic_rep_of_clifford_circuit(
             circ, srep_dict=sym.compute_internal_gate_symplectic_representations())

@@ -53,7 +53,7 @@ def _germ_pair_sensitivities(model, germ, prep_fiducials, meas_fiducials,
                                 for k in range(n_amp)])
                 rows.append(row)
                 pair_index.append((i, j))
-    return np.stack(rows), pair_index, n_amp
+    return np.stack(rows), pair_index, n_amp, directions
 
 
 def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
@@ -75,7 +75,7 @@ def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
 
     out = {}
     for germ in germs:
-        M, pair_index, n_amp = _germ_pair_sensitivities(
+        M, pair_index, n_amp, _dirs = _germ_pair_sensitivities(
             model, germ, prep_fiducials, meas_fiducials, proj)
         if n_amp == 0:
             out[germ] = [(0, 0)]
@@ -127,7 +127,7 @@ def find_sufficient_fiducial_pairs_per_germ_greedy(
 
     out = {}
     for germ in germs:
-        M, pair_index, n_amp = _germ_pair_sensitivities(
+        M, pair_index, n_amp, _dirs = _germ_pair_sensitivities(
             model, germ, prep_fiducials, meas_fiducials, proj)
         if n_amp == 0:
             out[germ] = [(0, 0)]
@@ -192,7 +192,7 @@ def find_sufficient_fiducial_pairs_per_germ_power(
             power = max(L // glen, 1) if trunc_scheme == "whole germ powers" \
                 else max(L, 1)
             germ_power = Circuit(germ.layertup * power, germ.line_labels)
-            M, pair_index, n_amp = _germ_pair_sensitivities(
+            M, pair_index, n_amp, _dirs = _germ_pair_sensitivities(
                 model, germ_power, prep_fiducials, meas_fiducials, proj)
             if n_amp == 0:
                 out[(germ, L)] = [(0, 0)]
@@ -250,12 +250,8 @@ def test_fiducial_pairs(fid_pairs, target_model, prep_fiducials,
     total_rows = []
     for germ in germs:
         pairs = fid_pairs[germ] if isinstance(fid_pairs, dict) else fid_pairs
-        rows, pair_index, n_amp = _germ_pair_sensitivities(
+        rows, pair_index, n_amp, directions = _germ_pair_sensitivities(
             target_model, germ, prep_fiducials, meas_fiducials, proj)
-        T = twirled_deriv(target_model, germ) @ proj
-        U, s, Vh = np.linalg.svd(T, full_matrices=False)
-        keep = s > 1e-8 * max(s[0], 1e-30)
-        directions = Vh[keep]                            # [n_amp, P]
         pair_set = set(tuple(p) for p in pairs)
         sel = [k for k, pi in enumerate(pair_index) if pi in pair_set]
         if not sel:
@@ -277,40 +273,65 @@ def find_sufficient_fiducial_pairs_per_germ_global(
         retry_for_smaller=True, mem_limit=None, germ_vector_spanning_set=None,
         precomputed_jacobians=None):
     """Per-germ fiducial-pair reduction scored against the GLOBAL germ-set
-    amplified directions rather than each germ's own (reference:
-    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_global:668).
-    Greedy selection per germ until the global sensitivity rank saturates."""
+    amplified directions (reference:
+    fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_global:668):
+    pairs are added greedily per germ, but each addition is judged by the
+    rank of the UNION of all selected sensitivity rows across germs (mapped
+    to the full parameter space), so later germs need only cover directions
+    earlier germs left unamplified."""
     printer = VerbosityPrinter.create_printer(verbosity)
     proj = _nongauge_projector(target_model)
-    out = {}
+    # full-param sensitivity rows per germ + the global achievable rank
+    germ_data = {}
+    all_rows = []
     for germ in germs:
-        rows, pair_index, n_amp = _germ_pair_sensitivities(
+        rows, pair_index, n_amp, directions = _germ_pair_sensitivities(
             target_model, germ, prep_fiducials, meas_fiducials, proj)
-        # greedy pair selection until this germ's rows reach full rank n_amp
-        pairs_order = []
-        seen = set()
-        for (i, j) in pair_index:
-            if (i, j) not in seen:
-                seen.add((i, j))
-                pairs_order.append((i, j))
+        rows_full = rows @ directions                 # [n_rows, P]
+        germ_data[germ] = (rows_full, pair_index)
+        all_rows.append(rows_full)
+    stacked = np.concatenate(all_rows, axis=0)
+    sv = np.linalg.svd(stacked, compute_uv=False)
+    global_rank = int(np.sum(sv > 1e-8 * max(sv[0] if len(sv) else 0.0,
+                                             1e-30)))
+
+    out = {}
+    selected_rows = []          # accumulated rows across germs
+    current_rank = 0
+    for germ in germs:
+        rows_full, pair_index = germ_data[germ]
+        pairs_order = list(dict.fromkeys(pair_index))
         chosen = []
-        current_rank = 0
-        while current_rank < n_amp and len(chosen) < len(pairs_order):
+        # this germ's own reachable union rank (for the stopping rule)
+        germ_target_sv = np.linalg.svd(
+            np.concatenate(selected_rows + [rows_full], axis=0)
+            if selected_rows else rows_full, compute_uv=False)
+        germ_target = int(np.sum(
+            germ_target_sv > 1e-8 * max(germ_target_sv[0], 1e-30)))
+        while current_rank < germ_target and len(chosen) < len(pairs_order):
             best = None
             for cand in pairs_order:
                 if cand in chosen:
                     continue
                 sel = [k for k, pi in enumerate(pair_index)
                        if pi in chosen or pi == cand]
-                rank = np.linalg.matrix_rank(rows[sel],
+                trial = np.concatenate(selected_rows + [rows_full[sel]],
+                                       axis=0) if selected_rows                     else rows_full[sel]
+                rank = np.linalg.matrix_rank(trial,
                                              tol=sensitivity_threshold)
                 if best is None or rank > best[1]:
                     best = (cand, rank)
+            if best is None or best[1] <= current_rank and chosen:
+                # no candidate improves the union rank further
+                if best[1] <= current_rank:
+                    break
             chosen.append(best[0])
             current_rank = best[1]
+        sel = [k for k, pi in enumerate(pair_index) if pi in chosen]
+        selected_rows.append(rows_full[sel])
         out[germ] = chosen
-        printer.log("  germ %s: %d pairs for %d directions"
-                    % (germ.str, len(chosen), n_amp), 2)
+        printer.log("  germ %s: %d pairs (union rank %d/%d)"
+                    % (germ.str, len(chosen), current_rank, global_rank), 2)
     return out
 
 
@@ -322,7 +343,7 @@ def filter_useless_fid_pairs(fid_pairs, target_model, prep_fiducials,
                              sensitivity_threshold=1e-10):
     """Drop pairs whose sensitivity rows are (numerically) zero for `germ`
     (reference: fiducialpairreduction.filter_useless_fid_pairs)."""
-    rows, pair_index, _ = _germ_pair_sensitivities(
+    rows, pair_index, _, _dirs = _germ_pair_sensitivities(
         target_model, germ, prep_fiducials, meas_fiducials)
     useful = set()
     for k, pi in enumerate(pair_index):

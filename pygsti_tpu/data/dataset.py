@@ -197,6 +197,9 @@ class DataSet(object):
             out._rows[c] = row.copy()
         out._times = dict(self._times)
         out._reps = dict(self._reps)
+        for c, aux in self.auxInfo.items():
+            if aux:
+                out.auxInfo[c] = dict(aux)
         return out
 
     def copy_nonstatic(self):
@@ -211,6 +214,12 @@ class DataSet(object):
             cc = self._cast_circuit(c)
             if cc in self._rows:
                 out._rows[cc] = self._rows[cc].copy()
+                if cc in self._times:
+                    out._times[cc] = self._times[cc]
+                if cc in self._reps:
+                    out._reps[cc] = self._reps[cc]
+                if self.auxInfo.get(cc):
+                    out.auxInfo[cc] = dict(self.auxInfo[cc])
             elif missing_action == 'raise':
                 raise KeyError("Circuit %s missing from dataset" % cc)
         return out

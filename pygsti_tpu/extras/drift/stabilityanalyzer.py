@@ -221,8 +221,11 @@ class StabilityAnalyzer(object):
         legacy per-circuit/global averaged views (reference:
         compute_spectra:474)."""
         ds0 = self.data[self._dskeys[0]]
-        circuits = [c for c in ds0.keys()
-                    if _clickstreams(ds0[c])[0] is not None]
+        # compute clickstreams once (they expand every (outcome, rep) into
+        # per-shot arrays -- the dominant preprocessing cost) and reuse them
+        # for both the circuit filter and the _timeinfo cache
+        streams0 = {c: _clickstreams(ds0[c]) for c in ds0.keys()}
+        circuits = [c for c in ds0.keys() if streams0[c][0] is not None]
         self._circuits = circuits
         if not circuits:
             self._analyzed = True
@@ -236,7 +239,10 @@ class StabilityAnalyzer(object):
         lengths = []
         for dskey in self._dskeys:
             for c in circuits:
-                streams, times = _clickstreams(self.data[dskey][c])
+                if dskey == self._dskeys[0]:
+                    streams, times = streams0[c]
+                else:
+                    streams, times = _clickstreams(self.data[dskey][c])
                 self._timeinfo[(dskey, c)] = (times, streams)
                 lengths.append(len(times))
         T = min(lengths) if self.constnumtimes == 'auto' \

@@ -882,6 +882,13 @@ def do_idle_tomography(nqubits, dataset, max_lengths, pauli_basis_dicts,
     else:
         same_basis_fidpairs = diff_basis_fidpairs = None
 
+    # user-supplied fidpairs may leave a section empty: skip it cleanly
+    if same_basis_fidpairs is not None and len(same_basis_fidpairs) == 0:
+        include_stochastic = False
+        include_affine = False
+    if diff_basis_fidpairs is not None and len(diff_basis_fidpairs) == 0:
+        include_hamiltonian = False
+
     errors = _idttools.allerrors(nqubits, maxweight)
     fit_order = advanced_options.get('fit order', 1)
     intrinsic_rates = {}
@@ -1004,15 +1011,16 @@ def do_idle_tomography(nqubits, dataset, max_lengths, pauli_basis_dicts,
                 infos_for_this_fidpair[obs] = info
             infos_by_fidpair.append(infos_for_this_fidpair)
 
-        J = np.array(J_rows, 'd')
+        J = np.array(J_rows, 'd').reshape(len(J_rows), len(errors))
         obs_err_rates = np.array([info['rate']
                                   for fidpair_infos in infos_by_fidpair
                                   for info in fidpair_infos.values()])
 
         if jacmode == "separate":
-            if include_affine:
+            if include_affine and 'affine' in intrinsic_rates:
                 # correct observed rates for known affine errors:
-                # J_ham * H = obs - J_aff * A
+                # J_ham * H = obs - J_aff * A  (skipped when the stochastic
+                # section was auto-dropped before extracting affine rates)
                 Jaff = np.array(Jaff_rows, 'd')
                 obs_err_rates = obs_err_rates - np.dot(
                     Jaff, intrinsic_rates['affine'])

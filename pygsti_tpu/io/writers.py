@@ -164,9 +164,11 @@ def fill_in_empty_dataset_with_fake_data(dataset_filename, model, num_samples,
     reference supports both orders."""
     from pygsti_tpu.data.datasetconstruction import simulate_data
     from pygsti_tpu.io.stdinput import StdInputParser
-    if hasattr(dataset_filename, 'probabilities') \
-       or not isinstance(dataset_filename, str):
+    import os as _os
+    if hasattr(dataset_filename, 'probabilities') and \
+       isinstance(model, (str, _os.PathLike)):
         model, dataset_filename = dataset_filename, model  # swapped order
+    dataset_filename = _os.fspath(dataset_filename)
     # template lines are "circuit  <count columns...>": parse the circuit
     # token only
     parser = StdInputParser()

@@ -687,39 +687,11 @@ def instrument_infidelity(model_a, model_b, inst_lbl):
 
 def instrument_half_diamond_norm(model_a, model_b, inst_lbl):
     """Half diamond distance of the joint quantum-to-(classical x quantum)
-    instrument map (reference: reportables.py:2798-2811 builds a composite op
-    on the direct-sum space of one d-dim block per member and takes ONE
-    diamond norm).  Here the direct-sum map is embedded in the std superop
-    space of C^(n_members*d); off-block components map to zero, which leaves
-    the completely-bounded norm unchanged."""
-    inst_a = model_a.instruments[inst_lbl]
-    inst_b = model_b.instruments[inst_lbl]
-    from pygsti_tpu.tools.basistools import change_basis
-    labels = list(inst_a.member_labels)
-    nc = len(labels)
-    a0 = change_basis(np.asarray(inst_a[labels[0]].to_dense()),
-                      model_b.basis, 'std')
-    d2 = a0.shape[0]
-    d = int(round(np.sqrt(d2)))
-    D = nc * d
-    joint_a = np.zeros((D * D, D * D), complex)
-    joint_b = np.zeros((D * D, D * D), complex)
-    for i, lbl in enumerate(labels):
-        A = change_basis(np.asarray(inst_a[lbl].to_dense()), model_b.basis, 'std')
-        B = change_basis(np.asarray(inst_b[lbl].to_dense()), model_b.basis, 'std')
-        A4 = A.reshape(d, d, d, d)  # [r,c, r',c']
-        B4 = B.reshape(d, d, d, d)
-        for j in range(nc):
-            # input in diagonal Hilbert block j -> output in diagonal block i
-            rows = ((i * d + np.arange(d))[:, None] * D
-                    + (i * d + np.arange(d))[None, :]).reshape(-1)
-            cols = ((j * d + np.arange(d))[:, None] * D
-                    + (j * d + np.arange(d))[None, :]).reshape(-1)
-            joint_a[np.ix_(rows, cols)] += A4.reshape(d2, d2)
-            joint_b[np.ix_(rows, cols)] += B4.reshape(d2, d2)
-    return 0.5 * _ot.diamonddist(joint_a, joint_b, 'std')
-
-
+    instrument map (reference: reportables.py:2798-2811) -- delegates to
+    optools.instrument_diamonddist (the single joint-map implementation)."""
+    return 0.5 * _ot.instrument_diamonddist(
+        model_a.instruments[inst_lbl], model_b.instruments[inst_lbl],
+        model_b.basis)
 # =============================================================================
 # model-level quantities
 # =============================================================================

@@ -338,14 +338,6 @@ def assert_hermitian(mat, tol):
                          "(max |mat - mat^H| = %g)" % (tol, err.max()))
 
 
-def is_projector(mx, tol=1e-12):
-    """Whether `mx` is an orthogonal projector (Hermitian and idempotent)
-    (reference: matrixtools.is_projector:104)."""
-    mx = np.asarray(mx)
-    return bool(np.all(np.abs(mx - mx.T.conj()) <= tol)
-                and np.all(np.abs(mx @ mx - mx) <= tol))
-
-
 def assert_projector(mx, tol=1e-12):
     """Raise ValueError when `mx` is not an orthogonal projector
     (reference: matrixtools.assert_projector:134)."""

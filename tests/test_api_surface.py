@@ -409,3 +409,72 @@ class TestErrgenNquditApi:
         proj = ot.project_to_target_eigenspace(m, tgt)
         assert set(str(k) for k in proj.operations) == \
             set(str(k) for k in tgt.operations)
+
+
+class TestReviewRegressions:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_compile_identity_symplectic(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        for n in (2, 3):
+            c = cmp.compile_symplectic(np.eye(2 * n, dtype=np.int64))
+            s_c, _ = sym.symplectic_rep_of_clifford_circuit(c) \
+                if len(c.layertup) else (np.eye(2 * n, dtype=np.int64), None)
+            assert s_c.shape == (2 * n, 2 * n)
+        c = cmp.compile_cnot_circuit(np.eye(3, dtype=int))
+        assert len(c.line_labels) == 3
+
+    def test_dataset_copy_truncate_keep_auxinfo(self):
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        ds = DataSet()
+        c = Circuit(('Gxpi2',), (0,))
+        ds.add_count_dict(c, {('0',): 5, ('1',): 5},
+                          aux={'settings': {'a': 1}})
+        ds2 = ds.copy()
+        assert ds2.auxInfo[c].get('settings') == {'a': 1}
+        ds3 = ds.truncate([c])
+        assert ds3.auxInfo[c].get('settings') == {'a': 1}
+
+    def test_fill_in_with_path_object(self, tmp_path):
+        import pathlib
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.io.writers import (write_empty_protocol_data,
+                                           fill_in_empty_dataset_with_fake_data)
+        design = mp.create_gst_experiment_design(1)
+        d = tmp_path / 'pd'
+        write_empty_protocol_data(str(d), design)
+        p = pathlib.Path(d) / 'data' / 'dataset.txt'
+        model = mp.target_model('full TP')
+        ds = fill_in_empty_dataset_with_fake_data(p, model, 100, seed=1)
+        assert len(ds) == len(design.all_circuits_needing_data)
+        # swapped order also works
+        ds2 = fill_in_empty_dataset_with_fake_data(model, p, 100, seed=1)
+        assert len(ds2) == len(ds)
+
+    def test_idt_auto_affine_no_keyerror(self):
+        """All-'auto' do_idle_tomography on data too sparse for the
+        stochastic Jacobian must not crash."""
+        from pygsti_tpu.extras import idletomography as idt
+        from pygsti_tpu.data import DataSet
+        from pygsti_tpu.circuits import Circuit
+        prep_d = {'X': ('Gypi2',), 'Y': ('Gxpi2',) * 3, 'Z': (),
+                  '-X': ('Gypi2',) * 3, '-Y': ('Gxpi2',), '-Z': ('Gxpi2',) * 2}
+        meas_d = {'X': ('Gypi2',) * 3, 'Y': ('Gxpi2',), 'Z': (),
+                  '-X': ('Gypi2',), '-Y': ('Gxpi2',) * 3, '-Z': ('Gxpi2',) * 2}
+        max_lengths = [0, 1]
+        # restrict fidpairs so the stochastic Jacobian is rank-deficient
+        fps = idt.idle_tomography_fidpairs(1, maxweight=1)[:3]
+        ds = DataSet()
+        for prep, meas in fps:
+            for L in max_lengths:
+                c = prep.to_circuit(prep_d) \
+                    + idt.idtcore._idle_circuit(((),), 1) * L \
+                    + meas.to_circuit(meas_d)
+                if c not in ds:
+                    ds.add_count_dict(c, {('0',): 50, ('1',): 50})
+        res = idt.do_idle_tomography(
+            1, ds, max_lengths, (prep_d, meas_d), maxweight=1,
+            advanced_options={'pauli_fidpairs': fps})
+        assert isinstance(res.intrinsic_rates, dict)  # no KeyError
