@@ -118,8 +118,12 @@ def run_fit(maxl, param, gaugeopt, verbosity=2):
                             gaugeopt_suite=gaugeopt,
                             objfn_builders=builders, verbosity=verbosity)
 
+    # The fit's VerbosityPrinter writes to stdout; keep stdout reserved for
+    # the single JSON summary line the driver parses.
+    import contextlib
     t0 = time.time()
-    results = gst.run(data)
+    with contextlib.redirect_stdout(sys.stderr):
+        results = gst.run(data)
     wall = time.time() - t0
 
     est = results.estimates['GateSetTomography']
