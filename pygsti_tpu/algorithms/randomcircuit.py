@@ -65,10 +65,14 @@ def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
 
 
 def sample_circuit_layer_by_edgegrab(pspec, qubit_labels=None, two_q_gate_density=0.25,
-                                     one_q_gate_names=None, rand_state=None):
+                                     one_q_gate_names=None, gate_args_lists=None,
+                                     rand_state=None):
     """'edgegrab' layer sampler (reference: randomcircuit.py:201): grab a
     random set of disjoint edges, place 2Q gates on a subset, 1Q gates
-    elsewhere."""
+    elsewhere.  `gate_args_lists` maps a gate name to a list of args tuples
+    one of which is sampled uniformly for each placed gate (e.g.
+    ``{'Gczr': [('1.5707...',), ('-1.5707...',)]}``).  Passing
+    ``one_q_gate_names=[]`` leaves non-2Q qubits idle."""
     rng = rand_state if rand_state is not None else np.random.RandomState()
     qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
     if one_q_gate_names is None:
@@ -92,15 +96,23 @@ def sample_circuit_layer_by_edgegrab(pspec, qubit_labels=None, two_q_gate_densit
     prob = min(mean_two_q_gates / max(len(chosen), 1), 1.0)
     components = []
     occupied = set()
+    gate_args_lists = gate_args_lists or {}
+
+    def _with_args(name, sslbls):
+        argl = gate_args_lists.get(name, None)
+        args = argl[rng.randint(len(argl))] if argl else None
+        return Label(name, sslbls, args=args)
+
     for e in chosen:
         if rng.rand() < prob and twoq_names:
             g2 = twoq_names[rng.randint(len(twoq_names))]
-            components.append(Label(g2, e))
+            components.append(_with_args(g2, e))
             occupied.update(e)
-    for q in qubit_labels:
-        if q not in occupied:
-            g1 = one_q_gate_names[rng.randint(len(one_q_gate_names))]
-            components.append(Label(g1, (q,)))
+    if one_q_gate_names:
+        for q in qubit_labels:
+            if q not in occupied:
+                g1 = one_q_gate_names[rng.randint(len(one_q_gate_names))]
+                components.append(_with_args(g1, (q,)))
     return LabelTupTup.init(tuple(components))
 
 
@@ -575,3 +587,96 @@ def create_random_germpower_mirror_circuits(pspec, absolute_compilation,
         circuits.append(mc)
         outcomes.append(out)
     return circuits, outcomes, aux
+
+
+def sample_haar_random_one_qubit_unitary_parameters(rand_state=None):
+    """Sample a Haar-random 1Q unitary and return its ZXZXZ Euler angles
+    (theta1, theta2, theta3) such that U ~ Z(theta3) X(pi/2) Z(theta2)
+    X(pi/2) Z(theta1) up to global phase (reference: randomcircuit.py:31)."""
+    from pygsti_tpu.tools.compilationtools import mod_2pi
+    rng = rand_state if rand_state is not None else np.random
+    psi = 2 * np.pi * rng.rand() - np.pi
+    chi = 2 * np.pi * rng.rand() - np.pi
+    phi = np.arcsin(np.sqrt(rng.rand()))
+    return (mod_2pi(psi - chi + np.pi), mod_2pi(np.pi - 2 * phi),
+            mod_2pi(psi + chi))
+
+
+def sample_random_clifford_one_qubit_unitary_parameters(rand_state=None):
+    """Sample ZXZXZ Euler angles that are uniform multiples of pi/2, giving
+    a (non-uniformly-distributed) random 1Q Clifford (reference:
+    randomcircuit.py:48)."""
+    from pygsti_tpu.tools.compilationtools import mod_2pi
+    rng = rand_state if rand_state is not None else np.random
+    return tuple(mod_2pi(rng.randint(4) * np.pi / 2) for _ in range(3))
+
+
+def _zxzxz_layers(qubits, angles, zname, xname):
+    """Five circuit layers realizing Z(t1) X(pi/2) Z(t2) X(pi/2) Z(t3) on
+    every qubit, with per-qubit angle triples `angles`."""
+    xlayer = [Label(xname, (q,)) for q in qubits]
+    layers = []
+    for k in range(3):
+        layers.append([Label(zname, (q,), args=(str(angles[i][k]),))
+                       for i, q in enumerate(qubits)])
+        if k < 2:
+            layers.append(list(xlayer))
+    return layers
+
+
+def sample_compiled_haar_random_one_qubit_gates_zxzxz_circuit(
+        pspec, zname='Gzr', xname='Gxpi2', qubit_labels=None, rand_state=None):
+    """A 5-layer circuit applying an independent Haar-random 1Q unitary to
+    each qubit, compiled into the ZXZXZ form (reference:
+    randomcircuit.py:58)."""
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    angles = [sample_haar_random_one_qubit_unitary_parameters(rand_state)
+              for _ in qubits]
+    return Circuit(_zxzxz_layers(qubits, angles, zname, xname),
+                   line_labels=qubits)
+
+
+def sample_compiled_random_clifford_one_qubit_gates_zxzxz_circuit(
+        pspec, zname='Gzr', xname='Gxpi2', qubit_labels=None, rand_state=None):
+    """Like the Haar variant but with random multiple-of-pi/2 Z angles
+    (reference: randomcircuit.py:87)."""
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    angles = [sample_random_clifford_one_qubit_unitary_parameters(rand_state)
+              for _ in qubits]
+    return Circuit(_zxzxz_layers(qubits, angles, zname, xname),
+                   line_labels=qubits)
+
+
+def sample_random_cz_zxzxz_circuit(pspec, length, qubit_labels=None,
+                                   two_q_gate_density=0.25,
+                                   one_q_gate_type='haar',
+                                   two_q_gate_args_lists=None,
+                                   rand_state=None):
+    """Forward circuit for non-Clifford mirror RB: `length` alternating
+    blocks of (ZXZXZ-compiled random 1Q unitary layer, edgegrab-sampled
+    Gczr layer), capped by one final 1Q layer (reference:
+    randomcircuit.py:116)."""
+    if two_q_gate_args_lists is None:
+        two_q_gate_args_lists = {'Gczr': [(str(np.pi / 2),), (str(-np.pi / 2),)]}
+    if one_q_gate_type == 'haar':
+        sample_1q = sample_compiled_haar_random_one_qubit_gates_zxzxz_circuit
+    elif one_q_gate_type == 'clifford':
+        sample_1q = sample_compiled_random_clifford_one_qubit_gates_zxzxz_circuit
+    else:
+        raise ValueError("Unknown value %r for `one_q_gate_type`!"
+                         % one_q_gate_type)
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    layers = []
+    for _ in range(length):
+        layers.extend(sample_1q(pspec, qubit_labels=qubits,
+                                rand_state=rand_state).layertup)
+        layers.append(sample_circuit_layer_by_edgegrab(
+            pspec, qubit_labels=qubits, two_q_gate_density=two_q_gate_density,
+            one_q_gate_names=[], gate_args_lists=two_q_gate_args_lists,
+            rand_state=rand_state))
+    layers.extend(sample_1q(pspec, qubit_labels=qubits,
+                            rand_state=rand_state).layertup)
+    return Circuit(layers, line_labels=qubits)

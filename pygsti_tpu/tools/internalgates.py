@@ -97,8 +97,15 @@ def standard_gatename_unitaries():
     u['Gzz'] = _rot(np.kron(Z, Z), np.pi / 2)
     u['Gxx'] = _rot(np.kron(X, X), np.pi / 2)
     u['Gcres'] = _rot(np.kron(X, Z), np.pi / 2)
-    u['Gzr'] = None  # continuously parameterized; see standard_gatename_unitary_generators
-    u['Gczr'] = None
+    # echoed cross-resonance: (IX - XY)/sqrt(2) (reference:
+    # internalgates.py:330; 'Gecr' is the OpenQASM/IBM-convention alias)
+    u['Gecres'] = (np.kron(I2, X) - np.kron(X, Y)) / np.sqrt(2)
+    u['Gecr'] = u['Gecres']
+    # continuously parameterized gates: callable UnitaryGateFunction
+    # instances, matching reference internalgates.py:334-337
+    u['Gzr'] = Gzr()
+    u['Gczr'] = Gczr()
+    u['Gu3'] = Gu3()
 
     # aliases used by modelpacks / legacy names
     u['Gx'] = u['Gxpi2']

@@ -160,6 +160,46 @@ class TestRbFitAndSamplers:
                 qs = sorted(q for l in comps for q in l.sslbls)
                 assert qs == [0, 1, 2], (sampler, layer)
 
+    def test_zxzxz_samplers(self):
+        import numpy as np
+        from pygsti_tpu.processors.processorspec import QubitProcessorSpec
+        from pygsti_tpu.algorithms import randomcircuit as rc
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        pspec = QubitProcessorSpec(3, ['Gzr', 'Gxpi2', 'Gczr'],
+                                   geometry='line')
+        rng = np.random.RandomState(7)
+
+        # Haar ZXZXZ angles reproduce the sampled unitary (up to phase)
+        t1, t2, t3 = rc.sample_haar_random_one_qubit_unitary_parameters(rng)
+        gzr = standard_gatename_unitaries()['Gzr']
+        gx = standard_gatename_unitaries()['Gxpi2']
+        u = gzr((t3,)) @ gx @ gzr((t2,)) @ gx @ gzr((t1,))
+        assert abs(abs(np.trace(u.conj().T @ u)) - 2) < 1e-9  # unitary
+
+        c1 = rc.sample_compiled_haar_random_one_qubit_gates_zxzxz_circuit(
+            pspec, rand_state=rng)
+        assert c1.depth == 5 and c1.width == 3
+
+        # Clifford variant: all Z angles are multiples of pi/2
+        tc = rc.sample_random_clifford_one_qubit_unitary_parameters(rng)
+        assert all(abs((t / (np.pi / 2)) - round(t / (np.pi / 2))) < 1e-12
+                   for t in tc)
+
+        c = rc.sample_random_cz_zxzxz_circuit(pspec, 4,
+                                              qubit_labels=pspec.qubit_labels,
+                                              rand_state=rng)
+        # length blocks of (5-layer 1Q, 1 2Q layer) + final 5-layer 1Q block
+        assert c.depth == 4 * 6 + 5 and c.width == 3
+        names = {l.name for layer in c.layertup
+                 for l in (layer.components if not layer.is_simple
+                           else (layer,)) if l.name}
+        assert names <= {'Gzr', 'Gxpi2', 'Gczr'}
+        # every Gczr carries a +/- pi/2 args tuple
+        for layer in c.layertup:
+            for l in (layer.components if not layer.is_simple else (layer,)):
+                if l.name == 'Gczr':
+                    assert abs(abs(float(l.args[0])) - np.pi / 2) < 1e-9
+
     def test_candidate_fiducials(self):
         from pygsti_tpu.modelpacks import smq1Q_XYI as mp
         from pygsti_tpu.algorithms import fiducialselection as fs
