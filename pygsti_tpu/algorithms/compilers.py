@@ -381,3 +381,253 @@ def compile_stabilizer_measurement(s, p, pspec=None,
                             compilation_rules=absolute_compilation
                             if isinstance(absolute_compilation,
                                           CompilationRules) else None)
+
+
+# ---------------------------------------------------------------------------
+# Conditional-symplectic compilation (reference: compilers.py:2523-3119).
+# Core of short-form stabilizer-state compilation: build a circuit whose
+# symplectic rep matches the RIGHT half of a target s, which is all that
+# matters when acting on |0..0>.
+# ---------------------------------------------------------------------------
+
+def _quad_origin(position, n):
+    """(row_start, col_start) of an n x n quadrant of a 2n x 2n matrix."""
+    return {'UL': (0, 0), 'UR': (0, n),
+            'LL': (n, 0), 'LR': (n, n)}[position]
+
+
+def _cnot_for_quadrant_add(src, dst, optype, position, n):
+    """The CNOT (control, target) whose `optype` action on a 2n x 2n
+    symplectic adds row/column `src` into `dst` WITHIN the given quadrant.
+
+    Row-action CNOT(c,t): row t ^= row c (top half), row c+n ^= row t+n
+    (bottom half).  Column-action CNOT(c,t): col c ^= col t (left half),
+    col t+n ^= col c+n (right half)."""
+    rs, cs = _quad_origin(position, n)
+    if optype == 'row':
+        return (src, dst) if rs == 0 else (dst, src)
+    return (dst, src) if cs == 0 else (src, dst)
+
+
+def _submatrix_gauss_jordan_cnots(s, optype, position, qubit_labels):
+    """Map one quadrant of `s` to the identity using CNOT row/column
+    operations (GF(2) Gauss-Jordan).  Returns (sout, instructions, success);
+    instructions are Labels in the order the operations were applied to
+    `s`, and None when the quadrant is singular (success False).
+
+    The reference's equivalent (compilers.py:2523) returns its column-op
+    lists pre-reversed into before-the-unitary circuit order; here applied
+    order is always returned and callers do any reordering."""
+    n = s.shape[0] // 2
+    sout = s.copy()
+    rs, cs = _quad_origin(position, n)
+    quad = lambda: sout[rs:rs + n, cs:cs + n]
+    instructions = []
+
+    def add(src, dst):
+        pair = _cnot_for_quadrant_add(src, dst, optype, position, n)
+        sym.apply_internal_gate_to_symplectic(sout, 'CNOT', pair,
+                                              optype=optype)
+        instructions.append(Label('CNOT', (qubit_labels[pair[0]],
+                                           qubit_labels[pair[1]])))
+
+    for k in range(n):
+        q = quad()
+        if optype == 'row':
+            if q[k, k] == 0:
+                pivots = [m for m in range(k + 1, n) if q[m, k] == 1]
+                if not pivots:
+                    return sout, None, False
+                add(pivots[0], k)
+            q = quad()
+            for m in range(n):
+                if m != k and q[m, k] == 1:
+                    add(k, m)
+        else:
+            if q[k, k] == 0:
+                pivots = [m for m in range(k + 1, n) if q[k, m] == 1]
+                if not pivots:
+                    return sout, None, False
+                add(pivots[0], k)
+            q = quad()
+            for m in range(n):
+                if m != k and q[k, m] == 1:
+                    add(k, m)
+    return sout, instructions, True
+
+
+def _make_submatrix_invertible_using_hadamards(s, optype, position,
+                                               qubit_labels,
+                                               rand_state=None):
+    """Apply `optype`-action Hadamards on a subset of qubits until the
+    given quadrant of `s` is invertible over GF(2) (reference:
+    compilers.py:2619; randomized, as there).  Returns (sout, h_labels)."""
+    n = s.shape[0] // 2
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    sout = s.copy()
+    rs, cs = _quad_origin(position, n)
+    h_set = set()
+    for iteration in range(10 * n + 101):
+        if mod2.rank_mod2(sout[rs:rs + n, cs:cs + n]) == n:
+            return sout, [Label('H', qubit_labels[i]) for i in sorted(h_set)]
+        hq = rng.randint(n)
+        sym.apply_internal_gate_to_symplectic(sout, 'H', (hq,),
+                                              optype=optype)
+        h_set.symmetric_difference_update({hq})
+    raise ValueError("Randomized Hadamard search failed -- the input is "
+                     "likely not symplectic.")
+
+
+def _make_submatrix_invertible_using_phases(s, optype, position,
+                                            qubit_labels):
+    """Apply `optype`-action phase gates to make the given quadrant of `s`
+    invertible, exploiting that the adjacent quadrant (above for row ops,
+    to the right for column ops) is the identity so that P on qubit i adds
+    e_i into row/column i of the target quadrant (reference:
+    compilers.py:2697).  Returns (sout, p_labels)."""
+    n = s.shape[0] // 2
+    sout = s.copy()
+    rs, cs = _quad_origin(position, n)
+    if optype == 'row':
+        assert position in ('LL', 'LR'), \
+            "Row-action phases require a lower quadrant"
+    else:
+        assert position in ('UL', 'LL'), \
+            "Column-action phases require a left quadrant"
+    work = sout[rs:rs + n, cs:cs + n].copy()
+    instructions = []
+    for i in range(n):
+        if work[i, i] != 1:
+            sym.apply_internal_gate_to_symplectic(sout, 'P', (i,),
+                                                  optype=optype)
+            instructions.append(Label('P', qubit_labels[i]))
+            work[i, i] ^= 1
+        # eliminate below/right of the pivot in the scratch copy only
+        if optype == 'row':
+            for j in range(i + 1, n):
+                if work[j, i] == 1:
+                    work[j, :] ^= work[i, :]
+        else:
+            for j in range(i + 1, n):
+                if work[i, j] == 1:
+                    work[:, j] ^= work[:, i]
+    return sout, instructions
+
+
+def find_albert_factorization_transform_using_cnots(s, optype, position,
+                                                    qubit_labels,
+                                                    rand_state=None):
+    """Given a symmetric invertible quadrant D of `s`, find invertible M
+    with D = M M^T (Albert factorization) and apply a CNOT circuit mapping
+    that quadrant D -> M^T (row action) or D -> M (column action)
+    (reference: compilers.py:2782).  Returns (sout, cnot_labels) with the
+    labels in applied order; does not modify `s`."""
+    n = s.shape[0] // 2
+    rs, cs = _quad_origin(position, n)
+    D = s[rs:rs + n, cs:cs + n].copy()
+    assert np.array_equal(D, D.T), \
+        "The quadrant to Albert-factorize must be symmetric!"
+    M = mod2.albert_factor(D, rand_state=rand_state)
+    sout = s.copy()
+    # Substitute the factor so Gauss-Jordan drives it to I; the recorded
+    # operations E then satisfy E . M = I (row) / M^T . E = I (column), so
+    # the true quadrant D = M M^T maps to E . D = M^T (resp. D . E = M).
+    sout[rs:rs + n, cs:cs + n] = M if optype == 'row' else M.T
+    sout, instructions, success = _submatrix_gauss_jordan_cnots(
+        sout, optype, position, qubit_labels)
+    assert success, "Albert factor was not invertible -- internal error"
+    sout[rs:rs + n, cs:cs + n] = M.T if optype == 'row' else M
+    return sout, instructions
+
+
+def compile_conditional_symplectic(s, pspec=None, qubit_labels=None,
+                                   calg='COiCAGE', cargs=None, check=True,
+                                   rand_state=None):
+    """Find circuits (C2, C1) such that C1 is a CNOT circuit, C2 has the
+    form 1Q-gates -- CNOTs -- 1Q-gates, and the symplectic rep of C1
+    followed by C2 has the same RIGHT half as `s` -- so C2 alone prepares
+    the same stabilizer state from |0..0> (up to Paulis) as any Clifford
+    with rep (s, p) (reference: compilers.compile_conditional_symplectic:
+    2951).  Returns (circuit, precircuit)."""
+    n = s.shape[0] // 2
+    if qubit_labels is not None:
+        assert len(qubit_labels) == n, \
+            "qubit_labels length inconsistent with the size of s"
+        qubits = list(qubit_labels)
+    else:
+        assert pspec is not None and len(pspec.qubit_labels) == n, \
+            "Need qubit_labels when s covers a subset of pspec's qubits"
+        qubits = list(pspec.qubit_labels)
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+
+    sout = np.asarray(s).copy()
+    # 1. row Hadamards -> UR invertible
+    sout, h_some = _make_submatrix_invertible_using_hadamards(
+        sout, 'row', 'UR', qubits, rand_state=rng)
+    # 2. column CNOTs -> UR = I
+    cnots_rhs1 = []
+    if n > 1:
+        sout, cnots_rhs1, ok = _submatrix_gauss_jordan_cnots(
+            sout, 'column', 'UR', qubits)
+        assert ok, "UR Gaussian elimination failed -- input not symplectic?"
+    # 3. row phases -> LR invertible (UR = I enables the e_i trick)
+    sout, p_some = _make_submatrix_invertible_using_phases(
+        sout, 'row', 'LR', qubits)
+    # 4. row CNOTs via Albert factorization -> UR = LR = M
+    cnots_row = []
+    cnots_rhs2 = []
+    if n > 1:
+        sout, cnots_row = find_albert_factorization_transform_using_cnots(
+            sout, 'row', 'LR', qubits, rand_state=rng)
+        # 5. column CNOTs -> UR = LR = I
+        sout, cnots_rhs2, ok = _submatrix_gauss_jordan_cnots(
+            sout, 'column', 'UR', qubits)
+        assert ok, "Final Gaussian elimination failed"
+    # 6. row phases on every qubit -> LR = 0 (adds UR = I into LR = I)
+    sout[n:, :] ^= sout[:n, :]
+    p_all = [Label('P', q) for q in qubits]
+    # 7. row Hadamards on every qubit -> swap halves (UR = 0, LR = I)
+    sout = np.concatenate((sout[n:, :], sout[:n, :]), axis=0)
+    h_all = [Label('H', q) for q in qubits]
+
+    # The main circuit implements the INVERSE of the accumulated row
+    # operations: time order Hall, Pall, reversed row CNOTs, Psome, Hsome
+    # (H/P symplectic actions are involutions; each CNOT is self-inverse so
+    # reversing the applied-order list inverts the product).
+    layers = []
+    layers.append(h_all)
+    layers.append(p_all)
+    mid_cnots = list(reversed(cnots_row))
+    if mid_cnots and calg != 'BGE' and pspec is not None:
+        # optionally recompile the CNOT block with a smarter CNOT compiler
+        cnot_s, _ = sym.symplectic_rep_of_clifford_circuit(
+            Circuit([[c] for c in mid_cnots], qubits))
+        try:
+            recompiled = compile_cnot_circuit(
+                cnot_s, pspec, qubit_labels=qubits, algorithm=calg,
+                compile_to_native=False, check=True,
+                aargs=(cargs or []), rand_state=rng)
+            mid_cnots = [lbl for layer in recompiled.layertup
+                         for lbl in (layer.components
+                                     if not layer.is_simple else (layer,))]
+        except Exception:
+            pass  # keep the Gaussian-elimination CNOT list
+    layers.extend([[c] for c in mid_cnots])
+    if p_some:
+        layers.append(p_some)
+    if h_some:
+        layers.append(h_some)
+    circuit = Circuit(layers, qubits)
+
+    # The pre-circuit inverts the column operations: time order = applied
+    # order (right-multiplication composes in reverse of circuit time).
+    pre_layers = [[c] for c in cnots_rhs1 + cnots_rhs2]
+    precircuit = Circuit(pre_layers, qubits)
+
+    if check:
+        both = Circuit(list(precircuit.layertup) + list(circuit.layertup),
+                       qubits)
+        scheck, _ = sym.symplectic_rep_of_clifford_circuit(both)
+        assert np.array_equal(scheck[:, n:], np.asarray(s)[:, n:]), \
+            "compile_conditional_symplectic failed its self-check!"
+    return circuit, precircuit

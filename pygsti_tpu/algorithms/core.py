@@ -304,3 +304,25 @@ def find_closest_unitary_opmx(operation_mx, op_basis='pp'):
     u_svd, _, vh = _np.linalg.svd(K)
     U = u_svd @ vh
     return _np.real_if_close(unitary_to_superop(U, op_basis))
+
+
+def validate_and_extend_optimizer(optimizer, size):
+    """Normalize the `optimizer` argument of iterative GST to a per-iteration
+    list: a single optimizer (or settings dict, or None) is replicated `size`
+    times; a list must have length 1 or `size` (reference:
+    core.validate_and_extend_optimizer:791)."""
+    if optimizer is None:
+        optimizer = SimplerLMOptimizer.cast(None)
+    if isinstance(optimizer, list) and len(optimizer) == 1:
+        optimizer = optimizer * size
+    if isinstance(optimizer, (SimplerLMOptimizer, dict)):
+        optimizers = [optimizer] * size
+    elif not isinstance(optimizer, list):
+        raise ValueError("Invalid argument for optimizers of type %s; "
+                         "supported types are list, Optimizer, or dict."
+                         % type(optimizer))
+    else:
+        optimizers = optimizer
+    assert len(optimizers) in (1, size), \
+        "Optimizers must be length 1 or length %d" % size
+    return optimizers

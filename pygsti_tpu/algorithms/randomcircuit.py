@@ -680,3 +680,94 @@ def sample_random_cz_zxzxz_circuit(pspec, length, qubit_labels=None,
     layers.extend(sample_1q(pspec, qubit_labels=qubits,
                             rand_state=rand_state).layertup)
     return Circuit(layers, line_labels=qubits)
+
+
+def find_all_sets_of_compatible_two_q_gates(edgelist, n, gatename='Gcnot',
+                                            aslabel=False):
+    """All size-`n` subsets of `edgelist` whose edges are pairwise disjoint,
+    as Label lists or 'name:q0:q1' strings (reference:
+    randomcircuit.py:160)."""
+    import itertools
+    out = []
+    for pairs in itertools.combinations(edgelist, n):
+        qs = [q for e in pairs for q in e]
+        if len(qs) == len(set(qs)):
+            if aslabel:
+                out.append([Label(gatename, tuple(e)) for e in pairs])
+            else:
+                out.append(['%s:%s:%s' % (gatename, e[0], e[1])
+                            for e in pairs])
+    return out
+
+
+def _compiled_1q_layer_circuit(pspec, sp_pairs, qubits, absolute_compilation):
+    """Compile per-qubit 1Q Cliffords (symplectic (s,p) pairs) to native
+    gates and pack the words into a parallelized circuit."""
+    rules = absolute_compilation if isinstance(absolute_compilation,
+                                               CompilationRules) \
+        else CompilationRules(pspec)
+    from pygsti_tpu.algorithms.compilers import compile_1q_clifford
+    words = [compile_1q_clifford(s, p, rules.native_1q, q)
+             for (s, p), q in zip(sp_pairs, qubits)]
+    depth = max((len(w) for w in words), default=0)
+    layers = []
+    for t in range(depth):
+        comps = tuple(w[t] for w in words if t < len(w))
+        layers.append(LabelTupTup.init(comps))
+    if not layers:
+        return Circuit(([],), line_labels=tuple(qubits))
+    return Circuit(layers, line_labels=tuple(qubits))
+
+
+def sample_pauli_layer_as_compiled_circuit(pspec, absolute_compilation=None,
+                                           qubit_labels=None, keepidle=False,
+                                           rand_state=None):
+    """A uniformly random n-qubit Pauli compiled into the native gates of
+    `pspec` (reference: randomcircuit.py:1339)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    from pygsti_tpu.algorithms.compilers import _gen_sreps
+    sreps = _gen_sreps()
+    paulis = ['I', 'X', 'Y', 'Z']
+    r = rng.randint(0, 4, size=len(qubits))
+    sp_pairs = [sreps[paulis[k]] for k in r]
+    circ = _compiled_1q_layer_circuit(pspec, sp_pairs, qubits,
+                                      absolute_compilation)
+    if keepidle and circ.depth == 0:
+        circ = Circuit([LabelTupTup.init(())], line_labels=qubits)
+    return circ
+
+
+def sample_one_q_clifford_layer_as_compiled_circuit(pspec,
+                                                    absolute_compilation=None,
+                                                    qubit_labels=None,
+                                                    rand_state=None):
+    """A layer of independent uniformly random 1Q Cliffords compiled into
+    native gates (reference: randomcircuit.py:1393)."""
+    rng = rand_state if rand_state is not None else np.random.RandomState()
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    creps = sym.compute_internal_gate_symplectic_representations(
+        ['Gc%d' % i for i in range(24)])
+    r = rng.randint(0, 24, size=len(qubits))
+    sp_pairs = [creps['Gc%d' % k] for k in r]
+    return _compiled_1q_layer_circuit(pspec, sp_pairs, qubits,
+                                      absolute_compilation)
+
+
+def random_alternating_clifford_circ(pspec, depth, qubit_labels=None,
+                                     two_q_gate_density=0.25,
+                                     rand_state=None):
+    """`depth` composite blocks of (edgegrab 2Q layer, random 1Q layer)
+    (reference: randomcircuit.py:2418)."""
+    qubits = tuple(qubit_labels) if qubit_labels is not None \
+        else tuple(pspec.qubit_labels)
+    layers = []
+    for _ in range(depth):
+        layers.append(sample_circuit_layer_by_edgegrab(
+            pspec, qubit_labels=qubits, two_q_gate_density=two_q_gate_density,
+            rand_state=rand_state))
+        layers.append(sample_circuit_layer_of_one_q_gates(
+            pspec, qubit_labels=qubits, rand_state=rand_state))
+    return Circuit(layers, line_labels=qubits)

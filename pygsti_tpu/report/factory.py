@@ -576,6 +576,27 @@ def construct_nqnoise_report(results, title="auto", confidence_level=None,
                                      verbosity=verbosity, **kwargs)
 
 
+def basis_aware_display(models, name, ordinary, leakage, metric_space=0):
+    """Choose per-model display column tuples for a gates-vs-target table
+    (reference: factory.basis_aware_display:111): the `leakage`
+    (subspace-restricted) columns are used for a model whose basis implies
+    leakage modeling when `metric_space` is the 0-th ("Subspace") position;
+    otherwise the `ordinary` full-space columns are used.
+
+    The reference registers a per-cell SwitchValue on its Switchboard; our
+    report pipeline renders per-estimate blocks directly, so this returns
+    the chosen column tuple (or a dict of them when `models` is a dict
+    keyed by estimate)."""
+    def _choose(mdl):
+        basis = getattr(mdl, 'basis', None)
+        leaky = basis is not None and \
+            bool(getattr(basis, 'implies_leakage_modeling', lambda: False)())
+        return leakage if (metric_space == 0 and leaky) else ordinary
+    if isinstance(models, dict):
+        return {k: _choose(m) for k, m in models.items()}
+    return _choose(models)
+
+
 def create_drift_report(results, title="auto", verbosity=1, **kwargs):
     """Drift (stability analysis) report (reference:
     factory.create_drift_report:1745).  `results` is a

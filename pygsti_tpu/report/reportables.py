@@ -1104,3 +1104,115 @@ def evaluate_instrumentfn_by_name(name, model, target_model, inst_label,
     if name in ('half diamond norm', 'instrument half diamond norm'):
         return instrument_half_diamond_norm(model, target_model, inst_label)
     raise ValueError("Unknown instrument function name: %s" % name)
+
+
+def robust_log_gti_and_projections(model_a, model_b, synthetic_idle_circuits):
+    """Gauge-robust error-generator projections from synthetic idles
+    (reference: reportables.robust_log_gti_and_projections:2105).
+
+    For each synthetic-idle circuit s (a circuit whose `model_b` product is
+    the identity), the error generator log(A(s) B(s)^-1) is, to first order,
+    a known linear combination of the per-gate elementary error generators.
+    Accumulating these linear systems over all the circuits and solving by
+    SVD yields gauge-robust linear combinations of per-gate H/S/C/A rates.
+    Returns {combo_description: rate}.
+    """
+    from pygsti_tpu.baseobjs.basis import Basis
+    from pygsti_tpu.baseobjs.errorgenlabel import LocalElementaryErrorgenLabel
+    mx_basis = model_b.basis
+    dim = model_a.dim
+    Id = np.identity(dim, 'd')
+    op_labels = [gl for gl, gate in model_b.operations.items()
+                 if not np.allclose(gate.to_dense(), Id)]
+    eeg_basis = Basis.cast(
+        'PP' if model_a.state_space.is_entirely_qubits else mx_basis, dim)
+    nonI = eeg_basis.labels[1:]
+
+    error_superops, error_labels = [], []
+    for ptype in ("H", "S", "C", "A"):
+        duals = _ot.elementary_errorgens_dual(dim, ptype, eeg_basis)
+        if ptype in ("H", "S"):
+            keys = [(bel,) for bel in nonI]
+        else:
+            keys = [(b1, b2) for i, b1 in enumerate(nonI)
+                    for b2 in nonI[i + 1:]]
+        for k in keys:
+            error_superops.append(change_basis(
+                duals[LocalElementaryErrorgenLabel(ptype, k)], "std",
+                mx_basis))
+            error_labels.append("%s(%s)" % (ptype, ",".join(k)))
+    n_superops = len(error_superops)
+
+    def _projection_vec(errgen):
+        proj = []
+        for ptype in ("H", "S", "C", "A"):
+            projections = _ot.project_errorgen(errgen, ptype, eeg_basis,
+                                               mx_basis)
+            if ptype in ("H", "S"):
+                proj.extend(projections[LocalElementaryErrorgenLabel(
+                    ptype, (bel,))] for bel in nonI)
+            else:
+                proj.extend(projections[LocalElementaryErrorgenLabel(
+                    ptype, (b1, b2))] for i, b1 in enumerate(nonI)
+                    for b2 in nonI[i + 1:])
+        return np.array(proj)
+
+    def _first_order_noise(layers, err_sup_op, gl_with_err):
+        noise = np.zeros((dim, dim), complex)
+        for n, gl in enumerate(layers):
+            if gl == gl_with_err:
+                post = _product_of_labels(model_b, layers[n + 1:])
+                pre = _product_of_labels(model_b, layers[:n + 1])
+                noise += post @ err_sup_op @ pre
+        return noise
+
+    def _product_of_labels(model, labels):
+        G = np.eye(dim)
+        for lbl in labels:
+            G = model.operations[lbl].to_dense() @ G
+        return G
+
+    def _errgen_jacobian(layers):
+        jac = np.empty((n_superops, n_superops * len(op_labels)), complex)
+        for i, gl in enumerate(op_labels):
+            for k, err_on_gate in enumerate(error_superops):
+                noise = _first_order_noise(layers, err_on_gate, gl)
+                jac[:, i * n_superops + k] = [np.vdot(e, noise)
+                                              for e in error_superops]
+        assert np.linalg.norm(jac.imag) < 1e-6, \
+            "error generator jacobian should be real!"
+        return jac.real
+
+    running_jac = running_y = None
+    for s in synthetic_idle_circuits:
+        layers = tuple(s.layertup)
+        Sa = _circuit_product(model_a, s)
+        Sb = _circuit_product(model_b, s)
+        assert np.linalg.norm(Sb - Id) < 1e-6, \
+            "Synthetic idle %s is not an idle!!" % str(s)
+        si_errgen = _ot.error_generator(Sa, Sb, mx_basis, "logGTi")
+        si_proj = _projection_vec(si_errgen)
+        jac_si = _errgen_jacobian(layers)
+        if running_jac is None:
+            running_jac, running_y = jac_si, si_proj
+        else:
+            running_jac = np.concatenate((running_jac, jac_si), axis=0)
+            running_y = np.concatenate((running_y, si_proj), axis=0)
+
+    RANK_TOL, COEFF_TOL = 1e-8, 1e-1
+    U, sv, Vt = np.linalg.svd(running_jac)
+    rank = int(np.count_nonzero(sv > RANK_TOL))
+    vals = np.diag(1.0 / sv[:rank]) @ (U[:, :rank].conj().T @ running_y)
+    op_error_labels = ["%s.%s" % (gl, el) for gl in op_labels
+                       for el in error_labels]
+    ret = {}
+    for combo, val in zip(Vt[:rank, :], vals):
+        combo_str = " + ".join("%.1f*%s" % (c, el)
+                               for c, el in zip(combo, op_error_labels)
+                               if abs(c) > COEFF_TOL)
+        ret[combo_str] = val
+    return ret
+
+
+from pygsti_tpu.report.modelfunction import modelfn_factory as _modelfn_factory
+Robust_LogGTi_and_projections = _modelfn_factory(robust_log_gti_and_projections)

@@ -513,3 +513,311 @@ def compute_kite(eigenvalues):
             blk = 1
     kite.append(blk)
     return kite
+
+
+# ---------------------------------------------------------------------------
+# Additional reference-surface utilities (reference: tools/matrixtools.py).
+# These support the sparse/Lindblad host-side code paths; the TPU compute
+# path uses dense jax arrays, so these are plain numpy/scipy.
+# ---------------------------------------------------------------------------
+
+def complex_compare(a, b):
+    """Three-way comparison of complex numbers by real part, then imaginary
+    part (reference: matrixtools.complex_compare:1263)."""
+    if a.real < b.real:
+        return -1
+    if a.real > b.real:
+        return 1
+    if a.imag < b.imag:
+        return -1
+    if a.imag > b.imag:
+        return 1
+    return 0
+
+
+def induced_projector(mx, tol=1e-12, *, require_real=False):
+    """The orthogonal projector onto range(mx), for `mx` proportional to a
+    projector: eigendecompose, rescale the spectrum to {0, 1}, and rebuild
+    (reference: matrixtools.induced_projector:158)."""
+    mx = np.asarray(mx)
+    if require_real and not np.allclose(mx, mx.conj(), atol=tol, rtol=tol):
+        raise ValueError("Input matrix has a nonzero imaginary part but "
+                         "require_real=True was passed.")
+    if not is_hermitian(mx, tol):
+        raise ValueError("Input matrix is not Hermitian (tol=%g)." % tol)
+    evals, evecs = np.linalg.eigh(mx)
+    c = np.max(np.abs(evals))
+    if c <= tol:
+        return np.zeros_like(mx)
+    scaled = evals / c
+    on = np.abs(scaled - 1.0) <= tol
+    off = np.abs(scaled) <= tol
+    if not np.all(on | off):
+        raise ValueError("Input matrix is not proportional to an orthogonal "
+                         "projector (tol=%g)." % tol)
+    V = evecs[:, on]
+    P = V @ V.conj().T
+    return P.real if require_real or np.isrealobj(mx) else P
+
+
+def pivot_indices_after_deflation(m_fixed, m):
+    """Column-pivot indices of `m` chosen by QR-with-column-pivoting after
+    projecting out the column space of `m_fixed` (reference:
+    matrixtools.pivot_indices_after_deflation:274)."""
+    import scipy.linalg as _spl
+    Q = _spl.qr(m_fixed, mode='economic')[0]
+    M = m - Q @ (Q.T.conj() @ m)
+    return _spl.qr(M, mode='economic', pivoting=True)[2]
+
+
+def pinv_of_matrix_with_orthogonal_columns(m):
+    """Pseudo-inverse of a matrix with mutually orthogonal (not necessarily
+    normalized) columns: scale each conjugated column by 1/||col||^2 and
+    transpose (reference:
+    matrixtools.pinv_of_matrix_with_orthogonal_columns:607)."""
+    col_norms_sq = np.linalg.norm(m, axis=0) ** 2
+    inv_scale = np.where(col_norms_sq > 0, 1.0 / np.where(
+        col_norms_sq > 0, col_norms_sq, 1.0), 0.0)
+    return (m.conj() * inv_scale[None, :]).T
+
+
+def jamiolkowski_angle(hamiltonian_mx):
+    """The "Jamiolkowski angle" arccos |<psi| I (x) e^{iH} |psi>| of a
+    Hamiltonian error, where |psi> is maximally entangled (reference:
+    matrixtools.jamiolkowski_angle:2441)."""
+    import scipy.linalg as _spl
+    H = np.asarray(hamiltonian_mx)
+    d = H.shape[0]
+    errmap = np.kron(np.identity(d), _spl.expm(1j * H))
+    psi = np.zeros(d ** 2)
+    for i in range(d):
+        psi[i * d + i] = 1.0 / np.sqrt(d)
+    cos_theta = abs(psi.conj() @ (errmap @ psi))
+    return float(np.real_if_close(np.arccos(np.clip(cos_theta, -1, 1))))
+
+
+def ndarray_base(a, verbosity=0):
+    """The root memory object of numpy array `a`, found by following
+    `.base` links (reference: matrixtools.ndarray_base:2181)."""
+    while a.base is not None:
+        a = a.base
+    return a
+
+
+def find_zero_communtant_connection(u, u_inv, u0, u0_inv, kite):
+    """Find a real R with u_inv R u0 diagonal (block-diagonal on `kite`)
+    and log(R) having zero projection onto the commutant of
+    G0 = u0 diag u0_inv -- the gauge connection used by gauge-robust
+    decompositions (reference:
+    matrixtools.find_zero_communtant_connection:2288).  Iterates
+    R <- R exp(-Proj_commutant[log R]) to convergence."""
+    import scipy.linalg as _spl
+    D = project_onto_kite(u_inv @ u0, kite)
+    R = u @ D @ u0_inv
+    assert np.linalg.norm(R.imag) < 1e-8
+
+    def _onto_commutant(x):
+        return u0 @ project_onto_kite(u0_inv @ x @ u0, kite) @ u0_inv
+
+    last_R = R
+    for it in range(100):
+        assert np.linalg.norm(
+            project_onto_antikite(u_inv @ R @ u0, kite)) < 1e-8
+        r = real_matrix_log(R)
+        r_comm = _onto_commutant(r)
+        if np.linalg.norm(r_comm) < 1e-12 or \
+           (it > 0 and np.linalg.norm(R - last_R) < 1e-8):
+            break
+        last_R = R
+        R = R @ _spl.expm(-r_comm)
+    assert np.linalg.norm(R.imag) < 1e-8, "R should always be real!"
+    return R.real
+
+
+def zvals_int64_to_dense(zvals_int, nqubits, outvec=None,
+                         trust_outvec_sparsity=False, abs_elval=None):
+    """Fill a dense length-4^n array with the Pauli-product super-ket of the
+    computational basis state whose z-values are the bits of `zvals_int`
+    (reference: matrixtools.zvals_int64_to_dense:2528).  Each qubit factor
+    is (1,0,0,+/-1)/sqrt(2), so the nonzero entries sit at indices whose
+    base-4 digits are 0 or 3, with sign = parity of (digit==3 AND z==1)."""
+    n = nqubits
+    if outvec is None:
+        outvec = np.zeros(4 ** n, 'd')
+    if abs_elval is None:
+        abs_elval = 1.0 / (np.sqrt(2) ** n)
+    if not trust_outvec_sparsity:
+        outvec[:] = 0
+    for finds in range(2 ** n):
+        idx = sum(3 * (4 ** (n - 1 - k)) for k in range(n)
+                  if finds & (1 << k))
+        outvec[idx] = -abs_elval if int64_parity(finds & zvals_int) \
+            else abs_elval
+    return outvec
+
+
+# -- CSR summation helpers (reference: matrixtools.py:1713-1930; the
+#    reference accelerates these in Cython for its sparse Lindblad op path).
+
+def csr_sum_indices(csr_matrices):
+    """Precompute destination-index arrays for summing CSR matrices into a
+    common sparsity template.  Returns (ind_arrays, indptr, indices, N)
+    where `indptr`/`indices` define the union-pattern template and
+    ind_arrays[i][j] is the template data index of the j-th stored element
+    of csr_matrices[i] (reference: matrixtools.csr_sum_indices:1713)."""
+    import scipy.sparse as _sps
+    if len(csr_matrices) == 0:
+        return [], np.empty(0, np.int64), np.empty(0, np.int64), 0
+    N = csr_matrices[0].shape[0]
+    for mx in csr_matrices:
+        assert mx.shape == (N, N), "Matrices must have the same square shape!"
+    pattern = sum(
+        _sps.csr_matrix((np.ones(m.nnz), m.indices.copy(),
+                         m.indptr.copy()), shape=(N, N))
+        for m in csr_matrices).tocsr()
+    pattern.sort_indices()
+    tptr, tcols = pattern.indptr, pattern.indices
+    ind_arrays = []
+    for m in csr_matrices:
+        dest = np.empty(m.nnz, np.int64)
+        for r in range(N):
+            t0, t1 = tptr[r], tptr[r + 1]
+            row_cols = tcols[t0:t1]
+            for i in range(m.indptr[r], m.indptr[r + 1]):
+                dest[i] = t0 + np.searchsorted(row_cols, m.indices[i])
+        ind_arrays.append(dest)
+    return (ind_arrays, tptr.astype(np.int64), tcols.astype(np.int64), N)
+
+
+def csr_sum(data, coeffs, csr_mxs, csr_sum_indices):
+    """In-place `data += sum_i coeffs[i] * csr_mxs[i].data` scattered through
+    the precomputed destination indices (reference:
+    matrixtools.csr_sum:1770)."""
+    for coeff, mx, inds in zip(coeffs, csr_mxs, csr_sum_indices):
+        data[inds] += coeff * mx.data
+
+
+def csr_sum_flat_indices(csr_matrices):
+    """Flattened variant of :func:`csr_sum_indices` for fast linear
+    combinations: returns (flat_dest_index_array, flat_csr_mx_data,
+    mx_nnz_indptr, indptr, indices, N) (reference:
+    matrixtools.csr_sum_flat_indices:1808)."""
+    ind_arrays, indptr, indices, N = csr_sum_indices(csr_matrices)
+    if len(ind_arrays) == 0:
+        return (np.empty(0, np.int64), np.empty(0, 'd'),
+                np.zeros(1, np.int64), indptr, indices, N)
+    flat_dest = np.ascontiguousarray(np.concatenate(ind_arrays),
+                                      dtype=np.int64)
+    flat_data = np.ascontiguousarray(
+        np.concatenate([m.data for m in csr_matrices]), dtype=complex)
+    nnz_indptr = np.cumsum([0] + [m.nnz for m in csr_matrices],
+                            dtype=np.int64)
+    return flat_dest, flat_data, nnz_indptr, indptr, indices, N
+
+
+def csr_sum_flat(data, coeffs, flat_dest_index_array, flat_csr_mx_data,
+                 mx_nnz_indptr):
+    """In-place flat-form linear combination
+    `data[flat_dest] += coeff[i] * flat_data` (reference:
+    matrixtools.csr_sum_flat:1855).  Vectorized with np.add.at (the
+    destination indices repeat across matrices)."""
+    n_mxs = len(mx_nnz_indptr) - 1
+    coeff_per_elem = np.repeat(np.ascontiguousarray(coeffs, complex),
+                                np.diff(mx_nnz_indptr))
+    np.add.at(data, flat_dest_index_array,
+               coeff_per_elem * flat_csr_mx_data)
+
+
+# -- exp(A) @ v helpers (reference: matrixtools.py:1933-2180; the reference
+#    re-implements scipy's expm_multiply internals + Cython core.  Here the
+#    prep simply captures the matrix and its trace shift, and the fast apply
+#    defers to scipy's Al-Mohy/Higham implementation).
+
+EXPM_DEFAULT_TOL = 2.0 ** -53  # as in the reference (double precision)
+
+
+def expm_multiply_prep(a, tol=EXPM_DEFAULT_TOL):
+    """Precompute meta-info for repeated exp(a) @ v products via
+    :func:`expm_multiply_fast` (reference:
+    matrixtools.expm_multiply_prep:1933)."""
+    import scipy.sparse as _sps
+    a = _sps.csr_matrix(a)
+    n = a.shape[0]
+    mu = a.diagonal().sum() / float(n)
+    a_shifted = (a - mu * _sps.identity(n, a.dtype, format='csr')).tocsr()
+    a_shifted.sort_indices()
+    return (a_shifted, mu)
+
+
+def expm_multiply_fast(prep_a, v, tol=EXPM_DEFAULT_TOL):
+    """Compute exp(A) @ v using meta-info from :func:`expm_multiply_prep`
+    (reference: matrixtools.expm_multiply_fast:1994)."""
+    import scipy.sparse.linalg as _spsl
+    a_shifted, mu = prep_a
+    return np.exp(mu) * _spsl.expm_multiply(a_shifted, v)
+
+
+def expop_multiply_prep(op, a_1_norm=None, tol=EXPM_DEFAULT_TOL):
+    """:func:`expm_multiply_prep` for a scipy LinearOperator (reference:
+    matrixtools.expop_multiply_prep:2075).  The operator cannot be
+    trace-shifted without materializing it, so mu = 0."""
+    return (op, 0.0)
+
+
+# -- OperatorLike protocol (reference: matrixtools.py:2643-2704) -------------
+
+try:
+    from typing import Protocol as _Protocol, runtime_checkable \
+        as _runtime_checkable
+
+    @_runtime_checkable
+    class OperatorLike(_Protocol):
+        """Structural type for objects usable as linear operators: need
+        `.T`, `.conj()`, and matmul (reference:
+        matrixtools.OperatorLike:2643)."""
+
+        @property
+        def T(self):  # noqa: N802
+            ...
+
+        def __matmul__(self, other):
+            ...
+
+        def __rmatmul__(self, other):
+            ...
+
+        def conj(self):
+            ...
+except ImportError:  # pragma: no cover - Protocol always present on py3.8+
+    OperatorLike = object
+
+
+class IdentityOperator(object):
+    """The identity operator on any vector space: matmul returns the other
+    operand unchanged (reference: matrixtools.IdentityOperator:2659)."""
+
+    # make ndarray @ IdentityOperator dispatch to our __rmatmul__
+    __array_priority__ = 101
+
+    def __matmul__(self, other):
+        return other
+
+    def __rmatmul__(self, other):
+        return other
+
+    @property
+    def T(self):  # noqa: N802
+        return self
+
+    def conj(self):
+        return self
+
+
+def to_operatorlike(obj):
+    """Coerce `obj` to an OperatorLike: None becomes the identity operator
+    (reference: matrixtools.to_operatorlike:2694)."""
+    if obj is None:
+        return IdentityOperator()
+    if isinstance(obj, OperatorLike):
+        return obj
+    raise ValueError("Cannot interpret %s as OperatorLike" % type(obj))

@@ -265,6 +265,38 @@ class TestCompilerEntryPoints:
         assert np.array_equal(sc, np.eye(4, dtype=np.int64))
         assert np.all(pc % 4 == 0)
 
+    def test_compile_conditional_symplectic(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import symplectic as sym
+        rng = np.random.RandomState(11)
+        for n in (1, 2, 3):
+            s, _ = sym.random_clifford(n, rand_state=rng)
+            # check=True asserts rep(precircuit; circuit)[:, n:] == s[:, n:]
+            circ, pre = cmp.compile_conditional_symplectic(
+                s, qubit_labels=list(range(n)), calg='BGE', check=True,
+                rand_state=rng)
+            # precircuit must be CNOTs only
+            for layer in pre.layertup:
+                comps = layer.components if not layer.is_simple else (layer,)
+                assert all(l.name == 'CNOT' for l in comps)
+
+    def test_albert_factorization_transform(self):
+        from pygsti_tpu.algorithms import compilers as cmp
+        from pygsti_tpu.tools import matrixmod2 as mod2
+        rng = np.random.RandomState(4)
+        n = 3
+        D = mod2.random_symmetric_invertable_matrix(n, rand_state=rng)
+        s = np.zeros((2 * n, 2 * n), np.int64)
+        s[:n, :n] = np.eye(n, dtype=np.int64)
+        s[n:, n:] = D
+        sout, cnots = cmp.find_albert_factorization_transform_using_cnots(
+            s, 'row', 'LR', list(range(n)), rand_state=rng)
+        M_T = sout[n:, n:]
+        # quadrant mapped to M^T with D = M M^T
+        assert np.array_equal((M_T.T @ M_T) % 2, D % 2)
+        assert mod2.rank_mod2(M_T) == n
+        assert all(l.name == 'CNOT' for l in cnots)
+
 
 class TestSmallToolsSurface:
     def test_slicetools_group_basistools(self, ref_pygsti):
@@ -518,3 +550,94 @@ class TestReviewRegressions:
             1, ds, max_lengths, (prep_d, meas_d), maxweight=1,
             advanced_options={'pauli_fidpairs': fps})
         assert isinstance(res.intrinsic_rates, dict)  # no KeyError
+
+
+class TestMatrixtoolsExtras:
+    """csr helpers, expm_multiply, OperatorLike, projector utilities
+    (reference: tools/matrixtools.py)."""
+
+    def test_csr_sum_and_flat(self):
+        import scipy.sparse as sps
+        import pygsti_tpu.tools.matrixtools as mt
+        rng = np.random.RandomState(0)
+        mats = [sps.random(6, 6, density=0.3, random_state=rng, format='csr')
+                for _ in range(3)]
+        coeffs = [1.5, -0.5, 2.0]
+        ref = sum(c * m for c, m in zip(coeffs, mats))
+        inds, indptr, cols, N = mt.csr_sum_indices(mats)
+        data = np.zeros(len(cols), complex)
+        mt.csr_sum(data, coeffs, mats, inds)
+        assert abs(sps.csr_matrix((data, cols, indptr),
+                                  shape=(N, N)) - ref).max() < 1e-12
+        fd, fdata, nnzp, ip2, cols2, N2 = mt.csr_sum_flat_indices(mats)
+        data2 = np.zeros(len(cols2), complex)
+        mt.csr_sum_flat(data2, np.array(coeffs), fd, fdata, nnzp)
+        assert abs(sps.csr_matrix((data2, cols2, ip2),
+                                  shape=(N2, N2)) - ref).max() < 1e-12
+        assert mt.csr_sum_indices([])[3] == 0
+
+    def test_expm_multiply(self):
+        import scipy.sparse as sps
+        import scipy.linalg as spl
+        import pygsti_tpu.tools.matrixtools as mt
+        rng = np.random.RandomState(1)
+        A = sps.random(8, 8, density=0.4, random_state=rng, format='csr')
+        prep = mt.expm_multiply_prep(A)
+        v = rng.randn(8)
+        assert np.allclose(mt.expm_multiply_fast(prep, v),
+                           spl.expm(A.toarray()) @ v)
+
+    def test_operatorlike(self):
+        import pygsti_tpu.tools.matrixtools as mt
+        I = mt.to_operatorlike(None)
+        x = np.random.randn(3, 3)
+        assert I @ x is x and x @ I is x and I.T is I and I.conj() is I
+        assert isinstance(np.eye(2), mt.OperatorLike)
+        with pytest.raises(ValueError):
+            mt.to_operatorlike(42)
+
+    def test_projector_and_misc(self):
+        import pygsti_tpu.tools.matrixtools as mt
+        rng = np.random.RandomState(2)
+        V = np.linalg.qr(rng.randn(5, 2))[0]
+        assert np.allclose(mt.induced_projector(3.7 * V @ V.T), V @ V.T)
+        with pytest.raises(ValueError):
+            mt.induced_projector(rng.randn(4, 4))  # not hermitian
+        M = np.linalg.qr(rng.randn(5, 3))[0] * np.array([2.0, 3.0, 0.5])
+        assert np.allclose(
+            mt.pinv_of_matrix_with_orthogonal_columns(M) @ M, np.eye(3))
+        assert mt.complex_compare(1 + 2j, 1 + 3j) == -1
+        assert mt.complex_compare(2 + 0j, 1 + 9j) == 1
+        assert mt.complex_compare(1 + 1j, 1 + 1j) == 0
+        assert abs(mt.jamiolkowski_angle(np.zeros((2, 2)))) < 1e-6
+        s2 = 1 / np.sqrt(2)
+        assert np.allclose(mt.zvals_int64_to_dense(1, 1), [s2, 0, 0, -s2])
+        base = np.zeros(12)
+        a = base.reshape(3, 4)
+        assert mt.ndarray_base(a[1:, :2]) is base
+        J = mt.pivot_indices_after_deflation(rng.randn(6, 2),
+                                             rng.randn(6, 4))
+        assert sorted(J) == [0, 1, 2, 3]
+
+    def test_zero_commutant_connection(self):
+        import scipy.linalg as spl
+        import pygsti_tpu.tools.matrixtools as mt
+        rng = np.random.RandomState(3)
+        th = 0.3
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        G0 = np.kron(np.eye(2), rot)
+        evals0, u0 = np.linalg.eig(G0)
+        idx = np.argsort(evals0)
+        evals0, u0 = evals0[idx], u0[:, idx]
+        kite = mt.compute_kite(evals0)
+        A = rng.randn(4, 4) * 0.05
+        Q = spl.expm(A - A.T)
+        G = Q @ G0 @ Q.T
+        u = Q @ u0
+        R = mt.find_zero_communtant_connection(
+            u, np.linalg.inv(u), u0, np.linalg.inv(u0), kite)
+        assert np.allclose(R @ G0 @ np.linalg.inv(R), G)
+        r = mt.real_matrix_log(R)
+        comm = u0 @ mt.project_onto_kite(np.linalg.inv(u0) @ r @ u0,
+                                         kite) @ np.linalg.inv(u0)
+        assert np.linalg.norm(comm) < 1e-8
