@@ -365,3 +365,19 @@ def compute_jacobian_dicts(target_model, germs, prep_fiducials,
         out[germ] = {'jacobian': rows, 'pair_index': pair_index,
                      'num_amplified': n_amp}
     return out
+
+
+def construct_compact_evd_cache(fiducial_indices, complete_jacobian,
+                                element_map, eigenvalue_tolerance=1e-10):
+    """{fid_index: U sqrt(e)} compact halves of each fiducial pair's
+    Jacobian Gramian, where element_map gives each pair's rows of the
+    complete Jacobian (reference:
+    fiducialpairreduction.construct_compact_evd_cache:1519)."""
+    from pygsti_tpu.algorithms.germselection import compact_EVD
+    sqrteU = {}
+    for fid_index in fiducial_indices:
+        rows = np.take(complete_jacobian, element_map[fid_index], axis=0)
+        e, U = compact_EVD(rows.T @ rows, eigenvalue_tolerance,
+                           assume_hermitian=True)
+        sqrteU[fid_index] = U @ np.diag(np.sqrt(np.abs(e)))
+    return sqrteU

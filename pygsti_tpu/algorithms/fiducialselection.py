@@ -312,3 +312,147 @@ def create_candidate_fiducial_list(target_model, omit_identity=True,
         prods.append(prod)
         kept.append(c)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Greedy-search support: PTM/prep/meas caches, candidate cleaning, compact
+# EVD halves, and penalty terms (reference: fiducialselection.py:412-1935).
+# ---------------------------------------------------------------------------
+
+def xor(*args):
+    """True iff exactly one argument is truthy (reference:
+    fiducialselection.xor:412)."""
+    return sum(bool(x) for x in args) == 1
+
+
+def create_circuit_cache(model, circuit_list):
+    """{circuit.str: PTM} product cache for the candidate fiducials
+    (reference: fiducialselection.create_circuit_cache:607)."""
+    cache = {}
+    for circuit in circuit_list:
+        G = np.eye(model.dim)
+        for l in circuit.layertup:
+            G = model.operations[l].to_dense() @ G
+        cache[circuit.str] = G
+    return cache
+
+
+def clean_fid_list(model, circuit_cache, available_fid_list,
+                   drop_identities=True, drop_duplicates=True,
+                   eq_thresh=1e-6, assume_clifford=False):
+    """Drop identity-acting and PTM-duplicate fiducials from the candidate
+    list (reference: fiducialselection.clean_fid_list:433).  Returns
+    (cleaned_fid_list, cleaned_circuit_cache); the first circuit of each
+    duplicate group (in list order) is kept, and the empty circuit is never
+    dropped as an identity."""
+    cache = dict(circuit_cache)
+    if drop_identities:
+        ident = np.identity(model.dim, 'd')
+        for key in list(cache.keys()):
+            if key in ('{}', ()) or key == '':
+                continue
+            if np.linalg.norm(cache[key] - ident) < eq_thresh:
+                del cache[key]
+    if drop_duplicates:
+        # group candidates by cheap invariants (rounded trace, nonzero
+        # count), then norm-compare only within groups
+        groups = {}
+        for key, ptm in cache.items():
+            inv = (round(float(np.real(np.trace(ptm))), 7),
+                   int(np.count_nonzero(np.abs(ptm) > 1e-8)))
+            groups.setdefault(inv, []).append(key)
+        kept = {}
+        for group_keys in groups.values():
+            reps = []
+            for key in group_keys:
+                ptm = cache[key]
+                if any(np.linalg.norm(ptm - cache[r]) < eq_thresh
+                       for r in reps):
+                    continue
+                reps.append(key)
+            for r in reps:
+                kept[r] = cache[r]
+        cache = kept
+    cleaned = [c for c in available_fid_list if c.str in cache]
+    return cleaned, cache
+
+
+def create_prep_cache(model, available_prep_fid_list, circuit_cache=None):
+    """{(rho_param_bytes, fid.str): F @ |rho>} effective-prep cache plus the
+    rho key list (reference: fiducialselection.create_prep_cache:638)."""
+    if circuit_cache is None:
+        circuit_cache = create_circuit_cache(model, available_prep_fid_list)
+    prep_cache, keylist = {}, []
+    for rho in model.preps.values():
+        key = np.asarray(rho.to_vector()).tobytes()
+        keylist.append(key)
+        vec = np.asarray(rho.to_dense())
+        for fid in available_prep_fid_list:
+            prep_cache[(key, fid.str)] = circuit_cache[fid.str] @ vec
+    return prep_cache, keylist
+
+
+def create_meas_cache(model, available_meas_fid_list, circuit_cache=None):
+    """{(povm_bytes, effect_bytes, fid.str): <E| @ F} effective-measurement
+    cache plus the (povm, effect) key-pair list (reference:
+    fiducialselection.create_meas_cache:683)."""
+    if circuit_cache is None:
+        circuit_cache = create_circuit_cache(model, available_meas_fid_list)
+    meas_cache, keypairs = {}, []
+    for povm in model.povms.values():
+        pkey = np.asarray(povm.to_dense()).tobytes() \
+            if hasattr(povm, 'to_dense') else repr(povm).encode()
+        for evec in np.atleast_2d(np.asarray(povm.to_dense())):
+            ekey = evec.tobytes()
+            keypairs.append((pkey, ekey))
+            for fid in available_meas_fid_list:
+                meas_cache[(pkey, ekey, fid.str)] = \
+                    evec @ circuit_cache[fid.str]
+    return meas_cache, keypairs
+
+
+def build_bitvec_mx(n, k):
+    """All length-n binary vectors of Hamming weight k, as the rows of a
+    (binom(n,k), n) array (reference:
+    fiducialselection.build_bitvec_mx:1066)."""
+    import itertools
+    combos = list(itertools.combinations(range(n), k))
+    mx = np.zeros((len(combos), n))
+    for i, locs in enumerate(combos):
+        mx[i, list(locs)] = 1
+    return mx
+
+
+def construct_compact_evd_cache(model, fids_list, prep_or_meas, fid_cache,
+                                eigenvalue_tolerance=1e-10):
+    """{fiducial: U sqrt(e)} compact halves of each single-fiducial Gramian,
+    for low-rank greedy fiducial search (reference:
+    fiducialselection.construct_compact_evd_cache:1852)."""
+    from pygsti_tpu.algorithms.germselection import compact_EVD
+    sqrteU = {}
+    for fiducial in fids_list:
+        if prep_or_meas == 'prep':
+            arrays = create_prep_mxs(model, [fiducial], fid_cache)
+        elif prep_or_meas == 'meas':
+            arrays = create_meas_mxs(model, [fiducial], fid_cache)
+        else:
+            raise ValueError("prep_or_meas must be 'prep' or 'meas'")
+        fid_mat = np.concatenate(arrays, axis=1)
+        e, U = compact_EVD(fid_mat @ fid_mat.conj().T,
+                           eigenvalue_tolerance, assume_hermitian=True)
+        sqrteU[fiducial] = U @ np.diag(np.sqrt(np.abs(e)))
+    return sqrteU
+
+
+def add_penalties_greedy(unpenalized_score, fid_list, l1_penalty=0,
+                         op_penalty=0, gate_penalty=None):
+    """Add l1 / op-count / per-gate penalties to a greedy fiducial-set
+    score (reference: fiducialselection.add_penalties_greedy:1871)."""
+    score = unpenalized_score
+    score += l1_penalty * len(fid_list)
+    score += op_penalty * sum(len(fiducial) for fiducial in fid_list)
+    if gate_penalty is not None:
+        for gate, penalty in gate_penalty.items():
+            for fiducial in fid_list:
+                score += fiducial.str.count(str(gate)) * penalty
+    return score

@@ -652,3 +652,424 @@ def clean_germ_list(model, circuit_cache, eq_thresh=1e-6):
         out_circuits.append(c)
         out_cache[c] = mx
     return out_circuits, out_cache
+
+
+# ---------------------------------------------------------------------------
+# Compact-EVD / low-rank-update machinery for greedy germ + vector selection
+# (reference: germselection.py:3255-5230).  Host-side numpy: these drive the
+# greedy search bookkeeping; the Jacobians themselves come from jax.
+# ---------------------------------------------------------------------------
+
+def compact_EVD(mat, threshold=1e-10, assume_hermitian=False):  # noqa: N802
+    """Compact eigenvalue decomposition: the nonzero eigenvalues e and
+    eigenvector columns U of `mat` with U diag(e) U^H = mat (reference:
+    germselection.compact_EVD:3255)."""
+    if assume_hermitian:
+        e, U = np.linalg.eigh((mat + mat.conj().T) / 2)
+    else:
+        e, U = np.linalg.eig(mat)
+    keep = np.nonzero(np.abs(e) > threshold)[0]
+    return e[keep], U[:, keep]
+
+
+def compact_EVD_via_SVD(mat, threshold=1e-10):  # noqa: N802
+    """Compact EVD of mat^H mat computed from the SVD of `mat`: eigenvalues
+    are squared singular values, eigenvectors the right singular vectors
+    (reference: germselection.compact_EVD_via_SVD:3296)."""
+    import scipy.linalg as _sla
+    try:
+        _, s, Vh = np.linalg.svd(mat)
+    except np.linalg.LinAlgError:
+        _, s, Vh = _sla.svd(mat, lapack_driver='gesvd')
+    keep = np.nonzero(np.abs(s) > threshold)[0]
+    return s[keep] ** 2, Vh.conj().T[:, keep]
+
+
+def construct_update_cache(mat, evd_tol=1e-10):
+    """Precompute (e, U, projU) for a run of symmetric low-rank updates to
+    `mat`: the compact spectrum, eigenvectors, and the projector
+    I - U U^T onto the complement of the column space (reference:
+    germselection.construct_update_cache:3340)."""
+    e, U = compact_EVD(mat, evd_tol, assume_hermitian=True)
+    proj_U = np.eye(mat.shape[0]) - U @ U.T
+    return e, U, proj_U
+
+
+def _complement_basis(proj_U, update, tol):
+    """Orthonormal basis P for the part of `update`'s column space lying in
+    the complement of the cached column space, via pivoted QR."""
+    import scipy.linalg as _sla
+    proj_update = proj_U @ update
+    q, r, _ = _sla.qr(proj_update, mode='economic', pivoting=True)
+    keep = np.nonzero(np.abs(np.diag(r)) > tol)[0]
+    return q[:, keep], proj_update
+
+
+def symmetric_low_rank_spectrum_update(update, orig_e, U, proj_U,
+                                       force_rank_increase=False):
+    """Spectrum of (mat + update @ update.T) given the update cache of mat,
+    computed in the low-dimensional subspace spanned by U and the new
+    directions (M. Brand's compact-SVD update).  Returns
+    (new_eigenvalues, rank_increased); (None, False) when the update adds
+    no new directions (reference:
+    germselection.symmetric_low_rank_spectrum_update:3383)."""
+    P, proj_update = _complement_basis(proj_U, update, 1e-10)
+    if P.shape[1] == 0:
+        return None, False
+    block_column = np.concatenate([U.T @ update, P.T @ proj_update], axis=0)
+    K = block_column @ block_column.T
+    K[np.arange(len(orig_e)), np.arange(len(orig_e))] += orig_e
+    return np.linalg.eigvalsh(K), True
+
+
+def minamide_style_inverse_trace(update, orig_e, U, proj_U,
+                                 force_rank_increase=False):
+    """Trace of pinv(mat + update @ update.T) via Minamide's pseudoinverse
+    update on the cached compact EVD of mat.  Returns (updated_trace,
+    updated_rank, rank_increased); (None, None, False) when
+    `force_rank_increase` and the update lies inside the current column
+    space (reference: germselection.minamide_style_inverse_trace:3541)."""
+    P, proj_update = _complement_basis(proj_U, update, 1e-9)
+    rank_inc = P.shape[1]
+    beta = U.T @ update
+    e_inv = 1.0 / orig_e
+
+    if rank_inc == 0:
+        if force_rank_increase:
+            return None, None, False
+        # update inside column space: ordinary Woodbury on the spectrum
+        X = e_inv[:, None] * beta
+        central = np.linalg.inv(np.eye(beta.shape[1]) + beta.T @ X)
+        drop = np.einsum('ij,jk,ik->i', X, central, X)
+        return float(np.sum(e_inv) - np.sum(drop)), len(orig_e), False
+
+    R_update = P.T @ proj_update
+    try:
+        pinv_R = np.linalg.pinv(R_update, rcond=1e-10)
+    except np.linalg.LinAlgError:
+        pinv_R = stable_pinv(R_update)
+    gamma = pinv_R.T @ beta.T
+    pinv_E_beta = e_inv[:, None] * beta
+    B = np.eye(pinv_R.shape[0]) - pinv_R @ R_update
+    Dinv = np.linalg.inv(np.eye(pinv_R.shape[0])
+                         + B @ (pinv_E_beta.T @ pinv_E_beta) @ B)
+    EbB = pinv_E_beta @ B
+    upper_diag = np.einsum('ij,jk,ik->i', EbB, Dinv, EbB) + e_inv
+    lower_right = gamma @ (e_inv[:, None] * gamma.T) + pinv_R.T @ pinv_R \
+        - gamma @ EbB @ Dinv @ EbB.T @ gamma.T
+    trace = float(np.sum(upper_diag) + np.trace(lower_right))
+    return trace, len(orig_e) + rank_inc, True
+
+
+def stable_pinv(mat):
+    """Pseudoinverse via scipy's gesvd-driver SVD, for matrices where
+    numpy's default gesdd fails to converge (reference:
+    germselection.stable_pinv:4626)."""
+    import scipy.linalg as _sla
+    U, s, Vh = _sla.svd(mat, lapack_driver='gesvd', full_matrices=False)
+    s_inv = np.where(s > 1e-10, 1.0 / np.where(s > 1e-10, s, 1.0), 0.0)
+    return Vh.T @ (s_inv[:, None] * U.T)
+
+
+def fast_kron(a, b):
+    """Kronecker product via broadcasting, faster than np.kron for the
+    mid-sized dense matrices in germ selection (reference:
+    germselection.fast_kron:4618)."""
+    return (a[:, None, :, None] * b[None, :, None, :]).reshape(
+        a.shape[0] * b.shape[0], a.shape[1] * b.shape[1])
+
+
+def construct_update_cache_rank_one(mat, evd_tol=1e-10,
+                                    prev_update_cache=None,
+                                    rank_one_update=None):
+    """Precompute (pinv_A, proj_A, trace(pinv_A), rank) for a run of
+    rank-one pseudoinverse updates to `mat` (Meyer's generalized-inverse
+    update; reference: germselection.construct_update_cache_rank_one:5028).
+    When the previous cache and the vector just added are given, the new
+    pinv is itself obtained by a rank-one update."""
+    import scipy.linalg as _sla
+    if prev_update_cache is not None and rank_one_update is not None:
+        pinv_A, rank_increased = rank_one_psuedoinverse_update(
+            rank_one_update, prev_update_cache[0], prev_update_cache[1])
+        rank = prev_update_cache[3] + (1 if rank_increased else 0)
+    else:
+        try:
+            pinv_A, rank = _sla.pinvh(mat, return_rank=True)
+        except np.linalg.LinAlgError:
+            pinv_A = stable_pinv(mat)
+            rank = int(np.linalg.matrix_rank(mat, tol=evd_tol))
+    proj_A = np.eye(mat.shape[0]) - mat @ pinv_A
+    return pinv_A, proj_A, float(np.trace(pinv_A)), rank
+
+
+def rank_one_inverse_trace_update(vector_update, pinv_A, proj_A,
+                                  pinv_A_trace, force_rank_increase=False):
+    """trace(pinv(A + v v^T)) from trace(pinv(A)) using only the diagonal
+    of Meyer's update term (reference:
+    germselection.rank_one_inverse_trace_update:5096).  Returns
+    (updated_trace, rank_increased)."""
+    v_ = np.asarray(vector_update).reshape(-1)
+    v = pinv_A @ v_
+    beta = 1.0 + float(v_ @ v)
+    w = proj_A @ v_
+    norm_w = np.linalg.norm(w)
+    if norm_w > 1e-10:
+        G_diag = (-2.0 / norm_w ** 2) * (v * w) \
+            + (beta / norm_w ** 4) * (w ** 2)
+        rank_increased = True
+    elif beta > 1e-10:
+        G_diag = (-beta / abs(beta) ** 2) * (v ** 2)
+        rank_increased = False
+    else:
+        # v is a "-1 eigenstate" corner case (Meyer case 6)
+        gamma = pinv_A @ v
+        norm_v = np.linalg.norm(v)
+        G_diag = (-2.0 / norm_v ** 2) * (gamma * v) \
+            + (float(v @ gamma) / norm_v ** 4) * (v ** 2)
+        rank_increased = False
+    return float(np.sum(G_diag) + pinv_A_trace), rank_increased
+
+
+def rank_one_psuedoinverse_update(vector_update, pinv_A, proj_A,
+                                  force_rank_increase=False):
+    """pinv(A + v v^T) from pinv(A) (Meyer's generalized-inverse update;
+    reference: germselection.rank_one_psuedoinverse_update:5159).  Returns
+    (updated_pinv, rank_increased)."""
+    v_ = np.asarray(vector_update).reshape(-1, 1)
+    assert np.linalg.norm(np.imag(v_)) <= 1e-16
+    v = pinv_A @ v_
+    beta = 1.0 + float((v_.T @ v)[0, 0])
+    w = proj_A @ v_
+    norm_w = np.linalg.norm(w)
+    if norm_w > 1e-10:
+        vw = v @ w.T
+        G = (-1.0 / norm_w ** 2) * (vw + vw.T) \
+            + (beta / norm_w ** 4) * (w @ w.T)
+        rank_increased = True
+    elif beta > 1e-10:
+        G = (-beta / abs(beta) ** 2) * (v @ v.T)
+        rank_increased = False
+    else:
+        gamma = pinv_A @ v
+        norm_v = np.linalg.norm(v)
+        gv = gamma @ v.T
+        G = (-1.0 / norm_v ** 2) * (gv + gv.T) \
+            + (float(np.sum(v * gamma)) / norm_v ** 4) * (v @ v.conj().T)
+        rank_increased = False
+    return pinv_A + G, rank_increased
+
+
+def _penalty_terms(l1_penalty, op_penalty, gate_penalty, germ_lengths,
+                   num_germs, germ_list):
+    n = num_germs if num_germs is not None else \
+        (len(germ_lengths) if germ_lengths is not None else 0)
+    score = l1_penalty * n
+    if op_penalty != 0.0:
+        if germ_lengths is None:
+            raise ValueError("Must provide germ_lengths when "
+                             "op_penalty != 0.0!")
+        score += op_penalty * float(np.sum(germ_lengths))
+    if gate_penalty is not None:
+        assert germ_list is not None, \
+            "Must specify germ_list when using gate_penalty."
+        for gate, penalty in gate_penalty.items():
+            for circ in germ_list:
+                count = sum(1 for layer in circ.layertup
+                            for lbl in (layer.components
+                                        if hasattr(layer, 'components')
+                                        and not layer.is_simple
+                                        else (layer,))
+                            if getattr(lbl, 'name', str(lbl)) == gate)
+                score += penalty * count
+    return score
+
+
+def _remove_spam_vectors(model):
+    """A copy of `model` with preps and povms removed -- germ selection
+    scores only gate parameters (reference:
+    germselection._remove_spam_vectors:1077)."""
+    reduced = model.copy()
+    try:
+        for lbl in list(reduced.preps.keys()):
+            del reduced.preps[lbl]
+        for lbl in list(reduced.povms.keys()):
+            del reduced.povms[lbl]
+    except (AttributeError, KeyError, TypeError):
+        pass  # implicit models: scoring falls back to the full model
+    return reduced
+
+
+def _resolve_nongauge(num_nongauge_params, model):
+    if num_nongauge_params is not None:
+        return num_nongauge_params
+    if model is None:
+        raise ValueError("Must provide either num_nongauge_params or model!")
+    reduced = _remove_spam_vectors(model)
+    return int(round(np.trace(_nongauge_projector(reduced))))
+
+
+def compute_composite_germ_set_score_compactevd(
+        current_update_cache, germ_update, score_fn="all", threshold_ac=1e6,
+        init_n=1, model=None, partial_germs_list=None, eps=None,
+        num_germs=None, op_penalty=0.0, l1_penalty=0.0,
+        num_nongauge_params=None, num_params=None,
+        force_rank_increase=False, germ_lengths=None, gate_penalty=None,
+        germ_list=None):
+    """CompositeScore of a candidate germ set via the low-rank SPECTRUM
+    update: count how many of the largest nongauge eigenvalues keep the
+    list_score under `threshold_ac` (reference:
+    germselection.compute_composite_germ_set_score_compactevd:4305)."""
+    from pygsti_tpu.algorithms.scoring import CompositeScore, list_score
+    fn = (lambda ev: list_score(ev, score_fn)) if isinstance(score_fn, str) \
+        else score_fn
+    num_nongauge_params = _resolve_nongauge(num_nongauge_params, model)
+    penalties = _penalty_terms(l1_penalty, op_penalty, gate_penalty,
+                               germ_lengths, num_germs, germ_list)
+    new_evals, rank_increased = symmetric_low_rank_spectrum_update(
+        germ_update, current_update_cache[0], current_update_cache[1],
+        current_update_cache[2], force_rank_increase)
+    if not rank_increased:
+        return CompositeScore(np.inf, -np.inf, -np.inf)
+    padded = np.pad(new_evals, (num_params - len(new_evals), 0))
+    observable = padded[-num_nongauge_params:]
+    N_AC, AC_score = 0, np.inf
+    for N in range(init_n, len(observable) + 1):
+        cand = fn(observable[-N:])
+        if cand > threshold_ac:
+            break
+        AC_score, N_AC = cand, N
+    return CompositeScore(-N_AC + penalties, AC_score, N_AC)
+
+
+def compute_composite_germ_set_score_low_rank_trace(
+        current_update_cache, germ_update, threshold_ac=1e6, model=None,
+        partial_germs_list=None, eps=None, num_germs=None, op_penalty=0.0,
+        l1_penalty=0.0, num_nongauge_params=None,
+        force_rank_increase=False, germ_lengths=None, gate_penalty=None,
+        germ_list=None):
+    """CompositeScore via the low-rank pseudoinverse-TRACE update (minamide
+    formula): N = updated rank, score = updated trace (reference:
+    germselection.compute_composite_germ_set_score_low_rank_trace:4466)."""
+    from pygsti_tpu.algorithms.scoring import CompositeScore
+    num_nongauge_params = _resolve_nongauge(num_nongauge_params, model)
+    penalties = _penalty_terms(l1_penalty, op_penalty, gate_penalty,
+                               germ_lengths, num_germs, germ_list)
+    inverse_trace, updated_rank, rank_increased = \
+        minamide_style_inverse_trace(
+            germ_update, current_update_cache[0], current_update_cache[1],
+            current_update_cache[2], force_rank_increase)
+    if not rank_increased:
+        N_AC, AC_score = -np.inf, -np.inf
+    else:
+        N_AC, AC_score = updated_rank, inverse_trace
+    return CompositeScore(-N_AC + penalties, AC_score, N_AC)
+
+
+def compute_composite_vector_set_score(current_update_cache, vector_update,
+                                       model=None, num_nongauge_params=None,
+                                       force_rank_increase=False,
+                                       printer=None):
+    """CompositeScore of adding one amplified-direction vector, via the
+    rank-one pseudoinverse-trace update (reference:
+    germselection.compute_composite_vector_set_score:4941)."""
+    from pygsti_tpu.algorithms.scoring import CompositeScore
+    num_nongauge_params = _resolve_nongauge(num_nongauge_params, model)
+    inverse_trace, rank_increased = rank_one_inverse_trace_update(
+        vector_update, current_update_cache[0], current_update_cache[1],
+        current_update_cache[2], force_rank_increase)
+    if not rank_increased and force_rank_increase:
+        return CompositeScore(np.inf, -np.inf, -np.inf)
+    N_AC = current_update_cache[3] + (1 if rank_increased else 0)
+    return CompositeScore(-N_AC, inverse_trace, N_AC)
+
+
+def _bulk_twirled_ddd_compact(model, germ_list, tol, evd_tol=1e-10):
+    """Per-germ compact halves A_g (with A_g A_g^T = Re(T_g^H T_g), the
+    twirled-derivative Gramian) and their eigenvalue lists (reference:
+    germselection._compute_bulk_twirled_ddd_compact:3106)."""
+    halves, eig_lists = [], []
+    for germ in germ_list:
+        T = twirled_deriv(model, germ, tol)
+        DDD = np.real(T.conj().T @ T)
+        e, U = compact_EVD(DDD, evd_tol, assume_hermitian=True)
+        halves.append(U * np.sqrt(np.abs(e))[None, :])
+        eig_lists.append(e)
+    return halves, eig_lists
+
+
+def germ_set_spanning_vectors(target_model, germ_list, float_type=None,
+                              num_nongauge_params=None, tol=1e-6,
+                              pretest=False, evd_tol=1e-10, verbosity=1,
+                              threshold=1e6, mode='greedy',
+                              update_cache_low_rank=False, final_test=True,
+                              comm=None):
+    """Select a minimal set of amplified directions spanning the nongauge
+    parameter space across an (assumed amplificationally complete) germ
+    set, for globally-aware fiducial pair reduction (reference:
+    germselection.germ_set_spanning_vectors:4647).  Returns
+    (germ_vec_dict, currentDDD)."""
+    from pygsti_tpu.algorithms.scoring import CompositeScore
+    from pygsti_tpu.baseobjs.verbosityprinter import VerbosityPrinter
+    printer = VerbosityPrinter.create_printer(verbosity)
+    num_nongauge = _resolve_nongauge(num_nongauge_params, target_model)
+    printer.log('Number of non-gauge parameters: %d' % num_nongauge, 1)
+
+    halves, eig_lists = _bulk_twirled_ddd_compact(target_model, germ_list,
+                                                  tol, evd_tol)
+    composite = np.concatenate(halves, axis=1)
+    composite_eigs = np.concatenate(eig_lists, axis=None)
+    idx_to_germ = [(germ, j) for gi, germ in enumerate(germ_list)
+                   for j in range(len(eig_lists[gi]))]
+    germ_vec_dict = {germ: [] for germ in germ_list}
+
+    if mode == 'greedy':
+        n_cand = composite.shape[1]
+        weights = np.zeros(n_cand, np.int64)
+        best0 = int(np.argmax(composite_eigs))
+        weights[best0] = 1
+        germ_vec_dict[idx_to_germ[best0][0]].append(
+            composite[:, [best0]] / np.sqrt(composite_eigs[best0]))
+        currentDDD = composite[:, [best0]] @ composite[:, [best0]].conj().T
+        initN = 1
+        best_score = CompositeScore(1.0e100, 0, None)
+        while np.any(weights == 0) and initN < num_nongauge:
+            cache = construct_update_cache_rank_one(currentDDD,
+                                                    evd_tol=evd_tol)
+            best_score = CompositeScore(1.0e100, 0, None)
+            best_idx = None
+            for idx in np.where(weights == 0)[0]:
+                score = compute_composite_vector_set_score(
+                    cache, composite[:, [idx]],
+                    num_nongauge_params=num_nongauge)
+                if score < best_score:
+                    best_score, best_idx = score, int(idx)
+            weights[best_idx] = 1
+            initN = best_score.N
+            printer.log('Best score this iteration: %s' % best_score, 2)
+            sel = np.where(weights == 1)[0]
+            currentDDD = composite[:, sel] @ composite[:, sel].conj().T
+            germ_vec_dict[idx_to_germ[best_idx][0]].append(
+                composite[:, [best_idx]] / np.sqrt(composite_eigs[best_idx]))
+        if final_test and best_score.N is not None:
+            evals = np.flip(np.linalg.eigvalsh(currentDDD))
+            restricted = evals[:num_nongauge]
+            test_rank = int(np.count_nonzero(restricted > 1e-7))
+            test_trace = float(np.sum(1.0 / restricted[restricted > 1e-7]))
+            if abs(test_trace - best_score.minor) > 1 or \
+               test_rank != best_score.N:
+                raise ValueError(
+                    'Final test failed: trace %g vs %g, rank %d vs %d'
+                    % (test_trace, best_score.minor, test_rank,
+                       best_score.N))
+    elif mode == 'RRQR':
+        import scipy.linalg as _sla
+        _, _, Vh = np.linalg.svd(composite, full_matrices=False)
+        _, Pp = _sla.qr(Vh[:num_nongauge, :], mode='r', pivoting=True)
+        sel = Pp[:num_nongauge]
+        for vec_idx in sel:
+            germ_vec_dict[idx_to_germ[vec_idx][0]].append(
+                composite[:, [vec_idx]] / np.sqrt(composite_eigs[vec_idx]))
+        currentDDD = composite[:, sel] @ composite[:, sel].conj().T
+    else:
+        raise NotImplementedError("mode must be 'greedy' or 'RRQR'")
+    return germ_vec_dict, currentDDD

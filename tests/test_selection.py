@@ -260,3 +260,113 @@ class TestGermSelectionReferenceEntryPoints:
         lls = rmodel.state_space.qubit_labels
         for gl in rmodel.operations.keys():
             assert Circuit((gl,), lls) in dropped
+
+
+class TestCompactEvdMachinery:
+    """Low-rank update machinery for greedy selection (reference:
+    germselection.py:3255-5230)."""
+
+    def test_spectrum_and_trace_updates(self):
+        from pygsti_tpu.algorithms import germselection as gs
+        rng = np.random.RandomState(0)
+        P = 16
+        B = rng.randn(P, 6)
+        M = B @ B.T
+        cache = gs.construct_update_cache(M)
+        A = rng.randn(P, 2)
+        new_e, flag = gs.symmetric_low_rank_spectrum_update(A, *cache)
+        assert flag
+        direct = np.linalg.eigvalsh(M + A @ A.T)
+        assert np.allclose(np.sort(new_e[np.abs(new_e) > 1e-9]),
+                           np.sort(direct[np.abs(direct) > 1e-9]))
+        # in-space update: no rank increase
+        assert gs.symmetric_low_rank_spectrum_update(
+            B @ rng.randn(6, 2), *cache) == (None, False)
+        # minamide trace matches direct pinv trace in both regimes
+        tr, rank, inc = gs.minamide_style_inverse_trace(A, *cache)
+        assert inc and rank == 8
+        assert np.isclose(tr, np.trace(np.linalg.pinv(M + A @ A.T)))
+        A_in = B @ rng.randn(6, 2)
+        tr2, rank2, inc2 = gs.minamide_style_inverse_trace(A_in, *cache)
+        assert not inc2 and rank2 == 6
+        assert np.isclose(tr2, np.trace(np.linalg.pinv(M + A_in @ A_in.T)))
+        assert gs.minamide_style_inverse_trace(
+            A_in, *cache, force_rank_increase=True) == (None, None, False)
+
+    def test_rank_one_updates(self):
+        from pygsti_tpu.algorithms import germselection as gs
+        rng = np.random.RandomState(1)
+        B = rng.randn(12, 5)
+        M = B @ B.T
+        c = gs.construct_update_cache_rank_one(M)
+        v = rng.randn(12, 1)
+        tr, inc = gs.rank_one_inverse_trace_update(v, c[0], c[1], c[2])
+        assert inc
+        assert np.isclose(tr, np.trace(np.linalg.pinv(M + v @ v.T)))
+        pinv_new, inc2 = gs.rank_one_psuedoinverse_update(v, c[0], c[1])
+        assert inc2 and np.allclose(pinv_new, np.linalg.pinv(M + v @ v.T))
+        # chained cache equals from-scratch cache
+        c2 = gs.construct_update_cache_rank_one(
+            M + v @ v.T, prev_update_cache=c, rank_one_update=v)
+        c2d = gs.construct_update_cache_rank_one(M + v @ v.T)
+        assert np.allclose(c2[0], c2d[0], atol=1e-8) and c2[3] == c2d[3]
+
+    def test_misc_helpers(self):
+        from pygsti_tpu.algorithms import germselection as gs
+        rng = np.random.RandomState(2)
+        X = rng.randn(6, 4)
+        assert np.allclose(gs.stable_pinv(X), np.linalg.pinv(X))
+        a, b = rng.randn(3, 2), rng.randn(4, 5)
+        assert np.allclose(gs.fast_kron(a, b), np.kron(a, b))
+        B = rng.randn(10, 4)
+        e, U = gs.compact_EVD(B @ B.T, assume_hermitian=True)
+        assert len(e) == 4 and np.allclose(U @ np.diag(e) @ U.T, B @ B.T)
+        e2, U2 = gs.compact_EVD_via_SVD(B.T)
+        assert np.allclose(U2 @ np.diag(e2) @ U2.conj().T, B @ B.T)
+
+    def test_germ_set_spanning_vectors(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms import germselection as gs
+        model = mp.target_model('full TP')
+        germs = list(mp.germs())
+        nongauge = gs._resolve_nongauge(None, model)
+        vec_dict, DDD = gs.germ_set_spanning_vectors(model, germs,
+                                                     verbosity=0)
+        n_sel = sum(len(v) for v in vec_dict.values())
+        evals = np.flip(np.linalg.eigvalsh(DDD))
+        assert n_sel == nongauge
+        assert int(np.count_nonzero(evals > 1e-7)) == nongauge
+        # RRQR mode achieves the same rank
+        _, DDD2 = gs.germ_set_spanning_vectors(model, germs, verbosity=0,
+                                               mode='RRQR')
+        assert int(np.count_nonzero(
+            np.flip(np.linalg.eigvalsh(DDD2)) > 1e-7)) == nongauge
+
+    def test_fiducial_caches_and_cleaning(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.algorithms import fiducialselection as fs
+        model = mp.target_model()
+        cands = fs.create_candidate_fiducial_list(model,
+                                                  candidate_fid_counts=3)
+        cache = fs.create_circuit_cache(model, cands)
+        cleaned, cache2 = fs.clean_fid_list(model, cache, cands)
+        assert 0 < len(cleaned) <= len(cands)
+        # deduped: all remaining PTMs pairwise distinct
+        keys = list(cache2.keys())
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                assert np.linalg.norm(cache2[keys[i]]
+                                      - cache2[keys[j]]) > 1e-6
+        pc, rho_keys = fs.create_prep_cache(model, cleaned, cache2)
+        assert len(rho_keys) == 1 and len(pc) == len(cleaned)
+        mc, pairs = fs.create_meas_cache(model, cleaned, cache2)
+        assert len(pairs) == 2 and len(mc) == 2 * len(cleaned)
+        sq = fs.construct_compact_evd_cache(model, cleaned[:3], 'prep', pc)
+        f0 = cleaned[0]
+        fm = np.concatenate(fs.create_prep_mxs(model, [f0], pc), axis=1)
+        assert np.allclose(sq[f0] @ sq[f0].conj().T, fm @ fm.conj().T)
+        mx = fs.build_bitvec_mx(5, 2)
+        assert mx.shape == (10, 5) and (mx.sum(axis=1) == 2).all()
+        assert fs.xor(True, False) and not fs.xor(True, True)
+        assert fs.add_penalties_greedy(1.0, cleaned[:2],
+                                       l1_penalty=0.5) == 2.0
