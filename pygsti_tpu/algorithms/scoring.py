@@ -58,3 +58,24 @@ def composite_rcl_fn(candidate_scores, alpha):
     thresh = lo + alpha * (hi - lo)
     return [i for i, s in enumerate(candidate_scores)
             if s.major == best_major and s.minor <= thresh + 1e-15]
+
+
+def filter_composite_rcl(candidate_scores, alpha):
+    """Indices of the restricted candidate list (RCL) for GRASP: candidates
+    whose CompositeScore beats the alpha-interpolated threshold between the
+    best and worst scores; thresholding is on the major part unless all
+    majors tie, in which case the minor part (reference:
+    scoring.filter_composite_rcl:110)."""
+    max_score = max(candidate_scores)
+    min_score = min(candidate_scores)
+    if max_score.major == min_score.major:
+        threshold = CompositeScore(
+            max_score.major,
+            (1 - alpha) * min_score.minor + alpha * max_score.minor, None)
+    else:
+        max_minor = max(s.minor for s in candidate_scores)
+        threshold = CompositeScore(
+            (1 - alpha) * min_score.major + alpha * max_score.major,
+            max_minor, None)
+    return np.array([i for i, s in enumerate(candidate_scores)
+                     if s <= threshold])

@@ -79,3 +79,28 @@ def run_linear_gst(data_filename_or_set, target_model, prep_fiducials,
         {'go0': gauge_opt_params},
         verbosity=verbosity)
     return proto.run(data)
+
+
+def run_long_sequence_gst_base(data_filename_or_set, target_model,
+                               lsgst_lists, gauge_opt_params=None,
+                               advanced_options=None, comm=None,
+                               mem_limit=None, output_pkl=None, verbosity=2):
+    """Long-sequence GST with EXPLICIT circuit lists instead of
+    fiducials+germs+maxLengths (reference:
+    longsequence.run_long_sequence_gst_base:530)."""
+    from pygsti_tpu.protocols.gst import GateSetTomographyDesign
+    ds = data_filename_or_set
+    if isinstance(ds, str):
+        from pygsti_tpu.io import read_dataset
+        ds = read_dataset(ds)
+    if lsgst_lists and not isinstance(lsgst_lists[0], (list, tuple)) \
+       and not hasattr(lsgst_lists[0], '__iter__'):
+        lsgst_lists = [lsgst_lists]
+    design = GateSetTomographyDesign(target_model, list(lsgst_lists))
+    data = ProtocolData(design, ds)
+    gaugeopt = 'stdgaugeopt' if gauge_opt_params is None \
+        else {'go0': gauge_opt_params}
+    proto = GateSetTomography(GSTInitialModel(target_model=target_model),
+                              gaugeopt_suite=gaugeopt, verbosity=verbosity,
+                              name='GateSetTomography')
+    return proto.run(data)

@@ -11,3 +11,7 @@ from pygsti_tpu.leakage.metrics import (subspace_entanglement_fidelity,
                                         subspace_superop_fro_dist,
                                         subspace_diamonddist,
                                         subspace_restriction)
+from pygsti_tpu.leakage.core import (computational_effect,
+                                     computational_superkets,
+                                     computational_projector,
+                                     augment_for_leakage_modeling)

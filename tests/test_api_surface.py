@@ -641,3 +641,81 @@ class TestMatrixtoolsExtras:
         comm = u0 @ mt.project_onto_kite(np.linalg.inv(u0) @ r @ u0,
                                          kite) @ np.linalg.inv(u0)
         assert np.linalg.norm(comm) < 1e-8
+
+
+class TestLeakageCoreAndMisc:
+    def test_computational_subspace_machinery(self):
+        from pygsti_tpu.baseobjs.basis import Basis
+        from pygsti_tpu.leakage import core as lc
+        bl = Basis.cast('l2p1', 9)
+        E = lc.computational_effect(bl)
+        assert np.allclose(E @ E, E) and round(np.trace(E).real) == 2
+        U = lc.computational_superkets(bl)
+        assert U.shape == (9, 4) and np.allclose(U.T @ U, np.eye(4))
+        P = lc.computational_projector(bl)
+        assert np.allclose(P @ P, P) and round(np.trace(P)) == 4
+        assert np.allclose(
+            lc.computational_superkets(Basis.cast('pp', 4)), np.eye(4))
+        baug = lc.augment_for_leakage_modeling(Basis.cast('gm', 9),
+                                               np.diag([1., 1., 0.]))
+        assert baug.implies_leakage_modeling()
+        assert list(baug.labels)[0] == 'C[I]' and \
+            list(baug.labels)[-1] == 'L[I]'
+        els = np.asarray(baug.elements)
+        G = np.array([[np.vdot(a, b).real for b in els] for a in els])
+        assert np.allclose(G, np.eye(9), atol=1e-8)
+
+    def test_mpitools_serial(self):
+        from pygsti_tpu.tools import mpitools as mpt
+        li, own, lc_ = mpt.distribute_indices(list('abc'), None)
+        assert li == list('abc') and lc_ is None
+        assert mpt.slice_up_range(7, 3) == [slice(0, 3), slice(3, 5),
+                                            slice(5, 7)]
+        a, b = np.random.randn(4, 5), np.random.randn(5, 3)
+        rs, cs, tups = mpt.distribute_for_dot(a.shape, b.shape, None)
+        assert np.allclose(mpt.mpidot(a, b, rs, cs, tups, None), a @ b)
+        assert mpt.parallel_apply(lambda x: x * 2, [1, 2], None) == [2, 4]
+        assert mpt.processor_group_size(12, 5) == 12
+        assert mpt.closest_divisor(12, 5) == 4
+        s = mpt.build_slurm_script(job_name='t', nodes=2, ntasks_per_node=4,
+                                   cpus_per_task=2, runner_path='r.py')
+        assert '--nodes=2' in s and 'OMP_NUM_THREADS=2' in s
+
+    def test_gauge_group_elements(self):
+        from pygsti_tpu.models import gaugegroup as gg
+        from pygsti_tpu.baseobjs.statespace import QubitSpace
+        el = gg.FullGaugeGroupElement(np.diag([1., 2., 3., 4.]))
+        assert np.allclose(el.inverse().transform_matrix,
+                           np.diag([1, .5, 1 / 3, .25]))
+        assert el.inverse().inverse() is el
+        assert isinstance(gg.TrivialGaugeGroup(1).compute_element(
+            np.empty(0)), gg.TrivialGaugeGroupElement)
+        sub_u = gg.UnitaryGaugeGroup(QubitSpace(1), 'pp')
+        ue = sub_u.compute_element(np.array([0.1, -0.2, 0.05, 0.3]))
+        assert isinstance(ue, gg.UnitaryGaugeGroupElement)
+        assert np.allclose(ue.unitary @ ue.unitary.conj().T, np.eye(2))
+        dsg = gg.DirectSumUnitaryGroup((sub_u, gg.U1Group()), 'gm')
+        assert dsg.num_params == 5
+        el2 = dsg.compute_element(np.array([0.1, 0.2, -0.1, 0.05, 0.4]))
+        S = el2.transform_matrix
+        assert S.shape == (9, 9) and np.allclose(
+            S @ el2.transform_matrix_inverse, np.eye(9))
+        u = el2._unitary_total
+        assert np.allclose(u @ u.conj().T, np.eye(3))
+        assert abs(u[0, 2]) < 1e-12  # block structure preserved
+        # interleaved partition: computational levels {0,2}
+        el3 = gg.DirectSumUnitaryGroupElement(
+            (sub_u.compute_element(np.ones(4) * 0.1),
+             gg.U1GroupElement(0.2)), 'gm', level_partition=[(0, 2), (1,)])
+        u3 = el3._unitary_total
+        assert abs(u3[0, 1]) < 1e-12 and abs(u3[0, 2]) > 1e-6
+
+    def test_scoring_rcl_and_gst_base(self):
+        from pygsti_tpu.algorithms.scoring import (CompositeScore,
+                                                   filter_composite_rcl)
+        scores = [CompositeScore(-3, 5.0, 3), CompositeScore(-3, 9.0, 3),
+                  CompositeScore(-1, 2.0, 1)]
+        assert list(filter_composite_rcl(scores, 0.0)) == [0, 1]
+        assert list(filter_composite_rcl(scores, 1.0)) == [0, 1, 2]
+        import pygsti_tpu.drivers.longsequence as ls
+        assert callable(ls.run_long_sequence_gst_base)
