@@ -283,3 +283,57 @@ class DirectSumBasis(Basis):
         for b in self.component_bases:
             lbls.extend(b.labels)
         return lbls
+
+
+class LazyBasis(Basis):
+    """Basis whose labels and elements are constructed only on first access
+    (reference: basis.LazyBasis:845).  Subclasses implement
+    _lazy_build_labels / _lazy_build_elements; here deferral is provided by
+    wrapping builder callables."""
+
+    def __init__(self, name, labels_builder=None, elements_builder=None):
+        self._name = name
+        self._labels_builder = labels_builder
+        self._elements_builder = elements_builder
+        self._lazy_labels = None
+        self._lazy_elements = None
+
+    def _lazy_build_labels(self):
+        return list(self._labels_builder())
+
+    def _lazy_build_elements(self):
+        import numpy as _np
+        return _np.asarray(self._elements_builder())
+
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def labels(self):
+        if self._lazy_labels is None:
+            self._lazy_labels = self._lazy_build_labels()
+        return self._lazy_labels
+
+    @property
+    def elements(self):
+        if self._lazy_elements is None:
+            self._lazy_elements = self._lazy_build_elements()
+        return self._lazy_elements
+
+    @property
+    def dim(self):
+        e = self.elements
+        return e.shape[1] * e.shape[2] if e.ndim == 3 else e.shape[1]
+
+
+def default_basis_for_udims(udims):
+    """Default basis spec for per-qudit Hilbert dimensions `udims`: 'pp'
+    for qubits, 'gm' otherwise; a TensorProdBasis only for genuinely
+    mixed-dimension systems (reference:
+    basis.default_basis_for_udims:61)."""
+    udim_to_name = {2: 'pp'}
+    if all(u == udims[0] for u in udims):
+        return udim_to_name.get(udims[0], 'gm')
+    return TensorProdBasis([Basis.cast(udim_to_name.get(u, 'gm'), u * u)
+                            for u in udims])

@@ -275,3 +275,199 @@ class LabelTupTup(tuple):
 
     def __reduce__(self):
         return (LabelTupTup, (tuple(self),))
+
+
+class LabelTupWithTime(LabelTup):
+    """A simple label with a (relative) start time (reference:
+    label.LabelTupWithTime:?).  Stored as ('@TIME', name, time, sslbls)."""
+
+    __slots__ = ()
+
+    @classmethod
+    def init(cls, name, sslbls, time=0.0):
+        return cls.__new__(cls, ('@TIME', name, float(time), tuple(sslbls)))
+
+    @property
+    def name(self):
+        return self[1]
+
+    @property
+    def time(self):
+        return self[2]
+
+    @property
+    def sslbls(self):
+        return self[3]
+
+    @property
+    def args(self):
+        return ()
+
+    def __str__(self):
+        s = self.name
+        if self.sslbls:
+            s += ":" + ":".join(_sslbl_str(x) for x in self.sslbls)
+        if self.time != 0.0:
+            s += "!%g" % self.time
+        return s
+
+    def __repr__(self):
+        return "Label(%s, time=%g)" % (str((self.name,) + self.sslbls),
+                                       self.time)
+
+    def __reduce__(self):
+        return (LabelTupWithTime.init, (self.name, self.sslbls, self.time))
+
+
+class LabelTupTupWithTime(LabelTupTup):
+    """A layer label with a start time (reference:
+    label.LabelTupTupWithTime).  Stored as (('@TTIME', time), *components)."""
+
+    __slots__ = ()
+
+    @classmethod
+    def init(cls, component_labels, time=0.0):
+        return cls.__new__(cls, (('@TTIME', float(time)),)
+                           + tuple(component_labels))
+
+    @property
+    def time(self):
+        return self[0][1]
+
+    @property
+    def components(self):
+        return tuple(self[1:])
+
+    @property
+    def sslbls(self):
+        s = []
+        for comp in self.components:
+            if comp.sslbls is None:
+                return None
+            s.extend(comp.sslbls)
+        return tuple(s) if s else None
+
+    def __str__(self):
+        if len(self.components) == 0:
+            return "[]"
+        return "[" + "".join(str(c) for c in self.components) + "]"
+
+    def __reduce__(self):
+        return (LabelTupTupWithTime.init, (self.components, self.time))
+
+
+class LabelTupTupWithArgs(LabelTupTup):
+    """A layer label that itself carries arguments, in addition to any
+    arguments of its component labels (reference:
+    label.LabelTupTupWithArgs:?).  Stored as ('@LARGS', args, *components)."""
+
+    __slots__ = ()
+
+    @classmethod
+    def init(cls, component_labels, args):
+        return cls.__new__(cls, (('@LARGS',) + tuple(args),)
+                           + tuple(component_labels))
+
+    @property
+    def args(self):
+        return tuple(self[0][1:])
+
+    @property
+    def components(self):
+        return tuple(self[1:])
+
+    @property
+    def sslbls(self):
+        s = []
+        for comp in self.components:
+            if comp.sslbls is None:
+                return None
+            s.extend(comp.sslbls)
+        return tuple(s) if s else None
+
+    def __str__(self):
+        return "[" + "".join(str(c) for c in self.components) + ";" + \
+            ";".join(str(a) for a in self.args) + "]"
+
+    def __reduce__(self):
+        return (LabelTupTupWithArgs.init, (self.components, self.args))
+
+
+class CircuitLabel(tuple):
+    """A sub-circuit as a single (repeatable) layer label: a named box
+    around a tuple of layer labels, optionally exponentiated (reference:
+    label.CircuitLabel:1419).  Stored as (name, sslbls, reps, *layers)."""
+
+    __slots__ = ()
+    IS_SIMPLE = True
+
+    def __new__(cls, name, tup_of_layers, state_space_labels, reps=1,
+                time=None):
+        sslbls = tuple(state_space_labels) \
+            if state_space_labels is not None else None
+        return tuple.__new__(cls, (str(name), sslbls, int(reps))
+                             + tuple(tup_of_layers))
+
+    @property
+    def name(self):
+        return self[0]
+
+    @property
+    def sslbls(self):
+        return self[1]
+
+    @property
+    def reps(self):
+        return self[2]
+
+    @property
+    def components(self):
+        return self[3:]
+
+    @property
+    def args(self):
+        return ()
+
+    @property
+    def time(self):
+        return 0.0
+
+    @property
+    def qubits(self):
+        return self.sslbls
+
+    @property
+    def is_simple(self):
+        return True
+
+    @property
+    def depth(self):
+        return sum(getattr(layer, 'depth', 1)
+                   for layer in self.components) * self.reps
+
+    def expand_subcircuits(self):
+        """The tuple of layer labels this circuit label represents."""
+        return self.components * self.reps
+
+    def map_state_space_labels(self, mapper):
+        return CircuitLabel(
+            self.name,
+            tuple(c.map_state_space_labels(mapper) for c in self.components),
+            tuple(mapper[x] if not callable(mapper) else mapper(x)
+                  for x in self.sslbls) if self.sslbls else None,
+            self.reps)
+
+    def __str__(self):
+        body = "".join(str(c) for c in self.components)
+        s = (self.name if self.name else "") + "(" + body + ")"
+        if self.reps != 1:
+            s += "^%d" % self.reps
+        return s
+
+    def __repr__(self):
+        return "CircuitLabel(%r, %s, %s, %d)" % (
+            self.name, self.components, self.sslbls, self.reps)
+
+    def __reduce__(self):
+        return (CircuitLabel, (self.name, self.components, self.sslbls,
+                               self.reps))

@@ -181,3 +181,6 @@ def compact_polynomial_list(list_of_polys):
     ctape = np.concatenate([t[1] for t in tapes]) if tapes else \
         np.empty(0, complex)
     return vtape, ctape
+
+
+FASTPolynomial = Polynomial  # reference alias (polynomial.py:694)

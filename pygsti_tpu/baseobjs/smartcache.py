@@ -52,3 +52,49 @@ def smart_cached(fn):
 
     wrapper.cache = cache
     return wrapper
+
+
+class CustomDigestError(Exception):
+    """Raised by custom digest handlers that cannot digest a value
+    (reference: smartcache.CustomDigestError:?)."""
+
+
+def digest(obj, custom_digests=None):
+    """Stable hash digest of (almost) any python object, used for
+    memoization keys (reference: smartcache.digest)."""
+    import hashlib
+    import numbers
+    import numpy as _np
+    custom_digests = custom_digests or []
+    md5 = hashlib.md5()
+
+    def _update(o):
+        if o is None:
+            md5.update(b"NONE")
+        elif isinstance(o, bool):
+            md5.update(b"T" if o else b"F")
+        elif isinstance(o, numbers.Number):
+            md5.update(repr(o).encode())
+        elif isinstance(o, (str, bytes)):
+            md5.update(o.encode() if isinstance(o, str) else o)
+        elif isinstance(o, _np.ndarray):
+            md5.update(o.tobytes())
+        elif isinstance(o, (tuple, list)):
+            for x in o:
+                _update(x)
+        elif isinstance(o, dict):
+            for k in sorted(o.keys(), key=repr):
+                _update(k)
+                _update(o[k])
+        else:
+            for custom in custom_digests:
+                try:
+                    custom(md5, o)
+                    break
+                except CustomDigestError:
+                    continue
+            else:
+                md5.update(repr(o).encode())
+
+    _update(obj)
+    return md5.digest()

@@ -180,3 +180,20 @@ def default_space_for_dim(dim):
     if 2 ** nq == udim:
         return QubitSpace(nq)
     return ExplicitStateSpace(("D%d" % udim,), (udim,))
+
+
+def default_space_for_udim(udim):
+    """State space for a unitary-operator dimension: a QubitSpace when udim
+    is a power of 2, else a single explicit qudit (reference:
+    statespace.default_space_for_udim:1420)."""
+    import numpy as _np
+    nqubits = int(round(_np.log2(udim)))
+    if 2 ** nqubits == udim:
+        return QubitSpace(nqubits)
+    return ExplicitStateSpace(('all',), udims=(udim,))
+
+
+def default_space_for_num_qubits(num_qubits):
+    """QubitSpace of the given size (reference:
+    statespace.default_space_for_num_qubits:1440)."""
+    return QubitSpace(num_qubits)

@@ -312,3 +312,20 @@ class DistributableForwardSimulator(SimpleForwardSimulator):
         super().__init__(model)
         if mesh is not None:
             self.mesh = mesh
+
+
+class CacheForwardSimulator(SimpleForwardSimulator):
+    """Forward simulator carrying a persistent per-layout cache passed to
+    compute routines (reference: forwardsim.CacheForwardSimulator:884).
+    In the TPU design, compiled-executable caching is handled by the jax
+    persistent compilation cache; this class adds the reference's explicit
+    per-circuit cache hook for custom derived simulators."""
+
+    def create_layout(self, circuits, dataset=None, resource_alloc=None,
+                      array_types=(), derivative_dimensions=None,
+                      verbosity=0):
+        layout = super().create_layout(circuits, dataset, resource_alloc,
+                                       array_types, derivative_dimensions,
+                                       verbosity)
+        layout.cache = {c: None for c in circuits}  # CachedCOPALayout analog
+        return layout

@@ -225,3 +225,12 @@ class CircuitOutcomeProbabilityLayout(object):
                 counts[sl.start + k] = cnt
                 totals[sl.start + k] = total
         return counts, totals
+
+
+# Reference layout-class names: in the TPU design one layout type serves all
+# simulators (sharding happens at the jax level, not in the layout), so the
+# map/matrix/distributable layout classes are the same object
+# (reference: layouts/maplayout.py:171 MapCOPALayout,
+#  layouts/matrixlayout.py MatrixCOPALayout, layouts/copalayout.py).
+COPALayout = CircuitOutcomeProbabilityLayout
+MapCOPALayout = CircuitOutcomeProbabilityLayout

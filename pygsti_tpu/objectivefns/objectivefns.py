@@ -1357,3 +1357,277 @@ class CachedObjectiveFunction(object):
         obj.percircuit = np.array(state['percircuit'])
         obj.chi2k_distributed_percircuit = obj.percircuit.copy()
         return obj
+
+
+# ---------------------------------------------------------------------------
+# Reference class-name surface (reference: objectivefns.py:1092-6100).
+# The compiled TimeIndependentMDCObjectiveFunction above is the one engine;
+# these bind each raw objective to it under the reference's class names.
+# ---------------------------------------------------------------------------
+
+ObjectiveFunction = RawObjectiveFunction      # reference base-class name
+MDCObjectiveFunction = TimeIndependentMDCObjectiveFunction
+LpNormToPowerP = RawAbsPower                  # reference name for |x|^p
+
+
+def _bound_objective(raw_cls, default_name):
+    class _Bound(TimeIndependentMDCObjectiveFunction):
+        def __init__(self, model, dataset, circuits, regularization=None,
+                     penalties=None, name=None, **kwargs):
+            super().__init__(raw_cls(regularization), model, dataset,
+                             circuits, penalties=penalties,
+                             name=name or default_name, **kwargs)
+
+        @classmethod
+        def create_from(cls, model, dataset, circuits, regularization=None,
+                        penalties=None, **kwargs):
+            return cls(model, dataset, circuits, regularization, penalties,
+                       **kwargs)
+
+    return _Bound
+
+
+class Chi2Function(_bound_objective(RawChi2Function, 'chi2')):
+    """chi-squared objective bound to a model/dataset/circuits store
+    (reference: objectivefns.Chi2Function)."""
+
+
+class FreqWeightedChi2Function(_bound_objective(RawFreqWeightedChi2Function,
+                                                'fwchi2')):
+    """Frequency-weighted chi2 (reference:
+    objectivefns.FreqWeightedChi2Function)."""
+
+
+class ChiAlphaFunction(_bound_objective(RawChiAlphaFunction, 'chialpha')):
+    """chi-alpha objective (reference: objectivefns.ChiAlphaFunction)."""
+
+
+class CustomWeightedChi2Function(_bound_objective(RawCustomWeightedChi2Function,
+                                                  'cwchi2')):
+    """Custom-weighted chi2 (reference:
+    objectivefns.CustomWeightedChi2Function)."""
+
+
+class PoissonPicDeltaLogLFunction(_bound_objective(
+        RawPoissonPicDeltaLogLFunction, 'dlogl')):
+    """Poisson-picture delta-log-likelihood (reference:
+    objectivefns.PoissonPicDeltaLogLFunction)."""
+
+
+class DeltaLogLFunction(_bound_objective(RawDeltaLogLFunction,
+                                         'dlogl-nonpoisson')):
+    """Non-Poisson-picture delta-logl (reference:
+    objectivefns.DeltaLogLFunction)."""
+
+
+class MaxLogLFunction(_bound_objective(RawMaxLogLFunction, 'maxlogl')):
+    """Maximum achievable log-likelihood (reference:
+    objectivefns.MaxLogLFunction)."""
+
+
+class TVDFunction(_bound_objective(RawTVDFunction, 'tvd')):
+    """Total-variation-distance objective (reference:
+    objectivefns.TVDFunction)."""
+
+
+class EvaluatedModelDatasetCircuitsStore(ModelDatasetCircuitsStore):
+    """ModelDatasetCircuitsStore that additionally caches the outcome
+    probabilities at the model's current parameter point (reference:
+    objectivefns.EvaluatedModelDatasetCircuitsStore:1092)."""
+
+    def __init__(self, mdc_store, verbosity=0):
+        super().__init__(mdc_store.model, mdc_store.dataset,
+                         mdc_store.circuits,
+                         precomp_layout=mdc_store.layout,
+                         verbosity=verbosity)
+        probs_by_circuit = self.model.sim.bulk_probs(self.circuits)
+        self.probs = np.concatenate([
+            np.array([probs_by_circuit[c][ol]
+                      for ol in self.layout.outcomes[i]])
+            for i, c in enumerate(self.circuits)]) \
+            if self.circuits else np.empty(0)
+
+
+class TermWeighted(TimeIndependentMDCObjectiveFunction):
+    """Objective whose per-element terms are scaled by a constant weight
+    vector w: f(params) = sum_i w_i * g_i(params) (reference:
+    objectivefns.TermWeighted:5108)."""
+
+    def __init__(self, raw_objfn, model, dataset, circuits, penalties=None,
+                 name=None, **kwargs):
+        super().__init__(raw_objfn, model, dataset, circuits,
+                         penalties=penalties, name=name, **kwargs)
+        self.terms_weights = np.ones(self.layout.num_elements)
+
+    def terms(self, paramvec=None):
+        return self.terms_weights * np.asarray(super().terms(paramvec))
+
+    def fn(self, paramvec=None):
+        return float(np.sum(self.terms(paramvec)))
+
+    def lsvec(self, paramvec=None):
+        return np.sqrt(np.clip(self.terms(paramvec), 0.0, None))
+
+
+class TimeDependentMDCObjectiveFunction(object):
+    """Objective over TIME-RESOLVED data: each element is a (circuit,
+    outcome, timestamp) triple and probabilities are evaluated with the
+    model's operations advanced to that timestamp via their ``set_time``
+    method (reference: objectivefns.TimeDependentMDCObjectiveFunction:5217,
+    whose forward simulators call op.set_time during propagation).
+
+    Works with any model whose operations either implement ``set_time(t)``
+    (time-aware error models) or ignore time entirely (static models, for
+    which this reduces exactly to the time-independent objective evaluated
+    per-timestamp).  This is a host-side path -- time-resolved datasets are
+    small (drift/stability experiments), so there is no TPU batching here.
+    """
+
+    def __init__(self, raw_objfn, model, dataset, circuits, penalties=None,
+                 name=None, verbosity=0):
+        self.raw_objfn = raw_objfn
+        self.model = model
+        self.dataset = dataset
+        self.circuits = list(circuits) if circuits is not None \
+            else list(dataset.keys())
+        self.name = name or raw_objfn.name
+        # flatten the time series: one element per (circuit, time, outcome)
+        self._elements = []  # (circuit, time, outcome, count, total_at_t)
+        for c in self.circuits:
+            row = dataset[c]
+            if row.time is not None and len(row.time) > 0:
+                times = np.asarray(row.time)
+                series = row.outcome_series if row.outcome_series is not None \
+                    else list(row.counts.keys())
+                reps = row.reps if row.reps is not None \
+                    else np.ones(len(times))
+                for t in np.unique(times):
+                    sel = np.where(times == t)[0]
+                    tot = float(np.sum(np.asarray(reps)[sel]))
+                    by_outcome = {}
+                    for i in sel:
+                        ol = series[i]
+                        by_outcome[ol] = by_outcome.get(ol, 0.0) \
+                            + float(reps[i])
+                    for ol, cnt in by_outcome.items():
+                        self._elements.append((c, float(t), ol, cnt, tot))
+            else:
+                tot = float(row.total)
+                for ol, cnt in row.counts.items():
+                    self._elements.append((c, 0.0, ol, float(cnt), tot))
+        self.counts = np.array([e[3] for e in self._elements])
+        self.total_counts = np.array([e[4] for e in self._elements])
+        with np.errstate(invalid='ignore', divide='ignore'):
+            self.freqs = np.where(self.total_counts > 0,
+                                  self.counts / np.where(
+                                      self.total_counts > 0,
+                                      self.total_counts, 1.0), 0.0)
+
+    @property
+    def num_elements(self):
+        return len(self._elements)
+
+    def _set_model_time(self, t):
+        for lbl in getattr(self.model, 'operations', {}):
+            op = self.model.operations[lbl]
+            if hasattr(op, 'set_time'):
+                op.set_time(t)
+
+    def probs_vector(self, paramvec=None):
+        if paramvec is not None:
+            self.model.from_vector(np.asarray(paramvec))
+        probs = np.empty(self.num_elements)
+        cache = {}
+        for i, (c, t, ol, _, _) in enumerate(self._elements):
+            key = (c, t)
+            if key not in cache:
+                self._set_model_time(t)
+                cache[key] = self.model.probabilities(c)
+            probs[i] = cache[key].get(ol, 0.0)
+        return probs
+
+    def terms(self, paramvec=None):
+        p = self.probs_vector(paramvec)
+        return np.asarray(self.raw_objfn.terms(
+            jnp.asarray(p), jnp.asarray(self.counts),
+            jnp.asarray(self.total_counts), jnp.asarray(self.freqs)))
+
+    def lsvec(self, paramvec=None):
+        return np.sqrt(np.clip(self.terms(paramvec), 0.0, None))
+
+    def fn(self, paramvec=None):
+        return float(np.sum(self.terms(paramvec)))
+
+    def dterms(self, paramvec=None, eps=1e-7):
+        """Finite-difference Jacobian of terms (host path; time-resolved
+        datasets are small)."""
+        v0 = np.asarray(paramvec if paramvec is not None
+                        else self.model.to_vector(), float)
+        t0 = self.terms(v0)
+        jac = np.empty((len(t0), len(v0)))
+        for k in range(len(v0)):
+            v = v0.copy()
+            v[k] += eps
+            jac[:, k] = (self.terms(v) - t0) / eps
+        self.model.from_vector(v0)
+        return jac
+
+
+class TimeDependentChi2Function(TimeDependentMDCObjectiveFunction):
+    """Time-resolved chi2 (reference:
+    objectivefns.TimeDependentChi2Function:5379)."""
+
+    def __init__(self, model, dataset, circuits, regularization=None,
+                 penalties=None, name='time-dep chi2', **kwargs):
+        super().__init__(RawChi2Function(regularization), model, dataset,
+                         circuits, penalties, name, **kwargs)
+
+
+class TimeDependentPoissonPicLogLFunction(TimeDependentMDCObjectiveFunction):
+    """Time-resolved Poisson-picture delta-logl (reference:
+    objectivefns.TimeDependentPoissonPicLogLFunction:5541)."""
+
+    def __init__(self, model, dataset, circuits, regularization=None,
+                 penalties=None, name='time-dep logl', **kwargs):
+        super().__init__(RawPoissonPicDeltaLogLFunction(regularization),
+                         model, dataset, circuits, penalties, name, **kwargs)
+
+
+class LogLWildcardFunction(object):
+    """Wildcard-budget bolt-on over a log-likelihood objective: an
+    objective over wildcard-budget parameter vectors that moves the bare
+    probabilities within the per-circuit TVD budget before evaluating
+    (reference: objectivefns.LogLWildcardFunction:6017)."""
+
+    def __init__(self, logl_objective_fn, base_pt, wildcard):
+        self.logl_objfn = logl_objective_fn
+        self.basept = base_pt
+        self.wildcard_budget = wildcard
+        self.description = getattr(logl_objective_fn, 'name', 'logl') \
+            + " + wildcard budget"
+        self.probs = np.asarray(logl_objective_fn.probs())
+
+    def __getattr__(self, attr):
+        return getattr(self.__dict__['logl_objfn'], attr)
+
+    def chi2k_distributed_qty(self, objective_function_value):
+        return self.logl_objfn.chi2k_distributed_qty(
+            objective_function_value)
+
+    def fn(self, wvec=None):
+        return float(np.sum(self.terms(wvec)))
+
+    def terms(self, wvec=None):
+        if wvec is not None:
+            self.wildcard_budget.from_vector(np.asarray(wvec))
+        objfn = self.logl_objfn
+        new_probs = self.wildcard_budget.update_probs(
+            self.probs, objfn.freqs, objfn.counts, objfn.total_counts,
+            objfn.layout.element_slices, objfn.circuits)
+        raw = objfn.raw_objfn
+        return np.asarray(raw.terms(
+            jnp.asarray(new_probs), jnp.asarray(objfn.counts),
+            jnp.asarray(objfn.total_counts), jnp.asarray(objfn.freqs)))
+
+    def lsvec(self, wvec=None):
+        return np.sqrt(np.clip(self.terms(wvec), 0.0, None))

@@ -296,3 +296,19 @@ def optimize_wildcard_budget_neldermead(objective, budget,
                                 'fatol': tol})
     budget.from_vector(np.abs(res.x))
     return budget
+
+
+# Reference class-name surface: the reference's abstract WildcardBudget /
+# PrimitiveOpsWildcardBudgetBase hierarchy collapses to the concrete
+# per-primitive-op implementation here (reference: wildcardbudget.py:33,
+# :471).
+WildcardBudget = PrimitiveOpsWildcardBudget
+PrimitiveOpsWildcardBudgetBase = PrimitiveOpsWildcardBudget
+
+
+def update_circuit_probs(probs, freqs, circuit_budget, circuit=None):
+    """Move one circuit's outcome probabilities toward its frequencies
+    within a TVD budget, maximizing the likelihood (reference:
+    wildcardbudget.update_circuit_probs:835)."""
+    return _waterfill(np.asarray(probs, float), np.asarray(freqs, float),
+                      float(circuit_budget))

@@ -87,3 +87,25 @@ def check_jac(f, x0, jac_to_check, eps=1e-7, tol=1e-5, err_type='rel'):
         denom = np.maximum(np.abs(fd), 1e-10)
         diff = diff / denom
     return float(diff.sum()), float(np.linalg.norm(fd)), float(diff.max())
+
+
+def create_objfn_printer(obj_func, start_time=None):
+    """Callback printing an objective function's value with elapsed time
+    (reference: optimize.create_objfn_printer:684)."""
+    import time as _time
+    if start_time is None:
+        start_time = _time.time()
+
+    def print_obj_func(x, f=None, accepted=None):
+        if f is not None and accepted is not None:
+            print("%5ds %22.10f %s" % (_time.time() - start_time, f,
+                                       'accepted' if accepted
+                                       else 'not accepted'))
+        else:
+            result = obj_func(x)
+            duration = _time.time() - start_time
+            try:
+                print("%5ds %22.10f" % (duration, result))
+            except TypeError:
+                print('%5ds %s' % (duration, result))
+    return print_obj_func

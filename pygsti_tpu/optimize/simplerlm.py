@@ -485,3 +485,25 @@ class CustomLMOptimizer(SimplerLMOptimizer):
         self.use_acceleration = use_acceleration
         self.uphill_step_threshold = uphill_step_threshold
         self.lsvec_mode = lsvec_mode
+
+
+Optimizer = SimplerLMOptimizer  # reference base-class name (simplerlm.py:77)
+
+
+def jac_guarded(k, num_fd_iters, obj_fn, jac_fn, f, ari, global_x,
+                fdJac_work):
+    """Analytic Jacobian, except finite-difference for the first
+    `num_fd_iters` iterations (used to escape bad starting regions where
+    the analytic Jacobian misleads; reference: simplerlm.jac_guarded:368)."""
+    import numpy as _np
+    if k >= num_fd_iters:
+        return jac_fn(global_x)
+    eps = 1e-7
+    f_fixed = _np.array(f, copy=True)
+    jac = fdJac_work if fdJac_work is not None else \
+        _np.empty((len(f_fixed), len(global_x)))
+    for i in range(len(global_x)):
+        x_plus = _np.array(global_x, copy=True)
+        x_plus[i] += eps
+        jac[:, i] = (_np.asarray(obj_fn(x_plus)) - f_fixed) / eps
+    return jac

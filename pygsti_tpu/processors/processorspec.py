@@ -108,3 +108,55 @@ class QubitProcessorSpec(object):
             except ValueError:
                 pass  # not a Clifford
         return out
+
+
+class ProcessorSpec(object):
+    """Base class for processor specifications (reference:
+    processorspec.ProcessorSpec:37)."""
+
+
+class QuditProcessorSpec(ProcessorSpec):
+    """Specification of a qudit processor: per-qudit Hilbert dimensions
+    plus native gates given as unitaries (reference:
+    processorspec.QuditProcessorSpec:51)."""
+
+    def __init__(self, qudit_labels, qudit_udims, gate_names,
+                 nonstd_gate_unitaries=None, availability=None,
+                 geometry=None, prep_names=('rho0',), povm_names=('Mdefault',)):
+        self.qudit_labels = tuple(qudit_labels)
+        self.qudit_udims = tuple(qudit_udims)
+        self.gate_names = list(gate_names)
+        self.gate_unitaries = dict(nonstd_gate_unitaries or {})
+        std = standard_gatename_unitaries()
+        for name in self.gate_names:
+            if name not in self.gate_unitaries and name in std:
+                self.gate_unitaries[name] = std[name]
+        self.availability = dict(availability or {})
+        self.geometry = geometry
+        self.prep_names = tuple(prep_names)
+        self.povm_names = tuple(povm_names)
+
+    @property
+    def num_qudits(self):
+        return len(self.qudit_labels)
+
+    @property
+    def udim(self):
+        out = 1
+        for u in self.qudit_udims:
+            out *= u
+        return out
+
+    def gate_num_qudits(self, gate_name):
+        u = self.gate_unitaries.get(gate_name)
+        if u is None or callable(u):
+            return 1
+        import numpy as _np
+        dim = _np.asarray(u).shape[0]
+        for n in range(1, len(self.qudit_labels) + 1):
+            prod = 1
+            for ud in self.qudit_udims[:n]:
+                prod *= ud
+            if prod == dim:
+                return n
+        return 1

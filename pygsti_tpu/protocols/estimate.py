@@ -70,3 +70,11 @@ class Estimate(object):
 
     def keys(self):
         return self.models.keys()
+
+
+import collections as _collections
+
+# key type for confidence_region_factories (reference: estimate.py:34);
+# a namedtuple compares equal to the plain (model, circuit_list) tuples
+# used as keys above, so both forms interoperate.
+CRFkey = _collections.namedtuple('CRFkey', ['model', 'circuit_list'])

@@ -818,3 +818,24 @@ class StandardGSTCheckpoint(ProtocolCheckpoint):
         children = {k: NicelySerializable.from_nice_serialization(v)
                     for k, v in state.get('children', {}).items()}
         return cls(children, state.get('completed_modes', []), state.get('name'))
+
+
+class HasProcessorSpec(object):
+    """Mixin adding a `processor_spec` attribute to an experiment design
+    (reference: protocols/gst.py:67)."""
+
+    def __init__(self, processorspec_filename_or_obj):
+        if processorspec_filename_or_obj is None:
+            self.processor_spec = None
+        elif isinstance(processorspec_filename_or_obj, str):
+            from pygsti_tpu.io import load_processorspec
+            self.processor_spec = load_processorspec(
+                processorspec_filename_or_obj)
+        else:
+            self.processor_spec = processorspec_filename_or_obj
+
+
+# reference shorthand aliases (reference: gst.py:3625-3627)
+GSTDesign = GateSetTomographyDesign
+GST = GateSetTomography
+LGST = LinearGateSetTomography

@@ -480,3 +480,42 @@ class DataCountsSimulator(object):
                            self.num_samples, sample_error=self.sample_error,
                            seed=self.seed)
         return ProtocolData(edesign, ds)
+
+
+class ProtocolRunner(object):
+    """Base class for objects that run protocols over an entire tree of
+    data, producing a ProtocolResultsDir (reference: protocol.py:647)."""
+
+    def run(self, data, memlimit=None, comm=None):
+        raise NotImplementedError("Derived classes should implement run()")
+
+
+class CanCreateAllCircuitsDesign(ExperimentDesign):
+    """ExperimentDesign whose all_circuits_needing_data can be regenerated
+    from other attributes, so it is skipped during serialization
+    (reference: protocol.py:1400)."""
+
+    def _create_all_circuits_needing_data(self):
+        raise NotImplementedError("Derived classes should implement this")
+
+
+class DataSimulator(object):
+    """Analysis routine run on an experiment design to produce per-circuit
+    data: edesign in, ProtocolData out (reference: protocol.py:3568)."""
+
+    def run(self, edesign, memlimit=None, comm=None):
+        raise NotImplementedError("Derived classes should implement run()")
+
+
+def run_default_protocols(data, memlimit=None, comm=None):
+    """Run the default protocols registered on each node of the data tree
+    (reference: protocol.py:3446)."""
+    results = {}
+    edesign = data.edesign
+    for name, protocol in getattr(edesign, 'default_protocols',
+                                  {}).items():
+        results[name] = protocol.run(data)
+    children = {k: run_default_protocols(sub)
+                for k, sub in (data.items()
+                               if hasattr(data, 'items') else [])}
+    return ProtocolResultsDir(data, results, children)

@@ -347,3 +347,8 @@ class InterleavedRandomizedBenchmarkingResults(ProtocolResults):
         return "Interleaved RB: " + ", ".join(
             "%s: %.3e (bound %.2e)" % (k, v, self.irb_bounds[k])
             for k, v in self.irb_numbers.items())
+
+
+# reference shorthand aliases (reference: rb.py:1826-1827)
+RB = RandomizedBenchmarking
+RBResults = RandomizedBenchmarkingResults

@@ -79,3 +79,9 @@ class RobustPhaseEstimationProtocol(Protocol):
 
 # alias matching the reference's class name
 RobustPhaseEstimation_Protocol = RobustPhaseEstimationProtocol
+
+
+# reference shorthand aliases (reference: rpe.py:327-329)
+RPEDesign = RobustPhaseEstimationDesign
+RPE = RobustPhaseEstimationProtocol
+RPEResults = RobustPhaseEstimationResults

@@ -12,7 +12,8 @@ import collections
 
 import numpy as np
 
-from pygsti_tpu.protocols.protocol import Protocol, ProtocolResults
+from pygsti_tpu.protocols.protocol import (Protocol, ProtocolResults,
+                                            ExperimentDesign)
 from pygsti_tpu.extras.drift.stabilityanalyzer import StabilityAnalyzer
 from pygsti_tpu.extras.drift import signal as _sig
 
@@ -60,3 +61,12 @@ class StabilityAnalysisResults(ProtocolResults):
             return ("StabilityAnalysis: drift DETECTED in %d circuits"
                     % len(self.unstable_circuits))
         return "StabilityAnalysis: no drift detected"
+
+
+class StabilityAnalysisDesign(ExperimentDesign):
+    """Experiment design for stability analysis: any circuit list, with
+    timestamped data required (reference: stability.py:16)."""
+
+    def __init__(self, circuits, qubit_labels=None):
+        self.needs_timestamps = True
+        super().__init__(circuits, qubit_labels=qubit_labels)

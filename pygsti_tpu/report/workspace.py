@@ -201,3 +201,114 @@ class Workspace(object):
                                   objective)
         return WorkspacePlot(self, color_boxplot_html(
             circuit_struct, vals, title=str(plottype)))
+
+
+class WorkspaceText(WorkspaceOutput):
+    """A block of switchable text (reference: workspace.WorkspaceText)."""
+
+
+class NotApplicable(WorkspaceOutput):
+    """Marker output: the requested quantity is not applicable to the given
+    arguments (reference: workspace.NotApplicable:1961)."""
+
+    def __init__(self, ws):
+        super().__init__(ws, "<center><i>N/A</i></center>")
+
+
+class SwitchValue(object):
+    """A value that depends on the position of one or more Switchboard
+    switches: indexable by switch position, with a dense `base` array
+    (reference: workspace.SwitchValue)."""
+
+    def __init__(self, parent_switchboard, name, dependencies, shape=None):
+        import numpy as _np
+        self.parent = parent_switchboard
+        self.name = name
+        self.dependencies = tuple(dependencies)
+        if shape is None:
+            shape = tuple(len(parent_switchboard.switch_positions[d])
+                          for d in self.dependencies)
+        self.base = _np.empty(shape, dtype=object)
+
+    def __getitem__(self, key):
+        return self.base[key]
+
+    def __setitem__(self, key, val):
+        self.base[key] = val
+
+    def __iter__(self):
+        return iter(self.base.flat)
+
+
+class SwitchboardView(object):
+    """A view of (a subset of) another Switchboard's switches (reference:
+    workspace.SwitchboardView)."""
+
+    def __init__(self, switchboard, idsuffix="v", show="all"):
+        self.switchboard = switchboard
+        self.idsuffix = idsuffix
+        self.show = show
+
+    def render(self, typ='html'):
+        return self.switchboard.render(typ)
+
+    def __getattr__(self, attr):
+        return getattr(self.__dict__['switchboard'], attr)
+
+
+def random_id():
+    """A random id string for HTML elements (reference:
+    workspace.random_id)."""
+    import random
+    import string
+    return ''.join(random.choice(string.ascii_lowercase + string.digits)
+                   for _ in range(8))
+
+
+def in_ipython_notebook():
+    """Whether we are running inside an IPython/Jupyter notebook
+    (reference: workspace.in_ipython_notebook)."""
+    try:
+        shell = get_ipython().__class__.__name__  # noqa: F821
+        return shell == 'ZMQInteractiveShell'
+    except NameError:
+        return False
+
+
+def display_ipynb(content):
+    """Display HTML content in an IPython notebook (reference:
+    workspace.display_ipynb)."""
+    from IPython.core.display import display, HTML
+    display(HTML(content))
+
+
+def enable_plotly_pickling():
+    """Monkeypatch plotly graph objects to support pickling (reference:
+    workspace.enable_plotly_pickling).  Our reports render static HTML with
+    no plotly dependency, so this is a no-op when plotly is absent."""
+    try:
+        import plotly.graph_objs as go  # noqa: F401
+    except ImportError:
+        return
+
+
+def disable_plotly_pickling():
+    """Undo :func:`enable_plotly_pickling` (reference:
+    workspace.disable_plotly_pickling)."""
+    try:
+        import plotly.graph_objs as go  # noqa: F401
+    except ImportError:
+        return
+
+
+def ws_custom_digest(md5, v):
+    """Custom digest handler for workspace objects, used with
+    :func:`pygsti_tpu.baseobjs.smartcache.digest` (reference:
+    workspace.ws_custom_digest)."""
+    from pygsti_tpu.baseobjs.smartcache import CustomDigestError
+    if isinstance(v, WorkspaceOutput):
+        md5.update(v.render().encode())
+    elif hasattr(v, 'digest_hash'):
+        md5.update(v.digest_hash())
+    else:
+        raise CustomDigestError()

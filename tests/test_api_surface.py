@@ -719,3 +719,168 @@ class TestLeakageCoreAndMisc:
         assert list(filter_composite_rcl(scores, 1.0)) == [0, 1, 2]
         import pygsti_tpu.drivers.longsequence as ls
         assert callable(ls.run_long_sequence_gst_base)
+
+
+class TestReferenceNameSurface:
+    """Aliases and small classes matching the reference's public names."""
+
+    def test_protocol_aliases(self):
+        import pygsti_tpu.protocols.gst as g
+        import pygsti_tpu.protocols.rb as rb
+        import pygsti_tpu.protocols.rpe as rpe
+        assert g.GST is g.GateSetTomography
+        assert g.GSTDesign is g.GateSetTomographyDesign
+        assert g.LGST is g.LinearGateSetTomography
+        assert rb.RB is rb.RandomizedBenchmarking
+        assert rb.RBResults is rb.RandomizedBenchmarkingResults
+        assert rpe.RPE is rpe.RobustPhaseEstimationProtocol
+        from pygsti_tpu.protocols.estimate import CRFkey
+        k = CRFkey('final iteration estimate', 'final')
+        assert k == ('final iteration estimate', 'final')  # tuple interop
+
+    def test_protocol_runner_machinery(self):
+        from pygsti_tpu.protocols.protocol import (
+            ProtocolRunner, DefaultRunner, CanCreateAllCircuitsDesign,
+            DataSimulator, run_default_protocols, ProtocolData,
+            ExperimentDesign, ProtocolResultsDir)
+        assert issubclass(DefaultRunner, object)
+        with pytest.raises(NotImplementedError):
+            ProtocolRunner().run(None)
+        with pytest.raises(NotImplementedError):
+            DataSimulator().run(None)
+        ed = ExperimentDesign([Circuit(('Gxpi2',), (0,))])
+        from pygsti_tpu.data.dataset import DataSet
+        ds = DataSet(outcome_labels=['0', '1'])
+        ds.add_count_dict(Circuit(('Gxpi2',), (0,)), {'0': 50, '1': 50})
+        ds.done_adding_data()
+        out = run_default_protocols(ProtocolData(ed, ds))
+        assert isinstance(out, ProtocolResultsDir)
+
+    def test_label_variants(self):
+        import pickle
+        from pygsti_tpu.baseobjs.label import (
+            CircuitLabel, LabelTupWithTime, LabelTupTupWithTime,
+            LabelTupTupWithArgs, Label)
+        l1 = Label('Gx', (0,))
+        cl = CircuitLabel('box', (l1, l1), (0,), reps=3)
+        assert cl.depth == 6 and cl.reps == 3
+        assert len(cl.expand_subcircuits()) == 6
+        assert pickle.loads(pickle.dumps(cl)) == cl
+        lt = LabelTupWithTime.init('Gx', (0,), 1.5)
+        assert lt.time == 1.5 and lt.name == 'Gx'
+        ltt = LabelTupTupWithTime.init((l1,), 0.8)
+        assert ltt.time == 0.8 and ltt.components == (l1,)
+        la = LabelTupTupWithArgs.init((l1,), ('0.5',))
+        assert la.args == ('0.5',) and la.components == (l1,)
+        assert pickle.loads(pickle.dumps(la)) == la
+
+    def test_basis_statespace_helpers(self):
+        from pygsti_tpu.baseobjs.basis import (LazyBasis, Basis,
+                                               default_basis_for_udims)
+        from pygsti_tpu.baseobjs.statespace import (
+            default_space_for_udim, default_space_for_num_qubits)
+        assert default_basis_for_udims([2, 2]) == 'pp'
+        assert default_basis_for_udims([3]) == 'gm'
+        assert default_space_for_udim(4).num_qubits == 2
+        assert default_space_for_udim(3).udim == 3
+        assert default_space_for_num_qubits(2).udim == 4
+        built = []
+        lb = LazyBasis('lazy', lambda: built.append(1) or ['I'],
+                       lambda: Basis.cast('pp', 4).elements[:1])
+        assert not built
+        assert lb.labels == ['I'] and built  # built lazily on access
+
+    def test_smartcache_digest(self):
+        from pygsti_tpu.baseobjs.smartcache import digest, CustomDigestError
+        assert digest({'a': [1, 2], 'b': np.arange(3)}) == \
+            digest({'b': np.arange(3), 'a': [1, 2]})
+        assert digest('x') != digest('y')
+        assert issubclass(CustomDigestError, Exception)
+
+    def test_modelfn_factories(self):
+        from pygsti_tpu.report.modelfunction import (
+            opfn_factory, opsfn_factory, spamfn_factory, povmfn_factory)
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        model = mp.target_model()
+        gl = list(model.operations.keys())[1]
+        TraceFn = opfn_factory(lambda gate, basis: np.trace(gate))
+        val = TraceFn(model, gl).evaluate(model)
+        assert np.isclose(val,
+                          np.trace(np.asarray(
+                              model.operations[gl].to_dense())))
+        DiffFn = opsfn_factory(lambda g1, g2, basis: np.linalg.norm(g1 - g2))
+        assert np.isclose(DiffFn(model, model, gl).evaluate(model), 0.0)
+        NumPrepsFn = spamfn_factory(lambda preps, povms: len(preps))
+        assert NumPrepsFn(model).evaluate(model) == 1
+        NPovm = povmfn_factory(lambda m: len(m.povms))
+        assert NPovm(model).evaluate(model) == 1
+
+    def test_objectivefn_surface(self):
+        import pygsti_tpu.objectivefns.objectivefns as o
+        assert o.MDCObjectiveFunction is o.TimeIndependentMDCObjectiveFunction
+        assert o.ObjectiveFunction is o.RawObjectiveFunction
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        target = mp.target_model('full TP')
+        circs = [Circuit(('Gxpi2',), (0,)), Circuit(('Gypi2',) * 2, (0,))]
+        ds = simulate_data(target.depolarize(op_noise=0.05), circs, 400,
+                           seed=9)
+        f2 = o.Chi2Function(target, ds, circs)
+        ref = o.ObjectiveFunctionBuilder('chi2').build(target, ds, circs)
+        assert np.isclose(f2.fn(), ref.fn())
+        store = o.ModelDatasetCircuitsStore(target, ds, circs)
+        ev = o.EvaluatedModelDatasetCircuitsStore(store)
+        assert ev.probs.shape[0] == ev.layout.num_elements
+
+    def test_time_dependent_and_wildcard(self):
+        import pygsti_tpu.objectivefns.objectivefns as o
+        from pygsti_tpu.objectivefns.wildcardbudget import (
+            PrimitiveOpsWildcardBudget, update_circuit_probs, WildcardBudget)
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data.dataset import DataSet
+        target = mp.target_model('full TP')
+        c = Circuit(('Gxpi2', 'Gxpi2'), (0,))
+        tds = DataSet(outcome_labels=['0', '1'])
+        tds.add_raw_series_data(c, ['0', '1', '0', '1'],
+                                [0.0, 0.0, 1.0, 1.0], [40, 60, 55, 45])
+        tds.done_adding_data()
+        td = o.TimeDependentPoissonPicLogLFunction(target, tds, [c])
+        assert td.num_elements == 4 and np.isfinite(td.fn())
+        assert td.dterms().shape == (4, target.num_params)
+        p = update_circuit_probs(np.array([0.7, 0.3]),
+                                 np.array([0.5, 0.5]), 0.1)
+        assert np.allclose(p, [0.6, 0.4])
+        assert WildcardBudget is PrimitiveOpsWildcardBudget
+        from pygsti_tpu.data import simulate_data
+        circs = [c]
+        ds = simulate_data(target.depolarize(op_noise=0.05), circs, 500,
+                           seed=3)
+        fl = o.PoissonPicDeltaLogLFunction(target, ds, circs)
+        wb = PrimitiveOpsWildcardBudget(list(target.operations.keys()))
+        wf = o.LogLWildcardFunction(fl, None, wb)
+        assert np.isclose(wf.fn(np.zeros(wb.num_params)), fl.fn(),
+                          rtol=1e-5)
+        assert wf.fn(np.ones(wb.num_params)) <= wf.fn(
+            np.zeros(wb.num_params)) + 1e-9
+
+    def test_custom_leastsq_and_printer(self):
+        from pygsti_tpu.optimize.customlm import custom_leastsq
+        from pygsti_tpu.optimize.optimize import create_objfn_printer
+        xs = np.linspace(0, 2, 20)
+        ys = np.exp(-1.3 * xs)
+        obj = lambda p: np.exp(-p[0] * xs) - ys
+        jac = lambda p: (-xs * np.exp(-p[0] * xs)).reshape(-1, 1)
+        out = custom_leastsq(obj, jac, np.array([0.5]))
+        assert out[1] and abs(out[0][0] - 1.3) < 1e-5
+        printer = create_objfn_printer(lambda x: float(np.sum(x ** 2)))
+        printer(np.array([1.0, 2.0]))  # shouldn't raise
+
+    def test_qudit_pspec_and_layout_alias(self):
+        from pygsti_tpu.processors.processorspec import (ProcessorSpec,
+                                                         QuditProcessorSpec)
+        from pygsti_tpu.layouts.layout import (MapCOPALayout, COPALayout,
+                                               CircuitOutcomeProbabilityLayout)
+        assert MapCOPALayout is CircuitOutcomeProbabilityLayout
+        q = QuditProcessorSpec(('Q0', 'Q1'), (3, 3), ['Gi'])
+        assert q.udim == 9 and q.num_qudits == 2
+        assert isinstance(q, ProcessorSpec)
