@@ -451,3 +451,116 @@ for _nm, _fn in [('num_gates', property(_num_gates)),
                  ('parallelize', _parallelize),
                  ('convert_to_openqasm', _convert_to_openqasm)]:
     setattr(Circuit, _nm, _fn)
+
+
+def validate_line_labels(linelabels):
+    """Check that each line label round-trips through the circuit-string
+    parser, so circuits over these lines can be serialized (reference:
+    circuit.validate_line_labels:211)."""
+    from pygsti_tpu.io.stdinput import StdInputParser
+    parser = StdInputParser()
+    for line_lbl in linelabels:
+        if line_lbl == '*':
+            continue
+        test_str = 'Gi:%s' % line_lbl
+        try:
+            parsed = parser.parse_circuit(test_str)
+            ok = str(parsed.layertup[0]) == test_str
+        except Exception:
+            ok = False
+        if not ok:
+            raise ValueError("Line label %r could not round-trip through "
+                             "the circuit parser." % (line_lbl,))
+
+
+class CompressedCircuit(object):
+    """A Circuit compressed by factoring out periodic structure of its
+    layer tuple -- useful for pickling large circuit lists; NOT usable in
+    place of a Circuit (reference: circuit.CompressedCircuit:5106)."""
+
+    def __init__(self, circuit, min_len_to_compress=20,
+                 max_period_to_look_for=20):
+        self._line_labels = circuit.line_labels
+        self._str = circuit.str
+        self._tup = CompressedCircuit.compress_op_label_tuple(
+            circuit.layertup, min_len_to_compress, max_period_to_look_for)
+
+    @staticmethod
+    def compress_op_label_tuple(tup, min_len_to_compress=20,
+                                max_period=20):
+        """Compress a layer tuple by replacing maximal periodic runs with
+        ('*REP*', block, reps) markers."""
+        tup = tuple(tup)
+        if len(tup) < min_len_to_compress:
+            return tup
+        out = []
+        i = 0
+        n = len(tup)
+        while i < n:
+            best = None  # (saved, period, reps)
+            for p in range(1, min(max_period, (n - i) // 2) + 1):
+                block = tup[i:i + p]
+                reps = 1
+                while tup[i + reps * p:i + (reps + 1) * p] == block:
+                    reps += 1
+                if reps > 1:
+                    saved = p * (reps - 1)
+                    if best is None or saved > best[0]:
+                        best = (saved, p, reps)
+            if best is not None and best[0] > 2:
+                _, p, reps = best
+                out.append(('*REP*', tup[i:i + p], reps))
+                i += p * reps
+            else:
+                out.append(tup[i])
+                i += 1
+        return tuple(out)
+
+    @staticmethod
+    def expand_op_label_tuple(compressed_tup):
+        """Inverse of :meth:`compress_op_label_tuple`."""
+        out = []
+        for item in compressed_tup:
+            if isinstance(item, tuple) and len(item) == 3 \
+               and item[0] == '*REP*':
+                out.extend(item[1] * item[2])
+            else:
+                out.append(item)
+        return tuple(out)
+
+    def expand(self):
+        """The original Circuit."""
+        return Circuit(list(CompressedCircuit.expand_op_label_tuple(
+            self._tup)), self._line_labels)
+
+
+class SeparatePOVMCircuit(object):
+    """A POVM-less circuit held together with its POVM label and effect
+    labels -- the "expanded" form used when instrument/POVM labels are
+    resolved to members (reference: circuit.SeparatePOVMCircuit:5281)."""
+
+    def __init__(self, circuit_without_povm, povm_label, effect_labels):
+        self.circuit_without_povm = circuit_without_povm
+        self._povm_label = povm_label
+        self._effect_labels = tuple(effect_labels)
+        self._full_effect_labels = tuple(
+            "%s_%s" % (povm_label, el) for el in self._effect_labels)
+
+    @property
+    def povm_label(self):
+        return self._povm_label
+
+    @property
+    def effect_labels(self):
+        return self._effect_labels
+
+    @property
+    def full_effect_labels(self):
+        return self._full_effect_labels
+
+    def __len__(self):
+        return len(self.circuit_without_povm)
+
+    def __str__(self):
+        return "%s POVM=%s" % (self.circuit_without_povm.str,
+                               self._povm_label)

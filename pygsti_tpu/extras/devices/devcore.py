@@ -133,3 +133,23 @@ def create_local_depolarizing_model(caldata, device,
         if vals:
             rates[g2] = float(np.mean(vals))
     return create_crosstalk_free_model(pspec, depolarization_strengths=rates)
+
+
+def basic_device_information(devname):
+    """The device spec (qubit list, edge list, 2Q gate) for a known device
+    name (reference: devcore.basic_device_information:70)."""
+    return _cast_device(devname)
+
+
+def create_clifford_processor_spec(device, one_qubit_gates, qubitsubset=None,
+                                   removeedges=(),
+                                   clifford_compilation_type='absolute',
+                                   what_to_compile=('1Qcliffords',),
+                                   verbosity=0):
+    """A processor spec for `device` with Clifford compilations attached
+    (reference: devcore.create_clifford_processor_spec:127).  Our
+    CompilationRules compile on demand, so this returns the same pspec as
+    create_processor_spec."""
+    return create_processor_spec(device, one_qubit_gates,
+                                 qubitsubset=qubitsubset,
+                                 removeedges=removeedges)

@@ -147,3 +147,17 @@ def analyze_rpe_data(input_dataset, true_or_target_model, string_list_d,
     results['epsilonErrorList'] = [abs(eps_true - e) for e in epsilons]
     results['thetaErrorList'] = [abs(theta_true - t) for t in thetas]
     return results
+
+
+def consistency_check(angle_k, angle_final, k):
+    """1.0 if the stage-k angle estimate lies within pi/(2k) of the final
+    estimate (mod 2pi), else 0.0 (reference:
+    extras/rpe/rpetools.consistency_check:329)."""
+    import numpy as _np
+    wedge = _np.pi / (2 * k)
+    a = (_np.asarray(angle_k) + _np.pi) % (2 * _np.pi) - _np.pi
+    b = (_np.asarray(angle_final) + _np.pi) % (2 * _np.pi) - _np.pi
+    for shift in (0.0, 2 * _np.pi, -2 * _np.pi):
+        if _np.abs(a - (b + shift)) <= wedge:
+            return 1.0
+    return 0.0

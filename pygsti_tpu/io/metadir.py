@@ -57,3 +57,43 @@ def _cls_from_meta_json(dirname):
     with open(pathlib.Path(dirname) / "meta.json") as f:
         meta = json.load(f)
     return _class_for_name(meta['type'])
+
+
+def write_obj_to_meta_based_dir(obj, dirname, auxfile_types_member,
+                                omit_attributes=(), include_attributes=None,
+                                additional_meta=None):
+    """Write `obj.__dict__` (minus omissions) to `dirname` as a meta.json
+    directory, with auxfile types taken from the named attribute
+    (reference: metadir.write_obj_to_meta_based_dir:553)."""
+    if include_attributes is not None:
+        valuedict = {k: v for k, v in obj.__dict__.items()
+                     if k in include_attributes}
+    else:
+        valuedict = {k: v for k, v in obj.__dict__.items()
+                     if k not in omit_attributes}
+    auxtypes = getattr(obj, auxfile_types_member, None) \
+        if auxfile_types_member else None
+    meta = {'type': _full_class_name(obj)}
+    if additional_meta:
+        meta.update(additional_meta)
+    valuedict = dict(valuedict)
+    valuedict.update(meta)
+    write_meta_based_dir(dirname, valuedict, auxfile_types=auxtypes)
+
+
+def write_dict_to_json_or_pkl_files(d, dirname):
+    """Write each element of `d` to its own file under `dirname`: .json
+    when JSON-able, .pkl otherwise (reference:
+    metadir.write_dict_to_json_or_pkl_files:653)."""
+    import json
+    import os
+    import pickle
+    os.makedirs(str(dirname), exist_ok=True)
+    for key, val in d.items():
+        try:
+            s = json.dumps(val, indent=1)
+            with open(os.path.join(str(dirname), '%s.json' % key), 'w') as f:
+                f.write(s)
+        except TypeError:
+            with open(os.path.join(str(dirname), '%s.pkl' % key), 'wb') as f:
+                pickle.dump(val, f)

@@ -436,3 +436,122 @@ class StdInputParser(object):
                                    [times[i] for i in order])
         ds.done_adding_data()
         return ds
+
+
+def parse_model(filename):
+    """Parse a text-format model file into a Model (reference:
+    stdinput.parse_model:968)."""
+    from pygsti_tpu.io.readers import load_model
+    return load_model(filename)
+
+
+def _parse_model_text(filename):
+    """Parse the reference text model format into block dicts + footer."""
+    import numpy as np
+    preps, povms, gates = {}, {}, {}
+    basis_name, basis_dim, gaugegroup = 'pp', None, None
+    tp = False
+    cur_kind = cur_label = None
+    cur_povm_label = None
+    rows = []
+    reading_mx = False
+
+    def _finish():
+        nonlocal cur_kind, cur_label, rows, reading_mx
+        if cur_kind is None or not rows:
+            cur_kind, rows, reading_mx = None, [], False
+            return
+        arr = np.array(rows[0]) if len(rows) == 1 else np.array(rows)
+        if cur_kind == 'prep':
+            preps[cur_label] = arr
+        elif cur_kind == 'effect':
+            povms[cur_povm_label][cur_label] = arr
+        elif cur_kind == 'gate':
+            gates[cur_label] = arr
+        cur_kind, rows, reading_mx = None, [], False
+
+    with open(str(filename)) as f:
+        for raw in f:
+            line = raw.rstrip('\n')
+            s = line.strip()
+            if not s or s.startswith('#'):
+                _finish()
+                continue
+            up = s.upper()
+            if up.startswith(('PREP:', 'TP-PREP:', 'STATIC-PREP:')):
+                _finish()
+                tp = tp or up.startswith('TP-')
+                cur_kind, cur_label = 'prep', s.split(':', 1)[1].strip()
+            elif up.startswith(('POVM:', 'TP-POVM:')):
+                _finish()
+                tp = tp or up.startswith('TP-')
+                cur_povm_label = s.split(':', 1)[1].strip()
+                povms[cur_povm_label] = {}
+            elif up.startswith('EFFECT:'):
+                _finish()
+                cur_kind, cur_label = 'effect', s.split(':', 1)[1].strip()
+            elif up.startswith('END'):
+                _finish()
+            elif up.startswith(('GATE:', 'TP-GATE:', 'CPTP-GATE:',
+                                'STATIC-GATE:')):
+                _finish()
+                tp = tp or up.startswith('TP-')
+                cur_kind, cur_label = 'gate', s.split(':', 1)[1].strip()
+            elif up.startswith('STATESPACE:') or up.startswith('BASIS:') \
+                    or up.startswith('GAUGEGROUP:'):
+                _finish()
+                if up.startswith('BASIS:'):
+                    parts = s.split(':', 1)[1].split()
+                    basis_name = parts[0]
+                    if len(parts) > 1:
+                        basis_dim = int(parts[1].rstrip(','))
+                elif up.startswith('GAUGEGROUP:'):
+                    gaugegroup = s.split(':', 1)[1].strip()
+            elif s in ('LiouvilleVec', 'LiouvilleMx', 'PauliVec', 'PauliMx'):
+                reading_mx = True
+            elif reading_mx:
+                rows.append([float(x) for x in s.split()])
+    _finish()
+    return preps, povms, gates, basis_name, basis_dim, gaugegroup, tp
+
+
+def parse_model(filename):
+    """Parse a text-format model file into an ExplicitOpModel (reference:
+    stdinput.parse_model:968)."""
+    import numpy as np
+    from pygsti_tpu.models.explicitmodel import ExplicitOpModel
+    from pygsti_tpu.baseobjs.statespace import default_space_for_udim
+    preps, povms, gates, basis_name, basis_dim, gaugegroup, tp = \
+        _parse_model_text(filename)
+    if basis_dim is None:
+        some = next(iter(gates.values()), None)
+        if some is None:
+            some = next(iter(preps.values()))
+        basis_dim = np.asarray(some).shape[-1]
+    udim = int(round(np.sqrt(basis_dim)))
+    gate_type = 'full TP' if (tp or gaugegroup == 'TP') else 'full'
+    mdl = ExplicitOpModel(default_space_for_udim(udim), basis_name,
+                          default_gate_type=gate_type)
+    def _gate_label(s):
+        from pygsti_tpu.baseobjs.label import Label
+        s = s.strip()
+        if s in ('[]', '{}', ''):
+            return Label(())
+        parts = s.split(':')
+        if len(parts) > 1:
+            def _to_int(x):
+                try:
+                    return int(x)
+                except ValueError:
+                    return x
+            return Label(parts[0], tuple(_to_int(p) for p in parts[1:]))
+        return Label(s)
+
+    for lbl, vec in preps.items():
+        mdl.preps[lbl] = np.asarray(vec).reshape(-1)
+    for plbl, effects in povms.items():
+        mdl.povms[plbl] = {elbl: np.asarray(v).reshape(-1)
+                           for elbl, v in effects.items()}
+    for lbl, mx in gates.items():
+        mdl.operations[_gate_label(lbl)] = np.asarray(mx)
+    return mdl

@@ -187,3 +187,49 @@ def fill_in_empty_dataset_with_fake_data(dataset_filename, model, num_samples,
                                      if fixed_column_mode == "auto"
                                      else fixed_column_mode))
     return ds
+
+
+def write_model(model, filename, title=None):
+    """Write an explicit model as a text-format model file -- PREP/POVM/
+    GATE blocks of Liouville vectors/matrices plus STATESPACE/BASIS/
+    GAUGEGROUP footer lines (reference: io/writers.write_model:305)."""
+    import numpy as _np
+
+    def _fmt_vec(v):
+        return " ".join("%.8g" % el for el in _np.asarray(v).ravel())
+
+    def _fmt_mx(m):
+        m = _np.asarray(m)
+        return "\n".join("".join("%16.8g" % el for el in row)
+                         for row in m) + "\n"
+
+    gate_type = str(getattr(model, 'default_gate_type', 'full'))
+    tp = gate_type.endswith('TP') or gate_type == 'TP'
+    prep_typ = "TP-PREP" if tp else "PREP"
+    povm_typ = "TP-POVM" if tp else "POVM"
+    gate_typ = "TP-GATE" if tp else "GATE"
+
+    with open(str(filename), 'w') as f:
+        if title is not None:
+            f.write("# %s\n" % title)
+        f.write("\n")
+        for lbl, rho in model.preps.items():
+            f.write("%s: %s\n" % (prep_typ, lbl))
+            f.write("LiouvilleVec\n%s\n\n" % _fmt_vec(rho.to_dense()))
+        for plbl, povm in model.povms.items():
+            f.write("%s: %s\n\n" % (povm_typ, plbl))
+            effects = _np.asarray(povm.to_dense())
+            keys = list(povm.keys()) if hasattr(povm, 'keys') \
+                else [str(i) for i in range(effects.shape[0])]
+            for elbl, evec in zip(keys, effects):
+                f.write("EFFECT: %s\nLiouvilleVec\n%s\n\n"
+                        % (elbl, _fmt_vec(evec)))
+            f.write("END POVM\n\n")
+        for lbl, op in model.operations.items():
+            f.write("%s: %s\nLiouvilleMx\n%s\n"
+                    % (gate_typ, lbl, _fmt_mx(op.to_dense())))
+        udim = model.state_space.udim
+        f.write("STATESPACE: 0(%d)\n" % model.dim)
+        basis_name = getattr(model.basis, 'name', 'pp')
+        f.write("BASIS: %s %d\n" % (basis_name, model.dim))
+        f.write("GAUGEGROUP: %s\n" % ("TP" if tp else "Full"))

@@ -209,3 +209,23 @@ def create_cloud_crosstalk_model_from_hops_and_weights(
                           cloud_map, cloud_members_blk, basis, simulator,
                           idle_member)
     return mdl
+
+
+from pygsti_tpu.models.layerrules import LayerRules as _LayerRulesBase
+
+
+class CloudNoiseLayerRules(_LayerRulesBase):
+    """Layer rules for cloud-noise models: compose the target layer with
+    cloud error generators per the errcomp_type ('gates' composes error
+    maps; 'errorgens' sums error generators in a single exp) (reference:
+    cloudnoisemodel.CloudNoiseLayerRules:422).  Our CloudNoiseModel builds
+    these compositions at layout time; this records the configuration."""
+
+    def __init__(self, errcomp_type='gates', qubit_labels=None,
+                 implicit_idle_mode='none', singleq_idle_layer_labels=None,
+                 implied_global_idle_label=None):
+        self.errcomp_type = errcomp_type
+        self.qubit_labels = qubit_labels
+        self.implicit_idle_mode = implicit_idle_mode
+        self.single_qubit_idle_layer_labels = singleq_idle_layer_labels
+        self.implied_global_idle_label = implied_global_idle_label

@@ -887,3 +887,34 @@ class ExplicitOpModel(OpModel):
         for lbl in self.operations:
             lines.append("  op %s" % str(lbl))
         return "\n".join(lines)
+
+
+from pygsti_tpu.models.layerrules import LayerRules as _ExplicitLayerRulesBase
+
+
+class ExplicitLayerRules(_ExplicitLayerRulesBase):
+    """Layer rules for explicit models: each circuit layer label IS an
+    operations-dict key (reference: explicitmodel.ExplicitLayerRules:1952).
+    Kept for API parity -- our explicit models look layers up directly."""
+
+    def prep_layer_operator(self, model, layerlbl, caches):
+        return model.preps[layerlbl]
+
+    def povm_layer_operator(self, model, layerlbl, caches):
+        return model.povms[layerlbl]
+
+    def operation_layer_operator(self, model, layerlbl, caches):
+        return model.operations[layerlbl]
+
+
+def transform_composed_model(mdl, s):
+    """A gauge-transformed copy of `mdl` that RETAINS its parameterization
+    by composing the transform into each member rather than absorbing it
+    into the dense matrices (reference:
+    explicitmodel.transform_composed_model:1871).  In the TPU member
+    design the parameterization is a pure function of the parameter
+    vector, so transform_inplace already preserves it; this returns a
+    transformed copy."""
+    out = mdl.copy()
+    out.transform_inplace(s)
+    return out

@@ -884,3 +884,162 @@ class TestReferenceNameSurface:
         q = QuditProcessorSpec(('Q0', 'Q1'), (3, 3), ['Gi'])
         assert q.udim == 9 and q.num_qudits == 2
         assert isinstance(q, ProcessorSpec)
+
+
+class TestModelTextFormatAndMisc:
+    def test_model_text_round_trip(self, tmp_path):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.io.writers import write_model
+        from pygsti_tpu.io.stdinput import parse_model
+        m = mp.target_model('full TP')
+        fn = str(tmp_path / 'model.txt')
+        write_model(m, fn, 'round trip test')
+        m2 = parse_model(fn)
+        for lbl in m.operations:
+            assert np.allclose(np.asarray(m.operations[lbl].to_dense()),
+                               np.asarray(m2.operations[lbl].to_dense()))
+        assert np.allclose(np.asarray(m.preps['rho0'].to_dense()),
+                           np.asarray(m2.preps['rho0'].to_dense()))
+        assert np.allclose(np.asarray(m.povms['Mdefault'].to_dense()),
+                           np.asarray(m2.povms['Mdefault'].to_dense()))
+
+    def test_model_text_parses_reference_file(self, tmp_path, ref_pygsti):
+        from pygsti.io.writers import write_model as ref_write
+        from pygsti.modelpacks import smq1Q_XYI as ref_mp
+        from pygsti_tpu.io.stdinput import parse_model
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        import warnings
+        fn = str(tmp_path / 'refmodel.txt')
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref_write(ref_mp.target_model('full TP'), fn)
+        ours = mp.target_model('full TP')
+        parsed = parse_model(fn)
+        for lbl in ours.operations:
+            assert np.allclose(np.asarray(ours.operations[lbl].to_dense()),
+                               np.asarray(parsed.operations[lbl].to_dense()),
+                               atol=1e-7)
+
+    def test_compressed_circuit(self):
+        from pygsti_tpu.circuits.circuit import (CompressedCircuit,
+                                                 SeparatePOVMCircuit,
+                                                 validate_line_labels)
+        c = Circuit(('Gxpi2', 'Gypi2') * 30 + ('Gxpi2',), (0,))
+        cc = CompressedCircuit(c)
+        assert len(cc._tup) < c.depth and cc.expand() == c
+        short = Circuit(('Gxpi2',), (0,))
+        assert CompressedCircuit(short).expand() == short
+        sp = SeparatePOVMCircuit(short, 'Mdefault', ['0', '1'])
+        assert sp.full_effect_labels == ('Mdefault_0', 'Mdefault_1')
+        validate_line_labels([0, 1, 'Q2'])
+        with pytest.raises(ValueError):
+            validate_line_labels(['bad label!'])
+
+    def test_lfh_errorgen_and_model(self):
+        from pygsti_tpu.extras.lfh.lfherrorgen import LFHLindbladErrorgen
+        from pygsti_tpu.extras.lfh.lfhmodel import LFHExplicitOpModel
+        eg = LFHLindbladErrorgen([0.01, 0.0, 0.02], np.zeros(9),
+                                 {'X': 0.005, 'Y': 0.005, 'Z': 0.005},
+                                 rng=7)
+        L0 = eg.to_dense()
+        assert L0.shape == (4, 4) and len(eg.coefficients) == 12
+        eg.sample_hamiltonian_rates()
+        assert not np.allclose(L0, eg.to_dense())
+        # pure H(Z) errorgen generates Z rotation structure in pp basis
+        eg2 = LFHLindbladErrorgen([0, 0, 0.5], np.zeros(9),
+                                  {'X': 0, 'Y': 0, 'Z': 0})
+        L = eg2.to_dense()
+        assert abs(L[0, 0]) < 1e-12 and abs(abs(L[1, 2]) - 1.0) < 1e-9
+
+    def test_interpygate_quantities(self):
+        from pygsti_tpu.extras.interpygate.core import (
+            InterpolatedQuantityFactory, PhysicalProcess,
+            PhysicalErrorGenerator, OpPhysicalProcess)
+        fac = InterpolatedQuantityFactory(
+            lambda x, y: np.array([x + y, x * y]), qty_shape=(2,),
+            parameter_ranges=[(0, 1, 11), (0, 2, 11)])
+        iq = fac.build()
+        assert np.allclose(iq([0.35, 1.31]), [1.66, 0.4585], atol=0.02)
+        with pytest.raises(ValueError):
+            iq([2.0, 0.5])
+        with pytest.raises(NotImplementedError):
+            PhysicalProcess(1, (4, 4)).create_process_matrix([0.1])
+        with pytest.raises(NotImplementedError):
+            PhysicalErrorGenerator(1, (4, 4)).create_errorgen_matrix([0.1])
+
+    def test_rpe_consistency_and_devcore(self):
+        from pygsti_tpu.extras.rpe.rpetools import consistency_check
+        assert consistency_check(0.1, 0.1, 4) == 1.0
+        assert consistency_check(0.1 + 2 * np.pi, 0.1, 4) == 1.0
+        assert consistency_check(1.0, 0.1, 8) == 0.0
+        from pygsti_tpu.extras.devices.devcore import (
+            basic_device_information, create_clifford_processor_spec)
+        dev = basic_device_information('ibmq_bogota')
+        assert len(dev.qubits) == 5
+        pspec = create_clifford_processor_spec('ibmq_bogota',
+                                               ['Gxpi2', 'Gypi2'])
+        assert pspec.num_qubits == 5
+
+    def test_transform_composed_and_layer_rules(self):
+        from pygsti_tpu.models.explicitmodel import (ExplicitLayerRules,
+                                                     transform_composed_model)
+        from pygsti_tpu.models.cloudnoisemodel import CloudNoiseLayerRules
+        from pygsti_tpu.models.gaugegroup import FullGaugeGroupElement
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        m = mp.target_model('full')
+        S = np.eye(4)
+        S[1, 1] = 0.9
+        m2 = transform_composed_model(m, FullGaugeGroupElement(S))
+        gl = list(m.operations.keys())[1]
+        G = np.asarray(m.operations[gl].to_dense())
+        G2 = np.asarray(m2.operations[gl].to_dense())
+        assert np.allclose(G2, np.linalg.inv(S) @ G @ S) or \
+            np.allclose(G2, S @ G @ np.linalg.inv(S))
+        rules = ExplicitLayerRules()
+        assert np.allclose(
+            np.asarray(rules.operation_layer_operator(m, gl, {}).to_dense()),
+            G)
+        cr = CloudNoiseLayerRules('errorgens', (0, 1), 'add_global', None,
+                                  None)
+        assert cr.errcomp_type == 'errorgens'
+
+    def test_mongodb_and_metadir_helpers(self, tmp_path):
+        import pygsti_tpu.io.mongodb as m
+        import pygsti_tpu.io.metadir as md
+
+        class FakeColl:
+            def __init__(self):
+                self.docs = []
+
+            def insert_one(self, doc, session=None):
+                self.docs.append(dict(doc))
+
+            def replace_one(self, q, doc, upsert=False, session=None):
+                self.docs.append(dict(doc))
+
+            def find(self, q):
+                return [d for d in self.docs
+                        if all(d.get(k) == v for k, v in q.items())]
+
+            def delete_many(self, q, session=None):
+                self.docs = [d for d in self.docs
+                             if not all(d.get(k) == v for k, v in q.items())]
+
+            def create_index(self, k):
+                pass
+
+        class FakeDB(dict):
+            def __getitem__(self, k):
+                return super().setdefault(k, FakeColl())
+
+        db = FakeDB()
+        m.write_dict_to_mongodb({'x': [1, 2], 'y': 's'}, db, 'col', 'p1')
+        assert m.read_dict_from_mongodb(db, 'col', 'p1') == \
+            {'x': [1, 2], 'y': 's'}
+        m.remove_dict_from_mongodb(db, 'col', 'p1')
+        assert m.read_dict_from_mongodb(db, 'col', 'p1') == {}
+        m.create_mongodb_indices_for_pygsti_collections(db)
+        import os
+        d = str(tmp_path / 'jsonpkl')
+        md.write_dict_to_json_or_pkl_files({'a': [1, 2], 'b': object()}, d)
+        assert sorted(os.listdir(d)) == ['a.json', 'b.pkl']
