@@ -18,6 +18,12 @@ def _cast_device(device):
     return ExperimentalDevice.from_legacy_device(device)
 
 
+def get_device_specs(devname):
+    """Deprecated alias of basic_device_information (reference:
+    devcore.get_device_specs:66)."""
+    return basic_device_information(devname)
+
+
 def edgelist(device):
     """Device edge list (reference: devcore.py:120)."""
     return list(_cast_device(device).graph.edges())

@@ -1,14 +1,36 @@
 """ExperimentalDevice: device connectivity container (reference:
-pygsti/extras/devices/experimentaldevice.py:22 ExperimentalDevice; the
-ibmq_*.py modules' edge-list data is represented here as named topology
-generators).
+pygsti/extras/devices/experimentaldevice.py:22 ExperimentalDevice).
+
+Named device topologies (the reference's per-device ibmq_*.py / rigetti_*.py
+modules) are shipped as DATA in ``device_data.json`` -- canonical undirected
+qubit-index pairs plus the native two-qubit gate and calibration spec format,
+extracted from the reference's published edge lists (reference-dumped data,
+like the modelpack germ/fiducial strings; see PARITY.md).  Common topology
+families also have generators below so new same-family devices are easy to
+add without data entry.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 from pygsti_tpu.baseobjs.qubitgraph import QubitGraph
+
+
+_DATA_PATH = os.path.join(os.path.dirname(__file__), 'device_data.json')
+_DEVICE_DATA = None
+
+
+def _device_data():
+    """Lazy-loaded {devname: {'n', 'pairs', 'gate', 'fmt'}} table."""
+    global _DEVICE_DATA
+    if _DEVICE_DATA is None:
+        with open(_DATA_PATH) as f:
+            _DEVICE_DATA = json.load(f)
+    return _DEVICE_DATA
 
 
 def _line(n):
@@ -81,6 +103,8 @@ class ExperimentalDevice(object):
         self.graph = graph
         self.gate_mapping = gate_mapping if gate_mapping is not None \
             else {'Gcnot': 'cx'}
+        self.two_qubit_gate = next(iter(self.gate_mapping))
+        self.spec_format = None
 
     @classmethod
     def from_edgelist(cls, qubits, edgelist, gate_mapping=None):
@@ -89,13 +113,33 @@ class ExperimentalDevice(object):
 
     @classmethod
     def from_legacy_device(cls, devname, gate_mapping=None):
-        if devname not in DEVICE_EDGELISTS:
-            raise ValueError("Unknown device %r (known: %s)"
-                             % (devname, sorted(DEVICE_EDGELISTS)))
-        edges = DEVICE_EDGELISTS[devname]
-        qubits = sorted({q for e in edges for q in e},
-                        key=lambda s: int(s[1:]))
-        return cls.from_edgelist(qubits, edges, gate_mapping)
+        # reference alias handling (devcore._get_dev_specs:74): 'ibm_*'
+        # spellings of retired 'ibmq_*' devices + historical names
+        special = {'ibmqx2': 'ibmq_yorktown',
+                   'ibmq_16_melbourne': 'ibmq_melbourne',
+                   'ibm_nazco': 'ibmq_nazca', 'ibmq_nazco': 'ibmq_nazca'}
+        devname = special.get(devname, devname)
+        if devname.startswith('ibm_'):
+            devname = 'ibmq_' + devname[4:]
+        data = _device_data()
+        if devname in data:
+            d = data[devname]
+            qubits = d.get('qubits') or ['Q%d' % i for i in range(d['n'])]
+            edges = [(qubits[a], qubits[b]) for a, b in d['pairs']]
+            dev = cls.from_edgelist(qubits, edges, gate_mapping)
+            if gate_mapping is None and d['gate'] != 'Gcnot':
+                dev.gate_mapping = {d['gate']: {'Gcphase': 'cz'}.get(
+                    d['gate'], 'cx')}
+            dev.two_qubit_gate = d['gate']
+            dev.spec_format = d['fmt']
+            return dev
+        if devname in DEVICE_EDGELISTS:
+            edges = DEVICE_EDGELISTS[devname]
+            qubits = sorted({q for e in edges for q in e},
+                            key=lambda s: int(s[1:]))
+            return cls.from_edgelist(qubits, edges, gate_mapping)
+        raise ValueError("Unknown device %r (known: %s)"
+                         % (devname, sorted(set(data) | set(DEVICE_EDGELISTS))))
 
     @classmethod
     def from_qiskit_backend(cls, backend, gate_mapping=None):
