@@ -19,8 +19,17 @@ as extra keys:
   {"metric": ..., "value": <warm s>, "unit": "s", "vs_baseline": <speedup>,
    "cold_s": ..., "cold_vs_baseline": ...}
 
+Precision: the default pipeline dtype on TPU is float32 end-to-end (TPU has
+no native f64; XLA's double-double emulation made the fused-LM executable
+~6x slower to compile AND ~7x slower to run).  Validated on this workload:
+the f32 fit converges through identical per-stage chi2 values to the same
+statistical optimum as f64 (Nsigma 1.61 vs 1.67), and
+tests/test_gst_core.py pins f32-vs-f64 fit parity.  BENCH_DTYPE=float64
+restores the exact-arithmetic path (measured: cold 330.7s/warm 67.1s vs
+f32 cold 37.9s/warm 20.3s on a v5e chip).
+
 Env knobs: BENCH_MAXL (default 64), BENCH_DTYPE (float64|float32, default
-float64), BENCH_PARAM (full|full TP, default full), BENCH_CACHE_DIR
+float32), BENCH_PARAM (full|full TP, default full), BENCH_CACHE_DIR
 (override the fresh temp cache dir -- point it at an existing dir to skip
 the cold measurement's "fresh" guarantee), BENCH_SKIP_WARM=1 (one fit only).
 """
@@ -133,7 +142,7 @@ def run_fit(maxl, param, gaugeopt, verbosity=2):
 
 def main():
     maxl = int(os.environ.get("BENCH_MAXL", "64"))
-    dtype = os.environ.get("BENCH_DTYPE", "float64")
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
     param = os.environ.get("BENCH_PARAM", "full")
 
     import jax
