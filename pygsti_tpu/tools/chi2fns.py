@@ -128,3 +128,33 @@ def chi2_approximate_hessian(model, dataset, circuits=None,
 
     J = jax.jit(jax.jacfwd(lsv))(v)
     return 2.0 * np.asarray(J.T @ J)
+
+
+def chi2fn_2outcome(n, p, f, min_prob_clip_for_weighting=1e-4):
+    """chi^2 term for a 2-outcome measurement: n(p-f)^2 / (cp(1-cp)) with p
+    clipped to [mpc, 1-mpc] for the weighting (reference chi2fns.py:477)."""
+    cp = np.clip(p, min_prob_clip_for_weighting,
+                 1 - min_prob_clip_for_weighting)
+    return n * (p - f) ** 2 / (cp * (1 - cp))
+
+
+def chi2fn_2outcome_wfreqs(n, p, f):
+    """Frequency-weighted 2-outcome chi^2: n(p-f)^2 / (f1(1-f1)) with the
+    regularized frequency f1 = (fn+1)/(n+2) (reference chi2fns.py:510)."""
+    f1 = (f * n + 1) / (n + 2)
+    return n * (p - f) ** 2 / (f1 * (1 - f1))
+
+
+def chi2fn(n, p, f, min_prob_clip_for_weighting=1e-4):
+    """Single-outcome chi^2 term n(p-f)^2 / cp, cp = clip(p) (reference
+    chi2fns.py:540 delegates to RawChi2Function.terms; same formula)."""
+    cp = np.clip(p, min_prob_clip_for_weighting,
+                 1 - min_prob_clip_for_weighting)
+    return n * (p - f) ** 2 / cp
+
+
+def chi2fn_wfreqs(n, p, f, min_freq_clip_for_weighting=1e-4):
+    """Frequency-weighted single-outcome chi^2 term n(p-f)^2 / clip(f)
+    (reference chi2fns.py:575)."""
+    cf = np.clip(f, min_freq_clip_for_weighting, None)
+    return n * (p - f) ** 2 / cf
