@@ -24,7 +24,15 @@ from pygsti_tpu.tools.likelihoodfns import (
     logl, logl_max, two_delta_logl, logl_jacobian, logl_hessian,
     logl_approximate_hessian,
 )
-from pygsti_tpu.tools.chi2fns import chi2, chi2_per_circuit, chi2_jacobian
+from pygsti_tpu.tools.chi2fns import (
+    chi2, chi2_per_circuit, chi2_jacobian, chi2fn, chi2fn_wfreqs,
+    chi2fn_2outcome, chi2fn_2outcome_wfreqs,
+)
+from pygsti_tpu.tools import exceptions
+from pygsti_tpu.tools import legacytools
+from pygsti_tpu.tools import pdftools
+from pygsti_tpu.tools import locking
+from pygsti_tpu.tools.pdftools import tvd, classical_fidelity
 from pygsti_tpu.tools import rbtools
 from pygsti_tpu.tools import rbtheory
 from pygsti_tpu.tools.rbtools import p_to_r, r_to_p

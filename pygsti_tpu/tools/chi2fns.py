@@ -146,10 +146,11 @@ def chi2fn_2outcome_wfreqs(n, p, f):
 
 
 def chi2fn(n, p, f, min_prob_clip_for_weighting=1e-4):
-    """Single-outcome chi^2 term n(p-f)^2 / cp, cp = clip(p) (reference
-    chi2fns.py:540 delegates to RawChi2Function.terms; same formula)."""
-    cp = np.clip(p, min_prob_clip_for_weighting,
-                 1 - min_prob_clip_for_weighting)
+    """Single-outcome chi^2 term n(p-f)^2 / cp, cp = clip(p, mpc, None)
+    (reference chi2fns.py:540 delegates to RawChi2Function._weights at
+    objectivefns.py:2059, which clips only below -- its docstring overstates
+    the clipping interval)."""
+    cp = np.clip(p, min_prob_clip_for_weighting, None)
     return n * (p - f) ** 2 / cp
 
 

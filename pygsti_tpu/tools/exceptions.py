@@ -75,7 +75,12 @@ class QiskitInteropWarning(UserWarning):
 
 
 class ForwardSimDiagnosticWarning(UserWarning):
-    """A forward simulator reported a diagnostic condition."""
+    """A forward simulator reported a diagnostic condition.
+
+    Emit sites guard on the class-level `enabled` flag, so these diagnostics
+    are suppressed by default (reference baseobjs/exceptions.py contract).
+    """
+    enabled = False
 
 
 class ClobberingWarning(UserWarning):

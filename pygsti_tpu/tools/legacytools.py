@@ -29,8 +29,9 @@ def deprecate(replacement=None):
 
 def deprecate_imports(module_name, replacement_map, warning_msg):
     """Replace `module_name` in sys.modules with a wrapper that warns when
-    any name in `replacement_map` is accessed and returns the replacement
-    (reference legacytools.py:63)."""
+    any name in `replacement_map` is accessed and calls the mapped no-arg
+    factory to produce the replacement (reference legacytools.py:63,103 --
+    map values are factories, not the replacements themselves)."""
     import sys
 
     module = sys.modules[module_name]
@@ -40,7 +41,7 @@ def deprecate_imports(module_name, replacement_map, warning_msg):
             if name in replacement_map:
                 _warnings.warn(warning_msg.format(name=name),
                                pyGSTiDeprecationWarning, stacklevel=2)
-                return replacement_map[name]
+                return replacement_map[name]()
             return module.__getattribute__(name)
 
     sys.modules[module_name] = ModuleLookupWrapper(module_name)

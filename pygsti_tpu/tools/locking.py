@@ -4,7 +4,6 @@
 import numpy as _np
 
 from pygsti_tpu.circuits.circuit import Circuit as _Circuit
-from pygsti_tpu.baseobjs.label import Label as _Label
 
 
 def histonested_circuitlists(circuits, bins='auto-int', trans='log'):
