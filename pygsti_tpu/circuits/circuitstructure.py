@@ -135,11 +135,11 @@ class PlaquetteGridCircuitStructure(CircuitList):
             circuits.update([(c, None) for c in plaq.circuits])
         if additional_circuits_location == 'end':
             circuits.update([(c, None) for c in additional])
+        in_plaquettes = set()
+        for p in self._plaquettes.values():
+            in_plaquettes.update(p.elements.values())
         self._additional_circuits = [c for c in additional
-                                     if c not in set().union(
-                                         *[set(p.circuits)
-                                           for p in self._plaquettes.values()]
-                                         or [set()])]
+                                     if c not in in_plaquettes]
         weights = None
         if circuit_weights_dict is not None:
             import numpy as np

@@ -48,18 +48,27 @@ class ModelMember(NicelySerializable):
     def to_dense(self, on_space='minimal'):
         """Dense numpy representation at the current parameter values.
         Uses to_vector() (not _paramvals) so wrapper members whose params
-        live in child members (ExpErrorgenOp, RepeatedOp, ...) work too."""
+        live in child members (ExpErrorgenOp, RepeatedOp, ...) work too.
+
+        Evaluated on the HOST (CPU) backend: these convenience calls happen
+        in host-side loops (gauge opt setup, reportables, depolarize, ...)
+        and a per-call transfer + readback through a remote-TPU tunnel costs
+        hundreds of ms each -- measured 196s of a profiled bench run before
+        this pin."""
+        import jax
         import jax.numpy as jnp
-        return np.array(self.to_dense_jax(jnp.asarray(self.to_vector())))
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            return np.array(self.to_dense_jax(jnp.asarray(self.to_vector())))
 
     def deriv_wrt_params(self, wrt_filter=None):
         """Jacobian d(vec(dense))/d(params), shape (dense_size, num_params).
         Computed with jax.jacfwd (replaces the reference's hand-written
-        derivatives)."""
+        derivatives).  Host-pinned like to_dense()."""
         import jax
         import jax.numpy as jnp
-        jac = jax.jacfwd(lambda v: self.to_dense_jax(v).reshape(-1))(
-            jnp.asarray(self.to_vector()))
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            jac = jax.jacfwd(lambda v: self.to_dense_jax(v).reshape(-1))(
+                jnp.asarray(self.to_vector()))
         jac = np.asarray(jac).reshape(-1, self.num_params)
         if wrt_filter is not None:
             jac = jac[:, wrt_filter]
