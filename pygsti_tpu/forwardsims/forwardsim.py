@@ -43,8 +43,30 @@ class ForwardSimulator(object):
         self.model = model
 
     def create_layout(self, circuits, dataset=None, resource_alloc=None,
-                      array_types=('e',), derivative_dimensions=None, verbosity=0):
-        return CircuitOutcomeProbabilityLayout(circuits, self.model, dataset)
+                      array_types=('e',), derivative_dimensions=None, verbosity=0,
+                      observed_outcomes_only=None):
+        if observed_outcomes_only is None:
+            import os
+            env = os.environ.get('PYGSTI_TPU_SPARSE_OUTCOMES')
+            if env is not None:
+                observed_outcomes_only = env == '1'
+            else:
+                # auto: restrict to observed outcomes when the dense
+                # all-outcomes element count would blow up exponentially
+                # (> 8 outcomes/POVM, i.e. > 3 qubits).  The objective adds
+                # the omitted-probability correction (reference:
+                # objectivefns.py:1015 add_omitted_freqs, :4562).
+                n_out = 0
+                povms = getattr(self.model, 'povms', None)
+                if dataset is not None and povms:
+                    try:
+                        n_out = max(p.num_outcomes for p in povms.values())
+                    except Exception:
+                        n_out = 0
+                observed_outcomes_only = n_out > 8
+        return CircuitOutcomeProbabilityLayout(
+            circuits, self.model, dataset,
+            observed_outcomes_only=observed_outcomes_only)
 
     # -- single circuit --------------------------------------------------------
     def probs(self, circuit, outcomes=None, time=None, clip_to=None):
@@ -166,11 +188,20 @@ class SimpleForwardSimulator(ForwardSimulator):
 
     # -- compiled function factory --------------------------------------------
     def _compiled(self, layout):
-        key = id(layout)
-        entry = self._cache.get(key)
-        if entry is None:
-            entry = self._build(layout)
-            self._cache[key] = entry
+        # The cache lives ON the layout (not keyed by id(layout) in the
+        # simulator): id() values are reused once a layout is garbage
+        # collected, so a simulator-held id-keyed cache can serve STALE
+        # compiled graphs -- wrong probabilities -- for a fresh layout that
+        # happens to land at the same address.
+        cache = getattr(layout, '_sim_compiled_cache', None)
+        if cache is None:
+            cache = layout._sim_compiled_cache = {}
+        key = id(self)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[1]
+        entry = self._build(layout)
+        cache[key] = (self, entry)   # hold the sim alive so ITS id stays valid
         return entry
 
     def _build(self, layout):
@@ -215,7 +246,9 @@ class SimpleForwardSimulator(ForwardSimulator):
         if _probs_dtype in ('none', '', 'float64'):
             _probs_dtype = None
 
-        def probs(v):
+        fact = layout.factorization
+
+        def _scan_probs(v):
             op_idx_s, prep_idx_s = _shard(op_idx), _shard(prep_idx)
             elem_c_s, elem_e_s = _shard(elem_c), _shard(elem_e)
             t = compute(v)
@@ -241,6 +274,58 @@ class SimpleForwardSimulator(ForwardSimulator):
             E = t.effects[elem_e_s]                        # [E, d]
             p = jnp.sum(E * rho[elem_c_s], axis=1)         # [E]
             return p.astype(out_dtype) if _probs_dtype else p
+
+        if fact is not None:
+            # Germ-power product-cache evaluation (layouts/prodcache.py; the
+            # EvalTree analog, reference matrixforwardsim.py:675-729): build
+            # shared subproducts as ~log(depth) LEVELS of batched matmuls,
+            # then contract tiny per-circuit pieces.  Replaces the depth-D
+            # sequential scan -- the dominant latency of the scan kernel.
+            # NOTE: close over HOST numpy constants -- eager jnp.asarray here
+            # would commit these to the (possibly remote/tunneled) device and
+            # MLIR constant embedding would then read each back, which is
+            # pathologically slow on tunneled TPU runtimes.
+            lv = tuple((np.asarray(l), np.asarray(r)) for l, r in fact.levels)
+            a_prep = np.asarray(fact.a_prep)
+            a_cols = np.ascontiguousarray(fact.a_prefix_ops.T)      # [Dp, n_a]
+            e_eff = np.asarray(fact.e_effect)
+            e_cols = np.ascontiguousarray(fact.e_suffix_ops_rev.T)  # [Ds, n_er]
+            pair_g = np.asarray(fact.pair_g)
+            pair_a = np.asarray(fact.pair_a)
+            elem_pair = np.asarray(fact.elem_pair)
+            elem_erow = np.asarray(fact.elem_erow)
+            has_prefix = fact.a_prefix_ops.size > 0 and layout.max_depth > 0
+            has_suffix = fact.e_suffix_ops_rev.size > 0 and layout.max_depth > 0
+
+            def probs(v):
+                elem_pair_s, elem_erow_s = _shard(elem_pair), _shard(elem_erow)
+                t = compute(v)
+                out_dtype = t.preps.dtype
+                if _probs_dtype:
+                    t = t._replace(ops=t.ops.astype(_probs_dtype),
+                                   preps=t.preps.astype(_probs_dtype),
+                                   effects=t.effects.astype(_probs_dtype))
+                eye = jnp.eye(dim, dtype=t.ops.dtype)[None]
+                G = jnp.concatenate([t.ops, eye], axis=0)    # [K+1, d, d]
+                T = G
+                for lefts, rights in lv:                     # cache levels
+                    T = jnp.concatenate([T, T[lefts] @ T[rights]], axis=0)
+                a = t.preps[a_prep]                          # [n_a, d]
+                if has_prefix:
+                    def astep(carry, idx_col):
+                        # prefixes contain only base ops: gather from G
+                        return jnp.einsum('aij,aj->ai', G[idx_col], carry), None
+                    a, _ = jax.lax.scan(astep, a, a_cols)
+                e = t.effects[e_eff]                         # [n_er, d]
+                if has_suffix:
+                    def estep(carry, idx_col):
+                        return jnp.einsum('ai,aij->aj', carry, G[idx_col]), None
+                    e, _ = jax.lax.scan(estep, e, e_cols)
+                X = jnp.einsum('qij,qj->qi', T[pair_g], a[pair_a])  # [Q, d]
+                p = jnp.sum(e[elem_erow_s] * X[elem_pair_s], axis=1)
+                return p.astype(out_dtype) if _probs_dtype else p
+        else:
+            probs = _scan_probs
 
         # jit pays off only for large batches; small/one-off layouts (e.g.
         # single-circuit .probabilities() queries) run eagerly.

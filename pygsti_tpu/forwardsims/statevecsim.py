@@ -44,11 +44,16 @@ class StateVectorForwardSimulator(ForwardSimulator):
         return CircuitOutcomeProbabilityLayout(circuits, self.model, dataset)
 
     def _compiled(self, layout):
-        key = id(layout)
-        entry = self._cache.get(key)
-        if entry is None:
-            entry = self._build(layout)
-            self._cache[key] = entry
+        # cache ON the layout: id-keyed simulator caches go stale after id()
+        # reuse (see SimpleForwardSimulator._compiled)
+        cache = getattr(layout, '_sim_compiled_cache', None)
+        if cache is None:
+            cache = layout._sim_compiled_cache = {}
+        hit = cache.get(id(self))
+        if hit is not None:
+            return hit[1]
+        entry = self._build(layout)
+        cache[id(self)] = (self, entry)
         return entry
 
     def _build(self, layout):

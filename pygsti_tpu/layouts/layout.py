@@ -145,18 +145,23 @@ class CircuitOutcomeProbabilityLayout(object):
         # -- element map -------------------------------------------------------
         elem_circuit = []   # row index per element (for the rho gather)
         elem_effect = []
+        elem_to_circuit = []  # ORIGINAL circuit index per element
         self.element_slices = []   # per ORIGINAL circuit
         self.outcomes = []         # per ORIGINAL circuit
+        omitted_firsts = []        # first element index of circuits w/ omitted
+        omitted_circuits = []      # original index of those circuits
         off = 0
         row_nouts = set()
         r = 0
         for b, c in enumerate(self.circuits):
             circ_outcomes = []
             start_off = off
+            full_n = 0
             while r < n_rows and row_circuit[r] == b:
                 row_slice, outcome_labels = povm_rows[povm_rows_lbls[r]]
                 rows_idx = list(range(row_slice.start, row_slice.stop))
                 outs = [inst_prefixes[r] + (ol,) for ol in outcome_labels]
+                full_n += len(rows_idx)
                 if observed_outcomes_only and dataset is not None and c in dataset:
                     observed = set(dataset[c].counts.keys())
                     keep = [i for i, o in enumerate(outs) if o in observed]
@@ -166,15 +171,42 @@ class CircuitOutcomeProbabilityLayout(object):
                 row_nouts.add(n)
                 elem_circuit.extend([r] * n)
                 elem_effect.extend(rows_idx)
+                elem_to_circuit.extend([b] * n)
                 circ_outcomes.extend(outs)
                 off += n
                 r += 1
             self.element_slices.append(slice(start_off, off))
             self.outcomes.append(circ_outcomes)
+            # circuits with omitted (unobserved) outcomes need the
+            # omitted-probability logL correction (reference:
+            # objectivefns.py:1015 add_omitted_freqs -- "firsts")
+            if 0 < (off - start_off) < full_n:
+                omitted_firsts.append(start_off)
+                omitted_circuits.append(b)
         self.elem_circuit = np.array(elem_circuit, dtype=np.int32)
         self.elem_effect = np.array(elem_effect, dtype=np.int32)
+        self.elem_to_circuit = np.array(elem_to_circuit, dtype=np.int32)
         self.num_elements = off
         self.rows_uniform_n_out = (len(row_nouts) <= 1)
+        self.omitted_firsts = np.array(omitted_firsts, dtype=np.int32)
+        self.omitted_circuits = np.array(omitted_circuits, dtype=np.int32)
+        self.has_omitted = len(omitted_firsts) > 0
+
+    # -- factorization (germ-power product cache) -------------------------------
+    @property
+    def factorization(self):
+        """Lazily-built germ-power product-cache plan (layouts/prodcache.py),
+        or None when disabled/inapplicable.  The TPU-native EvalTree
+        (reference: layouts/evaltree.py:31-90): repeated blocks (germ powers)
+        become cached subproducts built by repeated squaring, collapsing the
+        depth-D propagation scan into ~log(D) batched-matmul levels."""
+        import os
+        if os.environ.get('PYGSTI_TPU_FACTORIZED', '1') == '0':
+            return None
+        if not hasattr(self, '_factorization'):
+            from pygsti_tpu.layouts.prodcache import factorize_layout
+            self._factorization = factorize_layout(self)
+        return self._factorization
 
     # -- COPA contract ---------------------------------------------------------
     def __len__(self):
@@ -210,8 +242,17 @@ class CircuitOutcomeProbabilityLayout(object):
 
         total_counts is per-element (each element of a circuit shares the
         circuit's total), matching the objective-function contract
-        (reference: objectivefns.py:912 ModelDatasetCircuitsStore).
+        (reference: objectivefns.py:912 ModelDatasetCircuitsStore).  Cached
+        per dataset: iterative GST builds one objective per stage against
+        the same shared layout, and re-extracting 10^5-element count arrays
+        in Python per stage is measurable host time.
         """
+        cache = getattr(self, '_counts_cache', None)
+        if cache is None:
+            cache = self._counts_cache = {}
+        hit = cache.get(id(dataset))
+        if hit is not None:
+            return hit
         counts = np.zeros(self.num_elements)
         totals = np.zeros(self.num_elements)
         for b, c in enumerate(self.circuits):
@@ -224,6 +265,7 @@ class CircuitOutcomeProbabilityLayout(object):
                 cnt = row.counts.get(outcome, 0)
                 counts[sl.start + k] = cnt
                 totals[sl.start + k] = total
+        cache[id(dataset)] = (counts, totals)
         return counts, totals
 
 

@@ -57,6 +57,20 @@ class RawObjectiveFunction(object):
     def set_regularization(self, **kwargs):
         pass
 
+    # Zero-frequency terms (reference: objectivefns.py:839,1964): used for
+    # elements with count == 0 AND for the omitted-probability correction of
+    # sparse observed-outcome layouts (terms[firsts] += zero_freq_terms(N,
+    # omitted_prob), reference objectivefns.py:4562).
+    def zero_freq_terms(self, total_counts, probs):
+        if hasattr(self, '_zero_freq_terms'):
+            return self._zero_freq_terms(total_counts, probs)
+        raise NotImplementedError("Derived classes must implement this!")
+
+    def zero_freq_dterms(self, total_counts, probs):
+        if hasattr(self, '_zero_freq_dterms'):
+            return self._zero_freq_dterms(total_counts, probs)
+        raise NotImplementedError("Derived classes must implement this!")
+
 
 class RawChi2Function(RawObjectiveFunction):
     """N(p-f)^2 / max(p, minp) with its signed square-root lsvec."""
@@ -96,6 +110,16 @@ class RawChi2Function(RawObjectiveFunction):
         ls = self.lsvec(probs, counts, total_counts, freqs)
         return 2 * ls * self.dlsvec(probs, counts, total_counts, freqs)
 
+    def zero_freq_terms(self, total_counts, probs):
+        # reference: objectivefns.py RawChi2Function.zero_freq_terms
+        cp = jnp.clip(probs, self.min_prob_clip_for_weighting, None)
+        return total_counts * probs ** 2 / cp
+
+    def zero_freq_dterms(self, total_counts, probs):
+        cp = jnp.clip(probs, self.min_prob_clip_for_weighting, None)
+        return jnp.where(probs >= self.min_prob_clip_for_weighting,
+                         total_counts, 2 * total_counts * probs / cp)
+
 
 class RawFreqWeightedChi2Function(RawChi2Function):
     """N(p-f)^2 / max(f, minf): frequency-weighted chi2
@@ -116,6 +140,12 @@ class RawFreqWeightedChi2Function(RawChi2Function):
 
     def _dweights(self, p, f, n):
         return jnp.zeros_like(p)
+
+    def zero_freq_terms(self, total_counts, probs):
+        return total_counts * probs ** 2 / self.min_freq_clip_for_weighting
+
+    def zero_freq_dterms(self, total_counts, probs):
+        return 2 * total_counts * probs / self.min_freq_clip_for_weighting
 
 
 class RawPoissonPicDeltaLogLFunction(RawObjectiveFunction):
@@ -256,6 +286,12 @@ class RawDeltaLogLFunction(RawObjectiveFunction):
         dterms = jnp.where(probs < self.min_p, c0 + 2 * c1 * (probs - self.min_p), dterms)
         return jnp.where(counts == 0, jnp.zeros_like(probs), dterms)
 
+    def zero_freq_terms(self, total_counts, probs):
+        return jnp.zeros_like(probs)
+
+    def zero_freq_dterms(self, total_counts, probs):
+        return jnp.zeros_like(probs)
+
 
 class RawTVDFunction(RawObjectiveFunction):
     """Total variation distance terms: 0.5 * N * |p - f|
@@ -269,6 +305,13 @@ class RawTVDFunction(RawObjectiveFunction):
 
     def dterms(self, probs, counts, total_counts, freqs):
         return 0.5 * total_counts * jnp.sign(probs - freqs)
+
+    def zero_freq_terms(self, total_counts, probs):
+        # reference RawTVDFunction.zero_freq_terms: 0.5*|p| (no N factor)
+        return 0.5 * jnp.abs(probs)
+
+    def zero_freq_dterms(self, total_counts, probs):
+        return 0.5 * jnp.sign(probs)
 
 
 class RawChiAlphaFunction(RawObjectiveFunction):
@@ -611,10 +654,17 @@ class TimeIndependentMDCObjectiveFunction(object):
             solver = 'cg' if (len(x0) >= cg_thresh
                               or (param_sharded and len(x0) >= 1024)) \
                 else 'cholesky'
-        key = ('device_lm', id(self.layout),
+        # cached ON the layout: id-keyed simulator caches can serve stale
+        # graphs after id() reuse (see SimpleForwardSimulator._compiled)
+        cache = getattr(self.layout, '_obj_graph_cache', None)
+        if cache is None:
+            cache = self.layout._obj_graph_cache = {}
+        key = ('device_lm', id(sim),
                tuple(sorted((self.penalties or {}).items())),
-               tuple(sorted(linesearch.items())), solver)
-        if key not in sim._obj_graph_cache:
+               tuple(sorted(linesearch.items())), solver,
+               'switched' if _switch_config(self.raw_objfn)[0]
+               else _raw_objfn_key(self.raw_objfn))
+        if key not in cache:
             init_fn, chunk_fn, fin_fn = make_device_lm(
                 self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
                 num_params=len(x0),
@@ -623,9 +673,8 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_kappa=linesearch.get('kappa', 1.0),
                 oob_fn=self.device_oob_fn, solver=solver)
             # fin_fn is pure-host numpy (not jitted: see device_lm.lm_finalize)
-            sim._obj_graph_cache[key] = (_jit_fast(init_fn), _jit_fast(chunk_fn),
-                                         fin_fn)
-        init_jit, chunk_jit, fin_jit = sim._obj_graph_cache[key]
+            cache[key] = (sim, _jit_fast(init_fn), _jit_fast(chunk_fn), fin_fn)
+        _, init_jit, chunk_jit, fin_jit = cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)
         maxdx = tol.get('maxdx', 1.0)
@@ -769,6 +818,28 @@ class _SwitchedRaw(object):
                          _sw_chi2_lsvec(p, c, t, f, regs[0]) ** 2,
                          _sw_logl_terms(p, c, t, f, regs[1], regs[2]))
 
+    def dterms(self, p, c, t, f, flag, regs):
+        chi2_d = 2 * _sw_chi2_lsvec(p, c, t, f, regs[0]) \
+            * _sw_chi2_dlsvec(p, c, t, f, regs[0])
+        return jnp.where(flag == 0, chi2_d,
+                         _sw_logl_dterms(p, c, t, f, regs[1], regs[2]))
+
+    def zero_freq_terms(self, n, p, flag, regs):
+        cp = jnp.clip(p, regs[0], None)
+        a = regs[2]
+        logl_zf = n * jnp.where(p >= a, p,
+                                (-1.0 / (3 * a ** 2)) * p ** 3
+                                + p ** 2 / a + a / 3.0)
+        return jnp.where(flag == 0, n * p ** 2 / cp, logl_zf)
+
+    def zero_freq_dterms(self, n, p, flag, regs):
+        cp = jnp.clip(p, regs[0], None)
+        chi2_zfd = jnp.where(p >= regs[0], n, 2 * n * p / cp)
+        a = regs[2]
+        logl_zfd = n * jnp.where(p >= a, 1.0,
+                                 (-1.0 / a ** 2) * p ** 2 + 2 * p / a)
+        return jnp.where(flag == 0, chi2_zfd, logl_zfd)
+
 
 class _PassthroughRaw(object):
     """Adapter giving any raw objective the 6-arg switched signature."""
@@ -784,6 +855,15 @@ class _PassthroughRaw(object):
 
     def terms(self, p, c, t, f, flag, regs):
         return self._raw.terms(p, c, t, f)
+
+    def dterms(self, p, c, t, f, flag, regs):
+        return self._raw.dterms(p, c, t, f)
+
+    def zero_freq_terms(self, n, p, flag, regs):
+        return self._raw.zero_freq_terms(n, p)
+
+    def zero_freq_dterms(self, n, p, flag, regs):
+        return self._raw.zero_freq_dterms(n, p)
 
 
 def _switch_config(raw):
@@ -888,44 +968,180 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     """Build (or fetch cached) jitted objective graphs for a (layout, raw
     objective) pair.  Graphs take (v, counts, totals, freqs) as arguments."""
     sim = model.sim
-    if not hasattr(sim, '_obj_graph_cache'):
-        sim._obj_graph_cache = {}
+    # cached ON the layout (id-keyed simulator caches go stale after id()
+    # reuse; see SimpleForwardSimulator._compiled)
+    cache = getattr(layout, '_obj_graph_cache', None)
+    if cache is None:
+        cache = layout._obj_graph_cache = {}
     use_switched, _, _ = _switch_config(raw)
-    key = (id(layout), 'switched' if use_switched else _raw_objfn_key(raw),
+    key = (id(sim), 'switched' if use_switched else _raw_objfn_key(raw),
            tuple(sorted((penalties or {}).items())))
-    if key in sim._obj_graph_cache:
-        return sim._obj_graph_cache[key]
+    if key in cache:
+        return cache[key][1]
 
     raw = _SwitchedRaw() if use_switched else _PassthroughRaw(raw)
     probs_fn = sim.probs_fn(layout)
     regularize_factor = (penalties or {}).get('regularize_factor', 0)
 
+    # -- omitted-probability correction for sparse observed-outcome layouts
+    #    (reference: objectivefns.py:1015 add_omitted_freqs, :4562 terms,
+    #    :4620 dterms): each circuit with unobserved outcomes gets
+    #    zero_freq_terms(N, 1 - sum(observed p)) added at its FIRST element,
+    #    and the Jacobian rows of all its elements enter that element's
+    #    dterms with weight -zero_freq_dterms.
+    has_omitted = getattr(layout, 'has_omitted', False)
+    if has_omitted:
+        _om_firsts = np.asarray(layout.omitted_firsts)
+        _om_circs = np.asarray(layout.omitted_circuits)
+        _om_seg = np.asarray(layout.elem_to_circuit)
+        _om_nseg = len(layout.circuits)
+
+        def _omitted_probs(p):
+            psum = jax.ops.segment_sum(p, _om_seg, num_segments=_om_nseg)
+            return 1.0 - psum[_om_circs]
+
+        def _terms_of_p(p, counts, totals, freqs, flag, regs):
+            t = raw.terms(p, counts, totals, freqs, flag, regs)
+            zf = raw.zero_freq_terms(totals[_om_firsts], _omitted_probs(p),
+                                     flag, regs)
+            return t.at[_om_firsts].add(zf)
+
+        def _lsvec_of_p(p, counts, totals, freqs, flag, regs):
+            t = _terms_of_p(p, counts, totals, freqs, flag, regs)
+            ls = jnp.sqrt(jnp.maximum(t, 0.0))
+            # keep the raw objective's sign convention (signed-sqrt lsvecs
+            # like chi2; reference lsvec raw_objfn_lsvec_signs=True)
+            raw_ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
+            return jnp.where(raw_ls < 0, -ls, ls)
+
+        def _weighted_jac_t(Jt, p, ls, counts, totals, freqs, flag, regs):
+            """Jw [P, E] = d lsvec / dv given Jt = dp/dv [P, E]."""
+            dterms = raw.dterms(p, counts, totals, freqs, flag, regs)
+            Jw = Jt * dterms[None, :]
+            zfd = raw.zero_freq_dterms(totals[_om_firsts], _omitted_probs(p),
+                                       flag, regs)
+            rowsum = jax.ops.segment_sum(Jt.T, _om_seg,
+                                         num_segments=_om_nseg)  # [C, P]
+            Jw = Jw.at[:, _om_firsts].add(-(zfd[None, :]
+                                            * rowsum[_om_circs].T))
+            # d sqrt(terms)/dv = dterms_jac * 0.5/lsvec (signed; reference
+            # dlsvec objectivefns.py:4633)
+            w = jnp.where(jnp.abs(ls) < 1e-100, 0.0,
+                          0.5 / jnp.where(jnp.abs(ls) < 1e-100, 1.0, ls))
+            return Jw * w[None, :]
+    else:
+        def _terms_of_p(p, counts, totals, freqs, flag, regs):
+            return raw.terms(p, counts, totals, freqs, flag, regs)
+
+        def _lsvec_of_p(p, counts, totals, freqs, flag, regs):
+            return raw.lsvec(p, counts, totals, freqs, flag, regs)
+
+        def _weighted_jac_t(Jt, p, ls, counts, totals, freqs, flag, regs):
+            return Jt * raw.dlsvec(p, counts, totals, freqs,
+                                   flag, regs)[None, :]
+
     def lsvec_fn(v, counts, totals, freqs, flag, regs):
         p = probs_fn(v)
-        ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
+        ls = _lsvec_of_p(p, counts, totals, freqs, flag, regs)
         if regularize_factor > 0:
             ls = jnp.concatenate([ls, regularize_factor * jnp.abs(v)])
         return ls
 
     def fn_fn(v, counts, totals, freqs, flag, regs):
         p = probs_fn(v)
-        val = jnp.sum(raw.terms(p, counts, totals, freqs, flag, regs))
+        val = jnp.sum(_terms_of_p(p, counts, totals, freqs, flag, regs))
         if regularize_factor > 0:
             val = val + jnp.sum((regularize_factor * jnp.abs(v)) ** 2)
         return val
 
-    # -- Jacobian products: per-circuit reverse mode w.r.t. stacked model
-    #    tensors + single chain through the small params->tensors jacobian
-    #    (TPU-native replacement for the reference's product/dproduct caches,
-    #    matrixforwardsim.py:675-794); falls back to naive jacfwd for
-    #    non-uniform-outcome layouts.
+    # -- Jacobian products.  Three modes:
+    #    'linearize' (default when the layout factorizes): one jax.linearize
+    #      of lsvec(v) + a vmapped basis of forward tangents -- exact J, with
+    #      the cheap factorized probs graph (layouts/prodcache.py) making
+    #      per-tangent cost ~2x a probs evaluation.  The TPU-native
+    #      replacement for the reference's dproduct caches
+    #      (matrixforwardsim.py:729) with germ-power product reuse.
+    #    'blocked' (non-factorized uniform-outcome layouts): per-circuit
+    #      reverse mode w.r.t. stacked model tensors + chain through the
+    #      small params->tensors jacobian.
+    #    'fwd' (mesh / non-uniform fallbacks): param-sharded jvp tangents.
     B = layout.op_indices.shape[0]  # number of expanded rows
     n_out_uniform = (B > 0 and layout.num_elements % B == 0
                      and getattr(layout, 'rows_uniform_n_out', False))
     dim = model.dim
     compute = model.tensors_fn()
+    fact = getattr(layout, 'factorization', None)
+    mesh = getattr(sim, 'mesh', None)
+    param_sharded = mesh is not None and 'params' in getattr(
+        mesh, 'axis_names', ())
+    # MXU precision of the Gram matmuls (see the blocked path's notes).
+    _gram_precision = os.environ.get('PYGSTI_TPU_GRAM_PRECISION', 'default')
+    jac_mode = os.environ.get('PYGSTI_TPU_JAC_MODE')
+    if jac_mode is None:
+        if fact is not None:
+            jac_mode = 'linearize'
+        elif n_out_uniform and mesh is None:
+            jac_mode = 'blocked'
+        else:
+            jac_mode = 'fwd'
 
-    if n_out_uniform and getattr(sim, 'mesh', None) is None:
+    if jac_mode == 'linearize':
+        from jax.sharding import NamedSharding, PartitionSpec as _Pspec
+        tangent_chunk = int(os.environ.get('PYGSTI_TPU_TANGENT_CHUNK', '0'))
+
+        def _probs_and_jac_t(v):
+            """(p [E], Jt [P, E]): one primal evaluation + P forward tangents
+            through the linearized PROBS graph.  The raw objective's chain
+            rule is applied afterwards with the hand-stabilized dlsvec
+            (sqrt-of-terms has an unstable AD derivative at terms ~ 0)."""
+            def p_of_v(vv):
+                return probs_fn(vv).astype(v.dtype)
+            p, lin = jax.linearize(p_of_v, v)
+            P = v.shape[0]
+            basis = jnp.eye(P, dtype=v.dtype)
+            if param_sharded:
+                basis = jax.lax.with_sharding_constraint(
+                    basis, NamedSharding(mesh, _Pspec('params', None)))
+            if tangent_chunk and P % tangent_chunk == 0:
+                Jt = jax.lax.map(jax.vmap(lin),
+                                 basis.reshape(P // tangent_chunk,
+                                               tangent_chunk, P))
+                Jt = Jt.reshape(P, -1)
+            else:
+                Jt = jax.vmap(lin)(basis)
+            if param_sharded:
+                Jt = jax.lax.with_sharding_constraint(
+                    Jt, NamedSharding(mesh, _Pspec('params', None)))
+            return p, Jt
+
+        def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
+            P = v.shape[0]
+            p, Jt = _probs_and_jac_t(v)
+            ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
+            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
+            Jw = Jt * dls[None, :]
+            jtj = jnp.matmul(Jw, Jw.T, precision=_gram_precision)
+            jtf = jnp.matmul(Jw, ls, precision=_gram_precision)
+            if param_sharded:
+                jtj = jax.lax.with_sharding_constraint(
+                    jtj, NamedSharding(mesh, _Pspec('params', None)))
+            if regularize_factor > 0:
+                pen = regularize_factor * jnp.abs(v)
+                ls = jnp.concatenate([ls, pen])
+                jtj = jtj + (regularize_factor ** 2) * jnp.eye(P, dtype=v.dtype)
+                jtf = jtf + regularize_factor * jnp.sign(v) * pen
+            return ls, jtj, jtf
+
+        def dlsvec_fn(v, counts, totals, freqs, flag, regs):
+            p, Jt = _probs_and_jac_t(v)
+            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
+            J = Jt.T * dls[:, None]
+            if regularize_factor > 0:
+                J = jnp.concatenate(
+                    [J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
+            return J
+
+    elif jac_mode == 'blocked' and n_out_uniform and mesh is None:
         n_out = layout.num_elements // B
         n_ops = len(model.op_keys)
         n_preps = len(model.prep_keys)
@@ -1211,7 +1427,14 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     E_est = layout.num_elements
     D_est = layout.op_indices.shape[1]
     d_est = model.dim
-    if n_out_uniform and getattr(sim, 'mesh', None) is None:
+    if jac_mode == 'linearize':
+        probs_fl = fact.flops_probs if fact is not None else \
+            2 * D_est * B * (len(model.op_keys) + 1) * d_est * d_est
+        flops_per_jtj = (
+            2 * P_est * probs_fl          # P forward tangents (~2x probs each)
+            + 2 * E_est * P_est * P_est   # Gram  J^T J
+            + 2 * E_est * P_est)          # J^T f
+    elif jac_mode == 'blocked' and n_out_uniform and mesh is None:
         flops_per_jtj = (
             2 * D_est * Bp * K1 * d_est * d_est            # forward scan
             + 4 * D_est * Bp * n_out * K1 * d_est * d_est  # backward accum
@@ -1235,7 +1458,7 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         'jtj_jtf_raw': jtj_jtf_fn,
         'flops_per_jtj': float(flops_per_jtj),
     }
-    sim._obj_graph_cache[key] = fns
+    cache[key] = (sim, fns)   # hold the sim alive so its id stays valid
     return fns
 
 
