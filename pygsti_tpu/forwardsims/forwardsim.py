@@ -286,16 +286,13 @@ class SimpleForwardSimulator(ForwardSimulator):
             # MLIR constant embedding would then read each back, which is
             # pathologically slow on tunneled TPU runtimes.
             lv = tuple((np.asarray(l), np.asarray(r)) for l, r in fact.levels)
-            a_prep = np.asarray(fact.a_prep)
-            a_cols = np.ascontiguousarray(fact.a_prefix_ops.T)      # [Dp, n_a]
-            e_eff = np.asarray(fact.e_effect)
-            e_cols = np.ascontiguousarray(fact.e_suffix_ops_rev.T)  # [Ds, n_er]
+            a_pfx = np.asarray(fact.a_pfx_cache)     # [n_pfx] ext-table rows
+            e_sfx = np.asarray(fact.e_sfx_cache)     # [n_sfx] ext-table rows
+            n_preps, n_eff = int(fact.n_preps), int(fact.n_effects)
             pair_g = np.asarray(fact.pair_g)
             pair_a = np.asarray(fact.pair_a)
             elem_pair = np.asarray(fact.elem_pair)
             elem_erow = np.asarray(fact.elem_erow)
-            has_prefix = fact.a_prefix_ops.size > 0 and layout.max_depth > 0
-            has_suffix = fact.e_suffix_ops_rev.size > 0 and layout.max_depth > 0
 
             def probs(v):
                 elem_pair_s, elem_erow_s = _shard(elem_pair), _shard(elem_erow)
@@ -310,17 +307,15 @@ class SimpleForwardSimulator(ForwardSimulator):
                 T = G
                 for lefts, rights in lv:                     # cache levels
                     T = jnp.concatenate([T, T[lefts] @ T[rights]], axis=0)
-                a = t.preps[a_prep]                          # [n_a, d]
-                if has_prefix:
-                    def astep(carry, idx_col):
-                        # prefixes contain only base ops: gather from G
-                        return jnp.einsum('aij,aj->ai', G[idx_col], carry), None
-                    a, _ = jax.lax.scan(astep, a, a_cols)
-                e = t.effects[e_eff]                         # [n_er, d]
-                if has_suffix:
-                    def estep(carry, idx_col):
-                        return jnp.einsum('ai,aij->aj', carry, G[idx_col]), None
-                    e, _ = jax.lax.scan(estep, e, e_cols)
+                # a-grid [n_pfx, n_preps, d]: every prefix product applied to
+                # every prep -- one batched matmul (no scan; its forward-mode
+                # tangents stay dense grid matmuls too)
+                a = jnp.einsum('mij,rj->mri', T[a_pfx], t.preps[:n_preps])
+                a = a.reshape(-1, dim)                       # flat (pfx, prep)
+                # e-grid [n_sfx, n_eff, d]: every effect pushed back through
+                # every suffix product
+                e = jnp.einsum('oi,mij->moj', t.effects[:n_eff], T[e_sfx])
+                e = e.reshape(-1, dim)                       # flat (sfx, eff)
                 X = jnp.einsum('qij,qj->qi', T[pair_g], a[pair_a])  # [Q, d]
                 p = jnp.sum(e[elem_erow_s] * X[elem_pair_s], axis=1)
                 return p.astype(out_dtype) if _probs_dtype else p

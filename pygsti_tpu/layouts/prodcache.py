@@ -43,17 +43,23 @@ class LayoutFactorization(NamedTuple):
     stacked op tensors, index K is the virtual identity, and indices K+1..
     K+n_cache address cache entries in level order.  Entry i at level L is
     ``T[left[i]] @ T[right[i]]`` where both operands live at levels < L.
+
+    Prefixes and suffixes are cache ENTRIES too (not scans): the state
+    table is ``a[(m, r)] = T[a_pfx_cache[m]] @ preps[r]`` and the effect
+    table is ``e[(m, o)] = effects[o] @ T[e_sfx_cache[m]]`` -- dense grid
+    matmuls whose forward-mode tangents stay [P, small, d, d] instead of
+    per-step gathers inside a scan (measured 14x cheaper at 2Q GST scale).
     """
     levels: tuple                 # tuple of (lefts int32[n], rights int32[n])
     n_cache: int                  # total cache entries (across levels)
-    a_prefix_ops: np.ndarray      # int32 [n_a, Dp]  identity-padded prefix op rows
-    a_prep: np.ndarray            # int32 [n_a]      prep row per a-entry
-    e_suffix_ops_rev: np.ndarray  # int32 [n_er, Ds] reversed suffix rows, id-padded
-    e_effect: np.ndarray          # int32 [n_er]     effect row per e-entry
-    pair_g: np.ndarray            # int32 [Q] extended-table index of power block
-    pair_a: np.ndarray            # int32 [Q] a-table row
+    a_pfx_cache: np.ndarray       # int32 [n_pfx] ext-table index per unique prefix
+    n_preps: int                  # prep rows (a-grid is [n_pfx, n_preps, d])
+    e_sfx_cache: np.ndarray       # int32 [n_sfx] ext-table index per unique suffix
+    n_effects: int                # effect rows (e-grid is [n_sfx, n_eff, d])
+    pair_g: np.ndarray            # int32 [Q] ext-table index of power block
+    pair_a: np.ndarray            # int32 [Q] flat (pfx, prep) a-grid row
     elem_pair: np.ndarray         # int32 [E]
-    elem_erow: np.ndarray         # int32 [E]
+    elem_erow: np.ndarray         # int32 [E] flat (sfx, effect) e-grid row
     flops_probs: float            # estimated flops of one probs evaluation
 
 
@@ -228,28 +234,38 @@ def factorize_layout(layout, max_period=16):
                 row_suffix[r] = ()
                 row_gref[r] = identity
 
+    # prefixes and suffixes become cache entries themselves (binary-split,
+    # hash-consed -- shared subsequences across fiducials build once)
+    pfx_index = {}        # prefix seq -> dense pfx id
+    row_pfx = np.empty(B, np.int32)
+    sfx_index = {}        # suffix seq -> dense sfx id
+    row_sfx = np.empty(B, np.int32)
+    pfx_refs, sfx_refs = [], []
+    for r in range(B):
+        s = row_prefix[r]
+        i = pfx_index.get(s)
+        if i is None:
+            i = len(pfx_index)
+            pfx_index[s] = i
+            pfx_refs.append(cache.build(s))
+        row_pfx[r] = i
+        s = row_suffix[r]
+        i = sfx_index.get(s)
+        if i is None:
+            i = len(sfx_index)
+            sfx_index[s] = i
+            sfx_refs.append(cache.build(s))
+        row_sfx[r] = i
+
     levels, n_cache, resolve = cache.finalize()
     row_g = np.asarray([resolve(g) for g in row_gref], np.int32)
+    a_pfx_cache = np.asarray([resolve(p) for p in pfx_refs], np.int32)
+    e_sfx_cache = np.asarray([resolve(s) for s in sfx_refs], np.int32)
 
-    # -- a-table: unique (prep, prefix) ------------------------------------
-    a_index = {}
-    row_a = np.empty(B, np.int32)
-    for r in range(B):
-        key = (int(layout.prep_index[r]), row_prefix[r])
-        ia = a_index.get(key)
-        if ia is None:
-            ia = len(a_index)
-            a_index[key] = ia
-        row_a[r] = ia
-    n_a = len(a_index)
-    Dp = max((len(k[1]) for k in a_index), default=0)
-    a_prefix_ops = np.full((n_a, max(Dp, 1)), identity, np.int32)
-    a_prep = np.empty(n_a, np.int32)
-    for (prep, pref), ia in a_index.items():
-        a_prefix_ops[ia, :len(pref)] = pref
-        a_prep[ia] = prep
+    n_preps = max(int(layout.prep_index.max()) + 1, 1) if B else 1
+    row_a = row_pfx * n_preps + layout.prep_index.astype(np.int32)
 
-    # -- pair table: unique (g, a) ------------------------------------------
+    # -- pair table: unique (g, a-grid row) ---------------------------------
     pair_index = {}
     row_pair = np.empty(B, np.int32)
     for r in range(B):
@@ -266,48 +282,27 @@ def factorize_layout(layout, max_period=16):
         pair_g[q] = g
         pair_a[q] = ia
 
-    # -- e-table: unique (suffix, effect row), numpy-vectorized over elements
-    sfx_index = {}
-    row_sfx = np.empty(B, np.int32)
-    for r in range(B):
-        s = row_suffix[r]
-        i = sfx_index.get(s)
-        if i is None:
-            i = len(sfx_index)
-            sfx_index[s] = i
-        row_sfx[r] = i
+    # -- element maps (vectorized) -------------------------------------------
     elem_effect = layout.elem_effect
     elem_circuit = layout.elem_circuit     # holds the ROW index per element
     n_eff_tot = int(elem_effect.max()) + 1 if layout.num_elements else 1
-    codes = (row_sfx[elem_circuit].astype(np.int64) * n_eff_tot
-             + elem_effect.astype(np.int64))
-    uniq_codes, elem_erow = np.unique(codes, return_inverse=True)
-    elem_erow = elem_erow.astype(np.int32)
+    elem_erow = (row_sfx[elem_circuit].astype(np.int64) * n_eff_tot
+                 + elem_effect.astype(np.int64)).astype(np.int32)
     elem_pair = row_pair[elem_circuit].astype(np.int32)
-    n_er = len(uniq_codes)
-    sfx_by_id = [None] * len(sfx_index)
-    for s, i in sfx_index.items():
-        sfx_by_id[i] = s
-    Ds = max((len(s) for s in sfx_by_id), default=0)
-    e_suffix_ops_rev = np.full((n_er, max(Ds, 1)), identity, np.int32)
-    e_effect = (uniq_codes % n_eff_tot).astype(np.int32)
-    for ie, code in enumerate(uniq_codes):
-        sfx = sfx_by_id[int(code // n_eff_tot)]
-        e_suffix_ops_rev[ie, :len(sfx)] = sfx[::-1]   # last layer applied first
 
     d = getattr(layout.model, 'dim', 0) or 0
     n_lvl_entries = sum(len(l) for l, _ in levels)
     flops_probs = float(
-        2 * n_lvl_entries * d ** 3                  # cache levels
-        + 2 * n_a * a_prefix_ops.shape[1] * d * d   # a-table scan (gathered)
-        + 2 * n_er * e_suffix_ops_rev.shape[1] * d * d
-        + 2 * Q * d * d                             # X = C @ a
-        + 2 * layout.num_elements * d)              # element dots
+        2 * n_lvl_entries * d ** 3                        # cache levels
+        + 2 * len(a_pfx_cache) * n_preps * d * d          # a grid
+        + 2 * len(e_sfx_cache) * n_eff_tot * d * d        # e grid
+        + 2 * Q * d * d                                   # X = C @ a
+        + 2 * layout.num_elements * d)                    # element dots
 
     return LayoutFactorization(
         levels=levels, n_cache=n_cache,
-        a_prefix_ops=a_prefix_ops, a_prep=a_prep,
-        e_suffix_ops_rev=e_suffix_ops_rev, e_effect=e_effect,
+        a_pfx_cache=a_pfx_cache, n_preps=n_preps,
+        e_sfx_cache=e_sfx_cache, n_effects=n_eff_tot,
         pair_g=pair_g, pair_a=pair_a,
         elem_pair=elem_pair, elem_erow=elem_erow,
         flops_probs=flops_probs)

@@ -17,7 +17,7 @@ import numpy as np
 from pygsti_tpu.baseobjs.label import Label
 
 
-def _waterfill(q, f, W):
+def _waterfill(q, f, W, return_deriv=False):
     """Likelihood-optimal move of model probs `q` toward frequencies `f`
     within a TVD budget W: maximize sum_o f_o log(p_o) subject to
     0.5*sum|p - q| <= W and sum p = sum q
@@ -28,12 +28,17 @@ def _waterfill(q, f, W):
     ratio to a common ratio beta, with zero-frequency outcomes supplying
     mass first (zero likelihood cost).  alpha = (Q_A + W)/F_A and
     beta = (Q_B - W')/F_B follow from mass conservation + budget saturation.
+
+    With ``return_deriv``, also returns dp/dW at the current active sets
+    (piecewise-linear; used by the barrier optimizer's Newton steps,
+    reference optimize/wildcardopt.py:455 update_probs(return_deriv=True)).
     """
     q = np.asarray(q, dtype=float)
     f = np.asarray(f, dtype=float)
     n = len(q)
+    dp = np.zeros(n)
     if W <= 1e-15:
-        return q.copy()
+        return (q.copy(), dp) if return_deriv else q.copy()
     tvd0 = 0.5 * np.sum(np.abs(q - f))
     if tvd0 <= W + 1e-15:
         # budget covers a perfect fit; keep total mass at sum(q) by dumping
@@ -46,7 +51,7 @@ def _waterfill(q, f, W):
                 p[zmask] += extra / np.count_nonzero(zmask)
             else:
                 p += extra / n
-        return p
+        return (p, dp) if return_deriv else p
 
     pos = f > 0
     ratio = np.full(n, np.inf)
@@ -63,6 +68,7 @@ def _waterfill(q, f, W):
         scale_z = 1.0 - W / QZ
         for i in zidx:
             p[i] = q[i] * scale_z
+            dp[i] = -q[i] / QZ
         lower_done = True
     else:
         for i in zidx:
@@ -85,6 +91,7 @@ def _waterfill(q, f, W):
         break
     for i in pos_sorted[:ia]:
         p[i] = alpha * f[i]
+        dp[i] = f[i] / FA            # d(alpha f_i)/dW
 
     # -- lower side among positive-f: grow B from the highest ratios --------
     if not lower_done and W_lower > 1e-18:
@@ -101,7 +108,8 @@ def _waterfill(q, f, W):
             break
         for i in B:
             p[i] = beta * f[i]
-    return p
+            dp[i] = -f[i] / FB       # d(beta f_i)/dW  (dW_lower/dW = 1)
+    return (p, dp) if return_deriv else p
 
 
 class PrimitiveOpsWildcardBudget(object):
@@ -158,13 +166,43 @@ class PrimitiveOpsWildcardBudget(object):
         budget saturation.
         """
         new_probs = np.array(probs, dtype=float)
+        dprobs = np.zeros(len(new_probs)) if return_deriv else None
         for i, c in enumerate(circuits):
             sl = element_slices[i]
             q = probs[sl.start:sl.stop].astype(float)
             f = freqs[sl.start:sl.stop].astype(float)
             W = self.circuit_budget(c)
-            new_probs[sl.start:sl.stop] = _waterfill(q, f, W)
-        return new_probs
+            if return_deriv:
+                new_probs[sl.start:sl.stop], dprobs[sl.start:sl.stop] = \
+                    _waterfill(q, f, W, return_deriv=True)
+            else:
+                new_probs[sl.start:sl.stop] = _waterfill(q, f, W)
+        return (new_probs, dprobs) if return_deriv else new_probs
+
+    def precompute_for_same_circuits(self, circuits):
+        """[n_circuits, num_params] matrix of d(circuit budget)/d(param)
+        (reference: wildcardbudget.precompute_for_same_circuits): each
+        circuit's budget is linear in the |w| parameters, with coefficient =
+        number of occurrences of each primitive op (+1 for SPAM)."""
+        return self._occurrence_matrix(circuits)
+
+    def _occurrence_matrix(self, circuits):
+        """[n_circuits, n_op_labels] per-op occurrence counts (+SPAM col)."""
+        A = np.zeros((len(circuits), len(self.primitive_op_labels)))
+        for i, c in enumerate(circuits):
+            for layer in c.layertup:
+                comps = layer.components if not layer.is_simple else (layer,)
+                if len(comps) == 0 and Label(()) in self._index:
+                    A[i, self._index[Label(())]] += 1
+                for comp in comps:
+                    j = self._index.get(Label(comp))
+                    if j is None:
+                        j = self._index.get('SPAM')
+                    if j is not None:
+                        A[i, j] += 1
+            if 'SPAM' in self._index:
+                A[i, self._index['SPAM']] += 1
+        return A
 
     def description(self):
         out = collections.OrderedDict()
@@ -208,6 +246,10 @@ class PrimitiveOpsSingleScaleWildcardBudget(PrimitiveOpsWildcardBudget):
 
     def from_vector(self, v):
         self.alpha = float(v[0])
+
+    def precompute_for_same_circuits(self, circuits):
+        A = self._occurrence_matrix(circuits)   # [C, n_op_labels]
+        return (A @ self.reference_values)[:, None]   # d(W_c)/d(alpha)
 
 
 def optimize_wildcard_budget_1d(objective, budget, two_dlogl_threshold,

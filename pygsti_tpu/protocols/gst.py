@@ -156,10 +156,16 @@ class GSTBadFitOptions(NicelySerializable):
         raise ValueError("Cannot cast %r" % (obj,))
 
     def __init__(self, threshold=2.0, actions=(), wildcard_budget_includes_spam=True,
-                 wildcard_smart_init=True):
+                 wildcard_smart_init=True, wildcard_methods=('neldermead',),
+                 wildcard_percentile=0.05):
         self.threshold = threshold
         self.actions = tuple(actions)
         self.wildcard_budget_includes_spam = wildcard_budget_includes_spam
+        # wildcard optimizer chain (reference: gst.py:686 wildcard_methods):
+        # any of 'neldermead', 'barrier', 'cvxpy_noagg' (per-circuit-only LP),
+        # 'none'; each entry may also be a dict {'name': ..., **options}.
+        self.wildcard_methods = tuple(wildcard_methods)
+        self.wildcard_percentile = wildcard_percentile
 
 
 class GSTObjFnBuilders(NicelySerializable):
@@ -654,10 +660,14 @@ def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer
             printer.log("     wildcard1d: alpha=%.4g  (%s)" % (budget.alpha, budget))
 
         elif action == 'wildcard':
-            # multi-parameter per-op budget (the reference's default wildcard,
-            # gst.py:2684 _compute_wildcard_budget -> wildcardopt NelderMead)
+            # multi-parameter per-op budget, optimized by the method chain in
+            # badfit_options.wildcard_methods (the reference's
+            # _compute_wildcard_budget dispatch, gst.py:2783-2816)
             from pygsti_tpu.objectivefns.wildcardbudget import (
                 PrimitiveOpsWildcardBudget, optimize_wildcard_budget_neldermead)
+            from pygsti_tpu.optimize.wildcardopt import (
+                optimize_wildcard_budget_barrier,
+                optimize_wildcard_budget_percircuit_only_cvxpy)
             import scipy.stats as _st
             op_labels = list(mdl.operations.keys())
             if badfit_options.wildcard_budget_includes_spam:
@@ -665,9 +675,30 @@ def _add_badfit_estimates(results, estlbl, target_model, badfit_options, printer
             budget = PrimitiveOpsWildcardBudget(op_labels)
             obj = TimeIndependentMDCObjectiveFunction(
                 RawPoissonPicDeltaLogLFunction(), mdl, ds, final_circuits)
+            pct = badfit_options.wildcard_percentile
             k = max(ds.degrees_of_freedom(final_circuits) - mdl.num_params, 1)
-            threshold = _st.chi2.ppf(1 - 0.05, k) if k > 0 else 0.0
-            budget = optimize_wildcard_budget_neldermead(obj, budget, threshold)
+            threshold = _st.chi2.ppf(1 - pct, k) if k > 0 else 0.0
+            nboxes = max(len(final_circuits), 1)
+            redbox_threshold = _st.chi2.ppf(1 - pct / nboxes, 1)
+            L1weights = _np.ones(budget.num_params)
+            for method in badfit_options.wildcard_methods:
+                opts = dict(method) if isinstance(method, dict) else {}
+                name = opts.pop('name', method)
+                if name == 'neldermead':
+                    budget = optimize_wildcard_budget_neldermead(
+                        obj, budget, threshold, redbox_threshold, **opts)
+                elif name == 'barrier':
+                    budget = optimize_wildcard_budget_barrier(
+                        budget, L1weights, obj, threshold, redbox_threshold,
+                        printer, **opts)
+                elif name == 'cvxpy_noagg':
+                    budget = optimize_wildcard_budget_percircuit_only_cvxpy(
+                        budget, L1weights, obj, redbox_threshold, printer,
+                        **opts)
+                elif name == 'none':
+                    pass
+                else:
+                    raise ValueError("Invalid wildcard method name: %s" % name)
             est.parameters['unmodeled_error'] = budget
             printer.log("     wildcard: %s" % budget)
 

@@ -45,12 +45,10 @@ def _eval_factorized(F, Gx, preps, effs):
         for l, r in zip(lefts, rights):
             T.append(T[l] @ T[r])
     T = np.array(T)
-    a = preps[F.a_prep]
-    for t in range(F.a_prefix_ops.shape[1]):
-        a = np.einsum('aij,aj->ai', T[F.a_prefix_ops[:, t]], a)
-    e = effs[F.e_effect]
-    for t in range(F.e_suffix_ops_rev.shape[1]):
-        e = np.einsum('ai,aij->aj', e, T[F.e_suffix_ops_rev[:, t]])
+    a = np.einsum('mij,rj->mri', T[F.a_pfx_cache], preps[:F.n_preps])
+    a = a.reshape(-1, preps.shape[1])
+    e = np.einsum('oi,mij->moj', effs[:F.n_effects], T[F.e_sfx_cache])
+    e = e.reshape(-1, preps.shape[1])
     X = np.einsum('qij,qj->qi', T[F.pair_g], a[F.pair_a])
     return np.sum(e[F.elem_erow] * X[F.elem_pair], axis=1)
 
@@ -114,8 +112,9 @@ class TestProductCacheNumerics:
         # repeated squaring: cache depth is logarithmic, entries modest
         assert len(F.levels) <= 10
         assert F.n_cache < 40
-        # germ powers must actually have been extracted: prefixes are short
-        assert F.a_prefix_ops.shape[1] <= 4
+        # germ powers must actually have been extracted: prefixes are the
+        # handful of fiducials (+ phase-shifted germ variants), not rows
+        assert len(F.a_pfx_cache) <= 8
 
     def test_random_and_edge_rows(self):
         rng = np.random.default_rng(7)
@@ -130,8 +129,8 @@ class TestProductCacheNumerics:
         seqs = [[0] + germ * 4 + [4]] + \
                [pf + germ + mf for pf in ([0], [4]) for mf in ([0], [4])]
         F = self._check(seqs)
-        # all rows factored: every prefix is the 1-op fiducial
-        assert F.a_prefix_ops.shape[1] == 1
+        # all rows factored: every prefix is a 1-op fiducial
+        assert len(F.a_pfx_cache) <= 2
 
 
 def test_factorized_vs_scan_full_stack(monkeypatch):

@@ -157,3 +157,129 @@ class TestNelderMeadWildcard:
         total = sum(budget.description().values())
         assert total > 1e-4            # bad fit needs nonzero wildcard
         assert total < 0.5             # ...but not an absurd amount
+
+
+class TestWaterfillDeriv:
+    def test_dp_dW_finite_difference(self):
+        """dp/dW from the waterfill matches central finite differences away
+        from active-set kinks (reference: wildcardbudget.update_probs
+        return_deriv)."""
+        from pygsti_tpu.objectivefns.wildcardbudget import _waterfill
+        rng = np.random.default_rng(3)
+        checked = 0
+        for trial in range(40):
+            n = rng.integers(2, 6)
+            q = rng.dirichlet(np.ones(n))
+            f = rng.multinomial(200, rng.dirichlet(np.ones(n))) / 200.0
+            tvd0 = 0.5 * np.sum(np.abs(q - f))
+            if tvd0 < 1e-3:
+                continue
+            W = float(rng.uniform(0.05, 0.95)) * tvd0
+            h = 1e-7
+            p, dp = _waterfill(q, f, W, return_deriv=True)
+            fd = (_waterfill(q, f, W + h) - _waterfill(q, f, W - h)) / (2 * h)
+            if np.abs(dp - fd).max() < 1e-4:
+                checked += 1
+        # most random points are away from kinks; require a solid majority
+        assert checked >= 25
+
+
+class TestBarrierWildcard:
+    def _misfit_objective(self):
+        from pygsti_tpu.objectivefns.objectivefns import (
+            RawPoissonPicDeltaLogLFunction, TimeIndependentMDCObjectiveFunction)
+        target = mp.target_model('full TP')
+        datagen = mp.target_model('full TP').rotate((0.06, 0.03, 0.0))
+        lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(),
+                                           [1, 2])
+        circuits = list(lists[-1])
+        ds = simulate_data(datagen, circuits, 2000, seed=11)
+        obj = TimeIndependentMDCObjectiveFunction(
+            RawPoissonPicDeltaLogLFunction(), target, ds, circuits)
+        return target, ds, circuits, obj
+
+    def test_barrier_satisfies_constraints(self):
+        """The barrier optimizer's budget satisfies the aggregate and
+        per-circuit constraints and is L1-competitive with NelderMead
+        (reference: optimize/wildcardopt.py:413)."""
+        import scipy.stats as st
+        from pygsti_tpu.objectivefns.wildcardbudget import (
+            optimize_wildcard_budget_neldermead)
+        from pygsti_tpu.optimize.wildcardopt import (
+            optimize_wildcard_budget_barrier, _agg_dlogl,
+            _get_critical_circuit_budgets)
+        target, ds, circuits, obj = self._misfit_objective()
+        k = max(ds.degrees_of_freedom(circuits) - target.num_params, 1)
+        threshold = st.chi2.ppf(0.95, k)
+        redbox = st.chi2.ppf(1 - 0.05 / len(circuits), 1)
+        assert 2 * obj.fn() > threshold  # fit is bad
+
+        op_labels = list(target.operations.keys()) + ['SPAM']
+        budget = PrimitiveOpsWildcardBudget(op_labels)
+        L1w = np.ones(budget.num_params)
+        budget = optimize_wildcard_budget_barrier(
+            budget, L1w, obj, threshold, redbox)
+        x_bar = budget.to_vector().copy()
+        assert np.all(x_bar >= 0)
+        # aggregate constraint satisfied (barrier keeps strictly feasible)
+        p_adj = budget.update_probs(
+            np.asarray(obj.probs()), obj.freqs, obj.counts, obj.total_counts,
+            obj.layout.element_slices, circuits)
+        assert _agg_dlogl(p_adj, obj, threshold) <= 1e-6
+        # per-circuit red-box constraints satisfied
+        crit = _get_critical_circuit_budgets(obj, redbox)
+        W_c = budget.precompute_for_same_circuits(circuits) @ x_bar
+        assert np.all(W_c >= crit - 1e-6)
+
+        budget_nm = PrimitiveOpsWildcardBudget(op_labels)
+        budget_nm = optimize_wildcard_budget_neldermead(obj, budget_nm,
+                                                        threshold)
+        # barrier should not be much worse than NelderMead on total L1
+        assert np.sum(np.abs(x_bar)) <= 1.5 * np.sum(
+            np.abs(budget_nm.to_vector())) + 1e-4
+
+    def test_percircuit_only_lp(self):
+        """cvxpy_noagg analog: LP minimizing L1 s.t. per-circuit critical
+        budgets (reference: optimize/wildcardopt.py:151)."""
+        import scipy.stats as st
+        from pygsti_tpu.optimize.wildcardopt import (
+            optimize_wildcard_budget_percircuit_only_cvxpy,
+            _get_critical_circuit_budgets)
+        target, ds, circuits, obj = self._misfit_objective()
+        redbox = st.chi2.ppf(1 - 0.05 / len(circuits), 1)
+        op_labels = list(target.operations.keys()) + ['SPAM']
+        budget = PrimitiveOpsWildcardBudget(op_labels)
+        L1w = np.ones(budget.num_params)
+        budget = optimize_wildcard_budget_percircuit_only_cvxpy(
+            budget, L1w, obj, redbox)
+        x = budget.to_vector()
+        crit = _get_critical_circuit_budgets(obj, redbox)
+        W_c = budget.precompute_for_same_circuits(circuits) @ x
+        assert np.all(x >= -1e-12)
+        assert np.all(W_c >= crit - 1e-8)
+
+    def test_gst_badfit_barrier_method(self):
+        """End-to-end: GST badfit 'wildcard' action dispatched to the barrier
+        method via GSTBadFitOptions.wildcard_methods (reference:
+        protocols/gst.py:2812)."""
+        from pygsti_tpu.protocols.protocol import ProtocolData
+        from pygsti_tpu.protocols.gst import (StandardGSTDesign,
+                                              GateSetTomography,
+                                              GSTBadFitOptions)
+        target = mp.target_model('full TP')
+        design = StandardGSTDesign(target, mp.prep_fiducials(),
+                                   mp.meas_fiducials(), mp.germs(), [1])
+        datagen = mp.target_model('full TP').rotate((0.05, 0.02, 0.0))
+        ds = simulate_data(datagen, design.all_circuits_needing_data, 2000,
+                           seed=12)
+        proto = GateSetTomography(
+            badfit_options=GSTBadFitOptions(threshold=-1,
+                                            actions=('wildcard',),
+                                            wildcard_methods=('barrier',)),
+            gaugeopt_suite=None, verbosity=0, name='GST')
+        results = proto.run(ProtocolData(design, ds),
+                            disable_checkpointing=True)
+        budget = results.estimates['GST'].parameters['unmodeled_error']
+        assert budget.num_params > 1
+        assert np.all(budget.to_vector() >= 0)
