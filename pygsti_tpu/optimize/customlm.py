@@ -24,17 +24,48 @@ def custom_leastsq(obj_fn, jac_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6,
     surface (reference: customlm.custom_leastsq:297).  Delegates to
     simplish_leastsq: on TPU the LM loop is a device-resident
     lax.while_loop (optimize/device_lm.py) and the reference's
-    MPI-distributed damping variants are superseded by jax sharding."""
+    MPI-distributed damping variants are superseded by jax sharding.
+
+    Knob support: damping_mode identity/JTJ/invJTJ (+damping_clip),
+    uphill_step_threshold, max_dx_scale, init_munu, oob_check_interval/
+    action/mode, and x_limits are implemented; 'adaptive' damping,
+    damping_basis='singular_values', and use_acceleration raise
+    NotImplementedError.  num_fd_iters is accepted and ignored: Jacobians
+    here are exact (AD), so finite-difference warmup iterations have no
+    purpose.  resource_alloc/arrays_interface/serial_solve_proc_threshold
+    are MPI-machinery parameters with no TPU analog and are ignored."""
     from pygsti_tpu.optimize.simplerlm import simplish_leastsq
     import numpy as _np
+
+    if damping_basis != "diagonal_values":
+        raise NotImplementedError(
+            "damping_basis=%r is not implemented (only 'diagonal_values'; "
+            "the SVD-basis damping has no TPU-side implementation)"
+            % damping_basis)
+    if use_acceleration:
+        raise NotImplementedError(
+            "use_acceleration=True (geodesic acceleration) is not "
+            "implemented")
 
     def jtj_jtf_fn(x):
         f = _np.asarray(obj_fn(x))
         J = _np.asarray(jac_fn(x))
         return f, J.T @ J, J.T @ f
 
+    if x_limits is not None:
+        x_limits = _np.asarray(x_limits, dtype=float)
+
     return simplish_leastsq(obj_fn, jtj_jtf_fn, x0,
                             f_norm2_tol=f_norm2_tol,
                             jac_norm_tol=jac_norm_tol, rel_ftol=rel_ftol,
                             rel_xtol=rel_xtol, max_iter=max_iter,
+                            max_dx_scale=max_dx_scale,
+                            init_munu=init_munu,
+                            oob_check_interval=oob_check_interval,
+                            oob_action=oob_action,
+                            oob_check_mode=oob_check_mode,
+                            x_limits=x_limits,
+                            damping_mode=damping_mode,
+                            damping_clip=damping_clip,
+                            uphill_step_threshold=uphill_step_threshold,
                             verbosity=verbosity)

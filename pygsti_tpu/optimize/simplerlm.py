@@ -93,7 +93,13 @@ class SimplerLMOptimizer(object):
         oob_on_device = (self.oob_check_interval == 0
                          or (self.oob_action == 'reject'
                              and self.oob_check_mode == 0))
-        use_device = (self.fditer == 0 and oob_on_device
+        # CustomLMOptimizer's extended damping/uphill knobs are implemented
+        # only in the host loop; non-default values force it.
+        damping_mode = getattr(self, 'damping_mode', 'identity')
+        damping_clip = getattr(self, 'damping_clip', None)
+        uphill = getattr(self, 'uphill_step_threshold', 0.0)
+        plain_damping = (damping_mode == 'identity' and uphill == 0.0)
+        use_device = (self.fditer == 0 and oob_on_device and plain_damping
                       and hasattr(objective, 'run_device_lm')
                       and os.environ.get('PYGSTI_TPU_HOST_LM', '0') != '1')
         if use_device:
@@ -127,6 +133,9 @@ class SimplerLMOptimizer(object):
             oob_action=self.oob_action,
             oob_check_mode=self.oob_check_mode,
             linesearch=self.linesearch,
+            damping_mode=damping_mode,
+            damping_clip=damping_clip,
+            uphill_step_threshold=uphill,
             verbosity=printer.verbosity - 1,
         )
         printer.log("Least squares message = %s" % msg, 2)
@@ -154,14 +163,36 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
                      rel_ftol=1e-6, rel_xtol=1e-8, max_iter=100, num_fd_iters=0,
                      max_dx_scale=1.0, init_munu="auto", oob_check_interval=0,
                      oob_action="reject", oob_check_mode=0, x_limits=None,
-                     linesearch=None, verbosity=0):
+                     linesearch=None, verbosity=0, damping_mode="identity",
+                     damping_clip=None, uphill_step_threshold=0.0):
     """Core LM loop with the reference's update semantics
     (simplish_leastsq, pygsti/optimize/simplerlm.py:391).
 
     jtj_jtf_fn(x) -> (f, JTJ, JTf): device-fused Jacobian products.
     Returns (x, converged, msg, mu, nu, norm_f, f).
+
+    damping_mode: 'identity' adds mu to the JTJ diagonal; 'JTJ' adds
+    mu*diag(JTJ) (multiplicative); 'invJTJ' adds mu/diag(JTJ) (reference
+    customlm.py:696-723, diagonal_values basis).  damping_clip = (lo, hi)
+    clips the added diagonal term for the non-identity modes.
+
+    uphill_step_threshold > 0 allows uphill steps when consecutive steps
+    point in nearly the same direction: accept when
+    (uphill_step_threshold - beta) * norm_new_f < min(min_norm_f, norm_f)
+    with beta = cos(angle(dx, last_accepted_dx)) (reference
+    customlm.py:1044-1047).
     """
     printer = VerbosityPrinter.create_printer(verbosity)
+    if damping_mode not in ('identity', 'JTJ', 'invJTJ'):
+        raise NotImplementedError(
+            "damping_mode=%r is not implemented (supported: identity, JTJ, "
+            "invJTJ; the reference's 'adaptive' mode is not)" % damping_mode)
+    if damping_mode == 'identity' and damping_clip is not None:
+        raise ValueError("damping_clip cannot be used with damping_mode == "
+                         "'identity'")
+
+    def _dclip(a):
+        return a if damping_clip is None else np.clip(a, *damping_clip)
     linesearch = dict(linesearch) if linesearch else {}
     linesearch.setdefault('mode', 'guarded')
     linesearch.setdefault('beta', 0.25)
@@ -189,6 +220,7 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
 
     mu, nu = (1, 2) if init_munu == 'auto' else init_munu
     min_norm_f = 1e100
+    last_accepted_dx = None
     best_x_state = (mu, nu, norm_f, f.copy())
 
     def revert_to_best_x(verb):
@@ -260,7 +292,13 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
 
                 A = JTJ.copy()
                 idx = np.diag_indices_from(A)
-                A[idx] = jtj_diag + mu  # identity damping (reference ari.jtj_update_regularization)
+                if damping_mode == 'JTJ':
+                    A[idx] = jtj_diag + mu * _dclip(jtj_diag)
+                elif damping_mode == 'invJTJ':
+                    with np.errstate(divide='ignore'):
+                        A[idx] = jtj_diag + mu * _dclip(1.0 / jtj_diag)
+                else:
+                    A[idx] = jtj_diag + mu  # identity damping (reference ari.jtj_update_regularization)
                 try:
                     cho = _spl.cho_factor(A)
                     dx = _spl.cho_solve(cho, minus_JTf)
@@ -389,7 +427,17 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
                         revert_to_best_x("Converged")
                         break
 
-                if dL <= 0 or dF <= 0:
+                if uphill_step_threshold > 0 and last_accepted_dx is not None:
+                    cosb = float(np.dot(dx, last_accepted_dx)) / max(
+                        np.sqrt(norm_dx * float(np.dot(last_accepted_dx,
+                                                       last_accepted_dx))),
+                        1e-300)
+                    uphill_ok = ((uphill_step_threshold - cosb) * norm_new_f
+                                 < min(min_norm_f, norm_f))
+                else:
+                    uphill_ok = False
+
+                if (dL <= 0 or dF <= 0) and not uphill_ok:
                     mu, nu, msg = damp_coeff_update(mu, nu, half_max_nu,
                                                     " (dL or dF <= 0)", printer)
                     if len(msg) == 0:
@@ -429,7 +477,10 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
                 x = new_x
                 f = new_f
                 norm_f = norm_new_f
-                printer.log("      Accepted! gain ratio=%g  mu => %g" % (dF / dL, mu), 3)
+                last_accepted_dx = dx.copy()
+                printer.log("      Accepted!%s gain ratio=%g  mu => %g"
+                            % (" UPHILL" if (dL <= 0 or dF <= 0) else "",
+                               dF / dL, mu), 3)
                 if norm_f < min_norm_f:
                     if not new_x_known_inbounds and oob_check_interval > 0:
                         try:
@@ -459,14 +510,15 @@ def simplish_leastsq(obj_fn, jtj_jtf_fn, x0, f_norm2_tol=1e-6, jac_norm_tol=1e-6
 
 
 class CustomLMOptimizer(SimplerLMOptimizer):
-    """Compatibility alias for the reference's older full-featured LM
-    optimizer (reference: pygsti/optimize/customlm.py:33 CustomLMOptimizer).
+    """The reference's older full-featured LM optimizer
+    (reference: pygsti/optimize/customlm.py:33 CustomLMOptimizer).
 
-    The extra damping-mode knobs (damping_mode/damping_basis/damping_clip,
-    uphill steps, Fletcher-style updates) shaped the CPU implementation's
-    convergence heuristics; on TPU the device-resident LM with identity
-    damping covers the same workloads, so the extra arguments are accepted
-    and recorded but the simplish update schedule is used.
+    damping_mode 'identity'/'JTJ'/'invJTJ' (+damping_clip) and
+    uphill_step_threshold are implemented; non-default values route the fit
+    through the host LM loop (the device-resident lax.while_loop implements
+    identity damping only).  'adaptive' damping,
+    damping_basis='singular_values', and use_acceleration raise
+    NotImplementedError.
     """
 
     def __init__(self, maxiter=100, maxfev=100, tol=1e-6, fditer=0,
@@ -479,6 +531,18 @@ class CustomLMOptimizer(SimplerLMOptimizer):
                          first_fditer=first_fditer, init_munu=init_munu,
                          oob_check_interval=oob_check_interval,
                          oob_action=oob_action, oob_check_mode=oob_check_mode)
+        if damping_mode not in ('identity', 'JTJ', 'invJTJ'):
+            raise NotImplementedError(
+                "damping_mode=%r is not implemented (supported: identity, "
+                "JTJ, invJTJ)" % damping_mode)
+        if damping_basis != 'diagonal_values':
+            raise NotImplementedError(
+                "damping_basis=%r is not implemented (only "
+                "'diagonal_values')" % damping_basis)
+        if use_acceleration:
+            raise NotImplementedError(
+                "use_acceleration=True (geodesic acceleration) is not "
+                "implemented")
         self.damping_mode = damping_mode
         self.damping_basis = damping_basis
         self.damping_clip = damping_clip
