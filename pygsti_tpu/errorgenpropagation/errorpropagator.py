@@ -219,6 +219,80 @@ class ErrorGeneratorPropagator(object):
             srep_dict.update(pspec.compute_clifford_symplectic_reps())
         return srep_dict
 
+    def _suffix_cliffords(self, circuit, pspec=None):
+        """Symplectic (s, p) pairs for the suffix Clifford after each layer:
+        suffixes[t] = product of layers t+1..D-1 (identity for the last)."""
+        n = self.num_qubits
+        srep_dict = self._circuit_sreps(circuit, pspec)
+        q_labels = list(circuit.line_labels) if circuit.line_labels != ('*',) \
+            else list(range(n))
+        layers = list(circuit.layertup)
+        D = len(layers)
+        s_cur = np.identity(2 * n, np.int64)
+        p_cur = np.zeros(2 * n, np.int64)
+        suffixes = [None] * D
+        for t in range(D - 1, -1, -1):
+            suffixes[t] = (s_cur.copy(), p_cur.copy())
+            s_l, p_l = _sym.symplectic_rep_of_clifford_layer(
+                layers[t], n, q_labels, srep_dict)
+            s_cur, p_cur = _sym.compose_cliffords(s_l, p_l, s_cur, p_cur)
+        return layers, suffixes
+
+    def _propagate_label(self, lbl, s_suf, p_suf):
+        """Push one elementary errorgen label through a Clifford (s, p):
+        returns (new_label, phase) with phase in {+1, -1} (the reference's
+        per-label rate under fixed_rate=1; errorpropagator.py:394-500)."""
+        n = self.num_qubits
+        new_paulis = []
+        sign = 1
+        for p in lbl.basis_element_labels:
+            p2, s2 = _conjugate_pauli(s_suf, p_suf, p, n)
+            new_paulis.append(p2)
+            sign *= s2
+        if lbl.errorgen_type == 'S':
+            sign = 1  # S_P invariant under P -> -P
+        return ElementaryErrorgenLabel(lbl.errorgen_type, *new_paulis), sign
+
+    def errorgen_transform_maps(self, circuit, pspec=None,
+                                input_labels_by_layer=None):
+        """Per-input-layer maps {(input_label, layer_idx): (output_label,
+        phase)} describing how each layer's error generators transform when
+        propagated to the end of the circuit (reference:
+        errorpropagator.errorgen_transform_maps:445, fixed_rate=1 semantics
+        so the 'rate' is the accumulated +/-1 phase).
+
+        input_labels_by_layer optionally supplies the labels to map for each
+        layer; by default the model's own layer errorgen labels are used.
+        """
+        layers, suffixes = self._suffix_cliffords(circuit, pspec)
+        maps = []
+        for t, layer in enumerate(layers):
+            if input_labels_by_layer is not None:
+                labels = input_labels_by_layer[t]
+            else:
+                assert self._layer_coeff_fn is not None, \
+                    "Need layer errorgen labels (use from_errorgen_dict) " \
+                    "or pass input_labels_by_layer"
+                labels = list(self._layer_coeff_fn(layer).keys())
+            s_suf, p_suf = suffixes[t]
+            m = {}
+            for lbl in labels:
+                new_lbl, phase = self._propagate_label(lbl, s_suf, p_suf)
+                m[(lbl, t)] = (new_lbl, phase)
+            maps.append(m)
+        return maps
+
+    def errorgen_transform_map(self, circuit, pspec=None,
+                               input_labels_by_layer=None):
+        """Flattened union of :meth:`errorgen_transform_maps` — one dict
+        keyed on (input_label, layer_idx) (reference:
+        errorpropagator.errorgen_transform_map:394)."""
+        out = {}
+        for m in self.errorgen_transform_maps(circuit, pspec,
+                                              input_labels_by_layer):
+            out.update(m)
+        return out
+
     def propagate_errorgens(self, circuit, pspec=None, bch_order=1,
                             include_spam=False):
         """Propagate every layer's error generator through the rest of the
@@ -228,22 +302,8 @@ class ErrorGeneratorPropagator(object):
         """
         assert self._layer_coeff_fn is not None, \
             "Need layer error-generator coefficients (use from_errorgen_dict)"
-        n = self.num_qubits
-        srep_dict = self._circuit_sreps(circuit, pspec)
-        q_labels = list(circuit.line_labels) if circuit.line_labels != ('*',) \
-            else list(range(n))
-
-        layers = list(circuit.layertup)
+        layers, suffixes = self._suffix_cliffords(circuit, pspec)
         D = len(layers)
-        # suffix Cliffords: C_after[t] = product of layers t+1..D-1
-        s_cur = np.identity(2 * n, np.int64)
-        p_cur = np.zeros(2 * n, np.int64)
-        suffixes = [None] * D
-        for t in range(D - 1, -1, -1):
-            suffixes[t] = (s_cur.copy(), p_cur.copy())
-            s_l, p_l = _sym.symplectic_rep_of_clifford_layer(layers[t], n, q_labels,
-                                                             srep_dict)
-            s_cur, p_cur = _sym.compose_cliffords(s_l, p_l, s_cur, p_cur)
 
         propagated_by_layer = []
         for t, layer in enumerate(layers):
@@ -254,21 +314,8 @@ class ErrorGeneratorPropagator(object):
             s_suf, p_suf = suffixes[t]
             out = {}
             for lbl, coeff in coeffs.items():
-                new_paulis = []
-                sign = 1
-                for p in lbl.basis_element_labels:
-                    p2, s2 = _conjugate_pauli(s_suf, p_suf, p, n)
-                    new_paulis.append(p2)
-                    sign *= s2
-                typ = lbl.errorgen_type
-                if typ == 'H':
-                    new_coeff = sign * coeff
-                elif typ == 'S':
-                    new_coeff = coeff  # S_P invariant under P -> -P
-                elif typ in ('C', 'A'):
-                    new_coeff = sign * coeff
-                new_lbl = ElementaryErrorgenLabel(typ, *new_paulis)
-                out[new_lbl] = out.get(new_lbl, 0.0) + new_coeff
+                new_lbl, sign = self._propagate_label(lbl, s_suf, p_suf)
+                out[new_lbl] = out.get(new_lbl, 0.0) + sign * coeff
             propagated_by_layer.append(out)
 
         # BCH combination

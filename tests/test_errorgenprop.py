@@ -103,6 +103,64 @@ class TestPropagation:
             errs = prop.propagate_errorgens(Circuit(circ))
             assert all(c > 0 for l, c in errs.items() if l.errorgen_type == 'S')
 
+    def test_transform_map_dense_conjugation(self):
+        """errorgen_transform_map's (label, phase) pairs match dense
+        conjugation by the suffix superop at 2 qubits (reference:
+        errorpropagator.errorgen_transform_map:394)."""
+        from pygsti_tpu.tools.internalgates import standard_gatename_unitaries
+        from pygsti_tpu.errorgenpropagation.errorpropagator import _embed_unitary
+        n = 2
+        prop = ErrorGeneratorPropagator(num_qubits=n)
+        c = Circuit('Gxpi2:0Gcnot:0:1Gzpi2:1Gh:0@(0,1)')
+        labels = [ElementaryErrorgenLabel('H', PauliLabel.from_str('ZI')),
+                  ElementaryErrorgenLabel('S', PauliLabel.from_str('XY')),
+                  ElementaryErrorgenLabel('C', PauliLabel.from_str('XI'),
+                                          PauliLabel.from_str('ZZ')),
+                  ElementaryErrorgenLabel('A', PauliLabel.from_str('YI'),
+                                          PauliLabel.from_str('IZ'))]
+        layers = list(c.layertup)
+        tmap = prop.errorgen_transform_map(
+            c, input_labels_by_layer=[labels] * len(layers))
+        assert set(tmap) == {(l, t) for l in labels
+                             for t in range(len(layers))}
+
+        std = standard_gatename_unitaries()
+        qindex = {q: i for i, q in enumerate(c.line_labels)}
+        # dense suffix superops
+        layer_supers = []
+        for layer in layers:
+            comps = layer.components if not layer.is_simple else (layer,)
+            u = np.eye(2 ** n, dtype=complex)
+            for comp in comps:
+                u = _embed_unitary(std[comp.name],
+                                   [qindex[q] for q in comp.sslbls], n) @ u
+            layer_supers.append(np.real(_ot.unitary_to_pauligate(u)))
+        for t in range(len(layers)):
+            S_suf = np.eye(4 ** n)
+            for s in layer_supers[t + 1:]:
+                S_suf = s @ S_suf
+            for lbl in labels:
+                new_lbl, phase = tmap[(lbl, t)]
+                lhs = S_suf @ prop.errorgen_to_dense({lbl: 1.0}) \
+                    @ np.linalg.inv(S_suf)
+                rhs = phase * prop.errorgen_to_dense({new_lbl: 1.0})
+                assert np.max(np.abs(lhs - rhs)) < 1e-10, \
+                    "layer %d label %s" % (t, lbl)
+
+    def test_transform_maps_per_layer(self):
+        """errorgen_transform_maps splits the flat map by input layer and
+        the last layer's map is the identity transform."""
+        prop = ErrorGeneratorPropagator.from_errorgen_dict(
+            {'Gxpi2': {('H', 'Z'): 0.01}}, 1, (0,))
+        c = Circuit('Gxpi2:0Gxpi2:0@(0)')
+        maps = prop.errorgen_transform_maps(c)
+        assert len(maps) == 2
+        flat = prop.errorgen_transform_map(c)
+        assert flat == {k: v for m in maps for k, v in m.items()}
+        # last layer: identity suffix -> label unchanged, phase +1
+        ((lbl, t), (out_lbl, phase)), = maps[-1].items()
+        assert t == 1 and out_lbl == lbl and phase == 1
+
     def test_scales_to_many_qubits(self):
         """Propagation cost is polynomial: works fine at 12 qubits."""
         gate_errs = {'Gxpi2': {('H', 'Z'): 0.001}, 'Gcnot': {('S', 'ZZ'): 0.002}}
