@@ -72,7 +72,9 @@ def _lm_stats_summary(tag):
               (tag, i, s['num_circuits'], s['num_elements'],
                s['num_params'], s['iters'], s['wall_s'], tf), file=sys.stderr)
     achieved = flops / max(lm_wall, 1e-9)
+    jac_modes = sorted({s.get('jac_mode', '?') for s in LM_RUN_STATS})
     summary = {
+        'jac_mode': "+".join(jac_modes),
         'lm_iters': total_iters,
         'lm_wall_s': round(lm_wall, 2),
         'achieved_tflops': round(achieved / 1e12, 3),
@@ -167,6 +169,109 @@ def _phase_breakdown(results, fit_wall, lm_wall, tag):
     return phases
 
 
+def run_scale_benches():
+    """Beyond-2Q evidence (BASELINE.md derived workloads; VERDICT r4 #3):
+
+    * q3: 3-qubit direct-RB simulation -- sample direct RB circuits on a
+      3-qubit line processor, bulk success probabilities of a depolarized
+      crosstalk-free model on TPU (reference workload: 3Q Clifford/direct
+      RB, BASELINE.json).
+    * q5: 5-qubit cloud-noise bulk probs + ModelTest -- d=1024 PTMs, sparse
+      observed-outcome elements auto-engaged (>8 outcomes/POVM).
+
+    Returns a dict of extra JSON keys (warm wall + circuits/sec each).
+    """
+    import time as _time
+    import numpy as np
+    out = {}
+
+    # ---- 3Q direct-RB simulation ------------------------------------------
+    from pygsti_tpu.processors import QubitProcessorSpec
+    from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+    from pygsti_tpu.algorithms.randomcircuit import create_direct_rb_circuit
+    pspec3 = QubitProcessorSpec(3, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                geometry='line')
+    rng = np.random.RandomState(2026)
+    circs3 = []
+    for depth in (0, 2, 4, 8, 16, 32):
+        for _ in range(10):
+            c, _ideal = create_direct_rb_circuit(
+                pspec3, length=depth, rand_state=rng)
+            circs3.append(c)
+    mdl3 = create_crosstalk_free_model(
+        pspec3, depolarization_strengths={g: 0.01
+                                          for g in pspec3.gate_names})
+    t0 = _time.time()
+    mdl3.sim.bulk_probs(circs3)        # cold (compile included)
+    cold3 = _time.time() - t0
+    t0 = _time.time()
+    mdl3.sim.bulk_probs(circs3)        # warm (cached executable, new probs)
+    warm3 = _time.time() - t0
+    out.update({"q3_rb_circuits": len(circs3),
+                "q3_rb_wall_s": round(warm3, 3),
+                "q3_rb_cold_s": round(cold3, 2),
+                "q3_rb_circuits_per_sec": round(len(circs3) / max(warm3, 1e-9), 1)})
+    print("bench[q3]: direct-RB sim %d circuits: cold %.1fs warm %.3fs "
+          "(%.0f circuits/s)" % (len(circs3), cold3, warm3,
+                                 out["q3_rb_circuits_per_sec"]),
+          file=sys.stderr)
+
+    # ---- 5Q cloud-noise probs + ModelTest ----------------------------------
+    from pygsti_tpu.models.cloudnoisemodel import \
+        create_cloud_crosstalk_model_from_hops_and_weights
+    from pygsti_tpu.circuits.circuit import Circuit
+    from pygsti_tpu.data import simulate_data
+    from pygsti_tpu.protocols.protocol import ProtocolData, ExperimentDesign
+    from pygsti_tpu.protocols.modeltest import ModelTest
+    pspec5 = QubitProcessorSpec(5, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                geometry='line')
+    mdl5 = create_cloud_crosstalk_model_from_hops_and_weights(
+        pspec5, maxhops=1, max_idle_weight=1, extra_gate_weight=0,
+        gate_type='H+s')
+    v = np.zeros(mdl5.num_params)
+    v[:8] = 0.005
+    mdl5.from_vector(v)
+    gates1q = ['Gxpi2', 'Gypi2']
+    circs5 = []
+    for i in range(40):
+        layers = []
+        for t in range(6):
+            q = rng.randint(5)
+            layers.append("%s:%d" % (gates1q[rng.randint(2)], q))
+            if t % 2 == 1:
+                c0 = rng.randint(4)
+                layers.append("Gcnot:%d:%d" % (c0, c0 + 1))
+        circs5.append(Circuit(''.join(layers) + '@(0,1,2,3,4)'))
+    t0 = _time.time()
+    probs5 = mdl5.sim.bulk_probs(circs5)
+    cold5 = _time.time() - t0
+    t0 = _time.time()
+    probs5 = mdl5.sim.bulk_probs(circs5)
+    warm5 = _time.time() - t0
+    ds5 = simulate_data(mdl5, circs5, 500, seed=77)
+    t0 = _time.time()
+    data5 = ProtocolData(ExperimentDesign(circs5), ds5)
+    res5 = ModelTest(mdl5, verbosity=0).run(data5)
+    mt_wall = _time.time() - t0
+    nsig5 = float(res5.estimates['ModelTest'].misfit_sigma())
+    layout5 = mdl5.sim.create_layout(circs5, ds5)
+    out.update({"q5_circuits": len(circs5),
+                "q5_probs_wall_s": round(warm5, 3),
+                "q5_probs_cold_s": round(cold5, 2),
+                "q5_probs_circuits_per_sec": round(len(circs5) / max(warm5, 1e-9), 1),
+                "q5_modeltest_wall_s": round(mt_wall, 2),
+                "q5_modeltest_nsigma": round(nsig5, 2),
+                "q5_sparse_elements": int(layout5.num_elements),
+                "q5_dense_elements": len(circs5) * 32})
+    print("bench[q5]: cloud-noise bulk probs %d circuits (d=1024): cold "
+          "%.1fs warm %.3fs (%.0f circuits/s); ModelTest %.1fs Nsigma=%.2f; "
+          "sparse elements %d / dense %d" %
+          (len(circs5), cold5, warm5, out["q5_probs_circuits_per_sec"],
+           mt_wall, nsig5, layout5.num_elements, len(circs5) * 32),
+          file=sys.stderr)
+    return out
+
+
 def main():
     maxl = int(os.environ.get("BENCH_MAXL", "64"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
@@ -221,6 +326,16 @@ def main():
         print("bench: WARM fit wall-clock %.1fs, Nsigma=%.2f (total %.1fs)" %
               (warm_wall, warm_nsigma, time.time() - t_all), file=sys.stderr)
 
+    scale_stats = {}
+    if os.environ.get("BENCH_SCALE", "1") != "0":
+        try:
+            scale_stats = run_scale_benches()
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print("bench: 3Q/5Q scale benches failed; continuing",
+                  file=sys.stderr)
+
     if cleanup_cache:
         shutil.rmtree(cache_dir, ignore_errors=True)
 
@@ -236,6 +351,7 @@ def main():
         "nsigma": round(float(warm_nsigma), 2),
     }
     out.update(warm_stats)
+    out.update(scale_stats)
     print(json.dumps(out))
 
 

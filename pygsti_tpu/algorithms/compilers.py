@@ -45,21 +45,30 @@ def _apply_gen(s, p, gen, qubits, n):
     return sym.compose_cliffords(s, p, es, ep)
 
 
-def synthesize_symplectic(s_target):
+def synthesize_symplectic(s_target, elimination_order=None):
     """Return a list of ('H'|'P'|'CNOT', qubits) generators whose product
     (first element acts first) has symplectic matrix `s_target` (phases
     unconstrained).
 
     Column-elimination algorithm: left-multiply r by generator symplectics
     until r = I, reducing the X_j / Z_j image columns of each qubit j in
-    order.  Symplectic orthogonality with already-reduced columns guarantees
-    each step only involves qubits >= j (standard tableau reduction; cf. the
-    reference's compilers.py and Aaronson-Gottesman PRA 70, 052328).
-    The recorded left-factors L_k...L_1 r = I give the circuit as the
-    reversed inverses.
+    `elimination_order` (default 0..n-1).  Symplectic orthogonality with
+    already-reduced columns guarantees each step only involves
+    not-yet-eliminated qubits (standard tableau reduction; cf. the
+    reference's ordered global Gaussian elimination, compilers.py:608, and
+    Aaronson-Gottesman PRA 70, 052328).  The recorded left-factors
+    L_k...L_1 r = I give the circuit as the reversed inverses.
+
+    Randomizing `elimination_order` is the reference's ROGGE algorithm
+    (compilers.py:494): different orders produce different gate counts, and
+    the caller picks the cheapest.
     """
     s_target = np.asarray(s_target) % 2
     n = s_target.shape[0] // 2
+    order = list(range(n)) if elimination_order is None \
+        else [int(q) for q in elimination_order]
+    assert sorted(order) == list(range(n)), \
+        "elimination_order must be a permutation of range(n)"
     r = s_target.copy()
     gates = []
 
@@ -75,31 +84,34 @@ def synthesize_symplectic(s_target):
         lmul('CNOT', (j, k))
         lmul('H', (k,))
 
-    for j in range(n):
+    remaining = set(order)
+    for j in order:
+        remaining.discard(j)
+        cand = [j] + sorted(remaining)     # qubits that can still have support
         colx, colz = j, n + j
         # ---- reduce column colx (the X_j image) to e_j --------------------
         x = r[0:n, colx]
         z = r[n:2 * n, colx]
-        if not np.any(x[j:]):
-            k = next(k for k in range(j, n) if z[k])
+        if not any(x[k] for k in cand):
+            k = next(k for k in cand if z[k])
             lmul('H', (k,))
         x = r[0:n, colx]
         if not x[j]:
-            k = next(k for k in range(j + 1, n) if x[k])
+            k = next(k for k in sorted(remaining) if x[k])
             lmul('CNOT', (j, k))
             lmul('CNOT', (k, j))
             lmul('CNOT', (j, k))
-        for k in range(n):
+        for k in cand:
             if k != j and r[k, colx]:
                 lmul('CNOT', (j, k))       # x_k += x_j : clears x[k]
         if r[n + j, colx]:
             lmul('P', (j,))                # z_j += x_j : clears z[j]
-        for k in range(n):
+        for k in cand:
             if k != j and r[n + k, colx]:
                 cz(j, k)                   # z_k += x_j : clears z[k]
         # ---- reduce column colz (the Z_j image) to e_{n+j} ----------------
         # invariants now: colz has z[j] = 1 (symplectic product with e_j)
-        for k in range(j + 1, n):
+        for k in sorted(remaining):
             if r[k, colz] and r[n + k, colz]:
                 lmul('CNOT', (k, j))       # z_k += z_j : clears z[k]
             if r[k, colz]:
@@ -193,10 +205,27 @@ class CompilationRules(object):
         raise ValueError("Processor has no 2-qubit gate for CNOT compilation")
 
 
-def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None):
+def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None,
+                     absolute_compilation=None, paulieq_compilation=None,
+                     iterations=20, algorithm='ROGGE', aargs=None,
+                     costfunction='2QGC:10:depth:1', prefixpaulis=False,
+                     paulirandomize=False, rand_state=None):
     """Compile (s, p) into a Circuit of the processor's native gates
-    implementing the Clifford exactly (reference: compilers.compile_clifford)."""
+    implementing the Clifford exactly (reference:
+    compilers.compile_clifford:73).
+
+    The symplectic part is compiled by :func:`compile_symplectic` using
+    `algorithm` ('ROGGE' default: `iterations` randomized elimination
+    orders, lowest `costfunction` wins; 'BGGE': deterministic), then the
+    phase vector is fixed with a single Pauli layer, appended by default or
+    prepended when `prefixpaulis` (reference's post-/pre-multiplied Pauli,
+    symplectic.find_postmultipled_pauli).  `paulirandomize` Pauli-frame
+    randomizes the interior layers before the phase fix, so the overall
+    Clifford is unchanged."""
+    s = np.asarray(s) % 2
     n = s.shape[0] // 2
+    if rand_state is None:
+        rand_state = np.random.RandomState()
     if qubit_labels is None:
         qubit_labels = tuple(pspec.qubit_labels) if pspec is not None else tuple(range(n))
     if pspec is None and compilation_rules is None:
@@ -205,42 +234,34 @@ def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None
         pspec = QubitProcessorSpec(n, ['Gh', 'Gp', 'Gcnot'],
                                    geometry='fully_connected',
                                    qubit_labels=qubit_labels)
-    rules = compilation_rules or CompilationRules(pspec)
+    rules = compilation_rules \
+        or (absolute_compilation
+            if isinstance(absolute_compilation, CompilationRules) else None) \
+        or CompilationRules(pspec)
 
-    gen_gates = synthesize_symplectic(s)
-    labels = []
-    for gen, qubits in gen_gates:
-        qlbls = tuple(qubit_labels[q] for q in qubits)
-        if gen == 'CNOT':
-            labels.extend(rules.word_for_cnot(qlbls[0], qlbls[1]))
-        else:
-            labels.extend(rules.word_for_1q(gen, qlbls[0]))
-
-    circ = Circuit(labels, qubit_labels)
-    # phase correction: find Pauli W with  target = W_after . circ
+    circ = compile_symplectic(s, pspec=pspec, absolute_compilation=rules,
+                              qubit_labels=qubit_labels,
+                              iterations=iterations, algorithms=[algorithm],
+                              costfunction=costfunction,
+                              paulirandomize=paulirandomize,
+                              check=False, rand_state=rand_state)
     s_c, p_c = sym.symplectic_rep_of_clifford_circuit(circ)
-    assert np.array_equal(s_c, s % 2), "Symplectic synthesis bug"
-    sc_inv, pc_inv = sym.inverse_clifford(s_c, p_c)
-    s_d, p_d = sym.compose_cliffords(sc_inv, pc_inv, s, p)  # circ^-1 then target
-    assert np.array_equal(s_d, np.identity(2 * n, np.int64)), "Pauli diff has s != I"
-    # p_d describes a Pauli (possibly with global phase): P X_j P^-1 = (-1)^{zP_j} X_j
-    # p_d[j] = 2 means Z on qubit j anticommutes...: choose Pauli with
-    # x-part from p_d[n:] and z-part from p_d[:n]
+    assert np.array_equal(s_c, s), "Symplectic synthesis bug"
+    # phase correction: one Pauli layer appended (or prepended) so the
+    # implemented phase vector becomes p
+    finder = sym.find_premultipled_pauli if prefixpaulis \
+        else sym.find_postmultipled_pauli
     pauli_labels = []
-    for j in range(n):
-        zflip = (p_d[j] % 4) != 0       # X_j picks up sign => Pauli has Z_j
-        xflip = (p_d[n + j] % 4) != 0   # Z_j picks up sign => Pauli has X_j
-        q = qubit_labels[j]
-        if xflip and zflip:
-            pauli_labels.extend(_pauli_word(rules, 'Y', q))
-        elif xflip:
-            pauli_labels.extend(_pauli_word(rules, 'X', q))
-        elif zflip:
-            pauli_labels.extend(_pauli_word(rules, 'Z', q))
+    for pl, q in finder(s, p_c, p, qubit_labels=qubit_labels):
+        if pl != 'I':
+            pauli_labels.extend(_pauli_word(rules, pl, q))
     if pauli_labels:
-        circ = Circuit(list(circ.layertup) + pauli_labels, qubit_labels)
+        layers = list(circ.layertup)
+        layers = (pauli_labels + layers) if prefixpaulis \
+            else (layers + pauli_labels)
+        circ = Circuit(layers, qubit_labels)
         s_c, p_c = sym.symplectic_rep_of_clifford_circuit(circ)
-    assert np.array_equal(s_c, s % 2)
+    assert np.array_equal(s_c, s)
     assert np.array_equal(p_c % 4, np.asarray(p) % 4), \
         "Phase correction failed: %s vs %s" % (p_c, p)
     return circ
@@ -282,48 +303,149 @@ def _gates_to_circuit(gen_gates, pspec, qubit_labels, rules=None, n=None):
     return Circuit(labels, qubit_labels)
 
 
+def create_standard_costfunction(name):
+    """Circuit-cost function from a standard name (reference:
+    compilers._create_standard_costfunction:27): '2QGC' (two-qubit gate
+    count), 'depth', or '2QGC:x:depth:y' (x * 2QGC + y * depth)."""
+    if name == '2QGC':
+        return lambda circuit, pspec=None: circuit.two_q_gate_count()
+    if name == 'depth':
+        return lambda circuit, pspec=None: circuit.depth
+    if name.startswith('2QGC'):
+        parts = name.split(':')
+        try:
+            two_q_factor = int(parts[1])
+            assert parts[2] == 'depth'
+            depth_factor = int(parts[3])
+        except (IndexError, ValueError, AssertionError):
+            raise ValueError("Invalid costfunction string %r" % (name,))
+        return lambda circuit, pspec=None: (
+            two_q_factor * circuit.two_q_gate_count()
+            + depth_factor * circuit.depth)
+    raise ValueError("Invalid costfunction string %r" % (name,))
+
+
+def _random_pauli_layers(circ, qubit_labels, rules, rand_state):
+    """Interleave independent uniformly random Pauli layers between every
+    layer of `circ` (and at both ends) -- Pauli-frame randomization
+    (reference: compile_symplectic's paulirandomize, compilers.py:463-489).
+    Paulis are emitted as native words when `rules` is given, else as
+    internal X/Y/Z labels."""
+    pauli_names = ('I', 'X', 'Y', 'Z')
+
+    def pauli_layers():
+        labels = []
+        for q in qubit_labels:
+            pl = pauli_names[rand_state.randint(4)]
+            if pl == 'I':
+                continue
+            if rules is not None:
+                labels.extend(_pauli_word(rules, pl, q))
+            else:
+                labels.append(Label(pl, q))
+        # native Pauli words can have different lengths per qubit; emit as
+        # sequential simple layers (correct, if not depth-minimal)
+        return [[l] for l in labels] if rules is not None \
+            else ([labels] if labels else [])
+
+    layers = pauli_layers()
+    for layer in circ.layertup:
+        layers.append([layer])
+        layers.extend(pauli_layers())
+    return Circuit(layers, qubit_labels)
+
+
 def compile_symplectic(s, pspec=None, absolute_compilation=None,
                        paulieq_compilation=None, qubit_labels=None,
-                       iterations=20, algorithms=('ROCAGE',),
+                       iterations=20, algorithms=('ROGGE',),
                        costfunction='2QGC:10:depth:1', paulirandomize=False,
                        aargs=None, check=True, rand_state=None):
     """A circuit implementing the Clifford with symplectic matrix `s`, up
-    to Paulis (reference: compilers.compile_symplectic).  Uses the
-    column-elimination tableau synthesis (Aaronson-Gottesman); native gates
-    when `pspec` is given, internal Gh/Gp/Gcnot labels otherwise."""
-    gen_gates = synthesize_symplectic(np.asarray(s) % 2)
-    circ = _gates_to_circuit(gen_gates, pspec, qubit_labels,
-                             rules=absolute_compilation
-                             if isinstance(absolute_compilation,
-                                           CompilationRules) else None,
-                             n=np.asarray(s).shape[0] // 2)
+    to Paulis (reference: compilers.compile_symplectic:253).
+
+    Algorithm portfolio (every listed algorithm runs; the lowest-cost
+    circuit under `costfunction` wins, matching the reference):
+
+    * 'BGGE'  -- deterministic global Gaussian elimination (tableau
+      column-elimination in qubit order 0..n-1).
+    * 'ROGGE' -- the BGGE core with the qubit ELIMINATION ORDER randomized
+      over `iterations` attempts, keeping the cheapest circuit (reference:
+      _compile_symplectic_using_rogge_algorithm:494).  The default.
+
+    The reference's remaining algorithm, 'iAGvGE' (3-stage CNOT
+    decomposition via conditional-symplectic machinery), is not
+    implemented; requesting it raises NotImplementedError rather than
+    silently falling back.  `paulirandomize` inserts uniformly random Pauli
+    layers between every circuit layer (native-compiled when `pspec` is
+    given); it changes the implemented phase vector but not `s`."""
+    s = np.asarray(s) % 2
+    n = s.shape[0] // 2
+    if rand_state is None:
+        rand_state = np.random.RandomState()
+    if isinstance(costfunction, str):
+        costfunction = create_standard_costfunction(costfunction)
+    rules = absolute_compilation \
+        if isinstance(absolute_compilation, CompilationRules) else None
+    if rules is None and pspec is not None:
+        rules = CompilationRules(pspec)
+
+    known = {'BGGE', 'ROGGE', 'iAGvGE'}
+    algorithms = list(algorithms)
+    unknown = set(algorithms) - known
+    if unknown:
+        raise ValueError("Unknown compile_symplectic algorithm(s) %s; "
+                         "choose from %s" % (sorted(unknown), sorted(known)))
+    if 'iAGvGE' in algorithms:
+        raise NotImplementedError(
+            "The 'iAGvGE' algorithm (reference compilers.py:1004) is not "
+            "implemented; use 'ROGGE' or 'BGGE'.")
+
+    def attempt(order):
+        gen_gates = synthesize_symplectic(s, elimination_order=order)
+        return _gates_to_circuit(gen_gates, pspec, qubit_labels,
+                                 rules=rules, n=n)
+
+    best, best_cost = None, np.inf
+    if 'BGGE' in algorithms:
+        c = attempt(None)
+        cost = costfunction(c, pspec)
+        if cost < best_cost:
+            best, best_cost = c, cost
+    if 'ROGGE' in algorithms:
+        # order randomization is vacuous at n == 1: a single deterministic
+        # attempt suffices
+        n_iters = 1 if n == 1 else int(iterations)
+        for i in range(n_iters):
+            order = list(rand_state.permutation(n)) if i > 0 else None
+            c = attempt(order)
+            cost = costfunction(c, pspec)
+            if cost < best_cost:
+                best, best_cost = c, cost
+    circ = best
+
+    if paulirandomize:
+        ql = circ.line_labels
+        circ = _random_pauli_layers(circ, ql, rules, rand_state)
+
     if check:
         s_c, _ = sym.symplectic_rep_of_clifford_circuit(circ)
-        assert np.array_equal(s_c, np.asarray(s) % 2), \
+        assert np.array_equal(s_c, s), \
             "compile_symplectic synthesis check failed"
     return circ
 
 
-def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
-                         algorithm='COiCAGE', compile_to_native=False,
-                         check=True, aargs=None, rand_state=None):
-    """A CNOT circuit implementing the invertible GF(2) matrix encoded in
-    `s` (reference: compilers.compile_cnot_circuit).  `s` may be the [n, n]
-    GF(2) matrix itself or the symplectic rep of a CNOT circuit (whose
-    upper-left block is taken).  Synthesized by Gaussian elimination."""
-    s = np.asarray(s) % 2
-    n = s.shape[0] // 2 if s.shape[0] % 2 == 0 and s.shape[0] == s.shape[1] \
-        and s.shape[0] > 2 and np.array_equal(
-            s[:s.shape[0] // 2, s.shape[0] // 2:],
-            np.zeros((s.shape[0] // 2,) * 2, s.dtype)) else None
-    M = s[:n, :n].copy() if n is not None else s.copy()
+def _cnot_gauss_jordan_ops(M, pivot_order):
+    """GF(2) Gauss-Jordan row reduction of invertible `M` with the given
+    pivot (elimination) order; returns the applied ('CNOT', (ctrl, tgt))
+    row operations (row t ^= row c)."""
     n = M.shape[0]
-    # Gaussian elimination: CNOT(c, t) adds row c to row t (x-propagation)
-    ops = []
     A = M.copy()
-    for j in range(n):
+    ops = []
+    remaining = list(pivot_order)
+    for idx, j in enumerate(pivot_order):
+        remaining = pivot_order[idx + 1:]
         if not A[j, j]:
-            pivots = [k for k in range(j + 1, n) if A[k, j]]
+            pivots = [k for k in remaining if A[k, j]]
             if not pivots:
                 raise AssertionError(
                     "CNOT-circuit matrix is not invertible over GF(2)")
@@ -336,12 +458,66 @@ def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
                 ops.append(('CNOT', (j, k)))
     assert np.array_equal(A, np.eye(n, dtype=A.dtype)), \
         "CNOT-circuit matrix is not invertible over GF(2)"
-    # ops reduce M to I (left-multiplying row ops); the circuit implementing
-    # M applies them reversed (all CNOTs are self-inverse)
-    gen_gates = list(reversed(ops))
-    circ = _gates_to_circuit(gen_gates,
-                             pspec if compile_to_native else None,
-                             qubit_labels, n=n)
+    return ops
+
+
+def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
+                         algorithm='ROCAGE', compile_to_native=False,
+                         check=True, aargs=None, rand_state=None,
+                         iterations=10, costfunction='2QGC:10:depth:1'):
+    """A CNOT circuit implementing the invertible GF(2) matrix encoded in
+    `s` (reference: compilers.compile_cnot_circuit:1004).  `s` may be the
+    [n, n] GF(2) matrix itself or the symplectic rep of a CNOT circuit
+    (whose upper-left block is taken).
+
+    Algorithms:
+
+    * 'BGE'    -- deterministic Gauss-Jordan elimination in qubit order.
+    * 'ROCAGE' -- Gauss-Jordan with the pivot (elimination) ORDER
+      randomized over `iterations` attempts, keeping the circuit with the
+      lowest `costfunction` (the reference's randomized-order
+      connectivity-aware elimination, simplified to all-to-all
+      connectivity).  The default.
+
+    The reference's connectivity-ordered variants ('COCAGE', 'COiCAGE')
+    are not implemented; requesting them raises NotImplementedError."""
+    s = np.asarray(s) % 2
+    n = s.shape[0] // 2 if s.shape[0] % 2 == 0 and s.shape[0] == s.shape[1] \
+        and s.shape[0] > 2 and np.array_equal(
+            s[:s.shape[0] // 2, s.shape[0] // 2:],
+            np.zeros((s.shape[0] // 2,) * 2, s.dtype)) else None
+    M = s[:n, :n].copy() if n is not None else s.copy()
+    n = M.shape[0]
+    if algorithm in ('COCAGE', 'COiCAGE'):
+        raise NotImplementedError(
+            "Connectivity-ordered CNOT compilation (%r; reference "
+            "compilers.py:1004) is not implemented; use 'ROCAGE' or 'BGE'."
+            % algorithm)
+    if algorithm not in ('BGE', 'ROCAGE'):
+        raise ValueError("Unknown compile_cnot_circuit algorithm %r"
+                         % (algorithm,))
+    if isinstance(costfunction, str):
+        costfunction = create_standard_costfunction(costfunction)
+    if rand_state is None:
+        rand_state = np.random.RandomState()
+
+    def attempt(order):
+        # the recorded ops reduce M to I (left-multiplied row ops); the
+        # circuit implementing M applies them reversed (CNOTs self-inverse)
+        ops = _cnot_gauss_jordan_ops(M, order)
+        return _gates_to_circuit(list(reversed(ops)),
+                                 pspec if compile_to_native else None,
+                                 qubit_labels, n=n)
+
+    best, best_cost = attempt(list(range(n))), np.inf
+    best_cost = costfunction(best, pspec)
+    if algorithm == 'ROCAGE' and n > 1:
+        for _ in range(int(iterations) - 1):
+            c = attempt(list(rand_state.permutation(n)))
+            cost = costfunction(c, pspec)
+            if cost < best_cost:
+                best, best_cost = c, cost
+    circ = best
     if check:
         s_c, _ = sym.symplectic_rep_of_clifford_circuit(
             circ, srep_dict=sym.compute_internal_gate_symplectic_representations())
@@ -353,34 +529,48 @@ def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
 def compile_stabilizer_state(s, p, pspec=None, absolute_compilation=None,
                              paulieq_compilation=None, qubit_labels=None,
                              iterations=20, paulirandomize=False,
-                             algorithm='COiCAGE', aargs=None, costfunction=None,
+                             algorithm='ROGGE', aargs=None,
+                             costfunction='2QGC:10:depth:1',
                              rand_state=None):
     """A circuit preparing the stabilizer state U|0...0> where U is the
-    Clifford (s, p) (reference: compilers.compile_stabilizer_state).
+    Clifford (s, p) (reference: compilers.compile_stabilizer_state:1303).
     Compiles the full Clifford -- correct though not depth-minimal (the
-    reference exploits the state's stabilizer-group freedom)."""
+    reference exploits the state's stabilizer-group freedom via
+    conditional-symplectic compilation), so `algorithm` here selects the
+    SYMPLECTIC algorithm ('ROGGE'/'BGGE'), not the reference's internal
+    CNOT-circuit algorithm."""
     return compile_clifford(np.asarray(s), np.asarray(p), pspec,
                             qubit_labels=qubit_labels,
                             compilation_rules=absolute_compilation
                             if isinstance(absolute_compilation,
-                                          CompilationRules) else None)
+                                          CompilationRules) else None,
+                            iterations=iterations, algorithm=algorithm,
+                            costfunction=costfunction,
+                            paulirandomize=paulirandomize,
+                            rand_state=rand_state)
 
 
 def compile_stabilizer_measurement(s, p, pspec=None,
                                    absolute_compilation=None,
                                    paulieq_compilation=None,
                                    qubit_labels=None, iterations=20,
-                                   paulirandomize=False, algorithm='COiCAGE',
-                                   aargs=None, costfunction=None,
+                                   paulirandomize=False, algorithm='ROGGE',
+                                   aargs=None,
+                                   costfunction='2QGC:10:depth:1',
                                    rand_state=None):
     """A circuit rotating the stabilizer state U|0...0> back to the
     computational basis -- i.e. implementing U^{-1} (reference:
-    compilers.compile_stabilizer_measurement)."""
+    compilers.compile_stabilizer_measurement:1815).  See
+    :func:`compile_stabilizer_state` for the `algorithm` semantics."""
     s_inv, p_inv = sym.inverse_clifford(np.asarray(s), np.asarray(p))
     return compile_clifford(s_inv, p_inv, pspec, qubit_labels=qubit_labels,
                             compilation_rules=absolute_compilation
                             if isinstance(absolute_compilation,
-                                          CompilationRules) else None)
+                                          CompilationRules) else None,
+                            iterations=iterations, algorithm=algorithm,
+                            costfunction=costfunction,
+                            paulirandomize=paulirandomize,
+                            rand_state=rand_state)
 
 
 # ---------------------------------------------------------------------------
@@ -541,7 +731,7 @@ def find_albert_factorization_transform_using_cnots(s, optype, position,
 
 
 def compile_conditional_symplectic(s, pspec=None, qubit_labels=None,
-                                   calg='COiCAGE', cargs=None, check=True,
+                                   calg='ROCAGE', cargs=None, check=True,
                                    rand_state=None):
     """Find circuits (C2, C1) such that C1 is a CNOT circuit, C2 has the
     form 1Q-gates -- CNOTs -- 1Q-gates, and the symplectic rep of C1

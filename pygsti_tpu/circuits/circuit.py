@@ -277,6 +277,13 @@ def _num_nq_gates(self, nq):
     return n
 
 
+def _two_q_gate_count(self):
+    """Number of 2-qubit gates (reference: Circuit.two_q_gate_count) --
+    the circuit-cost metric of the Clifford compilers' '2QGC' cost
+    function (reference: algorithms/compilers.py:27)."""
+    return self.num_nq_gates(2)
+
+
 def _num_multiq_gates(self):
     """Number of gates on 2+ qubits (reference: Circuit.num_multiq_gates)."""
     n = 0
@@ -436,6 +443,7 @@ def _convert_to_openqasm(self, num_qubits=None, standard_gates_version='u3'):
 for _nm, _fn in [('num_gates', property(_num_gates)),
                  ('num_multiq_gates', property(_num_multiq_gates)),
                  ('num_nq_gates', _num_nq_gates),
+                 ('two_q_gate_count', _two_q_gate_count),
                  ('append_circuit', _append_circuit),
                  ('prefix_circuit', _prefix_circuit),
                  ('insert_layer', _insert_layer),

@@ -101,6 +101,24 @@ class ElementaryErrorgenLabel(tuple):
         return "%s(%s)" % (self[0], ",".join(str(p) for p in self[1:]))
 
 
+def canonicalize_errorgen_label(lbl, sign=1):
+    """Canonical (label, sign) for an ElementaryErrorgenLabel: two-operand
+    C/A labels get their Pauli operands (x, z)-lexicographically sorted --
+    the convention of tools/errgenalgebra -- with the sign flipped for A on
+    a swap (C(P,Q) == C(Q,P); A(P,Q) == -A(Q,P)), so coefficient
+    accumulation merges mathematically equal generators (the reference
+    leaves these under distinct keys)."""
+    if lbl.errorgen_type in ('C', 'A') and len(lbl) == 3:
+        p, q = lbl[1], lbl[2]
+        kp = (p.x_bits, p.z_bits)
+        kq = (q.x_bits, q.z_bits)
+        if kq < kp:
+            if lbl.errorgen_type == 'A':
+                sign = -sign
+            return ElementaryErrorgenLabel(lbl.errorgen_type, q, p), sign
+    return lbl, sign
+
+
 def _conjugate_pauli(s, p_vec, pauli, n):
     """Conjugate Hermitian Pauli W by Clifford (s, p_vec): returns
     (PauliLabel, sign in {+1,-1}).
@@ -200,14 +218,15 @@ class ErrorGeneratorPropagator(object):
                             if ch in 'ZY':
                                 z |= (1 << gq)
                         embedded.append(PauliLabel(x, z, num_qubits))
-                    lbl = ElementaryErrorgenLabel(typ, *embedded)
+                    lbl, csign = canonicalize_errorgen_label(
+                        ElementaryErrorgenLabel(typ, *embedded))
                     # pyGSTi coefficients are w.r.t. gate-locally NORMALIZED
                     # Paulis (P / sqrt(2^k)); internally rates are stored in
                     # UNNORMALIZED-Pauli units: H scales 1/sqrt(2^k),
                     # S/C/A scale 1/2^k
                     k = len(paulis[0])
                     scale = (2.0 ** k) ** -0.5 if typ == 'H' else (2.0 ** k) ** -1
-                    out[lbl] = out.get(lbl, 0.0) + coeff * scale
+                    out[lbl] = out.get(lbl, 0.0) + csign * coeff * scale
             return out
 
         return cls(layer_coeff_fn=layer_coeffs, num_qubits=num_qubits)
@@ -241,7 +260,11 @@ class ErrorGeneratorPropagator(object):
     def _propagate_label(self, lbl, s_suf, p_suf):
         """Push one elementary errorgen label through a Clifford (s, p):
         returns (new_label, phase) with phase in {+1, -1} (the reference's
-        per-label rate under fixed_rate=1; errorpropagator.py:394-500)."""
+        per-label rate under fixed_rate=1; errorpropagator.py:394-500).
+        C/A operands are canonicalized ((x, z)-lexicographic, matching
+        tools/errgenalgebra's label convention) so mathematically equal
+        generators -- C(P,Q)==C(Q,P), A(P,Q)==-A(Q,P) -- accumulate under
+        one dict key."""
         n = self.num_qubits
         new_paulis = []
         sign = 1
@@ -251,7 +274,8 @@ class ErrorGeneratorPropagator(object):
             sign *= s2
         if lbl.errorgen_type == 'S':
             sign = 1  # S_P invariant under P -> -P
-        return ElementaryErrorgenLabel(lbl.errorgen_type, *new_paulis), sign
+        return canonicalize_errorgen_label(
+            ElementaryErrorgenLabel(lbl.errorgen_type, *new_paulis), sign)
 
     def errorgen_transform_maps(self, circuit, pspec=None,
                                 input_labels_by_layer=None):
@@ -263,8 +287,17 @@ class ErrorGeneratorPropagator(object):
 
         input_labels_by_layer optionally supplies the labels to map for each
         layer; by default the model's own layer errorgen labels are used.
+
+        NOTE: layer indices count only GATE layers -- unlike the reference's
+        default (include_spam=True), no prep/measure errorgen layers are
+        prepended/appended, so reference layer index i+1 corresponds to
+        index i here.
         """
         layers, suffixes = self._suffix_cliffords(circuit, pspec)
+        if input_labels_by_layer is not None:
+            assert len(input_labels_by_layer) == len(layers), \
+                ("input_labels_by_layer has %d entries but the circuit has "
+                 "%d layers" % (len(input_labels_by_layer), len(layers)))
         maps = []
         for t, layer in enumerate(layers):
             if input_labels_by_layer is not None:
@@ -299,7 +332,18 @@ class ErrorGeneratorPropagator(object):
         circuit; returns the end-of-circuit combined generator as
         {ElementaryErrorgenLabel: coeff} (reference:
         errorpropagator.propagate_errorgens).
+
+        include_spam=True (the reference's default) -- propagating prep and
+        measurement errorgen layers as extra first/last layers -- is NOT
+        implemented here (this propagator has no SPAM errorgen source);
+        requesting it raises rather than silently dropping the SPAM layers.
         """
+        if include_spam:
+            raise NotImplementedError(
+                "SPAM errorgen-layer propagation (reference "
+                "errorpropagator.py include_spam=True) is not implemented; "
+                "call with include_spam=False and handle SPAM layers "
+                "separately.")
         assert self._layer_coeff_fn is not None, \
             "Need layer error-generator coefficients (use from_errorgen_dict)"
         layers, suffixes = self._suffix_cliffords(circuit, pspec)

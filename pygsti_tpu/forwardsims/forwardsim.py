@@ -294,6 +294,15 @@ class SimpleForwardSimulator(ForwardSimulator):
             elem_pair = np.asarray(fact.elem_pair)
             elem_erow = np.asarray(fact.elem_erow)
 
+            # Cache-level matmul precision: repeated-squaring product chains
+            # amplify low-precision matmul error ~6x over the sequential scan
+            # (measured max|dp| 6.9e-7 vs 1.1e-7 at f32 on the 2Q bench
+            # workload), enough to push the LM to a slightly worse optimum
+            # (final Nsigma 2.02 vs 1.61).  The cache levels + grids are a
+            # small fraction of the kernel's FLOPs (element gathers/dots
+            # dominate), so they always run at HIGHEST MXU precision.
+            _hi = jax.lax.Precision.HIGHEST
+
             def probs(v):
                 elem_pair_s, elem_erow_s = _shard(elem_pair), _shard(elem_erow)
                 t = compute(v)
@@ -306,17 +315,22 @@ class SimpleForwardSimulator(ForwardSimulator):
                 G = jnp.concatenate([t.ops, eye], axis=0)    # [K+1, d, d]
                 T = G
                 for lefts, rights in lv:                     # cache levels
-                    T = jnp.concatenate([T, T[lefts] @ T[rights]], axis=0)
+                    T = jnp.concatenate(
+                        [T, jnp.matmul(T[lefts], T[rights], precision=_hi)],
+                        axis=0)
                 # a-grid [n_pfx, n_preps, d]: every prefix product applied to
                 # every prep -- one batched matmul (no scan; its forward-mode
                 # tangents stay dense grid matmuls too)
-                a = jnp.einsum('mij,rj->mri', T[a_pfx], t.preps[:n_preps])
+                a = jnp.einsum('mij,rj->mri', T[a_pfx], t.preps[:n_preps],
+                               precision=_hi)
                 a = a.reshape(-1, dim)                       # flat (pfx, prep)
                 # e-grid [n_sfx, n_eff, d]: every effect pushed back through
                 # every suffix product
-                e = jnp.einsum('oi,mij->moj', t.effects[:n_eff], T[e_sfx])
+                e = jnp.einsum('oi,mij->moj', t.effects[:n_eff], T[e_sfx],
+                               precision=_hi)
                 e = e.reshape(-1, dim)                       # flat (sfx, eff)
-                X = jnp.einsum('qij,qj->qi', T[pair_g], a[pair_a])  # [Q, d]
+                X = jnp.einsum('qij,qj->qi', T[pair_g], a[pair_a],
+                               precision=_hi)                # [Q, d]
                 p = jnp.sum(e[elem_erow_s] * X[elem_pair_s], axis=1)
                 return p.astype(out_dtype) if _probs_dtype else p
         else:

@@ -163,8 +163,18 @@ class CircuitOutcomeProbabilityLayout(object):
                 outs = [inst_prefixes[r] + (ol,) for ol in outcome_labels]
                 full_n += len(rows_idx)
                 if observed_outcomes_only and dataset is not None and c in dataset:
-                    observed = set(dataset[c].counts.keys())
-                    keep = [i for i, o in enumerate(outs) if o in observed]
+                    # outcomes with zero counts are treated as OMITTED even
+                    # when the dataset records them (simulate_data defaults
+                    # record_zero_counts=True): the objective's
+                    # omitted-probability correction (objectivefns.py
+                    # _terms_of_p; reference objectivefns.py:1015
+                    # add_omitted_freqs) contributes exactly the same
+                    # zero-freq terms those elements would, so dropping them
+                    # preserves the logL while shrinking the element count --
+                    # the point of the sparse mode at >3 qubits.
+                    row_counts = dataset[c].counts
+                    keep = [i for i, o in enumerate(outs)
+                            if row_counts.get(o, 0) > 0]
                     rows_idx = [rows_idx[i] for i in keep]
                     outs = [outs[i] for i in keep]
                 n = len(rows_idx)

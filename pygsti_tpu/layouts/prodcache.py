@@ -189,6 +189,63 @@ class _CacheBuilder:
         return tuple(levels), len(self.entries), resolve
 
 
+class ElementGroupTables(NamedTuple):
+    """Padded element groupings for the dproduct-cache Jacobian
+    ('prodjac'; see objectivefns._compiled_objective_graphs).
+
+    The Jacobian element assembly is
+        Jt[c, e] = de[c, erow_e] . X[pair_e]  +  e[erow_e] . dX[c, pair_e]
+    Materializing the per-element gathers of de/dX ([C, E, d]) is
+    bandwidth-prohibitive, so elements are grouped by shared erow (term 1)
+    and by shared pair (term 2): each group contracts ONE de/dX row against
+    a padded block of partners as a batched matmul, and a flat permutation
+    gathers the results back to element order.  Groups are chunked to
+    `chunk` slots so a single popular row (e.g. the empty measurement
+    fiducial) cannot blow up the padding.
+    """
+    erow_chunk_row: np.ndarray    # int32 [Gs]    e-grid row per chunk
+    erow_chunk_pair: np.ndarray   # int32 [Gs, L] pair index per slot (0-pad)
+    erow_perm: np.ndarray         # int32 [E]     flat (chunk, slot) per element
+    pair_chunk_q: np.ndarray      # int32 [Gq]    pair index per chunk
+    pair_chunk_erow: np.ndarray   # int32 [Gq, L] e-grid row per slot (0-pad)
+    pair_perm: np.ndarray         # int32 [E]
+
+
+def build_element_group_tables(fact, chunk=64):
+    """Build :class:`ElementGroupTables` for a :class:`LayoutFactorization`."""
+    def group(keys, partners):
+        order = np.argsort(keys, kind='stable')
+        chunks_key, chunks_partner, perm_flat = [], [], np.empty(
+            len(keys), np.int64)
+        i = 0
+        n = len(keys)
+        while i < n:
+            k = keys[order[i]]
+            j = i
+            while j < n and keys[order[j]] == k:
+                j += 1
+            for s in range(i, j, chunk):
+                rows = order[s:min(s + chunk, j)]
+                g = len(chunks_key)
+                chunks_key.append(k)
+                padded = np.zeros(chunk, np.int32)
+                padded[:len(rows)] = partners[rows]
+                chunks_partner.append(padded)
+                perm_flat[rows] = g * chunk + np.arange(len(rows))
+            i = j
+        return (np.asarray(chunks_key, np.int32),
+                np.stack(chunks_partner) if chunks_partner
+                else np.zeros((0, chunk), np.int32),
+                perm_flat.astype(np.int32))
+
+    erow = np.asarray(fact.elem_erow)
+    pair = np.asarray(fact.elem_pair)
+    er_row, er_pair, er_perm = group(erow, pair)
+    pr_q, pr_erow, pr_perm = group(pair, erow)
+    return ElementGroupTables(er_row, er_pair, er_perm,
+                              pr_q, pr_erow, pr_perm)
+
+
 def factorize_layout(layout, max_period=16):
     """Build a :class:`LayoutFactorization` for a compiled layout, or None
     when factorization is not applicable (no rows)."""

@@ -710,6 +710,7 @@ class TimeIndependentMDCObjectiveFunction(object):
             'num_circuits': int(self.layout.op_indices.shape[0]),
             'num_elements': int(self.layout.num_elements),
             'num_params': int(len(x0)),
+            'jac_mode': self._fns.get('jac_mode', '?'),
         })
         code = int(code)
         converged = code in (1, 2, 3, 4, 5)
@@ -1066,8 +1067,13 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     #      small params->tensors jacobian.
     #    'fwd' (mesh / non-uniform fallbacks): param-sharded jvp tangents.
     B = layout.op_indices.shape[0]  # number of expanded rows
+    # the blocked mode's per-block Gram cannot apply the cross-element
+    # omitted-probability correction (it couples a circuit's elements
+    # through a segment sum), so layouts with omitted outcomes always use
+    # the linearize/fwd paths
     n_out_uniform = (B > 0 and layout.num_elements % B == 0
-                     and getattr(layout, 'rows_uniform_n_out', False))
+                     and getattr(layout, 'rows_uniform_n_out', False)
+                     and not has_omitted)
     dim = model.dim
     compute = model.tensors_fn()
     fact = getattr(layout, 'factorization', None)
@@ -1078,10 +1084,19 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     _gram_precision = os.environ.get('PYGSTI_TPU_GRAM_PRECISION', 'default')
     jac_mode = os.environ.get('PYGSTI_TPU_JAC_MODE')
     if jac_mode is None:
-        if fact is not None:
-            jac_mode = 'linearize'
-        elif n_out_uniform and mesh is None:
+        # Default = the MEASURED winner on the driver TPU bench (r5
+        # mode-comparison, PARITY.md "Jacobian-mode comparison"): the
+        # blocked reverse-scan Jacobian beats vmapped linearize tangents
+        # through the factorized probs graph by ~2.2x warm LM wall
+        # (9.6s vs 20.9s, same workload/day) -- the tangent chains of tiny
+        # 16x16 matmuls are latency-bound on the MXU.  The factorized probs
+        # kernel still serves lsvec evaluations.  'linearize' remains the
+        # exact-AD path for non-uniform layouts (sparse outcomes,
+        # instruments) where the blocked per-block Gram doesn't apply.
+        if n_out_uniform and mesh is None:
             jac_mode = 'blocked'
+        elif fact is not None:
+            jac_mode = 'linearize'
         else:
             jac_mode = 'fwd'
 
@@ -1117,9 +1132,11 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             P = v.shape[0]
             p, Jt = _probs_and_jac_t(v)
-            ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
-            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            Jw = Jt * dls[None, :]
+            # _lsvec_of_p/_weighted_jac_t apply the sparse-layout omitted-
+            # probability correction when the layout has omitted outcomes
+            # (identical to raw.lsvec / Jt*raw.dlsvec otherwise)
+            ls = _lsvec_of_p(p, counts, totals, freqs, flag, regs)
+            Jw = _weighted_jac_t(Jt, p, ls, counts, totals, freqs, flag, regs)
             jtj = jnp.matmul(Jw, Jw.T, precision=_gram_precision)
             jtf = jnp.matmul(Jw, ls, precision=_gram_precision)
             if param_sharded:
@@ -1134,8 +1151,179 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
 
         def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             p, Jt = _probs_and_jac_t(v)
-            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            J = Jt.T * dls[:, None]
+            ls = _lsvec_of_p(p, counts, totals, freqs, flag, regs)
+            J = _weighted_jac_t(Jt, p, ls, counts, totals, freqs,
+                                flag, regs).T
+            if regularize_factor > 0:
+                J = jnp.concatenate(
+                    [J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
+            return J
+
+    elif jac_mode == 'prodjac':
+        # dproduct-cache Jacobian (VERDICT r4 #1; the reference's
+        # _compute_dproduct_cache reborn -- matrixforwardsim.py:729):
+        # propagate the op-entry tangent basis through the germ-power
+        # product-cache LEVELS as batched GEMMs (7 levels instead of a
+        # depth-70 sequential scan), assemble J^T w.r.t. the stacked tensor
+        # entries via erow/pair-grouped matmuls (layouts/prodcache.py
+        # ElementGroupTables), and chain through the small params->tensors
+        # Jacobian.  Prep/effect tensor rows have closed forms
+        # (dp/drho = e^T T_g T_pfx,  dp/dE = T_sfx X).  Works for sparse
+        # (omitted-outcome) layouts too -- the element axis is arbitrary.
+        assert fact is not None, \
+            "jac_mode='prodjac' requires a factorized layout " \
+            "(PYGSTI_TPU_FACTORIZED=1)"
+        from pygsti_tpu.layouts.prodcache import build_element_group_tables
+        n_ops = len(model.op_keys)
+        n_preps = len(model.prep_keys)
+        n_eff = sum(model.povms[k].num_outcomes for k in model.povm_keys)
+        NT = n_ops * dim * dim + n_preps * dim + n_eff * dim
+        o_sz = n_ops * dim * dim
+        p_sz = n_preps * dim
+
+        def compute_flat(v):
+            t = compute(v)
+            return jnp.concatenate([t.ops.reshape(-1), t.preps.reshape(-1),
+                                    t.effects.reshape(-1)])
+
+        def unflatten(tf):
+            ops = tf[:o_sz].reshape(n_ops, dim, dim)
+            preps = tf[o_sz:o_sz + p_sz].reshape(n_preps, dim)
+            effects = tf[o_sz + p_sz:].reshape(n_eff, dim)
+            return ops, preps, effects
+
+        _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
+        j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
+        _gram_precision = os.environ.get('PYGSTI_TPU_GRAM_PRECISION',
+                                         'default')
+        _hi = jax.lax.Precision.HIGHEST
+
+        lv = tuple((np.asarray(l), np.asarray(r)) for l, r in fact.levels)
+        a_pfx = np.asarray(fact.a_pfx_cache)
+        e_sfx = np.asarray(fact.e_sfx_cache)
+        nf_preps, nf_eff = int(fact.n_preps), int(fact.n_effects)
+        pair_g = np.asarray(fact.pair_g)
+        pair_a = np.asarray(fact.pair_a)
+        elem_pair = np.asarray(fact.elem_pair)
+        elem_erow = np.asarray(fact.elem_erow)
+        g_of_e = pair_g[elem_pair]                      # [E] ext-table idx
+        m_of_e = a_pfx[pair_a[elem_pair] // nf_preps]   # [E] ext-table idx
+        sfx_of_e = e_sfx[elem_erow // nf_eff]           # [E] ext-table idx
+        gt = build_element_group_tables(
+            fact, chunk=int(os.environ.get('PYGSTI_TPU_PRODJAC_GROUP', '64')))
+        C_total = n_ops * dim * dim
+        c_chunk = int(os.environ.get('PYGSTI_TPU_PRODJAC_CHUNK', '0')) \
+            or C_total
+        # one-hot op-entry tangent basis, host-side constant
+        _basis = np.eye(C_total, dtype=np.float32).reshape(
+            C_total, n_ops, dim, dim)
+
+        def _jac_t_tensor(tf):
+            """(p [E], Jt [NT, E]): probs + transposed Jacobian w.r.t. the
+            flat tensor vector, at j_dtype."""
+            ops, preps, effects = unflatten(tf)
+            ops = ops.astype(j_dtype)
+            preps = preps.astype(j_dtype)
+            effects = effects.astype(j_dtype)
+            eye = jnp.eye(dim, dtype=ops.dtype)[None]
+            G = jnp.concatenate([ops, eye], axis=0)
+            T = G
+            for lefts, rights in lv:
+                T = jnp.concatenate(
+                    [T, jnp.matmul(T[lefts], T[rights], precision=_hi)],
+                    axis=0)
+            a = jnp.einsum('mij,rj->mri', T[a_pfx], preps[:nf_preps],
+                           precision=_hi).reshape(-1, dim)
+            e = jnp.einsum('oi,mij->moj', effects[:nf_eff], T[e_sfx],
+                           precision=_hi).reshape(-1, dim)
+            X = jnp.einsum('qij,qj->qi', T[pair_g], a[pair_a],
+                           precision=_hi)
+            p = jnp.sum(e[elem_erow] * X[elem_pair], axis=1)
+
+            # -- op-entry rows: dT through the cache levels ------------------
+            op_rows = []
+            for cs in range(0, C_total, c_chunk):
+                basis_c = jnp.asarray(_basis[cs:cs + c_chunk]).astype(j_dtype)
+                Cc = basis_c.shape[0]
+                dT = jnp.concatenate(
+                    [basis_c, jnp.zeros((Cc, 1, dim, dim), j_dtype)], axis=1)
+                for lefts, rights in lv:
+                    dnew = (jnp.einsum('cnij,njk->cnik', dT[:, lefts],
+                                       T[rights], precision=_hi)
+                            + jnp.einsum('nij,cnjk->cnik', T[lefts],
+                                         dT[:, rights], precision=_hi))
+                    dT = jnp.concatenate([dT, dnew], axis=1)
+                da = jnp.einsum('cmij,rj->cmri', dT[:, a_pfx],
+                                preps[:nf_preps],
+                                precision=_hi).reshape(Cc, -1, dim)
+                de = jnp.einsum('oi,cmij->cmoj', effects[:nf_eff],
+                                dT[:, e_sfx],
+                                precision=_hi).reshape(Cc, -1, dim)
+                dX = (jnp.einsum('cqij,qj->cqi', dT[:, pair_g], a[pair_a],
+                                 precision=_hi)
+                      + jnp.einsum('qij,cqj->cqi', T[pair_g],
+                                   da[:, pair_a], precision=_hi))
+                # grouped element assembly (one matmul per shared row)
+                t1 = jnp.einsum('cgi,gli->cgl', de[:, gt.erow_chunk_row],
+                                X[gt.erow_chunk_pair], precision=_hi)
+                t2 = jnp.einsum('cgi,gli->cgl', dX[:, gt.pair_chunk_q],
+                                e[gt.pair_chunk_erow], precision=_hi)
+                op_rows.append(t1.reshape(Cc, -1)[:, gt.erow_perm]
+                               + t2.reshape(Cc, -1)[:, gt.pair_perm])
+            Jt_ops = op_rows[0] if len(op_rows) == 1 \
+                else jnp.concatenate(op_rows, axis=0)
+
+            # -- prep rows: dp/drho_{r,:} = (e_row^T T_g) T_pfx -------------
+            u = jnp.einsum('ei,eij->ej', e[elem_erow], T[g_of_e],
+                           precision=_hi)
+            Arow = jnp.einsum('ej,ejk->ek', u, T[m_of_e], precision=_hi)
+            prep_oh = jax.nn.one_hot(pair_a[elem_pair] % nf_preps,
+                                     n_preps, dtype=j_dtype)     # [E, n_preps]
+            Jt_preps = jnp.einsum('er,ej->rje', prep_oh, Arow,
+                                  precision=_hi).reshape(n_preps * dim, -1)
+
+            # -- effect rows: dp/dE_{o,:} = T_sfx @ X ------------------------
+            w = jnp.einsum('eti,ei->et', T[sfx_of_e], X[elem_pair],
+                           precision=_hi)
+            eff_oh = jax.nn.one_hot(elem_erow % nf_eff, n_eff, dtype=j_dtype)
+            Jt_effs = jnp.einsum('eo,et->ote', eff_oh, w,
+                                 precision=_hi).reshape(n_eff * dim, -1)
+
+            Jt = jnp.concatenate([Jt_ops, Jt_preps, Jt_effs], axis=0)
+            return p, Jt
+
+        def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
+            P = v.shape[0]
+            tf = compute_flat(v)
+            Tv = jax.jacfwd(compute_flat)(v)       # [NT, P]
+            p, Jt = _jac_t_tensor(tf)
+            p_v = p.astype(v.dtype)
+            ls = _lsvec_of_p(p_v, counts, totals, freqs, flag, regs)
+            Jw = _weighted_jac_t(Jt, p_v, ls, counts, totals, freqs,
+                                 flag, regs)        # [NT, E]
+            Jw = Jw.astype(j_dtype)
+            M = jnp.matmul(Jw, Jw.T, precision=_gram_precision)
+            q = jnp.matmul(Jw, ls.astype(j_dtype),
+                           precision=_gram_precision)
+            Tvj = Tv.astype(j_dtype)
+            jtj = (Tvj.T @ (M @ Tvj)).astype(v.dtype)
+            jtf = (Tvj.T @ q).astype(v.dtype)
+            if regularize_factor > 0:
+                pen = regularize_factor * jnp.abs(v)
+                ls = jnp.concatenate([ls, pen])
+                jtj = jtj + (regularize_factor ** 2) * jnp.eye(P, dtype=v.dtype)
+                jtf = jtf + regularize_factor * jnp.sign(v) * pen
+            return ls, jtj, jtf
+
+        def dlsvec_fn(v, counts, totals, freqs, flag, regs):
+            tf = compute_flat(v)
+            Tv = jax.jacfwd(compute_flat)(v)
+            p, Jt = _jac_t_tensor(tf)
+            p_v = p.astype(v.dtype)
+            ls = _lsvec_of_p(p_v, counts, totals, freqs, flag, regs)
+            Jw = _weighted_jac_t(Jt, p_v, ls, counts, totals, freqs,
+                                 flag, regs)
+            J = (Jw.astype(j_dtype).T @ Tv.astype(j_dtype)).astype(v.dtype)
             if regularize_factor > 0:
                 J = jnp.concatenate(
                     [J, regularize_factor * jnp.diag(jnp.sign(v))], axis=0)
@@ -1370,9 +1558,9 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
 
         def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
-            ls = raw.lsvec(p, counts, totals, freqs, flag, regs)
-            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            Jw = _jac_t(v) * dls[None, :]          # [P, E]
+            ls = _lsvec_of_p(p, counts, totals, freqs, flag, regs)
+            Jw = _weighted_jac_t(_jac_t(v), p, ls, counts, totals,
+                                 freqs, flag, regs)    # [P, E]
             jtj = Jw @ Jw.T                        # psum over 'circuits'
             jtf = Jw @ ls
             if param_sharded:
@@ -1388,8 +1576,9 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
 
         def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             p = probs_fn(v)
-            dls = raw.dlsvec(p, counts, totals, freqs, flag, regs)
-            J = (_jac_t(v) * dls[None, :]).T
+            ls = _lsvec_of_p(p, counts, totals, freqs, flag, regs)
+            J = _weighted_jac_t(_jac_t(v), p, ls, counts, totals, freqs,
+                                flag, regs).T
             if regularize_factor > 0:
                 J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
                                     axis=0)
@@ -1457,6 +1646,7 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         'lsvec_raw': lsvec_fn,
         'jtj_jtf_raw': jtj_jtf_fn,
         'flops_per_jtj': float(flops_per_jtj),
+        'jac_mode': jac_mode,
     }
     cache[key] = (sim, fns)   # hold the sim alive so its id stays valid
     return fns

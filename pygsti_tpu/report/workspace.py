@@ -194,13 +194,21 @@ class Workspace(object):
 
     def ColorBoxPlot(self, plottype, circuit_struct, dataset, model,
                      typ='boxes'):
-        from pygsti_tpu.report.workspaceplots import (per_circuit_2dlogl,
-                                                      color_boxplot_html)
+        from pygsti_tpu.report.workspaceplots import (
+            per_circuit_2dlogl, color_boxplot_html, scatter_plot_html,
+            histogram_plot_html)
         objective = 'logl' if 'logl' in str(plottype) else 'chi2'
         vals = per_circuit_2dlogl(model, dataset, list(circuit_struct),
                                   objective)
-        return WorkspacePlot(self, color_boxplot_html(
-            circuit_struct, vals, title=str(plottype)))
+        if typ == 'scatter':
+            html = scatter_plot_html(vals, title=str(plottype), model=model)
+        elif typ == 'histogram':
+            html = histogram_plot_html(vals, title=str(plottype),
+                                       model=model)
+        else:
+            html = color_boxplot_html(circuit_struct, vals,
+                                      title=str(plottype), model=model)
+        return WorkspacePlot(self, html)
 
 
 class WorkspaceText(WorkspaceOutput):

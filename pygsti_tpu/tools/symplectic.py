@@ -285,7 +285,8 @@ def compute_internal_gate_symplectic_representations(gllist=None):
     # short aliases the reference also exposes (symplectic.py:984-1049)
     short = {'I': 'Gi', 'H': 'Gh', 'P': 'Gp', 'PH': None, 'HP': None,
              'HPH': None, 'CNOT': 'Gcnot', 'SWAP': 'Gswap',
-             'CPHASE': 'Gcphase'}
+             'CPHASE': 'Gcphase',
+             'X': 'Gxpi', 'Y': 'Gypi', 'Z': 'Gzpi'}
     if gllist is None:
         gllist = ['Gi', 'Gxpi', 'Gypi', 'Gzpi', 'Gxpi2', 'Gypi2', 'Gzpi2',
                   'Gxmpi2', 'Gympi2', 'Gzmpi2', 'Gh', 'Gp', 'Gpdag',

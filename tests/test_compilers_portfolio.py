@@ -1,0 +1,178 @@
+"""Clifford-compiler algorithm portfolio (VERDICT r4 #4).
+
+The reference's compile_symplectic dispatches competing randomized
+algorithms with cost-function selection (reference:
+pygsti/algorithms/compilers.py:253-494).  These tests pin:
+
+* ROGGE (randomized elimination order) correctness and cost advantage,
+* honest kwargs -- unknown/unimplemented algorithms raise,
+* costfunction string parsing,
+* paulirandomize (Pauli-frame randomization preserving `s`, and the exact
+  (s, p) through compile_clifford),
+* the reference-parity bar: mean 2Q-gate count over random 3Q Cliffords
+  within 20% of the reference's compile_clifford.
+"""
+
+import numpy as np
+import pytest
+
+from pygsti_tpu.tools import symplectic as sym
+from pygsti_tpu.algorithms.compilers import (
+    compile_symplectic, compile_clifford, compile_cnot_circuit,
+    create_standard_costfunction)
+
+
+def _rand_cliffords(n, count, seed):
+    rng = np.random.RandomState(seed)
+    return [sym.random_clifford(n, rand_state=rng) for _ in range(count)]
+
+
+class TestCostfunction:
+    def test_standard_names(self):
+        from pygsti_tpu.circuits import Circuit
+        c = Circuit('Gcnot:0:1Gxpi2:0Gcnot:1:0@(0,1)')
+        assert create_standard_costfunction('2QGC')(c) == 2
+        assert create_standard_costfunction('depth')(c) == 3
+        assert create_standard_costfunction('2QGC:10:depth:1')(c) == 23
+
+    def test_invalid_raises(self):
+        with pytest.raises(ValueError):
+            create_standard_costfunction('bogus')
+        with pytest.raises(ValueError):
+            create_standard_costfunction('2QGC:x:depth:y')
+
+
+class TestCompileSymplecticPortfolio:
+    def test_rogge_correct_on_random_3q(self):
+        for s, p in _rand_cliffords(3, 8, seed=11):
+            c = compile_symplectic(s, algorithms=('ROGGE',), iterations=5,
+                                   rand_state=np.random.RandomState(0))
+            s_c, _ = sym.symplectic_rep_of_clifford_circuit(c)
+            assert np.array_equal(s_c, s % 2)
+
+    def test_bgge_correct_and_deterministic(self):
+        s, p = _rand_cliffords(3, 1, seed=5)[0]
+        c1 = compile_symplectic(s, algorithms=('BGGE',))
+        c2 = compile_symplectic(s, algorithms=('BGGE',))
+        assert c1.layertup == c2.layertup
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(c1)
+        assert np.array_equal(s_c, s % 2)
+
+    def test_rogge_beats_or_matches_bgge(self):
+        """Randomized elimination order with cost selection never loses to
+        the deterministic order (BGGE is ROGGE's first attempt here)."""
+        cost = create_standard_costfunction('2QGC:10:depth:1')
+        total_b = total_r = 0
+        for s, p in _rand_cliffords(4, 10, seed=23):
+            cb = compile_symplectic(s, algorithms=('BGGE',))
+            cr = compile_symplectic(s, algorithms=('ROGGE',), iterations=10,
+                                    rand_state=np.random.RandomState(1))
+            total_b += cost(cb)
+            total_r += cost(cr)
+        assert total_r <= total_b
+        # with 10 random orders over 4 qubits, some circuit must improve
+        assert total_r < total_b
+
+    def test_unknown_algorithm_raises(self):
+        s, _ = _rand_cliffords(2, 1, seed=1)[0]
+        with pytest.raises(ValueError):
+            compile_symplectic(s, algorithms=('ROCAGE',))
+        with pytest.raises(NotImplementedError):
+            compile_symplectic(s, algorithms=('iAGvGE',))
+
+    def test_paulirandomize_preserves_s(self):
+        s, _ = _rand_cliffords(3, 1, seed=3)[0]
+        rng = np.random.RandomState(7)
+        c = compile_symplectic(s, algorithms=('ROGGE',), iterations=3,
+                               paulirandomize=True, rand_state=rng)
+        s_c, _ = sym.symplectic_rep_of_clifford_circuit(c)
+        assert np.array_equal(s_c, s % 2)
+        # the randomization actually inserted gates
+        c0 = compile_symplectic(s, algorithms=('ROGGE',), iterations=3,
+                                paulirandomize=False,
+                                rand_state=np.random.RandomState(7))
+        assert c.num_gates > c0.num_gates
+
+
+class TestCompileClifford:
+    def test_exact_s_and_p_with_portfolio(self):
+        for s, p in _rand_cliffords(3, 5, seed=31):
+            c = compile_clifford(s, p, iterations=5,
+                                 rand_state=np.random.RandomState(2))
+            s_c, p_c = sym.symplectic_rep_of_clifford_circuit(c)
+            assert np.array_equal(s_c, s % 2)
+            assert np.array_equal(p_c % 4, p % 4)
+
+    def test_prefixpaulis(self):
+        s, p = _rand_cliffords(2, 1, seed=41)[0]
+        c = compile_clifford(s, p, prefixpaulis=True,
+                             rand_state=np.random.RandomState(3))
+        s_c, p_c = sym.symplectic_rep_of_clifford_circuit(c)
+        assert np.array_equal(s_c, s % 2)
+        assert np.array_equal(p_c % 4, p % 4)
+
+    def test_paulirandomize_exact_clifford(self):
+        s, p = _rand_cliffords(2, 1, seed=43)[0]
+        c = compile_clifford(s, p, paulirandomize=True, iterations=3,
+                             rand_state=np.random.RandomState(4))
+        s_c, p_c = sym.symplectic_rep_of_clifford_circuit(c)
+        assert np.array_equal(s_c, s % 2)
+        assert np.array_equal(p_c % 4, p % 4)
+
+
+class TestCompileCnotCircuit:
+    def test_rocage_correct(self):
+        rng = np.random.RandomState(17)
+        from pygsti_tpu.tools import matrixmod2 as mod2
+        for _ in range(5):
+            # resample until the upper-right 2x2 block is nonzero, so the
+            # [n, n] GF(2) matrix cannot be mistaken for a 2-qubit
+            # SYMPLECTIC rep by compile_cnot_circuit's input heuristic
+            while True:
+                M = mod2.random_invertible_matrix(4, rand_state=rng)
+                if M[:2, 2:].any():
+                    break
+            c = compile_cnot_circuit(M, algorithm='ROCAGE', iterations=6,
+                                     rand_state=np.random.RandomState(5))
+            s_c, _ = sym.symplectic_rep_of_clifford_circuit(
+                c, srep_dict=sym.compute_internal_gate_symplectic_representations())
+            assert np.array_equal(s_c[:4, :4] % 2, M % 2)
+
+    def test_unimplemented_raises(self):
+        M = np.eye(3, dtype=np.int64)
+        M[1, :] ^= M[0, :]
+        with pytest.raises(NotImplementedError):
+            compile_cnot_circuit(M, algorithm='COiCAGE')
+        with pytest.raises(ValueError):
+            compile_cnot_circuit(M, algorithm='bogus')
+
+
+class TestReferenceParityBar:
+    def test_mean_2q_count_within_20pct_of_reference(self, ref_pygsti):
+        """VERDICT r4 #4 'done' bar: mean 2Q-gate count on random 3Q
+        Cliffords within ~20% of the reference's compile_clifford (both
+        with their default ROGGE portfolio over the canonical all-to-all
+        processor)."""
+        import pygsti.tools.symplectic as rsym
+        import pygsti.algorithms.compilers as rcomp
+        counts_mine, counts_ref = [], []
+        rng_pick = np.random.RandomState(97)
+        for i in range(12):
+            s, p = sym.random_clifford(3, rand_state=rng_pick)
+            c_mine = compile_clifford(
+                s, p, iterations=20,
+                rand_state=np.random.RandomState(1000 + i))
+            rc = rcomp.compile_clifford(
+                s.copy(), p.copy(), iterations=20,
+                rand_state=np.random.RandomState(1000 + i))
+            counts_mine.append(c_mine.two_q_gate_count())
+            counts_ref.append(rc.two_q_gate_count())
+            # sanity: both implement the same symplectic
+            s_c, p_c = sym.symplectic_rep_of_clifford_circuit(c_mine)
+            rs_c, rp_c = rsym.symplectic_rep_of_clifford_circuit(rc)
+            assert np.array_equal(s_c, rs_c % 2)
+        mean_mine = np.mean(counts_mine)
+        mean_ref = np.mean(counts_ref)
+        assert mean_mine <= 1.2 * mean_ref, \
+            "2Q-gate count %.2f vs reference %.2f (>20%% worse)" % \
+            (mean_mine, mean_ref)

@@ -262,8 +262,8 @@ class TestColormaps:
                                                  SequentialColormap)
         cm = LinlogColormap(0, 100, num_boxes=50, pcntle=0.05, dof_per_box=1)
         # below threshold: grayscale; far above: red
-        low = cm.interpolate_color(0.1)
-        high = cm.interpolate_color(100)
+        low = cm.interpolate_hex(0.1)
+        high = cm.interpolate_hex(1000)
         assert low[1:3] == low[3:5] == low[5:7]  # gray: r==g==b
         r, g, b = int(high[1:3], 16), int(high[3:5], 16), int(high[5:7], 16)
         assert r > 200 and g < 100 and b < 100
@@ -271,7 +271,7 @@ class TestColormaps:
         vals = [cm.normalize(v) for v in (0, 1, cm.trans, 10 * cm.trans, 100)]
         assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
         sq = SequentialColormap(0, 1)
-        assert sq.interpolate_color(0.0) == '#ffffff'
+        assert sq.interpolate_hex(0.0) == '#ffffff'
 
 
 class TestInstrumentAndPOVMMetrics:
