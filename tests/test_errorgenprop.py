@@ -175,3 +175,50 @@ class TestPropagation:
         errs = prop.propagate_errorgens(c)
         assert len(errs) >= 12
         assert all(np.isfinite(v) for v in errs.values())
+
+
+class TestCanonicalization:
+    """ADVICE r4: C/A labels canonicalize operand order so mathematically
+    equal generators accumulate under one key (C(P,Q)==C(Q,P),
+    A(P,Q)==-A(Q,P)); include_spam and input_labels_by_layer are honest."""
+
+    def test_canonical_label_merging(self):
+        from pygsti_tpu.errorgenpropagation.errorpropagator import (
+            ElementaryErrorgenLabel, PauliLabel, canonicalize_errorgen_label)
+        P = PauliLabel.from_str('X')
+        Q = PauliLabel.from_str('Z')
+        # (x,z)-lex: X=(1,0) sorts after Z=(0,1), so C(X,Z) flips to C(Z,X)
+        c1, s1 = canonicalize_errorgen_label(
+            ElementaryErrorgenLabel('C', P, Q))
+        c2, s2 = canonicalize_errorgen_label(
+            ElementaryErrorgenLabel('C', Q, P))
+        assert c1 == c2 and s1 == s2 == 1
+        a1, s1 = canonicalize_errorgen_label(
+            ElementaryErrorgenLabel('A', P, Q))
+        a2, s2 = canonicalize_errorgen_label(
+            ElementaryErrorgenLabel('A', Q, P))
+        assert a1 == a2 and s1 == -s2
+        # H/S and already-canonical labels pass through unchanged
+        h, sh = canonicalize_errorgen_label(ElementaryErrorgenLabel('H', P))
+        assert h == ElementaryErrorgenLabel('H', P) and sh == 1
+
+    def test_include_spam_raises(self):
+        from pygsti_tpu.errorgenpropagation.errorpropagator import \
+            ErrorGeneratorPropagator
+        import pytest
+        prop = ErrorGeneratorPropagator.from_errorgen_dict(
+            {'Gxpi2': {('H', 'Z'): 0.001}}, 1, (0,))
+        c = Circuit([('Gxpi2', 0)], (0,))
+        with pytest.raises(NotImplementedError):
+            prop.propagate_errorgens(c, include_spam=True)
+
+    def test_input_labels_by_layer_validated(self):
+        from pygsti_tpu.errorgenpropagation.errorpropagator import (
+            ErrorGeneratorPropagator, ElementaryErrorgenLabel, PauliLabel)
+        import pytest
+        prop = ErrorGeneratorPropagator.from_errorgen_dict(
+            {'Gxpi2': {('H', 'Z'): 0.001}}, 1, (0,))
+        c = Circuit([('Gxpi2', 0), ('Gxpi2', 0)], (0,))
+        lbl = ElementaryErrorgenLabel('H', PauliLabel.from_str('Z'))
+        with pytest.raises(AssertionError):
+            prop.errorgen_transform_maps(c, input_labels_by_layer=[[lbl]])
