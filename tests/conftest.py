@@ -7,6 +7,17 @@ import os
 import sys
 import types
 
+# The tunneled-TPU ("axon") PJRT plugin lives on PYTHONPATH and connects to
+# its local relay at jax import even when the platform is forced to CPU; a
+# wedged relay session then hangs the whole test process on a futex.  Tests
+# are CPU-only, so drop the plugin's site dir before jax can discover it
+# (and scrub PYTHONPATH for subprocess-spawning tests).
+sys.path[:] = [p for p in sys.path if 'axon_site' not in p]
+if 'axon_site' in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ["PYTHONPATH"].split(os.pathsep)
+        if 'axon_site' not in p)
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if env sets a TPU platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
