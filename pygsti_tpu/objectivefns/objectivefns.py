@@ -688,8 +688,27 @@ class TimeIndependentMDCObjectiveFunction(object):
                 ls_max_evals=linesearch.get('max_evals', 6),
                 ls_kappa=linesearch.get('kappa', 1.0),
                 oob_fn=self.device_oob_fn, solver=solver)
+            # LM chunk executable: reduced XLA optimization effort on TPU.
+            # Measured on the f32 2Q bench graphs (r5): compile 15-19s ->
+            # 6-12s while the compiled chunk runs ~45 -> ~53 ms/iteration --
+            # ~+0.6s over a 70-iteration fit for ~-9s of cold start.  (The
+            # old f64-emulation graphs measured the OPPOSITE trade, so this
+            # applies only to the LM chunk, only on TPU, and stays
+            # env-overridable: PYGSTI_TPU_LM_COMPILE_EFFORT=""/float.)
+            _eff = os.environ.get('PYGSTI_TPU_LM_COMPILE_EFFORT')
+            if _eff is None:
+                _eff = '-1.0' if jax.default_backend() == 'tpu' else ''
+            chunk_jit = None
+            if _eff.strip():
+                try:
+                    chunk_jit = jax.jit(chunk_fn, compiler_options={
+                        'exec_time_optimization_effort': float(_eff)})
+                except TypeError:  # older jax without compiler_options
+                    chunk_jit = None
+            if chunk_jit is None:
+                chunk_jit = _jit_fast(chunk_fn)
             # fin_fn is pure-host numpy (not jitted: see device_lm.lm_finalize)
-            cache[key] = (sim, _jit_fast(init_fn), _jit_fast(chunk_fn), fin_fn)
+            cache[key] = (sim, _jit_fast(init_fn), chunk_jit, fin_fn)
         _, init_jit, chunk_jit, fin_jit = cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)

@@ -410,6 +410,27 @@ class GateSetTomography(Protocol):
         from pygsti_tpu.baseobjs.profiler import Profiler
         profiler = Profiler()
 
+        # Warm the gauge-opt executables (CPU backend) in a background
+        # thread while the TPU-bound LM fit runs: the seed model has the
+        # same structure as the final estimate, and the compiled Adam/grad
+        # executables depend only on structure (algorithms/gaugeopt.py
+        # _GO_EXEC_CACHE), so the later gaugeopt_to_target calls become
+        # pure cache hits -- hiding the whole gauge-opt compile cost of a
+        # cold run.
+        if self.gaugeopt_suite is not None and not self.gaugeopt_suite.is_empty():
+            import threading
+
+            def _precompile_go(mdl_struct=seed_model.copy(), tgt=target):
+                try:
+                    from pygsti_tpu.algorithms.gaugeopt import \
+                        precompile_gaugeopt_suite
+                    precompile_gaugeopt_suite(self.gaugeopt_suite, mdl_struct,
+                                              tgt)
+                except Exception:
+                    pass  # best-effort: the real call compiles on miss
+            threading.Thread(target=_precompile_go, daemon=True,
+                             name='gaugeopt-precompile').start()
+
         tstart = _time.time()
         opt_results = []
         gen = _alg.iterative_gst_generator(
