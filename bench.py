@@ -276,6 +276,54 @@ def run_scale_benches():
           (len(circs5), cold5, warm5, out["q5_probs_circuits_per_sec"],
            mt_wall, nsig5, layout5.num_elements, len(circs5) * 32),
           file=sys.stderr)
+
+    # ---- 10Q errorgen-propagation stretch ---------------------------------
+    # BASELINE.md derived workload "10-qubit term/errorgen stretch": the
+    # scalable noisy-Clifford path (reference: errorgenpropagation/
+    # errorpropagator.py:48 + tools/errgenproptools.py -- dense would be
+    # 16^10).  Propagate per-gate H/S error generators through a 10-qubit
+    # random Clifford circuit (host bitmask Pauli algebra, matching the
+    # reference's stim-frame architecture), then BCH-order-2-combine the
+    # accumulated generator halves (the analytic commutator engine behind
+    # the reference's "20-1000x" sensitivity speedup claim, CHANGELOG #687).
+    from pygsti_tpu.errorgenpropagation import ErrorGeneratorPropagator
+    from pygsti_tpu.tools.errgenproptools import bch_approximation
+    n10 = 10
+    gate_errs = {'Gxpi2': {('H', 'Z'): 0.001, ('S', 'X'): 0.0005},
+                 'Gypi2': {('H', 'X'): 0.001, ('S', 'Y'): 0.0005},
+                 'Gcnot': {('S', 'ZZ'): 0.002, ('H', 'XX'): 0.001}}
+    prop10 = ErrorGeneratorPropagator.from_errorgen_dict(
+        gate_errs, n10, tuple(range(n10)))
+    rng10 = np.random.RandomState(7)
+    gates10 = []
+    for dpt in range(40):
+        if dpt % 2 == 0:
+            for q in range(n10):
+                gates10.append((['Gxpi2', 'Gypi2'][rng10.randint(2)], q))
+        else:
+            for q in range(rng10.randint(2), n10 - 1, 2):
+                gates10.append(('Gcnot', q, q + 1))
+    c10 = Circuit(gates10, tuple(range(n10)))
+    t0 = _time.time()
+    errs10 = prop10.propagate_errorgens(c10)
+    prop_wall = _time.time() - t0
+    items10 = list(errs10.items())
+    half10 = len(items10) // 2
+    t0 = _time.time()
+    bch10 = bch_approximation(dict(items10[:half10]), dict(items10[half10:]),
+                              n10, bch_order=2)
+    bch_wall = _time.time() - t0
+    out.update({"q10_errgen_gates": len(gates10),
+                "q10_errgen_prop_wall_s": round(prop_wall, 3),
+                "q10_errgen_generators": len(errs10),
+                "q10_errgen_gates_per_sec": round(len(gates10) / max(prop_wall, 1e-9), 1),
+                "q10_bch2_wall_s": round(bch_wall, 3),
+                "q10_bch2_terms": len(bch10)})
+    print("bench[q10]: errorgen propagation through %d-gate 10Q Clifford "
+          "circuit: %.3fs (%.0f gates/s, %d generators); BCH-order-2 "
+          "combine %.2fs (%d terms)" %
+          (len(gates10), prop_wall, out["q10_errgen_gates_per_sec"],
+           len(errs10), bch_wall, len(bch10)), file=sys.stderr)
     return out
 
 

@@ -17,6 +17,7 @@ rule, objectivefns.py:1128-1749), keeping regularization kinks out of AD.
 
 from __future__ import annotations
 
+import collections
 import os
 
 import numpy as np
@@ -671,7 +672,12 @@ class TimeIndependentMDCObjectiveFunction(object):
                               or (param_sharded and len(x0) >= 1024)) \
                 else 'cholesky'
         # cached ON the layout: id-keyed simulator caches can serve stale
-        # graphs after id() reuse (see SimpleForwardSimulator._compiled)
+        # graphs after id() reuse (see SimpleForwardSimulator._compiled).
+        # A second, content-keyed global cache shares the compiled LM
+        # executables across structurally identical fits (fresh layouts of
+        # the same design: warm re-runs, bootstrap loops) -- keyed on the
+        # objective graphs' content identity, which pins layout + model
+        # structure + env config (see _compiled_objective_graphs).
         cache = getattr(self.layout, '_obj_graph_cache', None)
         if cache is None:
             cache = self.layout._obj_graph_cache = {}
@@ -680,6 +686,15 @@ class TimeIndependentMDCObjectiveFunction(object):
                tuple(sorted(linesearch.items())), solver,
                'switched' if _switch_config(self.raw_objfn)[0]
                else _raw_objfn_key(self.raw_objfn))
+        # content-keyed reuse only with the constantly-in-bounds predicate: a
+        # real device_oob_fn is a per-instance closure we cannot fingerprint
+        gkey = None
+        if self.device_oob_fn is None:
+            gkey = ('device_lm', self._fns.get('content_key'),
+                    key[2], key[3], solver, key[5])
+            if key not in cache and gkey in _DEVICE_LM_GLOBAL_CACHE:
+                cache[key] = _DEVICE_LM_GLOBAL_CACHE[gkey]
+                _DEVICE_LM_GLOBAL_CACHE.move_to_end(gkey)
         if key not in cache:
             init_fn, chunk_fn, fin_fn = make_device_lm(
                 self._fns['jtj_jtf_raw'], self._fns['lsvec_raw'],
@@ -709,6 +724,10 @@ class TimeIndependentMDCObjectiveFunction(object):
                 chunk_jit = _jit_fast(chunk_fn)
             # fin_fn is pure-host numpy (not jitted: see device_lm.lm_finalize)
             cache[key] = (sim, _jit_fast(init_fn), chunk_jit, fin_fn)
+            if gkey is not None:
+                _DEVICE_LM_GLOBAL_CACHE[gkey] = cache[key]
+                while len(_DEVICE_LM_GLOBAL_CACHE) > _OBJ_GRAPH_GLOBAL_MAX:
+                    _DEVICE_LM_GLOBAL_CACHE.popitem(last=False)
         _, init_jit, chunk_jit, fin_jit = cache[key]
         data = (self._counts_j, self._totals_j, self._freqs_j,
                 self._flag_j, self._regs_j)
@@ -725,11 +744,12 @@ class TimeIndependentMDCObjectiveFunction(object):
             chunk = int(env_chunk)
         else:
             B = self.layout.op_indices.shape[0]
-            # measured r5 (2Q bench shapes): ~64 ms/iteration, so 8
-            # iterations per program is ~0.5s -- far under the runtime
-            # watchdog -- while amortizing the single-core host's
-            # per-dispatch overhead ~2.7x better than the old chunk of 3
-            chunk = 16 if B < 2500 else 8
+            # measured r5 (2Q bench shapes): ~50-65 ms/iteration, so 16
+            # iterations per program is ~1s -- far under the runtime
+            # watchdog -- and most GST stages converge within one dispatch
+            # (the while_loop exits early on convergence, so an oversized
+            # chunk wastes nothing)
+            chunk = 16
         import time as _time
         _t0 = _time.time()
         state = init_jit(jnp.asarray(x0), *data,
@@ -1004,6 +1024,79 @@ def _make_penalty_fn(model, penalties):
     return pen_fn
 
 
+# -- content-keyed global graph cache ---------------------------------------
+# A fresh fit of the SAME design (same circuits, same model structure, same
+# objective) re-traces and re-loads every executable if the cache lives only
+# on the layout object: the warm bench run, bootstrap loops, and StandardGST
+# re-fits all pay ~2.5s of stage-0 re-tracing for graphs that already exist.
+# This cache keys on CONTENT -- sha1 of the layout's index tensors + a jaxpr
+# fingerprint of the model's theta->tensors computation (structure AND
+# constants) + objective/env config -- so structurally identical fits share
+# the jitted graph objects process-wide.  Entries hold the sim alive (id
+# stability) and are LRU-bounded.
+_OBJ_GRAPH_GLOBAL_CACHE = collections.OrderedDict()
+_DEVICE_LM_GLOBAL_CACHE = collections.OrderedDict()
+_OBJ_GRAPH_GLOBAL_MAX = 6
+
+_GRAPH_ENV_KNOBS = ('PYGSTI_TPU_PROBS_KERNEL', 'PYGSTI_TPU_PROBS_DTYPE',
+                    'PYGSTI_TPU_JAC_MODE', 'PYGSTI_TPU_FACTORIZED',
+                    'PYGSTI_TPU_J_DTYPE', 'PYGSTI_TPU_PALLAS_BWD',
+                    'PYGSTI_TPU_DEPTH_BUCKETS', 'PYGSTI_TPU_JAC_CARRY_BYTES',
+                    'PYGSTI_TPU_GRAM_PRECISION', 'PYGSTI_TPU_COMPILE_EFFORT',
+                    'PYGSTI_TPU_TANGENT_CHUNK', 'PYGSTI_TPU_SPARSE_OUTCOMES')
+
+
+def _graph_env_key():
+    return tuple(os.environ.get(k) for k in _GRAPH_ENV_KNOBS)
+
+
+def _layout_content_key(layout):
+    """sha1 fingerprint of everything the compiled graphs read from the
+    layout (index tensors; the factorization/prodcache is derived
+    deterministically from these, so hashing them suffices)."""
+    cached = getattr(layout, '_content_hash', None)
+    if cached is not None:
+        return cached
+    import hashlib
+    h = hashlib.sha1()
+    for name in ('op_indices', 'prep_index', 'elem_effect', 'depths',
+                 'elem_to_circuit'):
+        a = getattr(layout, name, None)
+        if a is not None:
+            a = np.asarray(a)
+            h.update(name.encode())
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+    h.update(str(int(getattr(layout, 'identity_index', -1))).encode())
+    h.update(str(int(layout.num_elements)).encode())
+    if getattr(layout, 'has_omitted', False):
+        for name in ('omitted_firsts', 'omitted_circuits'):
+            h.update(np.asarray(getattr(layout, name)).tobytes())
+    layout._content_hash = h.hexdigest()
+    return layout._content_hash
+
+
+def _model_graph_fingerprint(model):
+    """sha1 of the model's theta->tensors jaxpr INCLUDING its constants:
+    two models with equal fingerprints produce identical compiled graphs
+    (the parameter VECTOR is a runtime argument, so it is excluded).
+
+    Deliberately NOT cached on the model: tensors_fn() rebuilds its closure
+    from the current member structure each call, and a cached fingerprint
+    would go stale (-> wrong cache hits) after structural edits.  One trace
+    per objective build is cheap relative to building the graphs."""
+    import hashlib
+    compute = model.tensors_fn()
+    closed = jax.make_jaxpr(compute)(np.zeros(model.num_params))
+    h = hashlib.sha1(str(closed.jaxpr).encode())
+    for c in closed.consts:
+        a = np.asarray(c)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def _compiled_objective_graphs(model, layout, raw, penalties):
     """Build (or fetch cached) jitted objective graphs for a (layout, raw
     objective) pair.  Graphs take (v, counts, totals, freqs) as arguments."""
@@ -1018,6 +1111,25 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
            tuple(sorted((penalties or {}).items())))
     if key in cache:
         return cache[key][1]
+
+    # content-keyed global lookup (single-device graphs only: mesh identity
+    # is not content-hashable; op_indices required -- without the index
+    # tensors the content hash could collide across different circuit sets)
+    gkey = None
+    if getattr(sim, 'mesh', None) is None \
+            and getattr(layout, 'op_indices', None) is not None:
+        try:
+            gkey = (_layout_content_key(layout),
+                    _model_graph_fingerprint(model), key[1], key[2],
+                    _graph_env_key(), jax.default_backend(),
+                    bool(jax.config.read('jax_enable_x64')))
+        except Exception:
+            gkey = None
+        if gkey is not None and gkey in _OBJ_GRAPH_GLOBAL_CACHE:
+            sim_g, fns = _OBJ_GRAPH_GLOBAL_CACHE[gkey]
+            _OBJ_GRAPH_GLOBAL_CACHE.move_to_end(gkey)
+            cache[key] = (sim_g, fns)
+            return fns
 
     raw = _SwitchedRaw() if use_switched else _PassthroughRaw(raw)
     probs_fn = sim.probs_fn(layout)
@@ -1736,8 +1848,15 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         'jtj_jtf_raw': jtj_jtf_fn,
         'flops_per_jtj': float(flops_per_jtj),
         'jac_mode': jac_mode,
+        # content identity for cross-layout executable reuse (run_device_lm's
+        # global cache); a fresh object() when uncacheable so it never matches
+        'content_key': gkey if gkey is not None else object(),
     }
     cache[key] = (sim, fns)   # hold the sim alive so its id stays valid
+    if gkey is not None:
+        _OBJ_GRAPH_GLOBAL_CACHE[gkey] = (sim, fns)
+        while len(_OBJ_GRAPH_GLOBAL_CACHE) > _OBJ_GRAPH_GLOBAL_MAX:
+            _OBJ_GRAPH_GLOBAL_CACHE.popitem(last=False)
     return fns
 
 
