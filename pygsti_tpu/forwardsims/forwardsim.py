@@ -350,8 +350,11 @@ class SimpleForwardSimulator(ForwardSimulator):
         # jit pays off only for large batches; small/one-off layouts (e.g.
         # single-circuit .probabilities() queries) run eagerly.
         use_jit = layout.num_elements >= 64
-        probs_c = _jit_fast(probs) if use_jit else probs
-        dprobs_c = _jit_fast(jax.jacfwd(probs)) if use_jit else jax.jacfwd(probs)
+        from pygsti_tpu.tools.jitutils import big_dim_effort
+        _eff = big_dim_effort(dim)
+        probs_c = _jit_fast(probs, effort_default=_eff) if use_jit else probs
+        dprobs_c = _jit_fast(jax.jacfwd(probs), effort_default=_eff) \
+            if use_jit else jax.jacfwd(probs)
 
         return {'probs': probs_c, 'dprobs': dprobs_c, 'probs_raw': probs}
 

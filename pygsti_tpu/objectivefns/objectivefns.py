@@ -1838,12 +1838,14 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
                          * (P_est + 1)                     # jacfwd tangents
                          + 2 * P_est * P_est * E_est)      # Gram
 
+    from pygsti_tpu.tools.jitutils import big_dim_effort
+    _bde = big_dim_effort(dim)
     fns = {
-        'lsvec': _jit_fast(lsvec_fn),
-        'fn': _jit_fast(fn_fn),
-        'jtj_jtf': _jit_fast(jtj_jtf_fn),
-        'dlsvec': _jit_fast(dlsvec_fn),
-        'probs': _jit_fast(probs_fn),
+        'lsvec': _jit_fast(lsvec_fn, effort_default=_bde),
+        'fn': _jit_fast(fn_fn, effort_default=_bde),
+        'jtj_jtf': _jit_fast(jtj_jtf_fn, effort_default=_bde),
+        'dlsvec': _jit_fast(dlsvec_fn, effort_default=_bde),
+        'probs': _jit_fast(probs_fn, effort_default=_bde),
         'lsvec_raw': lsvec_fn,
         'jtj_jtf_raw': jtj_jtf_fn,
         'flops_per_jtj': float(flops_per_jtj),

@@ -33,13 +33,30 @@ def compile_effort():
     return float(val)
 
 
-def jit_fast(fn, **kwargs):
-    """jax.jit with the configured exec-time optimization effort."""
+def jit_fast(fn, effort_default=None, **kwargs):
+    """jax.jit with the configured exec-time optimization effort.
+
+    `effort_default` is used when the env knob is unset -- callers pass a
+    reduced effort for graphs whose runtime is insensitive to XLA's
+    optimization level but whose compile time is not (e.g. dim >= 256 dense
+    propagation graphs: measured 5Q cloud-noise cold compile 93s -> 54s at
+    effort=-1.0 with identical warm runtime)."""
     effort = compile_effort()
+    if effort is None:
+        effort = effort_default
     if effort is not None:
         try:
             return jax.jit(fn, compiler_options={
-                'exec_time_optimization_effort': effort}, **kwargs)
+                'exec_time_optimization_effort': float(effort)}, **kwargs)
         except TypeError:
             pass  # older jax without compiler_options
     return jax.jit(fn, **kwargs)
+
+
+def big_dim_effort(dim, threshold=256):
+    """The effort_default for graphs over dense [dim, dim] superoperators:
+    -1.0 on TPU at/above the threshold (MXU-dominant programs gain nothing
+    from higher XLA effort), None otherwise."""
+    if dim >= threshold and jax.default_backend() == 'tpu':
+        return -1.0
+    return None
