@@ -80,16 +80,34 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
 # key -> (run_adam_jit, vg_jit); see _compiled_gaugeopt_fns.  Executables
 # depend only on problem STRUCTURE (shapes, gauge group type, metrics,
 # penalties on/off, adam step count, dtype); all VALUES are runtime args.
-_GO_EXEC_CACHE = {}
+# LRU-bounded: per-instance keys (non-structural gauge groups) would
+# otherwise accumulate forever.
+import collections as _collections
+_GO_EXEC_CACHE = _collections.OrderedDict()
+_GO_EXEC_CACHE_MAX = 16
+
+
+# Gauge-group types whose element_matrix_jax graph is a pure function of
+# (type, dim[, basis]) -- ONLY these may share compiled executables across
+# instances.  Groups with instance-specific structure (OpGaugeGroup wraps an
+# arbitrary operation; DirectSumUnitaryGroup has a level partition) get a
+# unique per-instance key and never share.
+_STRUCTURAL_GROUP_TYPES = frozenset([
+    'FullGaugeGroup', 'TPGaugeGroup', 'DiagGaugeGroup', 'TPDiagGaugeGroup',
+    'UnitaryGaugeGroup', 'SpamGaugeGroup', 'TPSpamGaugeGroup',
+    'TrivialGaugeGroup'])
 
 
 def _group_struct_key(gg):
     """Structural identity of a gauge group: two instances with the same key
-    produce identical element_matrix_jax graphs (all groups in
-    models/gaugegroup.py are pure functions of (type, dim[, basis]))."""
+    produce identical element_matrix_jax graphs.  Non-whitelisted group
+    types key on instance identity (no cross-instance sharing)."""
+    tname = type(gg).__name__
+    if tname not in _STRUCTURAL_GROUP_TYPES:
+        return (tname, id(gg))
     basis = getattr(gg, 'basis', None)
     bname = getattr(basis, 'name', basis) if basis is not None else None
-    return (type(gg).__name__, int(gg.num_params), int(gg.dim), bname)
+    return (tname, int(gg.num_params), int(gg.dim), bname)
 
 
 def _make_objective(gauge_group, dim, gates_metric, spam_metric,
@@ -205,6 +223,7 @@ def _compiled_gaugeopt_fns(gauge_group, dim, shapes, gates_metric, spam_metric,
            spam_metric, cptp_on, spam_on, basis_key, steps, dtype_key)
     fns = _GO_EXEC_CACHE.get(key)
     if fns is not None:
+        _GO_EXEC_CACHE.move_to_end(key)
         return fns
 
     objective = _make_objective(gauge_group, dim, gates_metric, spam_metric,
@@ -225,6 +244,8 @@ def _compiled_gaugeopt_fns(gauge_group, dim, shapes, gates_metric, spam_metric,
 
     vg_jit = jax.jit(jax.value_and_grad(objective))
     _GO_EXEC_CACHE[key] = (run_adam, vg_jit)
+    while len(_GO_EXEC_CACHE) > _GO_EXEC_CACHE_MAX:
+        _GO_EXEC_CACHE.popitem(last=False)
     return run_adam, vg_jit
 
 
@@ -311,8 +332,13 @@ def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_fac
     x0 = gauge_group.initial_params()
 
     if precompile_only:
-        # trigger compilation of both executables (values irrelevant); the
-        # block_until_ready keeps the thread alive until compile finishes
+        # Trigger compilation of both executables (values irrelevant) by
+        # CALLING them rather than AOT lower().compile(): only a real call
+        # is guaranteed to populate jax's jit dispatch cache, which is what
+        # the later gaugeopt_to_target call hits (AOT-compiled executables
+        # are not inserted into it).  The wasted execution (~1s of Adam
+        # steps on dim<=16 matrices) runs while the main thread is blocked
+        # in TPU RPCs, so the host core is otherwise idle.
         xj = jnp.asarray(np.asarray(x0))
         if method in ('auto', 'adam'):
             run_adam(xj, arrs).block_until_ready()

@@ -686,14 +686,19 @@ class TimeIndependentMDCObjectiveFunction(object):
                tuple(sorted(linesearch.items())), solver,
                'switched' if _switch_config(self.raw_objfn)[0]
                else _raw_objfn_key(self.raw_objfn))
-        # content-keyed reuse only with the constantly-in-bounds predicate: a
-        # real device_oob_fn is a per-instance closure we cannot fingerprint
+        # content-keyed reuse only with the constantly-in-bounds predicate (a
+        # real device_oob_fn is a per-instance closure we cannot fingerprint)
+        # and only when the objective graphs themselves were cacheable (an
+        # uncacheable content_key is a unique object(): storing those would
+        # flush real entries out of the LRU without ever matching)
         gkey = None
-        if self.device_oob_fn is None:
-            gkey = ('device_lm', self._fns.get('content_key'),
-                    key[2], key[3], solver, key[5])
+        _ck = self._fns.get('content_key')
+        if self.device_oob_fn is None and isinstance(_ck, tuple):
+            gkey = ('device_lm', _ck, key[2], key[3], solver, key[5])
             if key not in cache and gkey in _DEVICE_LM_GLOBAL_CACHE:
-                cache[key] = _DEVICE_LM_GLOBAL_CACHE[gkey]
+                _, init_g, chunk_g, fin_g = _DEVICE_LM_GLOBAL_CACHE[gkey]
+                # pin the CURRENT sim (the layout-local key contains id(sim))
+                cache[key] = (sim, init_g, chunk_g, fin_g)
                 _DEVICE_LM_GLOBAL_CACHE.move_to_end(gkey)
         if key not in cache:
             init_fn, chunk_fn, fin_fn = make_device_lm(
@@ -718,7 +723,9 @@ class TimeIndependentMDCObjectiveFunction(object):
                 try:
                     chunk_jit = jax.jit(chunk_fn, compiler_options={
                         'exec_time_optimization_effort': float(_eff)})
-                except TypeError:  # older jax without compiler_options
+                except (TypeError, ValueError):
+                    # older jax without compiler_options, or a non-numeric
+                    # env value -- fall back to the default-effort jit
                     chunk_jit = None
             if chunk_jit is None:
                 chunk_jit = _jit_fast(chunk_fn)
@@ -748,8 +755,10 @@ class TimeIndependentMDCObjectiveFunction(object):
             # iterations per program is ~1s -- far under the runtime
             # watchdog -- and most GST stages converge within one dispatch
             # (the while_loop exits early on convergence, so an oversized
-            # chunk wastes nothing)
-            chunk = 16
+            # chunk wastes nothing).  Very large layouts keep the smaller
+            # chunk: at many seconds per iteration, 16 non-converged
+            # iterations in one program could hit the execution watchdog.
+            chunk = 16 if B < 20000 else 8
         import time as _time
         _t0 = _time.time()
         state = init_jit(jnp.asarray(x0), *data,
@@ -1059,8 +1068,8 @@ def _layout_content_key(layout):
         return cached
     import hashlib
     h = hashlib.sha1()
-    for name in ('op_indices', 'prep_index', 'elem_effect', 'depths',
-                 'elem_to_circuit'):
+    for name in ('op_indices', 'prep_index', 'elem_effect', 'elem_circuit',
+                 'depths', 'elem_to_circuit'):
         a = getattr(layout, name, None)
         if a is not None:
             a = np.asarray(a)
@@ -1126,9 +1135,12 @@ def _compiled_objective_graphs(model, layout, raw, penalties):
         except Exception:
             gkey = None
         if gkey is not None and gkey in _OBJ_GRAPH_GLOBAL_CACHE:
-            sim_g, fns = _OBJ_GRAPH_GLOBAL_CACHE[gkey]
+            _, fns = _OBJ_GRAPH_GLOBAL_CACHE[gkey]
             _OBJ_GRAPH_GLOBAL_CACHE.move_to_end(gkey)
-            cache[key] = (sim_g, fns)
+            # store the CURRENT sim: the layout-local key contains id(sim),
+            # so the entry must pin THIS sim alive or a recycled id() could
+            # match the stale key later (the keep-alive invariant below)
+            cache[key] = (sim, fns)
             return fns
 
     raw = _SwitchedRaw() if use_switched else _PassthroughRaw(raw)

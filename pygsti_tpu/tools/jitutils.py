@@ -36,14 +36,21 @@ def compile_effort():
 def jit_fast(fn, effort_default=None, **kwargs):
     """jax.jit with the configured exec-time optimization effort.
 
-    `effort_default` is used when the env knob is unset -- callers pass a
+    `effort_default` is used when the env knob is UNSET -- callers pass a
     reduced effort for graphs whose runtime is insensitive to XLA's
     optimization level but whose compile time is not (e.g. dim >= 256 dense
     propagation graphs: measured 5Q cloud-noise cold compile 93s -> 54s at
-    effort=-1.0 with identical warm runtime)."""
-    effort = compile_effort()
-    if effort is None:
-        effort = effort_default
+    effort=-1.0 with identical warm runtime).  An explicitly EMPTY env value
+    (PYGSTI_TPU_COMPILE_EFFORT="") disables every effort override, including
+    effort_default, restoring XLA's default for all graphs."""
+    val = os.environ.get('PYGSTI_TPU_COMPILE_EFFORT')
+    if val is None:
+        effort = _DEFAULT_EFFORT if _DEFAULT_EFFORT is not None \
+            else effort_default
+    elif val.strip() == '':
+        effort = None  # explicit opt-out beats effort_default
+    else:
+        effort = float(val)
     if effort is not None:
         try:
             return jax.jit(fn, compiler_options={
