@@ -20,6 +20,8 @@ gauge-opt compile cost of a cold GST run.
 
 from __future__ import annotations
 
+import collections as _collections
+
 import numpy as np
 
 import jax
@@ -64,7 +66,20 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
     Adam scan follows their placement -- runs on the CPU backend.  This
     avoids shipping a 2000-step scan graph to the remote TPU compiler per
     gauge-opt stage (minutes each, and the dominant cost of a whole GST run).
-    """
+
+    `maxfev` bounds the L-BFGS-B polish's function evaluations (reference
+    gaugeopt_custom's maxfev).  `check_jac` verifies the jax gradient
+    against central finite differences at the Adam optimum and raises on
+    mismatch (reference _create_objective_fn's check-jacobian mode).
+    `comm` is accepted for API parity and ignored: results are identical to
+    the reference's comm=None serial path (single-controller JAX replaces
+    MPI-parallel objective evaluation).  Leakage-aware optimization is NOT
+    routed through `n_leak`; use the LAGO suite
+    (pygsti_tpu.leakage.gaugeopt.std_lago_gopsuite / add_lago_models)."""
+    if n_leak:
+        raise NotImplementedError(
+            "n_leak > 0 is not supported here; use the leakage-aware LAGO "
+            "gauge-opt suite (pygsti_tpu.leakage.gaugeopt.std_lago_gopsuite)")
     import contextlib
     _cpus = jax.devices('cpu')
     _ctx = jax.default_device(_cpus[0]) if _cpus else contextlib.nullcontext()
@@ -82,7 +97,6 @@ def gaugeopt_to_target(model, target_model, item_weights=None, cptp_penalty_fact
 # penalties on/off, adam step count, dtype); all VALUES are runtime args.
 # LRU-bounded: per-instance keys (non-structural gauge groups) would
 # otherwise accumulate forever.
-import collections as _collections
 _GO_EXEC_CACHE = _collections.OrderedDict()
 _GO_EXEC_CACHE_MAX = 16
 
@@ -331,6 +345,25 @@ def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_fac
 
     x0 = gauge_group.initial_params()
 
+    if check_jac and not precompile_only:
+        # verify the jax gradient against central finite differences at x0
+        # (reference: gaugeopt._create_objective_fn's check-jacobian mode)
+        x0f = np.asarray(x0, float)
+        g = np.asarray(vg_jit(jnp.asarray(x0f), arrs)[1], float)
+        eps = 1e-6
+        fd = np.zeros_like(g)
+        for i in range(len(g)):
+            xp = x0f.copy()
+            xp[i] += eps
+            xm = x0f.copy()
+            xm[i] -= eps
+            fd[i] = (float(vg_jit(jnp.asarray(xp), arrs)[0])
+                     - float(vg_jit(jnp.asarray(xm), arrs)[0])) / (2 * eps)
+        if not np.allclose(g, fd, atol=1e-4, rtol=1e-3):
+            raise ValueError("check_jac: jax gradient disagrees with finite "
+                             "differences (max |diff| = %g)"
+                             % float(np.max(np.abs(g - fd))))
+
     if precompile_only:
         # Trigger compilation of both executables (values irrelevant) by
         # CALLING them rather than AOT lower().compile(): only a real call
@@ -346,11 +379,11 @@ def _gaugeopt_to_target_impl(model, target_model, item_weights, cptp_penalty_fac
         return None
 
     return _run_gaugeopt(run_adam, vg_jit, arrs, gauge_group, x0, method,
-                         maxiter, tol, model, printer, return_all)
+                         maxiter, maxfev, tol, model, printer, return_all)
 
 
 def _run_gaugeopt(run_adam, vg_jit, arrs, gauge_group, x0, method, maxiter,
-                  tol, model, printer, return_all):
+                  maxfev, tol, model, printer, return_all):
     import scipy.optimize as spo
     if method in ('auto', 'adam'):
         # fully on-device optimization: one jitted Adam loop (avoids
@@ -363,9 +396,11 @@ def _run_gaugeopt(run_adam, vg_jit, arrs, gauge_group, x0, method, maxiter,
         f, g = vg_jit(jnp.asarray(x), arrs)
         return float(f), np.asarray(g, dtype=float)
 
+    lbfgs_opts = {'maxiter': min(maxiter, 200), 'ftol': tol, 'gtol': 1e-10}
+    if maxfev is not None:
+        lbfgs_opts['maxfun'] = int(maxfev)
     res = spo.minimize(fun_and_grad, x_adam, jac=True, method='L-BFGS-B',
-                       options={'maxiter': min(maxiter, 200), 'ftol': tol,
-                                'gtol': 1e-10})
+                       options=lbfgs_opts)
     printer.log("Gauge optimization: %s -> %s (%d iters)"
                 % (fun_and_grad(np.asarray(x0))[0], res.fun, res.nit), 2)
 

@@ -168,3 +168,30 @@ def _frob_to(model, target):
         tot += float(np.sum((np.asarray(model.operations[k].to_dense())
                              - np.asarray(target.operations[k].to_dense())) ** 2))
     return tot
+
+
+class TestGaugeoptHonestKwargs:
+    """gaugeopt_to_target's auxiliary kwargs are honest (no accept-and-
+    ignore): maxfev bounds L-BFGS-B, check_jac really checks, n_leak
+    raises with a pointer to the LAGO suite."""
+
+    def test_check_jac_passes_on_consistent_gradient(self):
+        from pygsti_tpu.algorithms import gaugeopt as go
+        target = mp.target_model('full TP')
+        noisy = _gauge_rotate(
+            mp.target_model('full TP').depolarize(op_noise=0.02), 0.03)
+        out = go.gaugeopt_to_target(noisy, target, check_jac=True)
+        assert _frob_to(out, target) < _frob_to(noisy, target)
+
+    def test_n_leak_raises(self):
+        from pygsti_tpu.algorithms import gaugeopt as go
+        target = mp.target_model('full TP')
+        with pytest.raises(NotImplementedError):
+            go.gaugeopt_to_target(target.copy(), target, n_leak=1)
+
+    def test_maxfev_accepted(self):
+        from pygsti_tpu.algorithms import gaugeopt as go
+        target = mp.target_model('full TP')
+        noisy = mp.target_model('full TP').depolarize(op_noise=0.02)
+        out = go.gaugeopt_to_target(noisy, target, maxfev=5)
+        assert out is not None
