@@ -205,6 +205,21 @@ class CompilationRules(object):
         raise ValueError("Processor has no 2-qubit gate for CNOT compilation")
 
 
+def _validate_aargs(aargs):
+    """The reference threads per-algorithm extra args (`aargs`) into its
+    compilation routines; the algorithms implemented here take none, so
+    anything but the reference's defaults raises instead of being silently
+    dropped."""
+    if aargs is None or aargs == 'default':
+        return
+    if isinstance(aargs, (list, tuple)) \
+            and all(a == 'default' for a in aargs):
+        return
+    raise NotImplementedError(
+        "per-algorithm aargs are not supported by the implemented "
+        "BGGE/ROGGE/BGE/ROCAGE algorithms (got %r)" % (aargs,))
+
+
 def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None,
                      absolute_compilation=None, paulieq_compilation=None,
                      iterations=20, algorithm='ROGGE', aargs=None,
@@ -222,6 +237,7 @@ def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None
     symplectic.find_postmultipled_pauli).  `paulirandomize` Pauli-frame
     randomizes the interior layers before the phase fix, so the overall
     Clifford is unchanged."""
+    _validate_aargs(aargs)
     s = np.asarray(s) % 2
     n = s.shape[0] // 2
     if rand_state is None:
@@ -239,7 +255,12 @@ def compile_clifford(s, p, pspec=None, qubit_labels=None, compilation_rules=None
             if isinstance(absolute_compilation, CompilationRules) else None) \
         or CompilationRules(pspec)
 
+    # the INTERIOR may be compiled with pauli-equivalent rules (the final
+    # phase-fix layer absorbs any Pauli difference -- reference
+    # compile_clifford:73 uses the paulieq library for the symplectic
+    # stage); the phase-fix layer itself must use absolute rules
     circ = compile_symplectic(s, pspec=pspec, absolute_compilation=rules,
+                              paulieq_compilation=paulieq_compilation,
                               qubit_labels=qubit_labels,
                               iterations=iterations, algorithms=[algorithm],
                               costfunction=costfunction,
@@ -378,14 +399,22 @@ def compile_symplectic(s, pspec=None, absolute_compilation=None,
     silently falling back.  `paulirandomize` inserts uniformly random Pauli
     layers between every circuit layer (native-compiled when `pspec` is
     given); it changes the implemented phase vector but not `s`."""
+    _validate_aargs(aargs)
     s = np.asarray(s) % 2
     n = s.shape[0] // 2
     if rand_state is None:
         rand_state = np.random.RandomState()
     if isinstance(costfunction, str):
         costfunction = create_standard_costfunction(costfunction)
-    rules = absolute_compilation \
-        if isinstance(absolute_compilation, CompilationRules) else None
+    # this function's output contract is 'implements s up to Paulis', so a
+    # pauli-equivalent compilation library is preferred when provided (the
+    # reference's paulieq libraries exist to cheapen exactly this stage);
+    # the exact rules built from a pspec satisfy the same contract
+    rules = None
+    for cand in (paulieq_compilation, absolute_compilation):
+        if isinstance(cand, CompilationRules):
+            rules = cand
+            break
     if rules is None and pspec is not None:
         rules = CompilationRules(pspec)
 
@@ -481,6 +510,7 @@ def compile_cnot_circuit(s, pspec=None, compilation=None, qubit_labels=None,
 
     The reference's connectivity-ordered variants ('COCAGE', 'COiCAGE')
     are not implemented; requesting them raises NotImplementedError."""
+    _validate_aargs(aargs)
     s = np.asarray(s) % 2
     n = s.shape[0] // 2 if s.shape[0] % 2 == 0 and s.shape[0] == s.shape[1] \
         and s.shape[0] > 2 and np.array_equal(

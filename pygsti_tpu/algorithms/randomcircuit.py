@@ -30,6 +30,20 @@ def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
     rules = clifford_compilations if isinstance(clifford_compilations, CompilationRules) \
         else CompilationRules(pspec)
 
+    def _compile(s_mx, p_vec):
+        # compilercache: (s, p)-keyed reuse of compiled Cliffords across
+        # calls (reference's citerations/compilercache pair) -- pass a dict
+        # shared between calls to amortize the randomized compiler attempts
+        if compilercache is not None:
+            ckey = (s_mx.tobytes(), p_vec.tobytes())
+            if ckey in compilercache:
+                return compilercache[ckey]
+        circ = compile_clifford(s_mx, p_vec, pspec, qubit_labels, rules,
+                                iterations=citerations, rand_state=rng)
+        if compilercache is not None:
+            compilercache[ckey] = circ
+        return circ
+
     s_comp = np.identity(2 * n, np.int64)
     p_comp = np.zeros(2 * n, np.int64)
     layers = []
@@ -38,7 +52,7 @@ def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
             interleaved_circuit, pspec=pspec)
     for _ in range(length + 1):
         s, p = sym.random_clifford(n, rand_state=rng)
-        circ = compile_clifford(s, p, pspec, qubit_labels, rules)
+        circ = _compile(s, p)
         layers.extend(circ.layertup)
         s_comp, p_comp = sym.compose_cliffords(s_comp, p_comp, s, p)
         if interleaved_circuit is not None:
@@ -52,7 +66,7 @@ def create_clifford_rb_circuit(pspec, clifford_compilations=None, length=1,
         s_pauli = np.identity(2 * n, np.int64)
         p_pauli = 2 * rng.randint(0, 2, 2 * n)
         s_inv, p_inv = sym.compose_cliffords(s_pauli, p_pauli, s_inv, p_inv)
-    inv_circ = compile_clifford(s_inv, p_inv, pspec, qubit_labels, rules)
+    inv_circ = _compile(s_inv, p_inv)
     layers.extend(inv_circ.layertup)
 
     full = Circuit(layers, qubit_labels)
@@ -145,6 +159,13 @@ def create_random_circuit(pspec, length, qubit_labels=None, sampler='edgegrab',
     return Circuit(layers, qubit_labels)
 
 
+def _sample_one_layer(pspec, qubit_labels, sampler, samplerargs, rng):
+    """One circuit layer from the named/callable layer sampler (the
+    create_random_circuit dispatch, single-layer form)."""
+    return create_random_circuit(pspec, 1, qubit_labels, sampler,
+                                 samplerargs, rand_state=rng).layertup
+
+
 def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
                              qubit_labels=None, sampler='edgegrab', samplerargs=None,
                              addlocal=False, lsargs=None, randomizeout=False,
@@ -152,11 +173,15 @@ def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
                              citerations=20, seed=None, rand_state=None):
     """Sample one direct RB circuit (reference: randomcircuit.py:782).
 
-    Structure: random stabilizer prep (here: a uniform Clifford), `length`
-    sampled layers of native gates, then an inversion (compiled Clifford)
-    returning to a computational state.  The reference compiles
-    stabilizer-state preparations (shorter); we use full Clifford
-    compilation, which is equivalent for benchmarking analysis purposes.
+    Structure: random stabilizer prep (here: a uniform Clifford; skipped
+    when `cliffordtwirl` is False), `length` sampled layers of native gates
+    (with a random 1Q-gate layer between each when `addlocal`, sampled with
+    `lsargs`), then an inversion (compiled Clifford with `citerations`
+    randomized compiler attempts) returning to a computational state.  The
+    reference compiles stabilizer-state preparations when
+    `conditionaltwirl` is True (a shorter circuit implementing the same
+    conditional map); both settings here use the full Clifford compilation,
+    which implements the benchmarking-equivalent exact map.
     """
     rng = rand_state if rand_state is not None else np.random.RandomState(seed)
     qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
@@ -166,12 +191,18 @@ def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
 
     layers = []
     # initial twirl
-    s0, p0 = sym.random_clifford(n, rand_state=rng)
-    layers.extend(compile_clifford(s0, p0, pspec, qubit_labels, rules).layertup)
-    # random core layers
-    core = create_random_circuit(pspec, length, qubit_labels, sampler,
-                                 samplerargs, rand_state=rng)
-    layers.extend(core.layertup)
+    if cliffordtwirl:
+        s0, p0 = sym.random_clifford(n, rand_state=rng)
+        layers.extend(compile_clifford(s0, p0, pspec, qubit_labels, rules,
+                                       iterations=citerations,
+                                       rand_state=rng).layertup)
+    # random core layers (optionally interleaved with random 1Q-gate layers)
+    for k in range(length):
+        layers.extend(_sample_one_layer(pspec, qubit_labels, sampler,
+                                        samplerargs, rng))
+        if addlocal and k < length - 1:
+            layers.append(sample_circuit_layer_of_one_q_gates(
+                pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
     # inversion
     partial = Circuit(layers, qubit_labels)
     s_par, p_par = sym.symplectic_rep_of_clifford_circuit(partial, pspec=pspec)
@@ -180,7 +211,9 @@ def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
         s_pauli = np.identity(2 * n, np.int64)
         p_pauli = 2 * rng.randint(0, 2, 2 * n)
         s_inv, p_inv = sym.compose_cliffords(s_pauli, p_pauli, s_inv, p_inv)
-    layers.extend(compile_clifford(s_inv, p_inv, pspec, qubit_labels, rules).layertup)
+    layers.extend(compile_clifford(s_inv, p_inv, pspec, qubit_labels, rules,
+                                   iterations=citerations,
+                                   rand_state=rng).layertup)
 
     full = Circuit(layers, qubit_labels)
     s_tot, p_tot = sym.symplectic_rep_of_clifford_circuit(full, pspec=pspec)
@@ -205,7 +238,9 @@ def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
     rng = rand_state if rand_state is not None else np.random.RandomState(seed)
     qubit_labels = tuple(qubit_labels) if qubit_labels is not None else tuple(pspec.qubit_labels)
     n = len(qubit_labels)
-    rules = CompilationRules(pspec)
+    rules = absolute_compilation \
+        if isinstance(absolute_compilation, CompilationRules) \
+        else CompilationRules(pspec)
 
     srep_dict = dict(sym.compute_internal_gate_symplectic_representations())
     srep_dict.update(pspec.compute_clifford_symplectic_reps())
@@ -230,13 +265,14 @@ def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
         return compile_1q_clifford(s, p, rules.native_1q, q)
 
     layers = []
-    # initial random 1q-Clifford layer
+    # initial random 1q-Clifford layer (omitted when localclifford=False)
     init_cliffs = []
-    for q in qubit_labels:
-        s, p = sym.random_clifford(1, rand_state=rng)
-        init_cliffs.append((q, s, p))
-        init_word = compile_1q_word(s, p, rules, q)
-        layers.extend(init_word)
+    if localclifford:
+        for q in qubit_labels:
+            s, p = sym.random_clifford(1, rand_state=rng)
+            init_cliffs.append((q, s, p))
+            init_word = compile_1q_word(s, p, rules, q)
+            layers.extend(init_word)
 
     core_layers = []
     for k in range(length // 2):
@@ -244,9 +280,9 @@ def create_mirror_rb_circuit(pspec, absolute_compilation=None, length=0,
             # periodic mirror circuits: cycle through the given germ layers
             layer = fixed_layers[k % len(fixed_layers)]
         else:
-            layer = sample_circuit_layer_by_edgegrab(pspec, qubit_labels,
-                                                     rand_state=rng,
-                                                     **(samplerargs or {}))
+            sampled = _sample_one_layer(pspec, qubit_labels, sampler,
+                                        samplerargs, rng)
+            layer = sampled[0] if len(sampled) == 1 else sampled
         core_layers.append(layer)
         layers.append(layer)
 
@@ -320,10 +356,26 @@ def create_binary_rb_circuit(pspec, clifford_compilations=None, length=1,
     P_s, P_p = sym.apply_clifford_to_stabilizer_state(s_C, p_C, col, ph)
 
     # -- 2) core random circuit U ------------------------------------------
-    samplerargs = samplerargs or []
-    core = create_random_circuit(pspec, length, qubit_labels=qubit_labels,
-                                 sampler=sampler, samplerargs=samplerargs,
-                                 rand_state=rng)
+    # layer_sampling 'mixed1q2q' (default): every layer from `sampler`;
+    # 'alternating1q2q': pure 1Q-gate layers alternate with sampled layers
+    # (reference create_binary_rb_circuit:2268).  `addlocal` interleaves a
+    # random 1Q-gate layer (sampled with `lsargs`) after each core layer.
+    if layer_sampling not in ('mixed1q2q', 'alternating1q2q'):
+        raise ValueError("Unknown layer_sampling %r" % (layer_sampling,))
+    samplerargs = samplerargs or {}
+    core_layers = []
+    for k in range(length):
+        if layer_sampling == 'alternating1q2q' and k % 2 == 0:
+            core_layers.append(sample_circuit_layer_of_one_q_gates(
+                pspec, qubit_labels, rand_state=rng))
+        else:
+            core_layers.extend(create_random_circuit(
+                pspec, 1, qubit_labels=qubit_labels, sampler=sampler,
+                samplerargs=samplerargs, rand_state=rng).layertup)
+        if addlocal and k < length - 1:
+            core_layers.append(sample_circuit_layer_of_one_q_gates(
+                pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
+    core = Circuit(core_layers, qubit_labels)
     s_U, p_U = sym.symplectic_rep_of_clifford_circuit(core, pspec=pspec)
 
     # Q = U P U^-1

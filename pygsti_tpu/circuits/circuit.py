@@ -192,7 +192,28 @@ class Circuit(object):
     def __pow__(self, n):
         return self.repeat(n)
 
+    def replace_layers_with_aliases(self, alias_dict):
+        """Substitute each layer label found in `alias_dict` with the layers
+        of the Circuit it maps to (reference: circuit.py:2802).  Labels may
+        be keyed as Label objects or bare gate-name strings."""
+        if not alias_dict:
+            return self
+        layers = []
+        for layer in self.layertup:
+            repl = alias_dict.get(layer)
+            if repl is None and getattr(layer, 'name', None) is not None:
+                repl = alias_dict.get(layer.name)
+            if repl is not None:
+                layers.extend(repl.layertup)
+            else:
+                layers.append(layer)
+        return Circuit(layers, self._line_labels)
+
     def repeat(self, ntimes, expand=True):
+        # `expand` is accepted for reference API parity: compact
+        # CircuitLabel sub-circuit layers are not supported in this
+        # representation, so the expanded form (semantically identical,
+        # reference circuit.py repeat) is returned for both settings.
         assert int(ntimes) == ntimes and ntimes >= 0
         ntimes = int(ntimes)
         bare = self._bare_str()

@@ -15,22 +15,38 @@ def simulate_data(model_or_dataset, circuit_list, num_samples, sample_error='mul
 
     sample_error: 'none' (probs*N, float), 'round' (rounded), 'binomial',
     'multinomial' -- semantics matching the reference.
+
+    `times`, when given, records TIME-SERIES data: counts are sampled
+    independently at every timestamp (time-independent simulators give the
+    same probabilities at each time, as in the reference) and stored with
+    per-timestamp repetition counts.  `alias_dict` maps circuit-layer
+    labels to replacement Circuits used for SIMULATION only; the dataset
+    stays keyed on the original circuits (reference:
+    datasetconstruction.py:28, circuit.replace_layers_with_aliases:2802).
     """
+    if collision_action not in ('aggregate', 'keepseparate'):
+        raise ValueError("Invalid collision_action %r" % (collision_action,))
+    if collision_action == 'keepseparate':
+        raise NotImplementedError(
+            "collision_action='keepseparate' (occurrence-tagged repeated "
+            "circuits) is not supported; deduplicate the circuit list or "
+            "use 'aggregate'")
     circuits = [c if isinstance(c, Circuit) else Circuit(c) for c in circuit_list]
     rng = rand_state if rand_state is not None else np.random.RandomState(seed)
+    sim_circuits = circuits if not alias_dict else         [c.replace_layers_with_aliases(alias_dict) for c in circuits]
 
     if isinstance(model_or_dataset, DataSet):
         # resample an existing dataset
         src = model_or_dataset
         all_probs = []
-        for c in circuits:
+        for c in sim_circuits:
             row = src[c]
             t = row.total
             all_probs.append({ol: cnt / t for ol, cnt in row.items()})
     else:
         model = model_or_dataset
-        prob_dicts = model.sim.bulk_probs(circuits)
-        all_probs = [prob_dicts[c] for c in circuits]
+        prob_dicts = model.sim.bulk_probs(sim_circuits)
+        all_probs = [prob_dicts[c] for c in sim_circuits]
 
     ds = DataSet()
     for c, probs in zip(circuits, all_probs):
@@ -53,7 +69,29 @@ def simulate_data(model_or_dataset, circuit_list, num_samples, sample_error='mul
             counts = {o: int(n) for o, n in zip(outcomes, draws)}
         else:
             raise ValueError("Invalid sample_error %r" % sample_error)
-        ds.add_count_dict(c, counts, record_zero_counts=record_zero_counts)
+        if times is None:
+            ds.add_count_dict(c, counts, record_zero_counts=record_zero_counts)
+        else:
+            # time-series mode: independent sample at every timestamp
+            ols, ts, reps = [], [], []
+            for k, t in enumerate(times):
+                if k == 0:
+                    tc = counts
+                elif sample_error == 'multinomial':
+                    tc = {o: int(n) for o, n in
+                          zip(outcomes, rng.multinomial(N, p))}
+                elif sample_error == 'binomial':
+                    n0 = rng.binomial(N, min(max(p[0], 0.0), 1.0))
+                    tc = {outcomes[0]: n0, outcomes[1]: N - n0}
+                else:  # 'none' / 'round': deterministic, same every time
+                    tc = counts
+                for o, n in tc.items():
+                    if n == 0 and not record_zero_counts:
+                        continue
+                    ols.append(o)
+                    ts.append(float(t))
+                    reps.append(n)
+            ds.add_raw_series_data(c, ols, ts, reps)
     return ds
 
 

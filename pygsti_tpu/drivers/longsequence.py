@@ -8,6 +8,56 @@ from pygsti_tpu.protocols.gst import (StandardGSTDesign, GateSetTomography, Stan
 from pygsti_tpu.protocols.modeltest import ModelTest
 
 
+
+
+def _apply_advanced_options(advanced_options, verbosity):
+    """Translate the reference's legacy `advanced_options` dict (reference:
+    drivers/advancedoptions.py) into protocol arguments.  Supported keys
+    are honored; unknown keys raise (no silent accept-and-ignore)."""
+    adv = dict(advanced_options or {})
+    out = {}
+    if 'objective' in adv:
+        objective = adv.pop('objective')
+        from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
+        out['objfn_builders'] = GSTObjFnBuilders(
+            [ObjectiveFunctionBuilder.create_from(objective)],
+            [ObjectiveFunctionBuilder.create_from(objective)])
+    opt_kw = {}
+    if 'max_iterations' in adv:
+        opt_kw['maxiter'] = int(adv.pop('max_iterations'))
+    if 'tolerance' in adv:
+        opt_kw['tol'] = adv.pop('tolerance')
+    if opt_kw:
+        from pygsti_tpu.optimize.simplerlm import SimplerLMOptimizer
+        out['optimizer'] = SimplerLMOptimizer(**opt_kw)
+    if 'starting_point' in adv:
+        out['starting_point'] = adv.pop('starting_point')
+    if 'bad_fit_threshold' in adv:
+        from pygsti_tpu.protocols.gst import GSTBadFitOptions
+        out['badfit_options'] = GSTBadFitOptions(
+            threshold=adv.pop('bad_fit_threshold'))
+    adv.pop('estimate_label', None)  # naming-only key, applied by callers
+    if adv:
+        raise ValueError(
+            "Unsupported advanced_options keys %s; supported: objective, "
+            "max_iterations, tolerance, starting_point, bad_fit_threshold, "
+            "estimate_label" % sorted(adv))
+    return out
+
+
+def _write_output_pkl(results, output_pkl):
+    """Write results to a pickle file/path (reference: longsequence.py
+    _output_to_pickle)."""
+    if output_pkl is None:
+        return
+    import pickle
+    if hasattr(output_pkl, 'write'):
+        pickle.dump(results, output_pkl)
+    else:
+        with open(output_pkl, 'wb') as f:
+            pickle.dump(results, f)
+
+
 def run_long_sequence_gst(data_filename_or_set, target_model, prep_fiducials,
                           meas_fiducials, germs, max_lengths, gauge_opt_params=None,
                           advanced_options=None, comm=None, mem_limit=None,
@@ -22,10 +72,18 @@ def run_long_sequence_gst(data_filename_or_set, target_model, prep_fiducials,
                                max_lengths)
     data = ProtocolData(design, ds)
     gaugeopt = 'stdgaugeopt' if gauge_opt_params is None else {'go0': gauge_opt_params}
-    proto = GateSetTomography(GSTInitialModel(target_model=target_model),
-                              gaugeopt_suite=gaugeopt, verbosity=verbosity,
-                              name='GateSetTomography')
-    return proto.run(data)
+    adv = _apply_advanced_options(advanced_options, verbosity)
+    starting_point = adv.pop('starting_point', None)
+    init = GSTInitialModel(target_model=target_model,
+                           starting_point=starting_point) \
+        if starting_point is not None \
+        else GSTInitialModel(target_model=target_model)
+    proto = GateSetTomography(init, gaugeopt_suite=gaugeopt,
+                              verbosity=verbosity,
+                              name='GateSetTomography', **adv)
+    results = proto.run(data)
+    _write_output_pkl(results, output_pkl)
+    return results
 
 
 def run_stdpractice_gst(data_filename_or_set, processorspec_or_model, prep_fiducials,
@@ -73,12 +131,19 @@ def run_linear_gst(data_filename_or_set, target_model, prep_fiducials,
     design = StandardGSTDesign(target_model, prep_fiducials, meas_fiducials,
                                [], [1])
     data = ProtocolData(design, ds)
+    if advanced_options:
+        # LGST is a closed-form linear inversion: none of the iterative-GST
+        # advanced options apply
+        raise ValueError("run_linear_gst takes no advanced_options "
+                         "(got %s)" % sorted(advanced_options))
     proto = LinearGateSetTomography(
         target_model,
         gaugeopt_suite='stdgaugeopt' if gauge_opt_params is None else
         {'go0': gauge_opt_params},
         verbosity=verbosity)
-    return proto.run(data)
+    results = proto.run(data)
+    _write_output_pkl(results, output_pkl)
+    return results
 
 
 def run_long_sequence_gst_base(data_filename_or_set, target_model,
@@ -100,7 +165,15 @@ def run_long_sequence_gst_base(data_filename_or_set, target_model,
     data = ProtocolData(design, ds)
     gaugeopt = 'stdgaugeopt' if gauge_opt_params is None \
         else {'go0': gauge_opt_params}
-    proto = GateSetTomography(GSTInitialModel(target_model=target_model),
-                              gaugeopt_suite=gaugeopt, verbosity=verbosity,
-                              name='GateSetTomography')
-    return proto.run(data)
+    adv = _apply_advanced_options(advanced_options, verbosity)
+    starting_point = adv.pop('starting_point', None)
+    init = GSTInitialModel(target_model=target_model,
+                           starting_point=starting_point) \
+        if starting_point is not None \
+        else GSTInitialModel(target_model=target_model)
+    proto = GateSetTomography(init, gaugeopt_suite=gaugeopt,
+                              verbosity=verbosity,
+                              name='GateSetTomography', **adv)
+    results = proto.run(data)
+    _write_output_pkl(results, output_pkl)
+    return results

@@ -41,12 +41,24 @@ class _MemberDict(collections.OrderedDict):
         self._parent = parent
         self._cast = cast_fn
 
+    def __reduce__(self):
+        # picklability (legacy drivers' output_pkl): rebuild empty, insert
+        # items, then restore _parent/_cast via the state dict.  pickle
+        # applies dict-items BEFORE the state, so __setitem__ must tolerate
+        # the attributes being absent mid-unpickle (see getattr below).
+        return (_MemberDict.__new__, (_MemberDict,),
+                {'_parent': self._parent, '_cast': self._cast},
+                None, iter(self.items()))
+
     def __setitem__(self, key, val):
         key = Label(key)
-        if not isinstance(val, ModelMember):
-            val = self._cast(self._parent, val)
+        cast = getattr(self, '_cast', None)
+        if not isinstance(val, ModelMember) and cast is not None:
+            val = cast(self._parent, val)
         super().__setitem__(key, val)
-        self._parent._mark_for_rebuild()
+        parent = getattr(self, '_parent', None)
+        if parent is not None:
+            parent._mark_for_rebuild()
 
     def __getitem__(self, key):
         return super().__getitem__(Label(key))
@@ -92,6 +104,13 @@ def _cast_povm(model, val):
     raise ValueError("Cannot auto-cast povm for type %r" % t)
 
 
+def _cast_identity(model, val):
+    """No-op member cast (instruments are passed through).  A module-level
+    function rather than a lambda so models (and results containing them)
+    stay picklable -- the legacy drivers' output_pkl path requires it."""
+    return val
+
+
 class ExplicitOpModel(OpModel):
     """Model with explicit .operations/.preps/.povms/.instruments dicts."""
 
@@ -104,7 +123,7 @@ class ExplicitOpModel(OpModel):
         self.preps = _MemberDict(self, _cast_prep)
         self.povms = _MemberDict(self, _cast_povm)
         self.operations = _MemberDict(self, _cast_operation)
-        self.instruments = _MemberDict(self, lambda m, v: v)
+        self.instruments = _MemberDict(self, _cast_identity)
         self._compiled = None
         # composite circuit layers built as products of existing operations
         # (the reference's ExplicitLayerRules behavior, explicitmodel.py:1952)

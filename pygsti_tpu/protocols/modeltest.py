@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from pygsti_tpu.baseobjs.verbosityprinter import VerbosityPrinter
-from pygsti_tpu.protocols.protocol import Protocol
+from pygsti_tpu.protocols.protocol import Protocol, ProtocolCheckpoint
 from pygsti_tpu.protocols.gst import ModelEstimateResults
 from pygsti_tpu.protocols.estimate import Estimate
 from pygsti_tpu.objectivefns.objectivefns import (ObjectiveFunctionBuilder,
@@ -34,8 +34,34 @@ class ModelTest(Protocol):
         circuit_lists = getattr(edesign, 'circuit_lists',
                                 [edesign.all_circuits_needing_data])
 
-        objfn_vals, percircuit_by_iter = [], []
-        for cl in circuit_lists:
+        # per-iteration checkpointing (reference: modeltest.py:297 +
+        # run:~150): completed circuit-list evaluations are skipped on
+        # resume, mirroring GateSetTomography.run's protocol
+        if disable_checkpointing:
+            checkpoint = None
+            start = 0
+        else:
+            if checkpoint_path is None:
+                checkpoint_path = 'gst_checkpoints/' + (self.name or 'ModelTest')
+            import os as _os
+            _os.makedirs(_os.path.dirname(checkpoint_path) or '.',
+                         exist_ok=True)
+            if checkpoint is None:
+                checkpoint = ModelTestCheckpoint(name=self.name)
+            elif not isinstance(checkpoint, ModelTestCheckpoint):
+                raise TypeError("'checkpoint' must be a ModelTestCheckpoint")
+            start = checkpoint.last_completed_iter + 1
+            if start > 0:
+                printer.log("Resuming ModelTest from checkpoint: %d of %d "
+                            "iterations done" % (start, len(circuit_lists)))
+
+        objfn_vals = list(checkpoint.objfn_vals[:start]) if checkpoint else []
+        percircuit_by_iter = [np.asarray(pc) for pc in
+                              (checkpoint.percircuit_vals[:start]
+                               if checkpoint else [])]
+        for i, cl in enumerate(circuit_lists):
+            if i < start:
+                continue
             obj = self.objfn_builder.build(self.model_to_test, ds, list(cl))
             # per-circuit terms (incl. the omitted-probability correction)
             # compile ONLY the probs graph; their sum equals fn() when no
@@ -50,6 +76,13 @@ class ModelTest(Protocol):
                 val = obj.chi2k_distributed_qty(float(np.sum(pc)))
             objfn_vals.append(val)
             percircuit_by_iter.append(pc)
+            if checkpoint is not None:
+                checkpoint.objfn_vals = [float(v) for v in objfn_vals]
+                checkpoint.percircuit_vals = [list(map(float, p))
+                                              for p in percircuit_by_iter]
+                checkpoint.last_completed_iter = i
+                checkpoint.write("%s_iteration_%d.json"
+                                 % (checkpoint_path, i))
 
         final_circuits = list(circuit_lists[-1])
         dof = ds.degrees_of_freedom(final_circuits)
@@ -69,10 +102,31 @@ class ModelTest(Protocol):
         return results
 
 
-class ModelTestCheckpoint(object):
-    """Checkpoint for ModelTest (reference: modeltest.py:297)."""
+class ModelTestCheckpoint(ProtocolCheckpoint):
+    """Per-iteration ModelTest checkpoint (reference: modeltest.py:297):
+    stores the objective value and per-circuit terms of each completed
+    circuit-list iteration; ModelTest.run writes
+    ``{path}_iteration_{i}.json`` and resumes past completed iterations."""
 
-    def __init__(self, last_completed_iter=-1, objfn_vals=None, name=None):
+    def __init__(self, last_completed_iter=-1, objfn_vals=None,
+                 percircuit_vals=None, name=None, parent=None):
+        super().__init__(name, parent)
         self.last_completed_iter = last_completed_iter
         self.objfn_vals = objfn_vals or []
-        self.name = name
+        self.percircuit_vals = percircuit_vals or []
+
+    def _to_nice_serialization(self):
+        return {
+            'name': self.name,
+            'last_completed_iter': self.last_completed_iter,
+            'objfn_vals': [float(v) for v in self.objfn_vals],
+            'percircuit_vals': [list(map(float, p))
+                                for p in self.percircuit_vals],
+        }
+
+    @classmethod
+    def _from_nice_serialization(cls, state):
+        return cls(state.get('last_completed_iter', -1),
+                   state.get('objfn_vals', []),
+                   state.get('percircuit_vals', []),
+                   state.get('name'))

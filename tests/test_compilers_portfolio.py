@@ -176,3 +176,91 @@ class TestReferenceParityBar:
         assert mean_mine <= 1.2 * mean_ref, \
             "2Q-gate count %.2f vs reference %.2f (>20%% worse)" % \
             (mean_mine, mean_ref)
+
+
+class TestHonestSamplerKnobs:
+    """Round-5 audit: previously accepted-and-ignored RB/compiler kwargs now
+    have real behavior (or raise)."""
+
+    def _pspec(self, n=2):
+        from pygsti_tpu.processors import QubitProcessorSpec
+        return QubitProcessorSpec(n, ['Gxpi2', 'Gypi2', 'Gcnot'],
+                                  geometry='line')
+
+    def test_aargs_raises_on_nondefault(self):
+        import numpy as np
+        from pygsti_tpu.algorithms.compilers import compile_clifford
+        from pygsti_tpu.tools import symplectic as sym
+        s, p = sym.random_clifford(2, np.random.RandomState(0))
+        with pytest.raises(NotImplementedError):
+            compile_clifford(s, p, self._pspec(), aargs=['custom', 3])
+
+    def test_direct_rb_cliffordtwirl_false_shortens(self):
+        import numpy as np
+        from pygsti_tpu.algorithms.randomcircuit import create_direct_rb_circuit
+        ps = self._pspec()
+        c_tw, _ = create_direct_rb_circuit(
+            ps, length=4, rand_state=np.random.RandomState(5))
+        c_no, _ = create_direct_rb_circuit(
+            ps, length=4, cliffordtwirl=False,
+            rand_state=np.random.RandomState(5))
+        assert c_no.depth < c_tw.depth
+
+    def test_direct_rb_addlocal_deepens(self):
+        import numpy as np
+        from pygsti_tpu.algorithms.randomcircuit import create_direct_rb_circuit
+        ps = self._pspec()
+        c0, _ = create_direct_rb_circuit(
+            ps, length=6, rand_state=np.random.RandomState(7))
+        c1, _ = create_direct_rb_circuit(
+            ps, length=6, addlocal=True, rand_state=np.random.RandomState(7))
+        assert c1.depth > c0.depth
+
+    def test_clifford_rb_compilercache_reused(self, monkeypatch):
+        import numpy as np
+        from pygsti_tpu.algorithms import randomcircuit as rc
+        ps = self._pspec()
+        calls = []
+        real = rc.compile_clifford
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+        monkeypatch.setattr(rc, 'compile_clifford', counting)
+        cache = {}
+        rc.create_clifford_rb_circuit(ps, length=2, citerations=3,
+                                      compilercache=cache,
+                                      rand_state=np.random.RandomState(3))
+        n1 = len(calls)
+        assert len(cache) == n1 > 0
+        # same seed: the FIRST sampled Clifford repeats -> at least one
+        # cache hit, so strictly fewer compile calls on the second run
+        calls.clear()
+        rc.create_clifford_rb_circuit(ps, length=2, citerations=3,
+                                      compilercache=cache,
+                                      rand_state=np.random.RandomState(3))
+        assert len(calls) < n1
+
+    def test_mirror_rb_sampler_and_localclifford(self):
+        import numpy as np
+        from pygsti_tpu.algorithms.randomcircuit import create_mirror_rb_circuit
+        ps = self._pspec()
+        c_q, out_q = create_mirror_rb_circuit(
+            ps, length=4, sampler='Qelimination',
+            rand_state=np.random.RandomState(9))
+        assert len(out_q) == 2
+        c_nolc, _ = create_mirror_rb_circuit(
+            ps, length=4, localclifford=False,
+            rand_state=np.random.RandomState(9))
+        assert c_nolc.depth < c_q.depth + 10  # builds fine without 1Q caps
+
+    def test_binary_rb_alternating_and_unknown_sampling(self):
+        import numpy as np
+        from pygsti_tpu.algorithms.randomcircuit import create_binary_rb_circuit
+        ps = self._pspec()
+        c, meas, sign = create_binary_rb_circuit(
+            ps, length=4, layer_sampling='alternating1q2q', seed=12)
+        assert set(meas) <= {'I', 'Z'} and sign in (-1, 1)
+        with pytest.raises(ValueError):
+            create_binary_rb_circuit(ps, length=4, layer_sampling='bogus',
+                                     seed=12)

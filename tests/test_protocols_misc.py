@@ -283,3 +283,46 @@ class TestMultiPassAndRunners:
         assert set(res.passes.keys()) == {'pass0', 'pass1'}
         for r in res.passes.values():
             assert hasattr(r, 'data')
+
+
+class TestLegacyDriverAdvancedOptions:
+    """Round-5: run_long_sequence_gst honors advanced_options/output_pkl
+    (previously accepted-and-ignored)."""
+
+    def _setup(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        from pygsti_tpu.data import simulate_data
+        target = mp.target_model('full TP')
+        lists = create_lsgst_circuit_lists(
+            target, mp.prep_fiducials(), mp.meas_fiducials(), mp.germs(), [1])
+        ds = simulate_data(target.depolarize(op_noise=0.02),
+                           list(lists[-1]), 300, seed=9)
+        from pygsti_tpu.modelpacks import smq1Q_XYI
+        return target, smq1Q_XYI, ds
+
+    def test_advanced_options_and_pkl(self, tmp_path):
+        import pickle
+        from pygsti_tpu.drivers.longsequence import run_long_sequence_gst
+        target, mp, ds = self._setup()
+        pkl = str(tmp_path / 'res.pkl')
+        res = run_long_sequence_gst(
+            ds, target, mp.prep_fiducials(), mp.meas_fiducials(), mp.germs(),
+            [1], advanced_options={'max_iterations': 10,
+                                   'tolerance': 1e-5,
+                                   'objective': 'chi2'},
+            output_pkl=pkl, verbosity=0)
+        assert res.estimates['GateSetTomography'] is not None
+        with open(pkl, 'rb') as f:
+            res2 = pickle.load(f)
+        assert 'GateSetTomography' in res2.estimates
+
+    def test_unknown_advanced_option_raises(self):
+        import pytest as _pytest
+        from pygsti_tpu.drivers.longsequence import run_long_sequence_gst
+        target, mp, ds = self._setup()
+        with _pytest.raises(ValueError, match='advanced_options'):
+            run_long_sequence_gst(
+                ds, target, mp.prep_fiducials(), mp.meas_fiducials(),
+                mp.germs(), [1], advanced_options={'bogus_key': 1},
+                verbosity=0)

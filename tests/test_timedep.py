@@ -102,3 +102,46 @@ class TestTrimTimesteps:
         t = trim_to_constant_numtimesteps(ds)
         assert len(set(t[c1].time)) == 2 and len(set(t[c2].time)) == 2
         assert t[c1].counts[('0',)] == 1 and t[c1].counts[('1',)] == 1
+
+
+class TestSimulateDataTimesAndAliases:
+    """Round-5: simulate_data's times/alias_dict/collision_action are now
+    honored (previously accepted-and-ignored)."""
+
+    def test_times_records_series(self):
+        import numpy as np
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.circuits.circuit import Circuit
+        target = mp.target_model('full TP')
+        circs = [Circuit('Gxpi2:0@(0)'), Circuit('Gxpi2:0Gxpi2:0@(0)')]
+        ds = simulate_data(target, circs, 100, seed=4, times=[0.0, 1.5, 3.0])
+        row = ds[circs[0]]
+        assert row.time is not None
+        assert set(np.unique(row.time)) == {0.0, 1.5, 3.0}
+        # 100 shots at each of the 3 timestamps
+        assert row.total == 300
+
+    def test_alias_dict_changes_simulated_probs(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.circuits.circuit import Circuit
+        target = mp.target_model('full TP')
+        c = Circuit([('Gxpi2', 0)], (0,))
+        # alias X(pi/2) -> X(pi/2)X(pi/2) = X(pi): P(1) becomes ~1
+        from pygsti_tpu.baseobjs.label import Label
+        alias = {Label('Gxpi2', (0,)): Circuit([('Gxpi2', 0), ('Gxpi2', 0)], (0,))}
+        ds = simulate_data(target, [c], 400, sample_error='none',
+                           alias_dict=alias)
+        row = ds[c]  # keyed on the ORIGINAL circuit
+        assert abs(row.counts[('1',)] - 400) < 1e-6
+
+    def test_keepseparate_raises(self):
+        import pytest as _pytest
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.data import simulate_data
+        from pygsti_tpu.circuits.circuit import Circuit
+        target = mp.target_model('full TP')
+        with _pytest.raises(NotImplementedError):
+            simulate_data(target, [Circuit([('Gxpi2', 0)], (0,))], 10,
+                          collision_action='keepseparate')
