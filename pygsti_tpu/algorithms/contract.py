@@ -33,9 +33,25 @@ def _contract_op_to_tp(mx):
 
 def contract(model, to_what, dataset=None, maxiter=100, tol=1e-7, use_direct_cp=True,
              method="Nelder-Mead", verbosity=0):
-    """Contract a model to 'CP', 'TP', 'CPTP', 'XP', 'XPTP', 'vSPAM' or
-    'nothing' (reference: contract.contract:24).  CPTP iterates CP and TP
-    projections (Dykstra-style alternation)."""
+    """Contract a model to 'CP', 'TP', 'CPTP', 'vSPAM' or 'nothing'
+    (reference: contract.contract:24).  CPTP iterates CP and TP
+    projections (Dykstra-style alternation).
+
+    The reference's dataset-driven experimental-probability targets
+    ('XP'/'XPTP') and its optimization-based CP path
+    (use_direct_cp=False, tuned by `method`) are not implemented and
+    raise; the direct eigenvalue-projection CP used here is the
+    reference's use_direct_cp=True default."""
+    if to_what in ('XP', 'XPTP'):
+        raise NotImplementedError(
+            "to_what=%r (contract so the DATASET's circuit probabilities "
+            "lie in [0,1]) is not implemented; use 'CP'/'TP'/'CPTP'"
+            % (to_what,))
+    if not use_direct_cp:
+        raise NotImplementedError(
+            "use_direct_cp=False (optimization-based CP contraction, tuned "
+            "by `method`) is not implemented; the direct eigenvalue "
+            "projection (the reference default) is always used")
     new_model = model.copy()
     if to_what == 'nothing':
         return new_model

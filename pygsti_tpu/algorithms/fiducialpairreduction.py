@@ -56,6 +56,19 @@ def _germ_pair_sensitivities(model, germ, prep_fiducials, meas_fiducials,
     return np.stack(rows), pair_index, n_amp, directions
 
 
+def _check_unsupported(fname, **given):
+    """Raise for explicitly-requested knob values this implementation does
+    not honor (each entry: name=(got, supported_value_or_tuple)) -- no
+    silent accept-and-ignore."""
+    for name, (got, ok) in given.items():
+        ok_vals = ok if isinstance(ok, tuple) else (ok,)
+        if got not in ok_vals:
+            raise NotImplementedError(
+                "%s: %s=%r is not supported (only %s)"
+                % (fname, name, got,
+                   " / ".join(repr(v) for v in ok_vals)))
+
+
 def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
                                             meas_fiducials, germs,
                                             prepovm_tuples="first", search_mode="greedy",
@@ -66,7 +79,20 @@ def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,
                                             mem_limit=None):
     """Per-germ fiducial pair reduction (reference:
     fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ:302).
-    Returns {germ: [(iPrep, iMeas), ...]}."""
+    Returns {germ: [(iPrep, iMeas), ...]}.
+
+    The greedy rank-building search is the only implemented mode
+    (reference search_mode='greedy'); multi-solution returns and
+    non-default prepovm tuples raise.  `retry_for_smaller` is vacuous with
+    a single returned solution; `n_random` applies only to the
+    unimplemented 'random' mode."""
+    _check_unsupported('find_sufficient_fiducial_pairs_per_germ',
+                       prepovm_tuples=(prepovm_tuples, 'first'),
+                       search_mode=(search_mode, 'greedy'),
+                       constrain_to_tp=(constrain_to_tp, True),
+                       min_iterations=(min_iterations, None),
+                       num_soln_returned=(num_soln_returned, 1),
+                       type_soln_returned=(type_soln_returned, 'best'))
     printer = VerbosityPrinter.create_printer(verbosity)
     model = target_model.rotate(max_rotate=1e-2, seed=seed) \
         if target_model.state_space.num_qubits == 1 else \
@@ -118,7 +144,15 @@ def find_sufficient_fiducial_pairs_per_germ_greedy(
     instead of stopping at full rank, keep adding pairs until the
     sum-of-inverse-eigenvalues of the pair-sensitivity Gram matrix is within
     `inv_trace_tol` times that of the full pair set (conditioning, not just
-    rank)."""
+    rank).  The greedy seed is the only implemented `initial_seed_mode`;
+    non-default prepovm tuples, eigenvalue tolerances and the
+    completeness pre-check knob raise rather than being ignored."""
+    _check_unsupported('find_sufficient_fiducial_pairs_per_germ_greedy',
+                       prepovm_tuples=(prepovm_tuples, 'first'),
+                       initial_seed_mode=(initial_seed_mode, 'greedy'),
+                       evd_tol=(evd_tol, 1e-10),
+                       sensitivity_threshold=(sensitivity_threshold, 1e-10),
+                       check_complete_fid_set=(check_complete_fid_set, True))
     printer = VerbosityPrinter.create_printer(verbosity)
     model = target_model.rotate(max_rotate=1e-2, seed=seed) \
         if target_model.state_space.num_qubits == 1 else \
@@ -177,7 +211,15 @@ def find_sufficient_fiducial_pairs_per_germ_power(
     fiducialpairreduction.find_sufficient_fiducial_pairs_per_germ_power:668):
     sensitivities are computed for the germ RAISED TO ITS POWER at each
     max-length L (the operator that actually appears in the experiment),
-    and pairs chosen per (germ, L).  Returns {(germ, L): [(iPrep,iMeas),..]}."""
+    and pairs chosen per (germ, L).  Returns {(germ, L): [(iPrep,iMeas),..]}.
+
+    Greedy search only; non-default prepovm tuples / search modes /
+    iteration floors raise rather than being ignored."""
+    _check_unsupported('find_sufficient_fiducial_pairs_per_germ_power',
+                       prepovm_tuples=(prepovm_tuples, 'first'),
+                       search_mode=(search_mode, 'greedy'),
+                       constrain_to_tp=(constrain_to_tp, True),
+                       min_iterations=(min_iterations, None))
     from pygsti_tpu.circuits.circuit import Circuit
     printer = VerbosityPrinter.create_printer(verbosity)
     model = target_model.rotate(max_rotate=1e-2, seed=seed) \
@@ -228,7 +270,18 @@ def find_sufficient_fiducial_pairs(target_model, prep_fiducials, meas_fiducials,
                                    seed=None, verbosity=0, test_pair_list=None,
                                    mem_limit=None, minimum_pairs=1):
     """Global (same pairs for all germs) reduction: union of per-germ needs
-    (reference: fiducialpairreduction.find_sufficient_fiducial_pairs:59)."""
+    (reference: fiducialpairreduction.find_sufficient_fiducial_pairs:59).
+
+    Sufficiency is established by the per-germ SVD rank criterion rather
+    than the reference's two-test-length amplification probe, so
+    `test_lengths`/`tol` have no effect here and non-default values raise;
+    `test_pair_list` (evaluate a fixed candidate list) is unimplemented."""
+    _check_unsupported('find_sufficient_fiducial_pairs',
+                       test_lengths=(tuple(test_lengths), (256, 2048)),
+                       prepovm_tuples=(prepovm_tuples, 'first'),
+                       tol=(tol, 0.75),
+                       test_pair_list=(test_pair_list, None),
+                       minimum_pairs=(minimum_pairs, 1))
     per_germ = find_sufficient_fiducial_pairs_per_germ(
         target_model, prep_fiducials, meas_fiducials, germs, seed=seed,
         verbosity=verbosity)
@@ -245,7 +298,13 @@ def test_fiducial_pairs(fid_pairs, target_model, prep_fiducials,
     """How many (non-gauge) model parameters the given fiducial pairs
     amplify (reference: fiducialpairreduction.test_fiducial_pairs:870).
     `fid_pairs` is a global list of (iPrep, iMeas) index 2-tuples or a
-    per-germ dict of such lists."""
+    per-germ dict of such lists.  Amplification is measured by the SVD
+    rank of the pair-restricted sensitivity rows (not the reference's
+    two-test-length probe), so non-default `test_lengths`/`tol` raise."""
+    _check_unsupported('test_fiducial_pairs',
+                       test_lengths=(tuple(test_lengths), (256, 2048)),
+                       prep_povm_tuples=(prep_povm_tuples, 'first'),
+                       tol=(tol, 0.75))
     proj = _nongauge_projector(target_model)
     total_rows = []
     for germ in germs:
@@ -278,7 +337,19 @@ def find_sufficient_fiducial_pairs_per_germ_global(
     pairs are added greedily per germ, but each addition is judged by the
     rank of the UNION of all selected sensitivity rows across germs (mapped
     to the full parameter space), so later germs need only cover directions
-    earlier germs left unamplified."""
+    earlier germs left unamplified.
+
+    Single-solution greedy only; precomputed-jacobian / spanning-set
+    injection and multi-solution returns raise rather than being ignored.
+    `retry_for_smaller` is vacuous with a single returned solution."""
+    _check_unsupported('find_sufficient_fiducial_pairs_per_germ_global',
+                       initial_seed_mode=(initial_seed_mode, 'greedy'),
+                       evd_tol=(evd_tol, 1e-10),
+                       sensitivity_threshold=(sensitivity_threshold, 1e-10),
+                       num_soln_returned=(num_soln_returned, 1),
+                       type_soln_returned=(type_soln_returned, 'best'),
+                       germ_vector_spanning_set=(germ_vector_spanning_set, None),
+                       precomputed_jacobians=(precomputed_jacobians, None))
     printer = VerbosityPrinter.create_printer(verbosity)
     proj = _nongauge_projector(target_model)
     # full-param sensitivity rows per germ + the global achievable rank

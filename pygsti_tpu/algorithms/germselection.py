@@ -167,7 +167,15 @@ def find_germs(target_model, randomize=True, randomization_strength=1e-2,
                l1_penalty=1e-2, op_penalty=0.0, fixed_slack=None,
                slack_frac=None):
     """Find an amplificationally-complete germ set by greedy selection from
-    power-limited candidate circuits (reference: germselection.find_germs:59)."""
+    power-limited candidate circuits (reference: germselection.find_germs:59).
+
+    `num_gs_copies`, `assume_real` and `float_type` are numeric-backend
+    hints in the reference; this implementation always scores with one
+    model copy in real float64 arithmetic, and other requests raise."""
+    _check_unsupported_germsel('find_germs',
+                               num_gs_copies=(num_gs_copies, (None, 1)),
+                               assume_real=(assume_real, True),
+                               float_type=(float_type, np.float64))
     printer = VerbosityPrinter.create_printer(verbosity)
     model = target_model
     if randomize:
@@ -448,6 +456,18 @@ def _forced_singletons(model, force):
     return list(force) if isinstance(force, (list, tuple)) else []
 
 
+def _check_unsupported_germsel(fname, **given):
+    """Raise for explicitly-requested knob values this implementation does
+    not honor (no silent accept-and-ignore)."""
+    for name, (got, ok) in given.items():
+        ok_vals = ok if isinstance(ok, tuple) else (ok,)
+        if got not in ok_vals:
+            raise NotImplementedError(
+                "%s: %s=%r is not supported (only %s)"
+                % (fname, name, got,
+                   " / ".join(repr(v) for v in ok_vals)))
+
+
 def find_germs_breadthfirst(model_list, germs_list, randomize=False,
                             randomization_strength=1e-3, num_copies=None,
                             seed=0, op_penalty=0, score_func='all', tol=1e-6,
@@ -455,6 +475,9 @@ def find_germs_breadthfirst(model_list, germs_list, randomize=False,
                             verbosity=0, **_kwargs):
     """Greedy (breadth-first) germ selection from an explicit candidate list
     (reference: germselection.find_germs_breadthfirst)."""
+    _check_unsupported_germsel('find_germs_breadthfirst',
+                               num_copies=(num_copies, (None, 1)),
+                               check=(check, False))
     model = _first_model(model_list)
     if randomize:
         model = randomize_model_list([model], randomization_strength, 1,
@@ -491,7 +514,13 @@ def find_germs_depthfirst(model_list, germs_list, randomize=False,
     """Depth-first germ selection: add candidates in list order until the
     set is amplificationally complete (reference:
     germselection.find_germs_depthfirst)."""
+    _check_unsupported_germsel('find_germs_depthfirst',
+                               num_copies=(num_copies, (None, 1)),
+                               check=(check, False))
     model = _first_model(model_list)
+    if randomize:
+        model = randomize_model_list([model], randomization_strength, 1,
+                                     seed)[0]
     set_score, n_nongauge = _make_set_score(model, score_func, op_penalty)
     germs = _forced_singletons(model, force)
     for cand in germs_list:
@@ -511,7 +540,13 @@ def find_germs_grasp(model_list, germs_list, alpha=0.1, randomize=False,
                      return_all=False, **_kwargs):
     """GRASP germ search over an explicit candidate list (reference:
     germselection.find_germs_grasp)."""
+    _check_unsupported_germsel('find_germs_grasp',
+                               num_copies=(num_copies, (None, 1)),
+                               return_all=(return_all, False))
     model = _first_model(model_list)
+    if randomize:
+        model = randomize_model_list([model], randomization_strength, 1,
+                                     seed)[0]
     set_score, n_nongauge = _make_set_score(model, score_func, op_penalty)
     forced = _forced_singletons(model, force)
     best = _find_germs_grasp(list(germs_list), forced, set_score, n_nongauge,
@@ -532,7 +567,15 @@ def find_germs_integer_slack(model_list, germs_list, randomize=False,
                              **_kwargs):
     """Integer-weight slack-based germ optimization (reference:
     germselection.find_germs_integer_slack)."""
+    _check_unsupported_germsel('find_germs_integer_slack',
+                               num_copies=(num_copies, (None, 1)),
+                               initial_weights=(initial_weights, None),
+                               return_all=(return_all, False),
+                               check=(check, False))
     model = _first_model(model_list)
+    if randomize:
+        model = randomize_model_list([model], randomization_strength, 1,
+                                     seed)[0]
     set_score, n_nongauge = _make_set_score(model, score_func, op_penalty,
                                             l1_penalty)
     forced = _forced_singletons(model, force)

@@ -134,7 +134,7 @@ def create_cloud_crosstalk_model_from_hops_and_weights(
         maxhops=0, extra_weight_1_hops=0, extra_gate_weight=0,
         simulator='auto', evotype=None, gate_type='H+s', spam_type='computational',
         implicit_idle_mode='none', errcomp_type='gates', independent_clouds=True,
-        connected_highweight_errors=True, basis='pp', verbosity=0):
+        connected_highweight_errors=False, basis='pp', verbosity=0):
     """Build a cloud-noise model from hop/weight specs (reference:
     modelconstruction.create_cloud_crosstalk_model_from_hops_and_weights).
 
@@ -142,7 +142,40 @@ def create_cloud_crosstalk_model_from_hops_and_weights(
     `maxhops` of its targets, with error terms restricted to weight
     <= (gate_weight + extra_gate_weight); the global idle gets weight
     <= max_idle_weight terms on all qubits.
+
+    Honesty notes: each cloud has INDEPENDENT parameters
+    (independent_clouds=False raises); high-weight error terms are NOT
+    restricted to connected qubit subsets (connected_highweight_errors=True
+    raises -- the default here is False, diverging from the reference's
+    default to match what is implemented); extra_weight_1_hops != 0,
+    non-'gates' errcomp_type, non-'none' implicit_idle_mode and
+    non-densitymx evotypes raise.
     """
+    if evotype not in (None, 'default', 'densitymx'):
+        raise NotImplementedError(
+            "evotype=%r: only dense superoperator (densitymx) semantics are "
+            "implemented" % (evotype,))
+    if errcomp_type != 'gates':
+        raise NotImplementedError(
+            "errcomp_type=%r is not implemented (only 'gates')"
+            % (errcomp_type,))
+    if implicit_idle_mode != 'none':
+        raise NotImplementedError(
+            "implicit_idle_mode=%r is not supported (only 'none')"
+            % (implicit_idle_mode,))
+    if not independent_clouds:
+        raise NotImplementedError(
+            "independent_clouds=False (shared cloud parameters) is not "
+            "implemented")
+    if connected_highweight_errors:
+        raise NotImplementedError(
+            "connected_highweight_errors=True (restrict high-weight error "
+            "terms to connected qubit subsets) is not implemented; weight-"
+            "limited terms span the whole cloud")
+    if extra_weight_1_hops:
+        raise NotImplementedError(
+            "extra_weight_1_hops != 0 (longer-range weight-1 terms) is not "
+            "implemented")
     pspec = processor_spec
     nq = pspec.num_qubits
     qlbls = tuple(pspec.qubit_labels)
@@ -161,7 +194,8 @@ def create_cloud_crosstalk_model_from_hops_and_weights(
         ideal = _op.StaticArbitraryOp(
             np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2))))
         gate_nq = int(round(np.log2(udim)))
-        gate_members[Label(name)] = ideal
+        gate_members[Label(name)] = custom_gates.get(name, ideal) \
+            if custom_gates else ideal
 
         if gate_nq == 1:
             # clouds depend on target qubit => per-availability leaves
@@ -198,10 +232,10 @@ def create_cloud_crosstalk_model_from_hops_and_weights(
     prep_member = _st.ComputationalBasisState([0] * nq, basis)
     povm_member = _pv.ComputationalBasisPOVM(nq, basis)
     if spam_type not in ('computational', 'static') and max_spam_weight > 0:
-        eg_p = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** nq), gate_type,
+        eg_p = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** nq), spam_type,
                                            max_weight=max_spam_weight)
         prep_member = _st.ComposedState(prep_member, _op.ExpErrorgenOp(eg_p))
-        eg_m = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** nq), gate_type,
+        eg_m = _op.build_lindblad_errorgen(Basis.cast(basis, 4 ** nq), spam_type,
                                            max_weight=max_spam_weight)
         povm_member = _pv.ComposedPOVM(_op.ExpErrorgenOp(eg_m), povm_member)
 

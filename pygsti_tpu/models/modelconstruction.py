@@ -328,9 +328,57 @@ def create_crosstalk_free_model(processor_spec, custom_gates=None,
 
     Per-gate noise given by the three dicts (keyed by gate name or
     (gate_name, qubits) label) acts only on each gate's target qubits.
+
+    Supported knob values (non-default settings that would silently change
+    semantics raise instead of being ignored): `ideal_gate_type`
+    'auto'/'static' (static ideals) or 'full'/'full TP' (parameterized
+    ideals); `ensure_composed_gates` wraps every gate in a ComposedOp;
+    `on_construction_error` 'raise' or 'warn' (skip the failing gate's
+    noise); `independent_spam` is vacuous here (one prep/povm pair, always
+    its own parameters).  `independent_gates=True` (per-instance gate
+    parameters), non-default noise parameterizations, alternate
+    `ideal_spam_type`/`implicit_idle_mode`, and explicit `evotype`s other
+    than densitymx semantics are not implemented.
     """
     from pygsti_tpu.models.localnoisemodel import LocalNoiseModel
     from pygsti_tpu.baseobjs.label import Label
+
+    if depolarization_parameterization != 'depolarize':
+        raise NotImplementedError(
+            "depolarization_parameterization=%r is not implemented (only "
+            "'depolarize'); express the noise via stochastic_error_probs or "
+            "lindblad_error_coeffs instead" % (depolarization_parameterization,))
+    if stochastic_parameterization != 'stochastic':
+        raise NotImplementedError(
+            "stochastic_parameterization=%r is not implemented (only "
+            "'stochastic')" % (stochastic_parameterization,))
+    if lindblad_parameterization != 'auto':
+        raise NotImplementedError(
+            "lindblad_parameterization=%r is not implemented (only 'auto', "
+            "which infers H/H+s blocks from the given coefficients)"
+            % (lindblad_parameterization,))
+    if evotype not in (None, 'default', 'densitymx'):
+        raise NotImplementedError(
+            "evotype=%r: the TPU pipeline implements dense superoperator "
+            "(densitymx) semantics only" % (evotype,))
+    if on_construction_error not in ('raise', 'warn'):
+        raise ValueError("on_construction_error must be 'raise' or 'warn'")
+    if independent_gates:
+        raise NotImplementedError(
+            "independent_gates=True (independent parameters per gate "
+            "instance) is not implemented; gate noise is shared by name")
+    if ideal_gate_type not in ('auto', 'static', 'full', 'full TP', 'TP'):
+        raise NotImplementedError(
+            "ideal_gate_type=%r is not supported" % (ideal_gate_type,))
+    if ideal_spam_type != 'computational':
+        raise NotImplementedError(
+            "ideal_spam_type=%r is not supported (only 'computational')"
+            % (ideal_spam_type,))
+    if implicit_idle_mode != 'none':
+        raise NotImplementedError(
+            "implicit_idle_mode=%r is not supported (only 'none'); model "
+            "idle noise with an explicit '{idle}' gate instead"
+            % (implicit_idle_mode,))
 
     pspec = processor_spec
     depolarization_strengths = depolarization_strengths or {}
@@ -360,10 +408,26 @@ def create_crosstalk_free_model(processor_spec, custom_gates=None,
             continue
         udim = u.shape[0]
         d2 = udim * udim
-        ideal = _op.StaticArbitraryOp(np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2))))
+        smx = np.real(_ot.unitary_to_superop(u, Basis.cast(basis, d2)))
+        if ideal_gate_type in ('auto', 'static'):
+            ideal = _op.StaticArbitraryOp(smx)
+        elif ideal_gate_type == 'full':
+            ideal = _op.FullArbitraryOp(smx)
+        else:  # 'full TP' / 'TP'
+            ideal = _op.FullTPOp(smx)
         d, s, l = noise_for(Label(name))
-        noise = _noise_op_for_gate(udim, basis, d, s, l)
+        try:
+            noise = _noise_op_for_gate(udim, basis, d, s, l)
+        except Exception:
+            if on_construction_error == 'raise':
+                raise
+            import warnings as _warnings
+            _warnings.warn("Failed to construct noise for gate %r; "
+                           "proceeding without it" % (name,))
+            noise = None
         member = ideal if noise is None else _op.ComposedOp([ideal, noise])
+        if ensure_composed_gates and not isinstance(member, _op.ComposedOp):
+            member = _op.ComposedOp([member])
         if name in custom_gates:
             member = custom_gates[name]
         gate_members[Label(name)] = member
@@ -415,7 +479,7 @@ def create_cloud_crosstalk_model(processor_spec, custom_gates=None,
                                  stochastic_error_probs=None,
                                  lindblad_error_coeffs=None,
                                  evotype=None, simulator='auto',
-                                 independent_gates=False, errcomp_type='gates',
+                                 independent_gates=True, errcomp_type='gates',
                                  implicit_idle_mode='none', basis='pp',
                                  verbosity=0):
     """Create a cloud-crosstalk implicit model: per-gate noise may act on
@@ -430,9 +494,31 @@ def create_cloud_crosstalk_model(processor_spec, custom_gates=None,
     ``'PAULIS'`` spec (no colon) applies to the gate's target qubits.
     ``depolarization_strengths`` / ``stochastic_error_probs`` act on the
     gate's target qubits (as in the crosstalk-free constructor).
+
+    Non-default `evotype`/`independent_gates`/`errcomp_type`/
+    `implicit_idle_mode` values raise NotImplementedError rather than being
+    silently ignored.
     """
     from pygsti_tpu.models.cloudnoisemodel import CloudNoiseModel
     from pygsti_tpu.baseobjs.label import Label
+
+    if evotype not in (None, 'default', 'densitymx'):
+        raise NotImplementedError(
+            "evotype=%r: only dense superoperator (densitymx) semantics are "
+            "implemented" % (evotype,))
+    if not independent_gates:
+        raise NotImplementedError(
+            "independent_gates=False (stencil-shared cloud parameters "
+            "across gate instances) is not implemented: each (gate, "
+            "targets) cloud gets its own parameters here")
+    if errcomp_type != 'gates':
+        raise NotImplementedError(
+            "errcomp_type=%r is not implemented (only 'gates': noise "
+            "composed as error maps)" % (errcomp_type,))
+    if implicit_idle_mode != 'none':
+        raise NotImplementedError(
+            "implicit_idle_mode=%r is not supported (only 'none')"
+            % (implicit_idle_mode,))
 
     pspec = processor_spec
     depolarization_strengths = depolarization_strengths or {}
@@ -587,70 +673,30 @@ def create_explicit_alias_model(mdl_primitives, alias_dict):
 def create_cloud_crosstalk_model_from_hops_and_weights(
         processor_spec, custom_gates=None, max_idle_weight=1,
         max_spam_weight=1, maxhops=0, extra_weight_1_hops=0,
-        extra_gate_weight=0, simulator="auto", evotype='default',
+        extra_gate_weight=0, simulator="auto", evotype=None,
         gate_type="H+S", spam_type="H+S", implicit_idle_mode="none",
         errcomp_type="gates", independent_gates=True, independent_spam=True,
-        connected_highweight_errors=True, basis='pp', verbosity=0):
+        connected_highweight_errors=False, basis='pp', verbosity=0):
     """Cloud-crosstalk model from maximum error weights and graph hops
     (reference:
-    modelconstruction.create_cloud_crosstalk_model_from_hops_and_weights:2013):
-    every gate gets H/S elementary errorgen coefficients (initially zero) on
-    all Paulis supported within `maxhops` hops of its targets, with weight
-    limits `1 + extra_gate_weight` (2Q gates) / 1 (1Q gates, plus
-    `extra_weight_1_hops` additional hops for the weight-1 terms)."""
-    pspec = processor_spec
-    graph = pspec.qubit_graph
-    qubits = list(pspec.qubit_labels)
+    modelconstruction.create_cloud_crosstalk_model_from_hops_and_weights:2013).
 
-    def hop_neighborhood(targets, hops):
-        reach = set(targets)
-        frontier = set(targets)
-        for _ in range(hops):
-            new = set()
-            for q in frontier:
-                for e in graph.edges():
-                    if q in e:
-                        new.update(e)
-            frontier = new - reach
-            reach |= new
-        return sorted(reach, key=qubits.index)
-
-    def paulis_on(qs, max_weight):
-        import itertools
-        out = []
-        for w in range(1, max_weight + 1):
-            for subset in itertools.combinations(qs, w):
-                for letters in itertools.product('XYZ', repeat=w):
-                    spec = ','.join('%s:%s' % (l, q)
-                                    for l, q in zip(letters, subset))
-                    out.append(spec)
-        return out
-
-    lindblad_coeffs = {}
-    for name in pspec.gate_names:
-        nq_gate = pspec.gate_num_qubits(name)
-        if name in ('{idle}', '(idle)', '[]', ''):
-            continue
-        coeff = {}
-        for avail in pspec.resolved_availability(name)[:1]:
-            # stencil-relative specs: build from the FIRST availability and
-            # express qubits relative to targets where possible
-            max_w = 1 + (extra_gate_weight if nq_gate == 2 else 0)
-            hood = hop_neighborhood(avail, maxhops)
-            hood_w1 = hop_neighborhood(avail, maxhops + extra_weight_1_hops)
-            for spec in paulis_on(hood_w1, 1) + (
-                    paulis_on(hood, max_w) if max_w > 1 else []):
-                # convert 'X:q' pair lists to the constructor's spec form
-                letters = ''.join(p.split(':')[0] for p in spec.split(','))
-                qs = ','.join(p.split(':')[1] for p in spec.split(','))
-                for typ in [t for t in ('H', 'S') if t in gate_type]:
-                    coeff[(typ, '%s:%s' % (letters, qs))] = 0.0
-        if coeff:
-            lindblad_coeffs[name] = coeff
-
-    return create_cloud_crosstalk_model(
-        pspec, custom_gates=custom_gates,
-        lindblad_error_coeffs=lindblad_coeffs, evotype=evotype,
-        simulator=simulator, independent_gates=independent_gates,
-        errcomp_type=errcomp_type, implicit_idle_mode=implicit_idle_mode,
-        basis=basis, verbosity=verbosity)
+    Thin alias of
+    :func:`pygsti_tpu.models.cloudnoisemodel.create_cloud_crosstalk_model_from_hops_and_weights`
+    (the working implementation), with `independent_gates` mapped to its
+    `independent_clouds`.  `independent_spam` is vacuous here (one
+    prep/povm pair).  See that function for which non-default knob values
+    raise."""
+    from pygsti_tpu.models.cloudnoisemodel import \
+        create_cloud_crosstalk_model_from_hops_and_weights as _impl
+    return _impl(processor_spec, custom_gates=custom_gates,
+                 max_idle_weight=max_idle_weight,
+                 max_spam_weight=max_spam_weight, maxhops=maxhops,
+                 extra_weight_1_hops=extra_weight_1_hops,
+                 extra_gate_weight=extra_gate_weight, simulator=simulator,
+                 evotype=evotype, gate_type=gate_type, spam_type=spam_type,
+                 implicit_idle_mode=implicit_idle_mode,
+                 errcomp_type=errcomp_type,
+                 independent_clouds=independent_gates,
+                 connected_highweight_errors=connected_highweight_errors,
+                 basis=basis, verbosity=verbosity)

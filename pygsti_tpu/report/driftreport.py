@@ -13,6 +13,17 @@ import html as _html
 import numpy as np
 
 
+def _maybe_auto_open(path, auto_open):
+    """Open the written report in the default browser when requested
+    (reference: report.py _open_in_browser)."""
+    if auto_open:
+        import os as _os
+        import webbrowser
+        webbrowser.open('file://' + _os.path.abspath(path))
+
+
+
+
 def _svg_line_plot(ys_list, labels=None, width=560, height=180,
                    hline=None, title=''):
     """Tiny inline-SVG multi-line plot."""
@@ -139,4 +150,5 @@ class DriftReport(object):
                % (_html.escape(self.title), '\n'.join(sections)))
         with open(path, 'w') as f:
             f.write(doc)
+        _maybe_auto_open(path, auto_open)
         return path

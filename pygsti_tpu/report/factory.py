@@ -17,6 +17,17 @@ import numpy as np
 from pygsti_tpu.report import reportables as _rpt
 
 
+def _maybe_auto_open(path, auto_open):
+    """Open the written report in the default browser when requested
+    (reference: report.py _open_in_browser)."""
+    if auto_open:
+        import os as _os
+        import webbrowser
+        webbrowser.open('file://' + _os.path.abspath(path))
+
+
+
+
 _CSS = """
 body { font-family: -apple-system, 'Segoe UI', Helvetica, Arial, sans-serif;
        margin: 2em auto; max-width: 1100px; color: #222; }
@@ -398,6 +409,7 @@ class Report(object):
                % (_html.escape(self.title), _CSS, "\n".join(sections)))
         with open(path, 'w') as f:
             f.write(doc)
+        _maybe_auto_open(path, auto_open)
         return path
 
     def write_pdf(self, path, verbosity=1, **kwargs):
@@ -518,8 +530,18 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
                            connected=False, verbosity=0):
     """Write a Jupyter notebook that loads `results` and renders the standard
     report tables/plots via the Workspace API (reference:
-    report/factory.py:1053 create_report_notebook)."""
+    report/factory.py:1053 create_report_notebook).  The results are
+    serialized to ``<filename minus .ipynb>_results/`` and the notebook
+    loads them from that path; `confidence_level` adds a confidence-region
+    construction cell; `auto_open` opens the written notebook.
+    `connected` is accepted for API parity (the notebook embeds no
+    offline JS either way)."""
     import json as _json
+    import os as _os
+
+    results_dir = _os.path.splitext(filename)[0] + '_results'
+    if results is not None:
+        results.write(results_dir)
 
     def code(src):
         return {"cell_type": "code", "execution_count": None,
@@ -540,7 +562,7 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
              "est = results.estimates[list(results.estimates.keys())[0]]\n"
              "target = est.models['target']\n"
              "final = est.models.get('stdgaugeopt', "
-             "est.models['final iteration estimate'])" % "<results_dir>"),
+             "est.models['final iteration estimate'])" % results_dir),
         md("## Gate metrics vs. target"),
         code("ws.GatesVsTargetTable(final, target)"),
         md("## SPAM metrics"),
@@ -553,6 +575,15 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
         code("struct = results.data.edesign.circuit_lists[-1]\n"
              "ws.ColorBoxPlot('logl', struct, results.data.dataset, final)"),
     ]
+    if confidence_level is not None:
+        cells.extend([
+            md("## Confidence regions (%g%% level)" % confidence_level),
+            code("from pygsti_tpu.protocols.confidenceregionfactory import "
+                 "ConfidenceRegionFactory\n"
+                 "crf = ConfidenceRegionFactory(est)\n"
+                 "crf_view = crf.view(%g)\n"
+                 "crf_view" % confidence_level),
+        ])
     nb = {"cells": cells,
           "metadata": {"kernelspec": {"display_name": "Python 3",
                                       "language": "python",
@@ -560,6 +591,9 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
           "nbformat": 4, "nbformat_minor": 5}
     with open(filename, 'w') as f:
         _json.dump(nb, f, indent=1)
+    if auto_open:
+        import webbrowser
+        webbrowser.open('file://' + _os.path.abspath(filename))
     return filename
 
 

@@ -18,6 +18,17 @@ import numpy as np
 from pygsti_tpu.report.driftreport import _svg_line_plot
 
 
+def _maybe_auto_open(path, auto_open):
+    """Open the written report in the default browser when requested
+    (reference: report.py _open_in_browser)."""
+    if auto_open:
+        import os as _os
+        import webbrowser
+        webbrowser.open('file://' + _os.path.abspath(path))
+
+
+
+
 def _expectation(ds, circ, idxs):
     row = ds[circ]
     total = row.total
@@ -110,6 +121,7 @@ class IdleTomographyReport(object):
         html_str = self._render()
         with open(path, 'w') as f:
             f.write(html_str)
+        _maybe_auto_open(path, auto_open)
         return path
 
 
