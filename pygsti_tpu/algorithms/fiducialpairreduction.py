@@ -277,7 +277,7 @@ def find_sufficient_fiducial_pairs(target_model, prep_fiducials, meas_fiducials,
     `test_lengths`/`tol` have no effect here and non-default values raise;
     `test_pair_list` (evaluate a fixed candidate list) is unimplemented."""
     _check_unsupported('find_sufficient_fiducial_pairs',
-                       test_lengths=(tuple(test_lengths), (256, 2048)),
+                       test_lengths=(tuple(test_lengths), ((256, 2048),)),
                        prepovm_tuples=(prepovm_tuples, 'first'),
                        tol=(tol, 0.75),
                        test_pair_list=(test_pair_list, None),
@@ -302,7 +302,7 @@ def test_fiducial_pairs(fid_pairs, target_model, prep_fiducials,
     rank of the pair-restricted sensitivity rows (not the reference's
     two-test-length probe), so non-default `test_lengths`/`tol` raise."""
     _check_unsupported('test_fiducial_pairs',
-                       test_lengths=(tuple(test_lengths), (256, 2048)),
+                       test_lengths=(tuple(test_lengths), ((256, 2048),)),
                        prep_povm_tuples=(prep_povm_tuples, 'first'),
                        tol=(tol, 0.75))
     proj = _nongauge_projector(target_model)

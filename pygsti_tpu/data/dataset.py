@@ -181,12 +181,26 @@ class DataSet(object):
 
     def degrees_of_freedom(self, circuits=None, aggregate_times=True):
         """Number of independent data degrees of freedom (reference:
-        dataset.degrees_of_freedom): sum over circuits of (num_outcomes - 1)."""
+        dataset.degrees_of_freedom): sum over circuits of (num_outcomes - 1).
+        With ``aggregate_times=False``, time-series rows contribute
+        (num_outcomes_at_t - 1) PER unique timestamp instead of counting
+        the aggregated row once (reference: dataset.py degrees_of_freedom
+        aggregate_times)."""
         circuits = circuits if circuits is not None else self.keys()
         dof = 0
         for c in circuits:
-            row = self._rows.get(self._cast_circuit(c))
-            if row is not None:
+            circ = self._cast_circuit(c)
+            row = self._rows.get(circ)
+            if row is None:
+                continue
+            times = self._times.get(circ)
+            if not aggregate_times and times is not None:
+                series = self._series.get(circ)
+                per_t = {}
+                for ol, t in zip(series, times):
+                    per_t.setdefault(float(t), set()).add(ol)
+                dof += sum(max(len(ols) - 1, 0) for ols in per_t.values())
+            else:
                 dof += max(len(row) - 1, 0)
         return dof
 

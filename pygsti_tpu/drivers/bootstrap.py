@@ -15,7 +15,7 @@ def create_bootstrap_dataset(input_dataset, generation_method, input_model=None,
     frequencies) or 'parametric' (sample from input_model's probabilities)."""
     rng = np.random.RandomState(seed)
     if generation_method == 'nonparametric':
-        ds = DataSet()
+        ds = DataSet(outcome_labels=outcome_labels)
         for c in input_dataset.keys():
             row = input_dataset[c]
             N = int(round(row.total))

@@ -65,16 +65,22 @@ def minimize(fn, x0, method='cg', callback=None, tol=1e-10, maxiter=1000000,
         res = spo.differential_evolution(fn, bounds, tol=tol,
                                          maxiter=min(maxiter, 1000), seed=0)
         return OptimizerResult(res.x, float(res.fun), res.success, res.message)
+    opts = {'maxiter': maxiter}
+    if maxfev is not None:
+        # scipy spells the function-evaluation cap differently per method
+        opts['maxfev' if m in ('nelder-mead', 'powell', 'tnc', 'cobyla')
+             else 'maxfun'] = int(maxfev)
     res = spo.minimize(fn, x0, method=method, jac=jac, tol=tol,
-                       callback=callback,
-                       options={'maxiter': maxiter})
+                       callback=callback, options=opts)
     return OptimizerResult(res.x, float(res.fun), bool(res.success),
                            str(res.message))
 
 
 def check_jac(f, x0, jac_to_check, eps=1e-7, tol=1e-5, err_type='rel'):
     """Finite-difference check of a jacobian function (reference:
-    optimize.check_jac).  Returns (err_sum, norm, max_err)."""
+    optimize.check_jac:775).  Returns (err_sum, errs, fd_jac) where `errs`
+    lists (row, col, err) for every entry whose error exceeds `tol` --
+    matching the reference's return contract."""
     f0 = np.asarray(f(x0))
     J = np.asarray(jac_to_check)
     fd = np.zeros_like(J)
@@ -84,9 +90,12 @@ def check_jac(f, x0, jac_to_check, eps=1e-7, tol=1e-5, err_type='rel'):
         fd[:, i] = (np.asarray(f(xp)) - f0) / eps
     diff = np.abs(J - fd)
     if err_type == 'rel':
-        denom = np.maximum(np.abs(fd), 1e-10)
+        denom = np.abs(fd) + 1e-10
         diff = diff / denom
-    return float(diff.sum()), float(np.linalg.norm(fd)), float(diff.max())
+    rows, cols = np.nonzero(diff > tol)
+    errs = [(int(i), int(j), float(diff[i, j])) for i, j in zip(rows, cols)]
+    errs.sort(key=lambda t: -t[2])
+    return float(diff.sum()), errs, fd
 
 
 def create_objfn_printer(obj_func, start_time=None):

@@ -45,8 +45,11 @@ class Estimate(object):
         self.goparameters[label] = goparams
         return model
 
-    def misfit_sigma(self, corrected_for_gauge=True):
-        """N_sigma of the final fit (reference: estimate.misfit_sigma)."""
+    def misfit_sigma(self, resource_alloc=None):
+        """N_sigma of the final fit (reference: estimate.misfit_sigma:835).
+        The expected-fit dof uses the model's TOTAL parameter count, the
+        reference's effective behavior when num_modeltest_params is unset
+        (model.py:128 falls back to num_params with a warning)."""
         p = self.parameters
         fit = p.get('final_objfn_value')
         k = p.get('final_dof')
