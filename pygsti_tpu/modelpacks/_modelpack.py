@@ -165,11 +165,49 @@ class GSTModelPack(object):
         return out
 
     @classmethod
+    def _fidpairs_entry(cls):
+        from pygsti_tpu.modelpacks._fidpairs_data import FIDPAIRS
+        return FIDPAIRS.get(cls.__module__.rsplit('.', 1)[-1], {})
+
+    @classmethod
+    def pergerm_fidpair_dict(cls, qubit_labels=None, lite=True):
+        """The pack's precomputed per-germ fiducial-pair-reduction dict
+        {germ Circuit: [(iPrep, iMeas), ...]}, or None if the pack carries
+        no FPR data (reference: _modelpack.pergerm_fidpair_dict[_lite]:290;
+        data ported verbatim in modelpacks/_fidpairs_data.py)."""
+        from pygsti_tpu.circuits.circuit import Circuit
+        data = cls._fidpairs_entry().get('pergerm_lite' if lite else 'pergerm')
+        if data is None:
+            return None
+        germs = {c.str: c for c in cls.germs(lite)}
+        out = {}
+        for gstr, pairs in data.items():
+            c = germs.get(gstr, Circuit(gstr))
+            if qubit_labels is not None:
+                c = cls._relabel([c], qubit_labels)[0]
+            out[c] = [tuple(p) for p in pairs]
+        return out
+
+    @classmethod
+    def global_fidpairs(cls, lite=True):
+        """The pack's precomputed global fiducial-pair list, or None
+        (reference pack attribute global_fidpairs[_lite])."""
+        data = cls._fidpairs_entry()
+        return data.get('global_lite' if lite else 'global')
+
+    @classmethod
     def create_gst_experiment_design(cls, max_max_length, qubit_labels=None,
                                      fpr=False, lite=True, **kwargs):
         """Standard GST experiment design up to the given max length
-        (reference: _modelpack.py:331)."""
+        (reference: _modelpack.py:331).  With ``fpr=True`` the design keeps
+        only the pack's precomputed per-germ fiducial pairs (reference
+        :371); packs without FPR data raise ValueError."""
         from pygsti_tpu.protocols.gst import StandardGSTDesign
+        if fpr:
+            fidpairs = cls.pergerm_fidpair_dict(qubit_labels, lite=lite)
+            if fidpairs is None:
+                raise ValueError("No FPR information for lite=%s" % lite)
+            kwargs = dict(kwargs, fiducial_pairs=fidpairs)
         maxlengths = [2 ** i for i in range(int(np.log2(max_max_length)) + 1)]
         return StandardGSTDesign(cls.target_model('static', qubit_labels=qubit_labels),
                                  cls.prep_fiducials(qubit_labels),

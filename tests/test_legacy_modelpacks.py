@@ -121,3 +121,48 @@ class TestCliffordCompilation:
     def test_nongenerating_pack_returns_none(self):
         from pygsti_tpu.modelpacks.smq1Q_ZN import _Pack
         assert _Pack.clifford_compilation() is None
+
+
+class TestFiducialPairReductionData:
+    """fpr=True uses the packs' ported per-germ FPR data (round 5:
+    previously accepted-and-ignored)."""
+
+    def test_fpr_design_smaller_and_fits(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        d_full = mp._Pack.create_gst_experiment_design(8)
+        d_fpr = mp._Pack.create_gst_experiment_design(8, fpr=True)
+        n_full = len(d_full.all_circuits_needing_data)
+        n_fpr = len(d_fpr.all_circuits_needing_data)
+        assert n_fpr < n_full
+        # every fpr circuit is in the full design (pairs SELECT, not invent)
+        assert set(d_fpr.all_circuits_needing_data) <= \
+            set(d_full.all_circuits_needing_data)
+
+    def test_fpr_pairs_match_reference_data(self, ref_pygsti):
+        from pygsti_tpu.modelpacks import smq2Q_XYICNOT as mp
+        rmp = __import__('pygsti.modelpacks.smq2Q_XYICNOT',
+                         fromlist=['x'])
+        ours = mp._Pack.pergerm_fidpair_dict(lite=True)
+        rcls = next(getattr(rmp, a) for a in dir(rmp)
+                    if isinstance(getattr(rmp, a), type)
+                    and hasattr(getattr(rmp, a), '_pergerm_fidpairsdict_lite'))
+        theirs = rcls._pergerm_fidpairsdict_lite
+        assert len(ours) == len(theirs)
+        theirs_by_str = {}
+        for k, pairs in theirs.items():
+            from pygsti_tpu.circuits.circuit import Circuit
+            c = Circuit(list(k), tuple(range(2)))
+            theirs_by_str[c.str] = sorted(map(tuple, pairs))
+        for c, pairs in ours.items():
+            assert sorted(map(tuple, pairs)) == theirs_by_str[c.str], c.str
+
+    def test_fpr_without_data_raises(self):
+        import pytest as _pytest
+        from pygsti_tpu.modelpacks import smq2Q_XYZICNOT as nolite
+        with _pytest.raises(ValueError, match='No FPR information'):
+            nolite._Pack.create_gst_experiment_design(2, fpr=True, lite=True)
+
+    def test_global_fidpairs_accessor(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        g = mp._Pack.global_fidpairs(lite=True)
+        assert g and all(len(p) == 2 for p in g)
