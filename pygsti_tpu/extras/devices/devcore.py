@@ -124,10 +124,28 @@ def create_local_depolarizing_model(caldata, device,
                                     one_qubit_gates_to_native=None,
                                     calformat='native', qubits=None):
     """Crosstalk-free model with per-gate depolarization from calibration
-    data (reference: devcore.py:392)."""
+    data (reference: devcore.py:392).  `calformat` supports the 'native'
+    calibration-dict layout only (other reference formats raise);
+    `one_qubit_gates_to_native` optionally renames calibration gate keys to
+    native names; `qubits` restricts the device to a qubit subset."""
     from pygsti_tpu.models.modelconstruction import create_crosstalk_free_model
+    if calformat != 'native':
+        raise NotImplementedError(
+            "calformat=%r is not supported (only 'native' calibration "
+            "dicts)" % (calformat,))
+    if one_qubit_gates_to_native:
+        caldata = dict(caldata or {})
+        gcal = dict(caldata.get('gates', {}))
+        for src, dst in one_qubit_gates_to_native.items():
+            if src in gcal:
+                gcal[dst] = gcal.pop(src)
+        caldata['gates'] = gcal
     dev = _cast_device(device)
-    pspec = create_processor_spec(dev, one_qubit_gates)
+    if qubits is not None:
+        pspec = create_clifford_processor_spec(dev, one_qubit_gates,
+                                               qubitsubset=qubits)
+    else:
+        pspec = create_processor_spec(dev, one_qubit_gates)
     rates = {}
     gates_cal = (caldata or {}).get('gates', {})
     for g1 in one_qubit_gates:

@@ -111,9 +111,15 @@ class IBMQExperiment(object):
         return qc
 
     def submit(self, backend, wait_time=1):
+        """Submit all transpiled batches; `wait_time` seconds elapse between
+        consecutive submissions (reference ibmqexperiment.submit's
+        rate-limit pacing)."""
+        import time as _time
         _require_qiskit()
         assert self.qiskit_circuit_batches is not None, "transpile() first"
-        for batch in self.qiskit_circuit_batches:
+        for k, batch in enumerate(self.qiskit_circuit_batches):
+            if k > 0 and wait_time:
+                _time.sleep(wait_time)
             job = backend.run(batch, shots=self.num_shots)
             self.qjobs.append(job)
             self.job_ids.append(job.job_id())

@@ -193,6 +193,10 @@ def extract_idle_errors(nqubits, model, hamiltonian=True, stochastic=True,
                 ham_rates[label] = float(val) * h_scale
             elif lbl.errorgen_type == 'S' and stochastic:
                 sto_rates[label] = float(val) * s_scale
+            elif lbl.errorgen_type == 'A' and affine:
+                # affine idle errors are the 'A'-type elementary generators
+                # (reference idttools.extract_idle_errors affine rates)
+                aff_rates[label] = float(val) * s_scale
     return ham_rates, sto_rates, aff_rates
 
 

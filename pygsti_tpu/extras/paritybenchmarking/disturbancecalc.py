@@ -101,7 +101,10 @@ def comprehensive_transition_matrix(v, weight, n_bits):
 
 class ResidualTVD(object):
     """min_T TVD(Q, T P) over weight-`weight` transition maps, as an LP
-    (reference: disturbancecalc.py:309)."""
+    (reference: disturbancecalc.py:309).  `solver` (a cvxpy solver name in
+    the reference) is accepted for API parity: the LP is solved exactly
+    with scipy's HiGHS here, which returns the same optimal value as any
+    converged cvxpy LP solver."""
 
     def __init__(self, weight, n_bits, initial_treg_factor=1e-6, solver=None):
         self.weight = weight
@@ -164,13 +167,18 @@ def compute_residual_tvds(n_bits, data_ref, data_test, max_weight=None,
                           confidence_percent=None):
     """{weight: residual TVD} between the empirical distributions of two
     datasets (reference: disturbancecalc.py:1385)."""
+    if confidence_percent is not None:
+        raise NotImplementedError(
+            "confidence_percent (bootstrap error bars on the residual TVDs) "
+            "is not implemented here; use compute_disturbances, whose "
+            "bootstrap loop provides uncertainties")
     if max_weight is None:
         max_weight = n_bits
     p = _counts_to_probs(data_ref, add_one_to_data)
     q = _counts_to_probs(data_test, add_one_to_data)
     out = {}
     for w in range(max_weight + 1):
-        out[w] = ResidualTVD(w, n_bits)(p, q)
+        out[w] = ResidualTVD(w, n_bits, solver=solver)(p, q)
     return out
 
 
@@ -193,7 +201,7 @@ def compute_disturbances(n_bits, data_ref, data_test,
     if max_weight is None:
         max_weight = n_bits
     rtvds = compute_residual_tvds(n_bits, data_ref, data_test, max_weight,
-                                  add_one_to_data=False)
+                                  add_one_to_data=False, solver=solver)
     ml = [rtvds[w - 1] - rtvds[w] for w in range(1, max_weight + 1)]
 
     boots = []
@@ -204,7 +212,7 @@ def compute_disturbances(n_bits, data_ref, data_test,
         dt = resample_data(np.asarray(data_test, float)
                            + (1.0 if add_one_to_data else 0.0),
                            seed=seed + 2 * k + 1)
-        r = compute_residual_tvds(n_bits, dr, dt, max_weight)
+        r = compute_residual_tvds(n_bits, dr, dt, max_weight, solver=solver)
         boots.append([r[w - 1] - r[w] for w in range(1, max_weight + 1)])
     if boots:
         err = np.std(np.asarray(boots), axis=0)

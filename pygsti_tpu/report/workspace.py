@@ -142,19 +142,41 @@ class Workspace(object):
 
     def SpamVsTargetTable(self, model, target_model, confidence_region_info=None):
         from pygsti_tpu.report import reportables as _rpt
-        sm = _rpt.spam_metrics_table(model, target_model)
-        rows = [['%s %s' % (kind, lbl)] + ['%.6g' % v for v in d.values()]
+        sm = _rpt.spam_metrics_table(model, target_model,
+                                     crf_view=confidence_region_info)
+        rows = [['%s %s' % (kind, lbl)]
+                + [('%.6g' % v) if isinstance(v, float) else str(v)
+                   for v in d.values()]
                 for (kind, lbl), d in sm.items()]
         headers = ['Item'] + (list(next(iter(sm.values())).keys()) if sm else [])
         return WorkspaceTable(self, _table_html(headers, rows))
 
     def GatesTable(self, model, display_as='numbers'):
+        """Gate matrices as numeric cells ('numbers') or color-mapped boxes
+        ('boxes', diverging colormap -- reference workspacetables
+        GatesTable display_as)."""
+        if display_as not in ('numbers', 'boxes'):
+            raise ValueError("display_as must be 'numbers' or 'boxes'")
+        if display_as == 'boxes':
+            from pygsti_tpu.report.colormaps import DivergingColormap
         rows = []
         for lbl, op in model.operations.items():
             m = np.asarray(op.to_dense())
-            mat = '<table>' + ''.join(
-                '<tr>%s</tr>' % ''.join('<td>%.4f</td>' % x for x in r)
-                for r in m) + '</table>'
+            if display_as == 'boxes':
+                amax = max(float(np.max(np.abs(m))), 1e-12)
+                cmap = DivergingColormap(-amax, amax)
+                cells = []
+                for r in m:
+                    tds = ''.join(
+                        '<td style="background-color:%s" title="%.4g">'
+                        '&nbsp;</td>' % (cmap.interpolate_color(x), x)
+                        for x in r)
+                    cells.append('<tr>%s</tr>' % tds)
+                mat = '<table class="boxtable">' + ''.join(cells) + '</table>'
+            else:
+                mat = '<table>' + ''.join(
+                    '<tr>%s</tr>' % ''.join('<td>%.4f</td>' % x for x in r)
+                    for r in m) + '</table>'
             rows.append([str(lbl), mat])
         return WorkspaceTable(self, _table_html(['Gate', 'Matrix'], rows))
 
@@ -170,12 +192,25 @@ class Workspace(object):
                                                 rows))
 
     def GateEigenvalueTable(self, model, target_model=None):
+        """Gate (and optionally target-gate) eigenvalues; with a target
+        model a Target column and the eigenvalue discrepancies are added
+        (reference workspacetables.GateEigenvalueTable)."""
         rows = []
+        headers = ['Gate', 'Eigenvalues']
+        if target_model is not None:
+            headers += ['Target eigenvalues', 'max |ev diff|']
         for lbl, op in model.operations.items():
-            ev = np.linalg.eigvals(op.to_dense())
-            rows.append([str(lbl), ', '.join(
-                '%.4f%+.4fj' % (v.real, v.imag) for v in ev)])
-        return WorkspaceTable(self, _table_html(['Gate', 'Eigenvalues'], rows))
+            ev = np.sort_complex(np.linalg.eigvals(op.to_dense()))
+            row = [str(lbl), ', '.join(
+                '%.4f%+.4fj' % (v.real, v.imag) for v in ev)]
+            if target_model is not None:
+                tev = np.sort_complex(np.linalg.eigvals(
+                    target_model.operations[lbl].to_dense()))
+                row.append(', '.join('%.4f%+.4fj' % (v.real, v.imag)
+                                     for v in tev))
+                row.append('%.4g' % float(np.max(np.abs(ev - tev))))
+            rows.append(row)
+        return WorkspaceTable(self, _table_html(headers, rows))
 
     def FitComparisonTable(self, max_lengths, circuit_structs, model_by_l,
                            dataset, objfn='logl'):
