@@ -56,11 +56,17 @@ def make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials, germs,
                        max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
                        nest=True, include_lgst=True, germ_length_limits=None,
                        op_label_aliases=None, dscheck=None,
-                       action_if_missing="raise", verbosity=0):
+                       action_if_missing="raise", verbosity=0,
+                       keep_fraction=1, keep_seed=None):
     """Create the series of nested GST circuit structures, one per max-length
     (reference: gstcircuits.make_lsgst_structs:259).  Each returned object is
     a PlaquetteGridCircuitStructure (a CircuitList with a (L, germ) plaquette
-    grid used by report color-box plots)."""
+    grid used by report color-box plots).
+
+    ``keep_fraction < 1`` keeps a random round(keep_fraction * n_pairs)
+    subset of fiducial pairs per (germ, L), drawn with ``keep_seed``
+    (reference :172-233); when combined with ``fid_pairs``, the given
+    pairs are always kept and random extras top the count up."""
     from pygsti_tpu.circuits.circuitstructure import (
         GermFiducialPairPlaquette, PlaquetteGridCircuitStructure)
     germ_length_limits = germ_length_limits or {}
@@ -76,6 +82,14 @@ def make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials, germs,
 
     running = []
     seen = set()
+
+    if keep_fraction < 1.0:
+        import numpy as _np
+        _rndm = _np.random.RandomState(keep_seed)
+        _n_pairs = len(prep_fiducials) * len(meas_fiducials)
+        _n_keep = int(round(float(keep_fraction) * _n_pairs))
+    else:
+        _rndm = None
 
     def add(c):
         if c not in seen:
@@ -143,6 +157,20 @@ def make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials, germs,
             else:
                 raise ValueError("Unknown trunc_scheme %r" % trunc_scheme)
             germ_pairs = set(pairs_for_germ(germ))
+            if _rndm is not None:
+                # random per-(germ, L) pair subset (reference :215-233):
+                # explicitly-given pairs are always kept, random extras are
+                # drawn to reach the keep count
+                base_pairs = germ_pairs if fid_pairs is not None else set()
+                all_pairs = [(f1, f2) for f1 in prep_fiducials
+                             for f2 in meas_fiducials]
+                remaining = [pr for pr in all_pairs if pr not in base_pairs]
+                n_choose = max(0, min(_n_keep - len(base_pairs),
+                                      len(remaining)))
+                chosen = _rndm.choice(len(remaining), n_choose,
+                                      replace=False) if n_choose else []
+                germ_pairs = set(base_pairs) | {remaining[int(k)]
+                                                for k in chosen}
             fidpairs = _collections.OrderedDict()
             for (i, f1), (j, f2) in ((iv, jv) for iv in enumerate(prep_fiducials)
                                      for jv in enumerate(meas_fiducials)):
@@ -173,14 +201,15 @@ def create_lsgst_circuit_lists(op_label_src, prep_fiducials, meas_fiducials, ger
                                max_lengths, fid_pairs=None, trunc_scheme="whole germ powers",
                                nest=True, include_lgst=True, germ_length_limits=None,
                                op_label_aliases=None, dscheck=None,
-                               action_if_missing="raise", verbosity=0):
+                               action_if_missing="raise", verbosity=0,
+                               keep_fraction=1, keep_seed=None):
     """Create the series of nested GST circuit lists (one per max-length).
     Returns PlaquetteGridCircuitStructure objects (CircuitList subclasses)."""
     return make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials,
                               germs, max_lengths, fid_pairs, trunc_scheme,
                               nest, include_lgst, germ_length_limits,
                               op_label_aliases, dscheck, action_if_missing,
-                              verbosity)
+                              verbosity, keep_fraction, keep_seed)
 
 
 def create_lsgst_circuits(op_label_src, prep_fiducials, meas_fiducials, germs,
@@ -189,13 +218,11 @@ def create_lsgst_circuits(op_label_src, prep_fiducials, meas_fiducials, germs,
                           keep_seed=None, include_lgst=True):
     """The final (longest) LSGST circuit list: all circuits needed for the
     full experiment (reference: gstcircuits.create_lsgst_circuits:681)."""
-    # (keep_fraction/keep_seed random pair-reduction is accepted for API
-    # parity but only keep_fraction == 1 is supported)
-    assert keep_fraction == 1, "random fiducial-pair keep_fraction not supported"
     lists = create_lsgst_circuit_lists(
         op_label_src, prep_fiducials, meas_fiducials, germs, max_lengths,
         fid_pairs=fid_pairs, trunc_scheme=trunc_scheme,
-        include_lgst=include_lgst)
+        include_lgst=include_lgst, keep_fraction=keep_fraction,
+        keep_seed=keep_seed)
     return list(lists[-1])
 
 

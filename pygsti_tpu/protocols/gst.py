@@ -55,7 +55,8 @@ class StandardGSTDesign(GateSetTomographyDesign):
     """Standard germs/fiducials/max-lengths design (reference: gst.py:156)."""
 
     def __init__(self, target_model, prep_fiducials, meas_fiducials, germs, max_lengths,
-                 germ_length_limits=None, fiducial_pairs=None, nest=True,
+                 germ_length_limits=None, fiducial_pairs=None,
+                 keep_fraction=1, keep_seed=None, nest=True,
                  circuit_rules=None, op_label_aliases=None, dscheck=None,
                  action_if_missing="raise", qubit_labels=None, verbosity=0,
                  add_default_protocol=False):
@@ -67,7 +68,8 @@ class StandardGSTDesign(GateSetTomographyDesign):
             target_model, self.prep_fiducials, self.meas_fiducials, self.germs,
             self.maxlengths, fid_pairs=fiducial_pairs, nest=nest,
             germ_length_limits=germ_length_limits, op_label_aliases=op_label_aliases,
-            dscheck=dscheck, action_if_missing=action_if_missing, verbosity=verbosity)
+            dscheck=dscheck, action_if_missing=action_if_missing, verbosity=verbosity,
+            keep_fraction=keep_fraction, keep_seed=keep_seed)
         super().__init__(target_model, lists, qubit_labels=qubit_labels, nested=nest)
 
     def _to_nice_serialization(self):

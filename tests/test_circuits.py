@@ -274,3 +274,43 @@ class TestSubcircuitSelection:
                                   graph_edges=edges, seed=2)
         for c in out2[(3, 2)]:
             assert c.num_lines == 3
+
+
+class TestKeepFraction:
+    """Round-5: keep_fraction/keep_seed random per-(germ, L) pair reduction
+    (reference gstcircuits:172-233) is now implemented."""
+
+    def test_keep_fraction_reduces_and_is_deterministic(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        t = mp.target_model('full TP')
+        full = create_lsgst_circuit_lists(t, mp.prep_fiducials(),
+                                          mp.meas_fiducials(), mp.germs(),
+                                          [1, 2, 4])
+        half = create_lsgst_circuit_lists(t, mp.prep_fiducials(),
+                                          mp.meas_fiducials(), mp.germs(),
+                                          [1, 2, 4], keep_fraction=0.5,
+                                          keep_seed=7)
+        assert len(half[-1]) < len(full[-1])
+        again = create_lsgst_circuit_lists(t, mp.prep_fiducials(),
+                                           mp.meas_fiducials(), mp.germs(),
+                                           [1, 2, 4], keep_fraction=0.5,
+                                           keep_seed=7)
+        assert list(again[-1]) == list(half[-1])
+        # all reduced circuits exist in the full design
+        assert set(half[-1]) <= set(full[-1])
+
+    def test_keep_fraction_keeps_explicit_pairs(self):
+        from pygsti_tpu.modelpacks import smq1Q_XYI as mp
+        from pygsti_tpu.circuits.gstcircuits import create_lsgst_circuit_lists
+        t = mp.target_model('full TP')
+        pairs = [(0, 0), (1, 1)]
+        red = create_lsgst_circuit_lists(t, mp.prep_fiducials(),
+                                         mp.meas_fiducials(), mp.germs(),
+                                         [1], fid_pairs=pairs,
+                                         keep_fraction=0.3, keep_seed=3)
+        preps, meas = mp.prep_fiducials(), mp.meas_fiducials()
+        germ = mp.germs()[1]
+        circs = set(red[-1])
+        for (i, j) in pairs:
+            assert preps[i] + germ + meas[j] in circs
