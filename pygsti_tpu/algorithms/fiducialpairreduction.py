@@ -56,17 +56,7 @@ def _germ_pair_sensitivities(model, germ, prep_fiducials, meas_fiducials,
     return np.stack(rows), pair_index, n_amp, directions
 
 
-def _check_unsupported(fname, **given):
-    """Raise for explicitly-requested knob values this implementation does
-    not honor (each entry: name=(got, supported_value_or_tuple)) -- no
-    silent accept-and-ignore."""
-    for name, (got, ok) in given.items():
-        ok_vals = ok if isinstance(ok, tuple) else (ok,)
-        if got not in ok_vals:
-            raise NotImplementedError(
-                "%s: %s=%r is not supported (only %s)"
-                % (fname, name, got,
-                   " / ".join(repr(v) for v in ok_vals)))
+from pygsti_tpu.tools.argchecks import check_unsupported as _check_unsupported
 
 
 def find_sufficient_fiducial_pairs_per_germ(target_model, prep_fiducials,

@@ -456,16 +456,8 @@ def _forced_singletons(model, force):
     return list(force) if isinstance(force, (list, tuple)) else []
 
 
-def _check_unsupported_germsel(fname, **given):
-    """Raise for explicitly-requested knob values this implementation does
-    not honor (no silent accept-and-ignore)."""
-    for name, (got, ok) in given.items():
-        ok_vals = ok if isinstance(ok, tuple) else (ok,)
-        if got not in ok_vals:
-            raise NotImplementedError(
-                "%s: %s=%r is not supported (only %s)"
-                % (fname, name, got,
-                   " / ".join(repr(v) for v in ok_vals)))
+from pygsti_tpu.tools.argchecks import \
+    check_unsupported as _check_unsupported_germsel
 
 
 def find_germs_breadthfirst(model_list, germs_list, randomize=False,

@@ -196,13 +196,18 @@ def create_direct_rb_circuit(pspec, clifford_compilations=None, length=1,
         layers.extend(compile_clifford(s0, p0, pspec, qubit_labels, rules,
                                        iterations=citerations,
                                        rand_state=rng).layertup)
-    # random core layers (optionally interleaved with random 1Q-gate layers)
+    # random core layers; addlocal surrounds them with random 1Q-gate
+    # layers -- one BEFORE each sampled layer and one after the last, the
+    # reference's 2*length+1 structure (randomcircuit.py:782 addlocal)
     for k in range(length):
-        layers.extend(_sample_one_layer(pspec, qubit_labels, sampler,
-                                        samplerargs, rng))
-        if addlocal and k < length - 1:
+        if addlocal:
             layers.append(sample_circuit_layer_of_one_q_gates(
                 pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
+        layers.extend(_sample_one_layer(pspec, qubit_labels, sampler,
+                                        samplerargs, rng))
+    if addlocal and length > 0:
+        layers.append(sample_circuit_layer_of_one_q_gates(
+            pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
     # inversion
     partial = Circuit(layers, qubit_labels)
     s_par, p_par = sym.symplectic_rep_of_clifford_circuit(partial, pspec=pspec)
@@ -365,6 +370,9 @@ def create_binary_rb_circuit(pspec, clifford_compilations=None, length=1,
     samplerargs = samplerargs or {}
     core_layers = []
     for k in range(length):
+        if addlocal:  # 2*length+1 structure: 1Q layer before each + after last
+            core_layers.append(sample_circuit_layer_of_one_q_gates(
+                pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
         if layer_sampling == 'alternating1q2q' and k % 2 == 0:
             core_layers.append(sample_circuit_layer_of_one_q_gates(
                 pspec, qubit_labels, rand_state=rng))
@@ -372,9 +380,9 @@ def create_binary_rb_circuit(pspec, clifford_compilations=None, length=1,
             core_layers.extend(create_random_circuit(
                 pspec, 1, qubit_labels=qubit_labels, sampler=sampler,
                 samplerargs=samplerargs, rand_state=rng).layertup)
-        if addlocal and k < length - 1:
-            core_layers.append(sample_circuit_layer_of_one_q_gates(
-                pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
+    if addlocal and length > 0:
+        core_layers.append(sample_circuit_layer_of_one_q_gates(
+            pspec, qubit_labels, rand_state=rng, **(lsargs or {})))
     core = Circuit(core_layers, qubit_labels)
     s_U, p_U = sym.symplectic_rep_of_clifford_circuit(core, pspec=pspec)
 

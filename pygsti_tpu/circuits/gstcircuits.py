@@ -159,9 +159,14 @@ def make_lsgst_structs(op_label_src, prep_fiducials, meas_fiducials, germs,
             germ_pairs = set(pairs_for_germ(germ))
             if _rndm is not None:
                 # random per-(germ, L) pair subset (reference :215-233):
-                # explicitly-given pairs are always kept, random extras are
-                # drawn to reach the keep count
-                base_pairs = germ_pairs if fid_pairs is not None else set()
+                # EXPLICITLY-given pairs are always kept with random extras
+                # topping up the keep count; germs without explicit pairs
+                # (absent from a fid_pairs dict, or no fid_pairs at all)
+                # get a pure random keep-count subset
+                has_explicit = (fid_pairs is not None
+                                and (not isinstance(fid_pairs, dict)
+                                     or germ in fid_pairs))
+                base_pairs = germ_pairs if has_explicit else set()
                 all_pairs = [(f1, f2) for f1 in prep_fiducials
                              for f2 in meas_fiducials]
                 remaining = [pr for pr in all_pairs if pr not in base_pairs]

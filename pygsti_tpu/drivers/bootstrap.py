@@ -29,7 +29,16 @@ def create_bootstrap_dataset(input_dataset, generation_method, input_model=None,
         assert input_model is not None
         circuits = list(input_dataset.keys())
         N = int(round(input_dataset[circuits[0]].total))
-        return simulate_data(input_model, circuits, N, seed=seed)
+        ds = simulate_data(input_model, circuits, N, seed=seed)
+        if outcome_labels is not None:
+            # register the requested label set even when a resample never
+            # observes some outcomes (mirrors the nonparametric branch)
+            from pygsti_tpu.baseobjs.outcomelabeldict import OutcomeLabelDict
+            for ol in outcome_labels:
+                ol = OutcomeLabelDict.to_outcome(ol)
+                if ol not in ds._outcome_labels:
+                    ds._outcome_labels.append(ol)
+        return ds
     raise ValueError("Invalid generation_method %r" % generation_method)
 
 

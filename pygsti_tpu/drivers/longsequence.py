@@ -10,18 +10,17 @@ from pygsti_tpu.protocols.modeltest import ModelTest
 
 
 
-def _apply_advanced_options(advanced_options, verbosity):
+def _apply_advanced_options(advanced_options):
     """Translate the reference's legacy `advanced_options` dict (reference:
     drivers/advancedoptions.py) into protocol arguments.  Supported keys
     are honored; unknown keys raise (no silent accept-and-ignore)."""
     adv = dict(advanced_options or {})
     out = {}
     if 'objective' in adv:
-        objective = adv.pop('objective')
-        from pygsti_tpu.objectivefns.objectivefns import ObjectiveFunctionBuilder
-        out['objfn_builders'] = GSTObjFnBuilders(
-            [ObjectiveFunctionBuilder.create_from(objective)],
-            [ObjectiveFunctionBuilder.create_from(objective)])
+        # the reference's stage structure: 'logl' = chi2 iterations + final
+        # MLE, 'chi2' = chi2-only (GSTObjFnBuilders.create_from)
+        out['objfn_builders'] = GSTObjFnBuilders.create_from(
+            objective=adv.pop('objective'))
     opt_kw = {}
     if 'max_iterations' in adv:
         opt_kw['maxiter'] = int(adv.pop('max_iterations'))
@@ -36,7 +35,8 @@ def _apply_advanced_options(advanced_options, verbosity):
         from pygsti_tpu.protocols.gst import GSTBadFitOptions
         out['badfit_options'] = GSTBadFitOptions(
             threshold=adv.pop('bad_fit_threshold'))
-    adv.pop('estimate_label', None)  # naming-only key, applied by callers
+    if 'estimate_label' in adv:
+        out['name'] = adv.pop('estimate_label')
     if adv:
         raise ValueError(
             "Unsupported advanced_options keys %s; supported: objective, "
@@ -72,15 +72,15 @@ def run_long_sequence_gst(data_filename_or_set, target_model, prep_fiducials,
                                max_lengths)
     data = ProtocolData(design, ds)
     gaugeopt = 'stdgaugeopt' if gauge_opt_params is None else {'go0': gauge_opt_params}
-    adv = _apply_advanced_options(advanced_options, verbosity)
+    adv = _apply_advanced_options(advanced_options)
     starting_point = adv.pop('starting_point', None)
+    name = adv.pop('name', 'GateSetTomography')
     init = GSTInitialModel(target_model=target_model,
                            starting_point=starting_point) \
         if starting_point is not None \
         else GSTInitialModel(target_model=target_model)
     proto = GateSetTomography(init, gaugeopt_suite=gaugeopt,
-                              verbosity=verbosity,
-                              name='GateSetTomography', **adv)
+                              verbosity=verbosity, name=name, **adv)
     results = proto.run(data)
     _write_output_pkl(results, output_pkl)
     return results
@@ -165,15 +165,15 @@ def run_long_sequence_gst_base(data_filename_or_set, target_model,
     data = ProtocolData(design, ds)
     gaugeopt = 'stdgaugeopt' if gauge_opt_params is None \
         else {'go0': gauge_opt_params}
-    adv = _apply_advanced_options(advanced_options, verbosity)
+    adv = _apply_advanced_options(advanced_options)
     starting_point = adv.pop('starting_point', None)
+    name = adv.pop('name', 'GateSetTomography')
     init = GSTInitialModel(target_model=target_model,
                            starting_point=starting_point) \
         if starting_point is not None \
         else GSTInitialModel(target_model=target_model)
     proto = GateSetTomography(init, gaugeopt_suite=gaugeopt,
-                              verbosity=verbosity,
-                              name='GateSetTomography', **adv)
+                              verbosity=verbosity, name=name, **adv)
     results = proto.run(data)
     _write_output_pkl(results, output_pkl)
     return results

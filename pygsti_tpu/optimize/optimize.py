@@ -67,9 +67,15 @@ def minimize(fn, x0, method='cg', callback=None, tol=1e-10, maxiter=1000000,
         return OptimizerResult(res.x, float(res.fun), res.success, res.message)
     opts = {'maxiter': maxiter}
     if maxfev is not None:
-        # scipy spells the function-evaluation cap differently per method
-        opts['maxfev' if m in ('nelder-mead', 'powell', 'tnc', 'cobyla')
-             else 'maxfun'] = int(maxfev)
+        # scipy spells the function-evaluation cap differently per method:
+        # 'maxfev' (Nelder-Mead, Powell), 'maxfun' (L-BFGS-B, TNC), and
+        # COBYLA's 'maxiter' IS its evaluation count
+        if m in ('nelder-mead', 'powell'):
+            opts['maxfev'] = int(maxfev)
+        elif m == 'cobyla':
+            opts['maxiter'] = min(maxiter, int(maxfev))
+        else:
+            opts['maxfun'] = int(maxfev)
     res = spo.minimize(fn, x0, method=method, jac=jac, tol=tol,
                        callback=callback, options=opts)
     return OptimizerResult(res.x, float(res.fun), bool(res.success),

@@ -13,13 +13,7 @@ import html as _html
 import numpy as np
 
 
-def _maybe_auto_open(path, auto_open):
-    """Open the written report in the default browser when requested
-    (reference: report.py _open_in_browser)."""
-    if auto_open:
-        import os as _os
-        import webbrowser
-        webbrowser.open('file://' + _os.path.abspath(path))
+from pygsti_tpu.report.factory import _maybe_auto_open
 
 
 

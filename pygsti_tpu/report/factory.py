@@ -19,11 +19,12 @@ from pygsti_tpu.report import reportables as _rpt
 
 def _maybe_auto_open(path, auto_open):
     """Open the written report in the default browser when requested
-    (reference: report.py _open_in_browser)."""
+    (reference: report.py _open_in_browser).  Shared by the drift / idle-
+    tomography reports and the notebook writer."""
     if auto_open:
-        import os as _os
+        import pathlib
         import webbrowser
-        webbrowser.open('file://' + _os.path.abspath(path))
+        webbrowser.open(pathlib.Path(path).resolve().as_uri())
 
 
 
@@ -591,9 +592,7 @@ def create_report_notebook(results, filename, title="GST Report Notebook",
           "nbformat": 4, "nbformat_minor": 5}
     with open(filename, 'w') as f:
         _json.dump(nb, f, indent=1)
-    if auto_open:
-        import webbrowser
-        webbrowser.open('file://' + _os.path.abspath(filename))
+    _maybe_auto_open(filename, auto_open)
     return filename
 
 

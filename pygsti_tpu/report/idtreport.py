@@ -18,13 +18,7 @@ import numpy as np
 from pygsti_tpu.report.driftreport import _svg_line_plot
 
 
-def _maybe_auto_open(path, auto_open):
-    """Open the written report in the default browser when requested
-    (reference: report.py _open_in_browser)."""
-    if auto_open:
-        import os as _os
-        import webbrowser
-        webbrowser.open('file://' + _os.path.abspath(path))
+from pygsti_tpu.report.factory import _maybe_auto_open
 
 
 

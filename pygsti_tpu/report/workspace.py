@@ -208,7 +208,13 @@ class Workspace(object):
                     target_model.operations[lbl].to_dense()))
                 row.append(', '.join('%.4f%+.4fj' % (v.real, v.imag)
                                      for v in tev))
-                row.append('%.4g' % float(np.max(np.abs(ev - tev))))
+                # min-weight eigenvalue matching: independent sorts can
+                # mispair near-conjugate eigenvalues (reference pairs via
+                # _ot.minweight_match)
+                from scipy.optimize import linear_sum_assignment
+                cost = np.abs(ev[:, None] - tev[None, :])
+                ri, ci = linear_sum_assignment(cost)
+                row.append('%.4g' % float(np.max(cost[ri, ci])))
             rows.append(row)
         return WorkspaceTable(self, _table_html(headers, rows))
 
