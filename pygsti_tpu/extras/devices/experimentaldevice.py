@@ -150,11 +150,22 @@ class ExperimentalDevice(object):
 
     def create_processor_spec(self, gate_names=None, qubit_subset=None,
                               remove_edges=None, subset_only=True):
+        """Processor spec for the device (or a qubit subset).  With
+        ``subset_only=False`` the spec keeps the FULL device qubit list and
+        only restricts the edge set to the subset's edges (the reference's
+        behavior for specs that must share the device's qubit count)."""
         from pygsti_tpu.processors import QubitProcessorSpec
         if gate_names is None:
             gate_names = ['Gxpi2', 'Gypi2'] + list(self.gate_mapping.keys())
         if qubit_subset is None:
             qubit_subset = list(self.qubits)
+        if not subset_only:
+            edges_sub = [e for e in self.graph.edges()
+                         if e[0] in qubit_subset and e[1] in qubit_subset]
+            graph = QubitGraph(list(self.qubits), initial_edges=edges_sub)
+            return QubitProcessorSpec(len(self.qubits), gate_names,
+                                      geometry=graph,
+                                      qubit_labels=tuple(self.qubits))
         assert set(qubit_subset) <= set(self.qubits)
         remove = set(map(tuple, remove_edges or []))
         edges = [e for e in self.graph.edges()

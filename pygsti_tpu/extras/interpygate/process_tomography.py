@@ -34,6 +34,9 @@ def run_process_tomography(state_to_density_matrix_fn, n_qubits=1, comm=None,
     list of density matrices when `time_dependent`), in `basis` (reference:
     process_tomography.run_process_tomography:37)."""
     opt_args = opt_args or {}
+    def _log(msg):
+        if verbose:
+            print(msg)
     one_qubit_states = [np.array(s, complex) / np.linalg.norm(s)
                         for s in ([1, 0], [0, 1], [1, 1], [1, 1j])]
     states = [multi_kron(*combo) for combo in
@@ -41,7 +44,8 @@ def run_process_tomography(state_to_density_matrix_fn, n_qubits=1, comm=None,
     in_rhos = [np.outer(s, s.conj()) for s in states]
     S = np.column_stack([rho.reshape(-1) for rho in in_rhos])  # [d2, 4^n]
     outs = []
-    for s in states:
+    for k, s in enumerate(states):
+        _log("Simulating input state %d / %d" % (k + 1, len(states)))
         r = state_to_density_matrix_fn(s, **opt_args)
         outs.append(r if time_dependent else [r])
     n_times = len(outs[0])

@@ -15,7 +15,17 @@ def create_parameterized_rpe_model(alpha_true, epsilon_true, aux_rot,
                                    rpeconfig_inst=None):
     """1-qubit model with X rotation `alpha_true`, Y rotation `epsilon_true`
     tilted by aux (Z) rotation `aux_rot`, plus depolarization
-    (reference: rpeconstruction.py:20)."""
+    (reference: rpeconstruction.py:20).  Only the standard X/Y axis
+    configuration (rpeconfig_gxpi2_gypi2_00) is implemented; an
+    `rpeconfig_inst` with different fixed/loose axes raises."""
+    if rpeconfig_inst is not None:
+        fixed = getattr(rpeconfig_inst, 'fixed_axis_label', 'X')
+        loose = getattr(rpeconfig_inst, 'loose_axis_label', 'Y')
+        if (fixed, loose) != ('X', 'Y'):
+            raise NotImplementedError(
+                "rpeconfig with axes (%s, %s) is not supported; only the "
+                "standard (X, Y) configuration is implemented"
+                % (fixed, loose))
     from pygsti_tpu.models.modelconstruction import (
         create_explicit_model_from_expressions)
     gates = (['Gi'] if with_id else []) + ['Gx', 'Gy']

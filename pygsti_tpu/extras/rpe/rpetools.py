@@ -146,6 +146,24 @@ def analyze_rpe_data(input_dataset, true_or_target_model, string_list_d,
     results['alphaErrorList'] = [abs(alpha_true - a) for a in alphas]
     results['epsilonErrorList'] = [abs(eps_true - e) for e in epsilons]
     results['thetaErrorList'] = [abs(theta_true - t) for t in thetas]
+
+    if do_consistency_check:
+        # lower-triangular-by-column consistency matrices: entry (i, j) =
+        # is the stage-i estimate within pi/(2 k_i) of the stage-j estimate
+        # (reference: rpetools.py:437-460)
+        import numpy as _np
+        if k_list is None:
+            raise ValueError("Consistency check requested, but no k List "
+                             "given!")
+        num_ks = len(k_list)
+        for key, vals in (('alphaCheckMat', alphas),
+                          ('epsilonCheckMat', epsilons),
+                          ('thetaCheckMat', thetas)):
+            mat = _np.zeros([num_ks, num_ks], float)
+            for j in range(num_ks):
+                for i, k_small in enumerate(k_list[:j + 1]):
+                    mat[i, j] = consistency_check(vals[i], vals[j], k_small)
+            results[key] = mat
     return results
 
 
