@@ -19,7 +19,7 @@ class _MockCollection(object):
         self._docs = {}
         self._next_id = 0
 
-    def insert_one(self, doc):
+    def insert_one(self, doc, session=None):
         doc = dict(doc)
         if '_id' not in doc:
             doc['_id'] = self._next_id
@@ -30,7 +30,7 @@ class _MockCollection(object):
             inserted_id = doc['_id']
         return _Result()
 
-    def find_one(self, query):
+    def find_one(self, query, session=None):
         if isinstance(query, dict):
             for doc in self._docs.values():
                 if all(doc.get(k) == v for k, v in query.items()):
@@ -38,7 +38,7 @@ class _MockCollection(object):
             return None
         return dict(self._docs.get(query)) if query in self._docs else None
 
-    def replace_one(self, query, doc, upsert=False):
+    def replace_one(self, query, doc, upsert=False, session=None):
         found = self.find_one(query)
         if found is not None:
             doc = dict(doc)
@@ -47,7 +47,7 @@ class _MockCollection(object):
         elif upsert:
             self.insert_one(doc)
 
-    def delete_one(self, query):
+    def delete_one(self, query, session=None):
         found = self.find_one(query)
         if found is not None:
             del self._docs[found['_id']]
@@ -67,14 +67,15 @@ class MongoSerializable(object):
         if doc_id is not None:
             doc['_id'] = doc_id
             if overwrite_existing:
-                collection.replace_one({'_id': doc_id}, doc, upsert=True)
+                collection.replace_one({'_id': doc_id}, doc, upsert=True,
+                                       session=session)
                 return doc_id
-        result = collection.insert_one(doc)
+        result = collection.insert_one(doc, session=session)
         return result.inserted_id
 
     @classmethod
     def from_mongodb(cls, collection, doc_id, session=None):
-        doc = collection.find_one({'_id': doc_id})
+        doc = collection.find_one({'_id': doc_id}, session=session)
         if doc is None:
             raise KeyError("No document with id %r" % (doc_id,))
         from pygsti_tpu.baseobjs.nicelyserializable import NicelySerializable

@@ -22,12 +22,12 @@ def write_obj_to_mongodb_auxtree(obj, mongodb_collection, doc_id,
     doc = {'_id': doc_id, 'state': encode_obj(obj)}
     if additional_meta:
         doc.update(additional_meta)
-    existing = mongodb_collection.find_one({'_id': doc_id})
+    existing = mongodb_collection.find_one({'_id': doc_id}, session=session)
     if existing is not None:
         if not overwrite_existing:
             raise ValueError("Document %r already exists" % (doc_id,))
-        mongodb_collection.delete_one({'_id': doc_id})
-    mongodb_collection.insert_one(doc)
+        mongodb_collection.delete_one({'_id': doc_id}, session=session)
+    mongodb_collection.insert_one(doc, session=session)
     return doc_id
 
 
@@ -45,7 +45,7 @@ def read_auxtree_from_mongodb(mongodb_collection, doc_id,
 
 def remove_auxtree_from_mongodb(mongodb_collection, doc_id, session=None):
     """Delete a stored object document."""
-    mongodb_collection.delete_one({'_id': doc_id})
+    mongodb_collection.delete_one({'_id': doc_id}, session=session)
 
 
 # -- reference function-name surface (reference: io/mongodb.py).  MongoDB
