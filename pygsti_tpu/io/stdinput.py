@@ -54,12 +54,21 @@ class StdInputParser(object):
     """Text-format parser matching the reference's grammar
     (reference: stdinput.py:80)."""
 
-    def parse_circuit(self, s, lookup=None, create_subcircuits=True):
+    def parse_circuit(self, s, lookup=None, create_subcircuits=True,
+                      line_labels=None):
+        # `create_subcircuits` is accepted for API parity: compact
+        # CircuitLabel sub-circuits are not used in this representation
+        # (see Circuit.repeat), so exponents always expand
         lookup = lookup or {}
         m = re.match(r'S<([a-zA-Z0-9_]+)>', s.strip())
         if m:
             return Circuit(lookup[m.group(1)])
-        return Circuit(s)
+        c = Circuit(s)
+        if line_labels is not None and '@' not in s:
+            # explicit line labels for strings without an @(...) suffix
+            # (reference stdinput: line_labels threading)
+            c = Circuit(c.layertup, tuple(line_labels))
+        return c
 
     def parse_dataline(self, s, lookup=None, expected_counts=-1,
                        create_subcircuits=True, line_labels=None):
@@ -93,7 +102,8 @@ class StdInputParser(object):
                                  % (len(counts), expected_counts))
             if len(counts) == len(parts):
                 raise ValueError("No circuit column found -- all columns look like data")
-        return self.parse_circuit(circuit_str, lookup, create_subcircuits), counts
+        return self.parse_circuit(circuit_str, lookup, create_subcircuits,
+                                  line_labels=line_labels), counts
 
     def parse_dictline(self, s):
         """(label, circuit_tuple, circuit_str) for a Lookup-dict line
@@ -152,7 +162,17 @@ class StdInputParser(object):
     def parse_datafile(self, filename, show_progress=False,
                        collision_action="aggregate", record_zero_counts=True,
                        ignore_zero_count_lines=True, with_times="auto"):
-        """Parse a dataset file (reference: stdinput.py:362)."""
+        """Parse a dataset file (reference: stdinput.py:362).
+        `show_progress` is accepted for parity (parsing is fast enough
+        that no progress bar is drawn); repeated circuits always aggregate
+        ('keepseparate' occurrence tagging raises)."""
+        if collision_action not in ('aggregate', 'keepseparate'):
+            raise ValueError("Invalid collision_action %r"
+                             % (collision_action,))
+        if collision_action == 'keepseparate':
+            raise NotImplementedError(
+                "collision_action='keepseparate' (occurrence-tagged "
+                "repeated circuits) is not supported")
         directives, comments = self._parse_preamble(filename)
 
         orig_cwd = os.getcwd()
