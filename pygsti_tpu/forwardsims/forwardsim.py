@@ -70,12 +70,25 @@ class ForwardSimulator(object):
 
     # -- single circuit --------------------------------------------------------
     def probs(self, circuit, outcomes=None, time=None, clip_to=None):
+        """Outcome probabilities of one circuit; `outcomes` restricts the
+        returned dict.  This simulator is time-independent: a non-None
+        `time` raises (time-dependent members route through the
+        timestamped fills instead)."""
+        if time is not None:
+            raise NotImplementedError(
+                "time-dependent probabilities are not supported by this "
+                "simulator's probs(); use the time-dependent objective "
+                "fills (bulk_fill_timedep_*) instead")
         layout = self.create_layout([circuit])
         p = self.bulk_fill_probs(None, layout)
         if clip_to is not None:
             p = np.clip(p, clip_to[0], clip_to[1])
+        if outcomes is not None:
+            keep = {OutcomeLabelDict.to_outcome(o) for o in outcomes}
         out = OutcomeLabelDict()
         for outcome, val in zip(layout.outcomes[0], p):
+            if outcomes is not None and outcome not in keep:
+                continue
             out[outcome] = float(val)
         return out
 

@@ -51,7 +51,8 @@ class StabilizerForwardSimulator(object):
 
     def probs(self, circuit, outcomes=None):
         """All-outcome distribution (exponential in the number of *random*
-        measurement bits only; deterministic bits don't branch)."""
+        measurement bits only; deterministic bits don't branch).
+        `outcomes` restricts the returned dict."""
         n, (st_s, st_p) = self._final_state(circuit)
         out = OutcomeLabelDict()
 
@@ -66,4 +67,8 @@ class StabilizerForwardSimulator(object):
                 recurse(st1[0], st1[1], qubit + 1, prefix + [1], prob * p1)
 
         recurse(st_s, st_p, 0, [], 1.0)
+        if outcomes is not None:
+            keep = {OutcomeLabelDict.to_outcome(o) for o in outcomes}
+            out = OutcomeLabelDict((k, v) for k, v in out.items()
+                                   if k in keep)
         return out

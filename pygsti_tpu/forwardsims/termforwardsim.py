@@ -394,6 +394,10 @@ class TermForwardSimulator(object):
     # -- evaluation ----------------------------------------------------------
 
     def probs(self, circuit, clip_to=None, time=None):
+        if time is not None:
+            raise NotImplementedError(
+                "the Taylor-term simulator evaluates time-independent "
+                "polynomials; time-dependent probabilities are unsupported")
         polys, outcomes = self.prob_polynomials(circuit)
         v = np.asarray(self.model.to_vector())
         vt, ct = compact_polynomial_list(polys)

@@ -94,9 +94,13 @@ class WeakForwardSimulator(object):
             rng = np.random.RandomState(self.base_seed + k)
             out = self._compute_circuit_outcome_for_shot(circuit, rng, time)
             counts[out] = counts.get(out, 0) + 1
+        keep = None if outcomes is None else \
+            {OutcomeLabelDict.to_outcome(o) for o in outcomes}
         d = OutcomeLabelDict()
         for out, cnt in sorted(counts.items()):
             key = (''.join(map(str, out)),)
+            if keep is not None and key not in keep:
+                continue
             d[key] = cnt / self.shots
         if clip_to is not None:
             for k in d:
